@@ -1,0 +1,84 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is materialized (collect) so timings include the full plan —
+scan, shuffles, result encode. Times are wall-clock seconds per query;
+"value" is the total.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gmall_flink_20_spark.io import default_sf_dir
+from gmall_flink_20_spark.queries import QUERIES
+from gmall_flink_20_spark.session import get_spark
+
+# Headline set: every operator family at its heaviest registry entry.
+BENCH_QUERIES = [
+    "hot_items_topn",
+    "page_views",
+    "unique_visitors",
+    "unique_visitors_approx",
+    "channel_stats",
+    "province_ad_clicks",
+    "blacklist_kept",
+    "blacklist_warnings",
+    "login_fail_consecutive",
+    "login_fail_horizon",
+    "order_timeout",
+    "pay_receipt_interval_join",
+    "pay_receipt_reconcile",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "docs_token_count",
+    "docs_quality",
+    "docs_lang_id",
+    "docs_fingerprint",
+    "docs_dedup_exact",
+    "docs_minhash_lsh_pairs",
+    "docs_ngram_jaccard",
+    "emb_ann_topk",
+]
+
+
+def main() -> None:
+    sf_dir = default_sf_dir()
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + file listing so q1 doesn't pay one-time costs
+    QUERIES["tpch_q6"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        rows = QUERIES[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        del rows
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""Table loaders and source normalization.
+
+Reference parity: the reference reads CSV fixtures line-by-line and parses
+them positionally (``HotItemApp.java:40-49``, ``HotUrlApp.java:44-55``); we
+read the driver's parquet tables (TESTDATA.md) through the DataFrame reader
+so Catalyst gets column pruning + filter pushdown at the scan.
+
+The ``events`` table is the stand-in for every reference event stream
+(UserBehavior / ApacheLog / AdClickEvent / LoginEvent / OrderEvent): columns
+``event_id, ts, user_id, event_type ∈ {click,view,purchase,signup,error},
+value, props(json)``.
+
+The events parquet stores TIMESTAMP(NANOS); Spark has no ns type, so the
+session reads it as a long (``nanosAsLong``) and we rebuild a µs timestamp
+here with *integer* division (a double division would lose precision at
+1.7e18 ns).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["TABLES", "load_table", "load_events", "register_views", "default_sf_dir"]
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _ensure_session_conf(spark: SparkSession) -> None:
+    """Make any caller-provided session able to read the test tables and
+    hash-match the oracle: ns parquet readable, dates/windows in UTC.
+    Both are runtime-settable SQL confs, so this works even when the
+    caller (e.g. the verify driver) built a plain SparkSession."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-generated parquet table, normalizing types."""
+    _ensure_session_conf(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = _normalize_events(df)
+    return df
+
+
+def _normalize_events(df: DataFrame) -> DataFrame:
+    """ns-long → µs timestamp. `ts DIV 1000` stays in integer arithmetic."""
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql() use."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,93 @@
+"""Multimodal-column plumbing (beyond-reference scope).
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata. The Spark-side contract — schema, partitioning, Arrow batch
+shape through ``mapInPandas`` — is real and tested; the actual media
+decode is STUBBED (this container has no image/audio libs): pass
+``fake_decode=True`` for a deterministic fake, otherwise the decode step
+raises ``NotImplementedError`` where a real libjpeg/ffmpeg call belongs.
+
+Scale notes: mapInPandas streams Arrow batches, so per-executor memory is
+bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` regardless of
+corpus size; binary payloads never pass through a shuffle here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = ["MEDIA_SCHEMA", "FEATURE_SCHEMA", "attach_media", "extract_features"]
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("payload", BinaryType(), True),
+        StructField("mime", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("feature_hash", LongType(), True),
+    ]
+)
+
+
+def attach_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Derive a deterministic fake media column set from an id column —
+    stands in for reading a real (id, payload) media table."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (F.col(id_col) % 3 + 1).cast("int")).alias("kind"),
+        F.unhex(F.sha2(F.col(id_col).cast("string"), 256)).alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+    )
+
+
+def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """Decode + feature-extract via mapInPandas (Arrow-batched).
+
+    The real decode (PIL / ffmpeg frame sampling / torchaudio resample)
+    plugs into ``_decode_batch``; here it is stubbed.
+    """
+
+    def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake_decode:
+                raise NotImplementedError(
+                    "media decode requires image/audio libs not in this container"
+                )
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else 0).astype("int64"),
+                    # deterministic fake "feature": first 8 payload bytes as int
+                    "feature_hash": pdf["payload"].map(
+                        lambda b: int.from_bytes(b[:8], "big", signed=True) if b else 0
+                    ),
+                }
+            )
+            yield out
+
+    return media.mapInPandas(_decode_batch, schema=FEATURE_SCHEMA)

@@ -1,0 +1,67 @@
+"""Similarity search over an embedding column (beyond-reference scope).
+
+Brute-force cosine top-k is the correctness baseline; the scale path
+(LSH/IVF bucketing so each query only scans one bucket's partitions) builds
+on the same kernels. The dot product is a built-in fold
+(``zip_with`` + ``aggregate``) — JVM-side, codegen'd, no Python in the
+loop; at 100 TB a vectorized Pandas-UDF batch kernel over ``mapInPandas``
+is the alternative when vectors are wide (both kernels share this module).
+
+Determinism: ranks (not raw cosines) are the output contract; scores are
+computed in double with a left-to-right fold, matching the oracle's
+sequential loop, and ties break on neighbor id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["cosine", "ann_bruteforce_topk"]
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float/double> columns (double math,
+    sequential fold so engines agree bit-for-bit)."""
+
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def ann_bruteforce_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id.
+
+    The query side is tiny by construction → broadcast it; the corpus scan
+    is then embarrassingly parallel with zero shuffle before the final
+    per-query top-k (a rank over ≤ |queries|·|corpus| scored rows, which
+    AQE coalesces). For 100 TB corpora the same plan holds: broadcast the
+    query batch, scan the corpus once.
+    """
+    queries = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
+    corpus = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", cosine(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

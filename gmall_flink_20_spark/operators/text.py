@@ -1,0 +1,106 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond-reference scope (per the build brief): language-ID, quality
+scoring, token counting, document fingerprinting over the ``documents``
+table. Everything is built-in column expressions (JVM-side, whole-stage
+codegen) — no Python UDFs in the hot path — so these scale linearly with
+input splits and shuffle nothing.
+
+Determinism contract: every score is an integer ratio or an md5 string so
+the DuckDB oracle computes bit-identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "LANG_MARKERS",
+]
+
+_WS = r"\s+"
+
+# Marker words per language for the n-gram/stopword language-ID heuristic.
+# Deterministic argmax with fixed iteration order; 'und' when no marker hits.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of"],
+    "fr": ["le", "la", "et", "les"],
+    "es": ["el", "los", "que", "de"],
+    "de": ["der", "die", "und", "das"],
+    "zh": ["的", "了", "是", "在"],
+}
+
+
+def tokens(text_col: str | Column = "text") -> Column:
+    """Whitespace tokenization (the baseline tokenizer; BPE-ish regex
+    splitting composes the same way with a different pattern)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.trim(c), _WS)
+
+
+def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(
+        F.col(id_col), F.size(tokens(text_col)).cast("long").alias("n_tokens")
+    )
+
+
+def quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: tuple[str, ...] = ("the", "a", "and", "of", "to", "in"),
+) -> DataFrame:
+    """Length/stopword/mean-token-length quality features.
+
+    All ratios are double divisions of exact integers, so the oracle's
+    values are bit-identical.
+    """
+    toks = tokens(text_col)
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    n_tokens = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("long")
+    n_chars = F.length(F.col(text_col)).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_q"),
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        (n_stop.cast("double") / n_tokens.cast("double")).alias("stopword_ratio"),
+        (n_chars.cast("double") / n_tokens.cast("double")).alias("mean_token_len"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language ID: count word-boundary hits per language,
+    argmax with deterministic (insertion-order) tie-breaking, 'und' if no
+    marker fires. Pure regexp_count — JVM-side, no UDF."""
+    score_cols = []
+    for lang, words in LANG_MARKERS.items():
+        pattern = r"\b(" + "|".join(words) + r")\b"
+        col = F.regexp_count(F.col(text_col), F.lit(pattern)).cast("long").alias(f"score_{lang}")
+        score_cols.append((lang, col))
+    out = df.select(F.col(id_col), *[c for _, c in score_cols])
+    # argmax: max score, then the FIRST language (dict order) reaching it —
+    # folding in reverse order makes earlier languages win ties.
+    max_score = None
+    for lang, _ in score_cols:
+        s = F.col(f"score_{lang}")
+        max_score = s if max_score is None else F.greatest(max_score, s)
+    guess = F.lit("und")
+    for lang, _ in reversed(score_cols):
+        s = F.col(f"score_{lang}")
+        guess = F.when((s == max_score) & (max_score > 0), F.lit(lang)).otherwise(guess)
+    return out.select(F.col(id_col), guess.alias("lang_guess"), max_score.alias("lang_score"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace-normalized md5 content fingerprint (md5 so the oracle
+    reproduces it exactly; at scale swap for xxhash64 — same plan shape)."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), _WS, " ")
+    return df.select(F.col(id_col), F.md5(normalized.cast("binary")).alias("fp"))

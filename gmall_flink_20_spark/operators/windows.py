@@ -1,0 +1,68 @@
+"""Windowed aggregation operators (SURVEY.md §2.5, WA1–WA8).
+
+Reference parity:
+- WA1 sliding 1h/5m incremental count   — HotItemApp.java:60-110
+- WA2 sliding 10m/5s count + lateness   — HotUrlApp.java:68-112
+- WA3 tumbling 1h sum (PV)              — PageViewApp.java:57-60
+- WA4 salted two-phase windowed count   — PageViewApp_2.java:63-157
+- WA7 sliding count by (channel,behav.) — channelApp.java:52-72 (test-tree
+  ChannelApp.java fixes the main-tree counting bug; we implement the intent)
+- WA8 sliding count by province         — AdClickApp.java:63-109
+
+Spark-first design: ``F.window(ts, size, slide)`` declares the window;
+Catalyst plans a partial (map-side) + final hash aggregate, so the
+reference's hand-written incremental ``AggregateFunction`` (WA1) and its
+salted two-phase rewrite for the single-hot-key PV count (WA4) are both
+subsumed by the default plan — at 1000 executors the partial aggregate
+already collapses each window's per-partition counts before the shuffle.
+
+All operators emit ``window_end_s`` as epoch seconds (BIGINT) rather than a
+timestamp so results hash identically across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "windowed_count",
+    "tumbling_count",
+    "window_end_s",
+]
+
+
+def window_end_s(ts_col: str, size: str, slide: str | None = None) -> Column:
+    """Epoch-second end of the (sliding) window containing ``ts_col``."""
+    w = F.window(ts_col, size, slide) if slide else F.window(ts_col, size)
+    return w.end.cast("long")
+
+
+def windowed_count(
+    df: DataFrame,
+    ts_col: str,
+    size: str,
+    slide: str | None,
+    *keys: Column | str,
+    count_alias: str = "cnt",
+) -> DataFrame:
+    """Count rows per (window, *keys) over tumbling or sliding windows.
+
+    Emits ``window_end_s`` + keys + count. One shuffle (the groupBy); the
+    window expansion for sliding windows happens map-side before the
+    partial aggregate, so shuffled volume is already (window, key) partials.
+    """
+    w = F.window(ts_col, size, slide) if slide else F.window(ts_col, size)
+    key_cols = [F.col(k) if isinstance(k, str) else k for k in keys]
+    return (
+        df.groupBy(w.alias("w"), *key_cols)
+        .agg(F.count(F.lit(1)).alias(count_alias))
+        .withColumn("window_end_s", F.col("w.end").cast("long"))
+        .drop("w")
+    )
+
+
+def tumbling_count(
+    df: DataFrame, ts_col: str, size: str, *keys: Column | str, count_alias: str = "cnt"
+) -> DataFrame:
+    return windowed_count(df, ts_col, size, None, *keys, count_alias=count_alias)

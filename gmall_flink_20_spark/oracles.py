@@ -1,0 +1,337 @@
+"""DuckDB oracle SQL — one ANSI-SQL statement per registry query.
+
+Each statement reproduces the matching ``queries.py`` entry exactly
+(column names, types, values) so the driver's sorted-column value-hash
+matches. Shared conventions:
+
+- sliding windows are expanded arithmetically: an event at epoch-second t
+  belongs to the size/slide windows ending at
+  ``(floor(t/slide) - i)*slide + size`` for i in [0, size/slide)
+  (identical to Spark's epoch-aligned ``window()``);
+- event times are floored to epoch seconds before any comparison (both
+  engines), so ns-vs-µs parquet precision can't flip a boundary;
+- money aggregates are summed as exact DECIMALs and cast to double at the
+  end; ranks come from row_number with explicit tie-breaks.
+"""
+
+from __future__ import annotations
+
+__all__ = ["ORACLES"]
+
+# epoch-second expression for the events table (ns timestamp in DuckDB)
+_TS = "CAST(floor(epoch(ts)) AS BIGINT)"
+
+_SLIDING = """
+WITH base AS ({base}),
+exp AS (
+    SELECT base.*,
+           (CAST(floor(epoch(ts)/{slide}) AS BIGINT) - g.i) * {slide} + {size} AS window_end_s
+    FROM base, generate_series(0, {nwin} - 1) AS g(i)
+)
+{select}
+"""
+
+
+def _sliding(base: str, size: int, slide: int, select: str) -> str:
+    return _SLIDING.format(base=base, size=size, slide=slide, nwin=size // slide, select=select)
+
+
+ORACLES: dict[str, str] = {}
+
+# -------------------------------------------------- reference analytics
+
+ORACLES["hot_items_topn"] = _sliding(
+    base="SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id, ts "
+    "FROM events WHERE event_type = 'click'",
+    size=3600,
+    slide=300,
+    select="""
+SELECT window_end_s, item_id, cnt, rn FROM (
+    SELECT window_end_s, item_id, cnt,
+           row_number() OVER (PARTITION BY window_end_s ORDER BY cnt DESC, item_id ASC) AS rn
+    FROM (SELECT window_end_s, item_id, count(*) AS cnt FROM exp GROUP BY 1, 2)
+) WHERE rn <= 5
+""",
+)
+
+ORACLES["page_views"] = f"""
+SELECT (CAST(floor(epoch(ts)/3600) AS BIGINT) + 1) * 3600 AS window_end_s, count(*) AS pv
+FROM events WHERE event_type = 'click' GROUP BY 1
+"""
+
+ORACLES["unique_visitors"] = """
+SELECT (CAST(floor(epoch(ts)/3600) AS BIGINT) + 1) * 3600 AS window_end_s,
+       count(DISTINCT user_id) AS uv
+FROM events GROUP BY 1
+"""
+
+ORACLES["channel_stats"] = _sliding(
+    base="SELECT 'ch' || CAST(user_id % 4 AS VARCHAR) AS channel, event_type AS behavior, ts FROM events",
+    size=3600,
+    slide=600,
+    select="SELECT window_end_s, channel, behavior, count(*) AS cnt FROM exp GROUP BY 1, 2, 3",
+)
+
+ORACLES["province_ad_clicks"] = _sliding(
+    base="SELECT n.n_name, e.ts FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey "
+    "WHERE e.event_type = 'click'",
+    size=3600,
+    slide=600,
+    select="SELECT window_end_s, n_name AS province, count(*) AS cnt FROM exp GROUP BY 1, 2",
+)
+
+ORACLES["blacklist_kept"] = """
+SELECT event_id, user_id FROM (
+    SELECT event_id, user_id,
+           row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type = 'click'
+) WHERE rn <= 3
+"""
+
+ORACLES["blacklist_warnings"] = """
+SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day_str,
+       'click over 3 times today' AS warning_msg
+FROM (
+    SELECT user_id, ts,
+           row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type = 'click'
+) WHERE rn = 4
+"""
+
+ORACLES["login_fail_consecutive"] = f"""
+SELECT user_id, prev_ts_s AS first_fail_s, ts_s AS last_fail_s FROM (
+    SELECT user_id, event_type, {_TS} AS ts_s,
+           lag(event_type) OVER w AS prev_type,
+           lag({_TS}) OVER w AS prev_ts_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+WHERE event_type = 'error' AND prev_type = 'error' AND ts_s - prev_ts_s <= 7200
+"""
+
+ORACLES["login_fail_horizon"] = f"""
+WITH fails AS (SELECT user_id, {_TS} AS ts_s FROM events WHERE event_type = 'error')
+SELECT a.user_id, a.ts_s AS anchor_s, count(*) AS fail_cnt
+FROM fails a JOIN fails b
+  ON a.user_id = b.user_id AND b.ts_s >= a.ts_s AND b.ts_s < a.ts_s + 7200
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+ORACLES["order_timeout"] = f"""
+WITH creates AS (
+    SELECT event_id AS create_id, user_id, {_TS} AS create_ts_s
+    FROM events WHERE event_type = 'view'
+), pays AS (
+    SELECT user_id, {_TS} AS pay_ts_s FROM events WHERE event_type = 'purchase'
+)
+SELECT c.create_id, c.user_id, c.create_ts_s,
+       CASE WHEN EXISTS (
+           SELECT 1 FROM pays p
+           WHERE p.user_id = c.user_id
+             AND p.pay_ts_s > c.create_ts_s AND p.pay_ts_s <= c.create_ts_s + 7200
+       ) THEN 'payed' ELSE 'timeout' END AS status
+FROM creates c
+"""
+
+ORACLES["pay_receipt_interval_join"] = f"""
+WITH pays AS (
+    SELECT event_id AS pay_id, user_id, {_TS} AS pay_ts_s
+    FROM events WHERE event_type = 'purchase'
+), recs AS (
+    SELECT event_id AS receipt_id, user_id, {_TS} AS receipt_ts_s
+    FROM events WHERE event_type = 'click'
+)
+SELECT p.pay_id, r.receipt_id, p.user_id, p.pay_ts_s, r.receipt_ts_s
+FROM pays p JOIN recs r
+  ON p.user_id = r.user_id
+ AND r.receipt_ts_s BETWEEN p.pay_ts_s - 1800 AND p.pay_ts_s + 1800
+"""
+
+ORACLES["pay_receipt_reconcile"] = f"""
+WITH pays AS (
+    SELECT user_id, {_TS} AS pay_ts_s FROM events WHERE event_type = 'purchase'
+), recs AS (
+    SELECT user_id, {_TS} AS receipt_ts_s FROM events WHERE event_type = 'signup'
+)
+SELECT category, count(*) AS cnt FROM (
+    SELECT CASE WHEN p.pay_ts_s IS NOT NULL AND r.receipt_ts_s IS NOT NULL THEN 'matched'
+                WHEN p.pay_ts_s IS NOT NULL THEN 'payed_no_receipt'
+                ELSE 'receipt_no_pay' END AS category
+    FROM pays p FULL OUTER JOIN recs r
+      ON p.user_id = r.user_id
+     AND r.receipt_ts_s BETWEEN p.pay_ts_s - 3600 AND p.pay_ts_s + 3600
+) GROUP BY category
+"""
+
+# ---------------------------------------------------- scale/bench plans
+
+ORACLES["tpch_q1"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["tpch_q3"] = """
+SELECT l.l_orderkey AS orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1996-01-01'
+GROUP BY 1, 2
+ORDER BY revenue DESC, orderkey ASC
+LIMIT 10
+"""
+
+ORACLES["tpch_q5"] = """
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+"""
+
+ORACLES["tpch_q6"] = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+# ---------------------------------------------- training-data pipeline
+
+_TOKENS = r"string_split_regex(trim(text), '\s+')"
+
+ORACLES["docs_token_count"] = f"""
+SELECT doc_id, CAST(len({_TOKENS}) AS BIGINT) AS n_tokens FROM documents
+"""
+
+ORACLES["docs_quality"] = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_q,
+       CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter({_TOKENS}, t -> t IN ('the','a','and','of','to','in'))) AS BIGINT) AS n_stopwords,
+       CAST(len(list_filter({_TOKENS}, t -> t IN ('the','a','and','of','to','in'))) AS DOUBLE)
+           / CAST(len({_TOKENS}) AS DOUBLE) AS stopword_ratio,
+       CAST(length(text) AS DOUBLE) / CAST(len({_TOKENS}) AS DOUBLE) AS mean_token_len
+FROM documents
+"""
+
+_LANG_SCORES = {
+    "en": r"\b(the|a|and|of)\b",
+    "fr": r"\b(le|la|et|les)\b",
+    "es": r"\b(el|los|que|de)\b",
+    "de": r"\b(der|die|und|das)\b",
+    "zh": r"\b(的|了|是|在)\b",
+}
+_SCORE_EXPRS = ",\n       ".join(
+    f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS score_{lang}"
+    for lang, pat in _LANG_SCORES.items()
+)
+ORACLES["docs_lang_id"] = f"""
+WITH scored AS (
+    SELECT doc_id,
+       {_SCORE_EXPRS}
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN score_en = m AND m > 0 THEN 'en'
+            WHEN score_fr = m AND m > 0 THEN 'fr'
+            WHEN score_es = m AND m > 0 THEN 'es'
+            WHEN score_de = m AND m > 0 THEN 'de'
+            WHEN score_zh = m AND m > 0 THEN 'zh'
+            ELSE 'und' END AS lang_guess,
+       m AS lang_score
+FROM (SELECT *, greatest(score_en, score_fr, score_es, score_de, score_zh) AS m FROM scored)
+"""
+
+ORACLES["docs_fingerprint"] = r"""
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+FROM documents
+"""
+
+ORACLES["docs_dedup_exact"] = """
+SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS group_size
+FROM documents GROUP BY md5(text)
+"""
+
+_SHINGLES = r"""
+    SELECT DISTINCT doc_id, array_to_string(t[i : i + 2], ' ') AS shingle
+    FROM (
+        SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)
+        WHERE len(t) >= 3
+    )
+"""
+
+ORACLES["docs_minhash_lsh_pairs"] = f"""
+WITH sh AS ({_SHINGLES}),
+sig AS (
+    SELECT doc_id, g.seed,
+           min(md5(CAST(g.seed AS VARCHAR) || ':' || shingle)) AS minhash
+    FROM sh, generate_series(0, 15) AS g(seed)
+    GROUP BY doc_id, g.seed
+),
+band AS (
+    SELECT doc_id, CAST(seed // 4 AS INT) AS band_id,
+           md5(array_to_string(list_sort(list(CAST(seed AS VARCHAR) || ':' || minhash)), '|')) AS band_key
+    FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM band a JOIN band b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+ORACLES["docs_ngram_jaccard"] = f"""
+WITH sh AS ({_SHINGLES}),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT p.doc_a, p.doc_b, count(*) AS inter_sz
+    FROM pairs p
+    JOIN sh sa ON sa.doc_id = p.doc_a
+    JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+    GROUP BY p.doc_a, p.doc_b
+)
+SELECT i.doc_a, i.doc_b, i.inter_sz,
+       za.sz + zb.sz - i.inter_sz AS union_sz,
+       CAST(i.inter_sz AS DOUBLE) / CAST(za.sz + zb.sz - i.inter_sz AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE CAST(i.inter_sz AS DOUBLE) / CAST(za.sz + zb.sz - i.inter_sz AS DOUBLE) >= 0.0
+"""
+
+ORACLES["emb_ann_topk"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+scored AS (
+    SELECT q.query_id, c.neighbor_id,
+           list_dot_product(q.qv, c.nv)
+             / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.nv, c.nv))) AS score
+    FROM q, c WHERE q.query_id <> c.neighbor_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""

@@ -1,0 +1,275 @@
+"""Query registry — every implemented operator wired end-to-end.
+
+Each entry maps a SURVEY.md §2 capability (or a beyond-reference pipeline
+operator) onto the driver's synthetic tables (TESTDATA.md). The ``events``
+table stands in for all reference event streams:
+``event_type ∈ {click, view, purchase, signup, error}``, ``props`` carries
+a JSON item key, and derived dims (channel = user_id%4, province = nation
+via user_id%25) replace the reference's generated channel/province fields.
+
+The matching ANSI-SQL oracles live in ``oracles.py``; names and column
+aliases are kept in lockstep (driver hash-compares by sorted column name).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io import load_events, load_table
+from .operators import blacklist, dedup, distinct, joins, patterns, similarity, text, topn, windows
+from .plans import tpch
+
+__all__ = ["QUERIES", "NO_ORACLE"]
+
+# ---------------------------------------------------------------- helpers
+
+def _item_id():
+    """The JSON item key carried in props (the reference's itemId)."""
+    return F.get_json_object("props", "$.k").cast("long").alias("item_id")
+
+
+def _channel():
+    return F.concat(F.lit("ch"), (F.col("user_id") % 4).cast("string")).alias("channel")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_events(spark, sf_dir)
+
+
+def _clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _events(spark, sf_dir).filter(F.col("event_type") == "click")
+
+
+# ------------------------------------------------------ reference queries
+
+
+def hot_items_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WA1+T1 (HotItemApp.java:33-71): sliding 1h/5m click counts per item,
+    top-5 per window."""
+    clicks = _clicks(spark, sf_dir).select(_item_id(), "ts")
+    counts = windows.windowed_count(clicks, "ts", "1 hour", "5 minutes", "item_id")
+    top = topn.top_n_per_key(counts, ["window_end_s"], "cnt", 5, tiebreak=["item_id"])
+    return top.select("window_end_s", "item_id", "cnt", F.col("rn").cast("long").alias("rn"))
+
+
+def page_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WA3 (PageViewApp.java:57-60): tumbling 1h click (pv) count. The
+    salted two-phase variant (WA4, PageViewApp_2.java) is subsumed by
+    Catalyst's partial aggregation — see operators/windows.py."""
+    return windows.tumbling_count(_clicks(spark, sf_dir), "ts", "1 hour", count_alias="pv").select(
+        "window_end_s", "pv"
+    )
+
+
+def unique_visitors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WA5 (UniqueVisitorApp.java:53-79): exact distinct users per hour."""
+    return distinct.unique_count(_events(spark, sf_dir), "ts", "1 hour", "user_id").select(
+        "window_end_s", "uv"
+    )
+
+
+def unique_visitors_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WA6 (UniqueVisitorApp2.java:93-168): HLL++ replaces the hand-rolled
+    Redis-bitmap Bloom filter. No SQL oracle (estimator-specific)."""
+    return distinct.approx_unique_count(_events(spark, sf_dir), "ts", "1 hour", "user_id").select(
+        "window_end_s", "uv_approx"
+    )
+
+
+def channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WA7 (channelApp.java:52-72, counting intent per test-tree
+    ChannelApp): sliding 1h/10m counts by (channel, behavior)."""
+    ev = _events(spark, sf_dir).select(_channel(), F.col("event_type").alias("behavior"), "ts")
+    return windows.windowed_count(ev, "ts", "1 hour", "10 minutes", "channel", "behavior").select(
+        "window_end_s", "channel", "behavior", "cnt"
+    )
+
+
+def province_ad_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WA8 (AdClickApp.java:63-109): sliding 1h/10m click counts per
+    province; the province dim is the broadcast-joined nation table."""
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"), "n_name"
+    )
+    clicks = _clicks(spark, sf_dir).select((F.col("user_id") % 25).alias("nk"), "ts")
+    joined = clicks.join(F.broadcast(nation), clicks["nk"] == nation["n_nationkey"])
+    return windows.windowed_count(joined, "ts", "1 hour", "10 minutes", "n_name").select(
+        "window_end_s", F.col("n_name").alias("province"), "cnt"
+    )
+
+
+def blacklist_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 main output (AdClickApp.java:112-168): clicks under the daily
+    per-user budget (threshold 3/day)."""
+    kept, _ = blacklist.daily_threshold_split(
+        _clicks(spark, sf_dir), ["user_id"], "ts", 3, "event_id"
+    )
+    return kept.select("event_id", "user_id")
+
+
+def blacklist_warnings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 side output: one warning per (user, day) crossing the
+    threshold (with the calendar-day reset the reference intended)."""
+    _, warn = blacklist.daily_threshold_split(
+        _clicks(spark, sf_dir), ["user_id"], "ts", 3, "event_id"
+    )
+    return warn.select("user_id", "day_str", "warning_msg")
+
+
+def login_fail_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2/C3 (LoginFailWithState2.java:52-81, LoginFailwithStateCEP.java:
+    48-65): two strictly-consecutive 'error' events ≤ 2h apart per user."""
+    return patterns.consecutive_event_pairs(
+        _events(spark, sf_dir), "user_id", "ts", "event_type", "error", 7200, "event_id"
+    )
+
+
+def login_fail_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1/C4 (LoginFailWithState.java:51-111): ≥2 'error' events within 2h
+    of an anchoring error."""
+    return patterns.events_within_horizon(
+        _events(spark, sf_dir), "user_id", "ts", "event_type", "error", 7200, 2
+    )
+
+
+def order_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/J4 (OrderTimeOutStateApp.java:57-113): view ('create') payed
+    within 2h by the same user, else timeout."""
+    return patterns.match_or_timeout(
+        _events(spark, sf_dir), "user_id", "ts", "event_type", "view", "purchase", 7200, "event_id"
+    )
+
+
+def pay_receipt_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 (PayReceiptWithJoinApp.java:50-70): purchases interval-joined to
+    clicks (receipts) within ±30 min on the user key."""
+    ev = _events(spark, sf_dir)
+    pays = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pay_id"), "user_id", F.col("ts").cast("long").alias("pay_ts_s")
+    )
+    recs = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("receipt_id"),
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").cast("long").alias("receipt_ts_s"),
+    )
+    joined = joins.interval_join(
+        pays.withColumnRenamed("user_id", "key"),
+        recs.withColumnRenamed("r_user_id", "key"),
+        "key",
+        "pay_ts_s",
+        "receipt_ts_s",
+        -1800,
+        1800,
+    )
+    return joined.select(
+        F.col("l.pay_id").alias("pay_id"),
+        F.col("r.receipt_id").alias("receipt_id"),
+        F.col("l.key").alias("user_id"),
+        F.col("l.pay_ts_s").alias("pay_ts_s"),
+        F.col("r.receipt_ts_s").alias("receipt_ts_s"),
+    )
+
+
+def pay_receipt_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 (PayReceiptWithConnectApp.java:62-157): full-outer purchase ↔
+    signup reconciliation ±1h; category counts replace the reference's
+    main + two side outputs."""
+    ev = _events(spark, sf_dir)
+    pays = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("key"), F.col("ts").cast("long").alias("pay_ts_s")
+    )
+    recs = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("key"), F.col("ts").cast("long").alias("receipt_ts_s")
+    )
+    rec = joins.reconcile_full_outer(
+        pays, recs, "key", "pay_ts_s", "receipt_ts_s", -3600, 3600,
+        matched="matched", left_only="payed_no_receipt", right_only="receipt_no_pay",
+    )
+    return rec.groupBy("category").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ------------------------------------------------ training-data pipeline
+
+
+def docs_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_count(load_table(spark, sf_dir, "documents"))
+
+
+def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def docs_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dedup.shingles(load_table(spark, sf_dir, "documents"), n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=16)
+    return dedup.lsh_candidate_pairs(sig, bands=4, rows_per_band=4)
+
+
+def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard for every same-(lang, source) doc pair —
+    the blocked (bucketed) verification pass of near-dup detection."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("l"), F.col("source").alias("s"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("l"), F.col("source").alias("s"))
+    pairs = a.join(b, ["l", "s"]).filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
+    sh = dedup.shingles(docs, n=3)
+    return dedup.jaccard_verify(pairs, sh, threshold=0.0)
+
+
+def emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_bruteforce_topk(emb, list(range(10)), 5).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+# ---------------------------------------------------------------- registry
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # reference analytics (SURVEY §2)
+    "hot_items_topn": hot_items_topn,
+    "page_views": page_views,
+    "unique_visitors": unique_visitors,
+    "unique_visitors_approx": unique_visitors_approx,
+    "channel_stats": channel_stats,
+    "province_ad_clicks": province_ad_clicks,
+    "blacklist_kept": blacklist_kept,
+    "blacklist_warnings": blacklist_warnings,
+    "login_fail_consecutive": login_fail_consecutive,
+    "login_fail_horizon": login_fail_horizon,
+    "order_timeout": order_timeout,
+    "pay_receipt_interval_join": pay_receipt_interval_join,
+    "pay_receipt_reconcile": pay_receipt_reconcile,
+    # scale/bench plans
+    "tpch_q1": tpch.q1_pricing_summary,
+    "tpch_q3": tpch.q3_top_orders,
+    "tpch_q5": tpch.q5_local_supplier_volume,
+    "tpch_q6": tpch.q6_forecast_revenue,
+    # training-data pipeline
+    "docs_token_count": docs_token_count,
+    "docs_quality": docs_quality,
+    "docs_lang_id": docs_lang_id,
+    "docs_fingerprint": docs_fingerprint,
+    "docs_dedup_exact": docs_dedup_exact,
+    "docs_minhash_lsh_pairs": docs_minhash_lsh_pairs,
+    "docs_ngram_jaccard": docs_ngram_jaccard,
+    "emb_ann_topk": emb_ann_topk,
+}
+
+# queries whose semantics are estimator-specific → rows-only driver check
+NO_ORACLE = {"unique_visitors_approx"}

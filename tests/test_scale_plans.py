@@ -1,0 +1,77 @@
+"""Physical-plan assertions — the 100 TB contract.
+
+Correctness tests prove the small-SF answer; these prove the *plan* is the
+one we'd want on a 1000-executor cluster: filters pushed to the parquet
+scan, dims broadcast (no shuffle of the fact table against tiny tables),
+whole-stage codegen on the hot path, no Python UDFs in built-in pipelines.
+"""
+
+from __future__ import annotations
+
+from gmall_flink_20_spark.plans import tpch
+from gmall_flink_20_spark.queries import QUERIES
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    plan = plan_of(tpch.q6_forecast_revenue(spark, sf_dir))
+    assert "PushedFilters:" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].split("\n")[0]
+
+
+def test_q6_prunes_columns(spark, sf_dir):
+    plan = plan_of(tpch.q6_forecast_revenue(spark, sf_dir))
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    # only the 4 referenced columns are read, not all 16
+    assert "l_extendedprice" in read_schema and "l_orderkey" not in read_schema
+
+
+def test_q3_broadcasts_customer(spark, sf_dir):
+    plan = plan_of(tpch.q3_top_orders(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q5_broadcasts_all_dims(spark, sf_dir):
+    plan = plan_of(tpch.q5_local_supplier_volume(spark, sf_dir))
+    # lineitem⋈orders is the only shuffle join; the 4 dims broadcast
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_province_join_broadcasts_nation(spark, sf_dir):
+    plan = plan_of(QUERIES["province_ad_clicks"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_builtin_pipelines_have_no_python_udf(spark, sf_dir):
+    # Everything except the multimodal stub stays JVM-side.
+    for name in ["hot_items_topn", "docs_quality", "docs_minhash_lsh_pairs", "emb_ann_topk"]:
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
+    # AQE's pre-execution plan hides codegen spans; disable it to inspect.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(tpch.q1_pricing_summary(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "[codegen id :" in plan  # formatted-mode codegen span marker
+
+
+def test_multimodal_plumbing(spark):
+    from gmall_flink_20_spark.operators import multimodal
+
+    base = spark.range(6).withColumnRenamed("id", "doc_id")
+    media = multimodal.attach_media(base)
+    assert media.schema == multimodal.MEDIA_SCHEMA or [f.name for f in media.schema] == [
+        f.name for f in multimodal.MEDIA_SCHEMA
+    ]
+    feats = multimodal.extract_features(media, fake_decode=True)
+    rows = {r.media_id: r for r in feats.collect()}
+    assert len(rows) == 6
+    assert rows[0].n_bytes == 32  # sha256 payload
+    assert rows[0].kind in {"image", "audio", "video"}
