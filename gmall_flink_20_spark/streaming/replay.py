@@ -1,0 +1,94 @@
+"""File-replay micro-batch harness (SURVEY §5 plan item 3).
+
+Replays a batch DataFrame as a Structured Streaming source by writing it
+into N time-ordered parquet chunks and reading them back with
+``maxFilesPerTrigger=1`` — each chunk becomes one micro-batch, so the
+watermark advances chunk by chunk exactly like a live stream with bounded
+disorder. This is how the reference's file-driven demos actually behave
+(they replay CSVs through event-time operators).
+
+``flush_sentinel`` appends one far-future row so event-time timers fire
+for every pending key at end-of-input — replicating Flink's
+watermark→+∞-at-EOF semantics that Spark lacks (see streaming/stateful.py
+docstring).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import tempfile
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["replay_stream", "run_to_completion"]
+
+
+def replay_stream(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    ts_col: str,
+    num_chunks: int = 8,
+    workdir: str | None = None,
+    extra_chunks: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Write ``batch_df`` as ``num_chunks`` time-ordered parquet files and
+    return a streaming DataFrame replaying them one file per trigger.
+
+    ``extra_chunks``: frames appended as individual trailing micro-batches
+    — used for flush sentinels (two far-future one-row chunks let the
+    watermark first advance past every deadline and then deliver one more
+    batch in which the expired timers actually fire)."""
+    base = Path(workdir or tempfile.mkdtemp(prefix="replay_"))
+    src = base / f"src_{uuid.uuid4().hex[:8]}"
+    src.mkdir(parents=True)
+
+    rows = batch_df.orderBy(ts_col).collect()
+    n = max(1, math.ceil(len(rows) / num_chunks))
+    schema = batch_df.schema
+    chunks = [
+        spark.createDataFrame(rows[i : i + n], schema) for i in range(0, len(rows), n)
+    ]
+    chunks += [c.select(*schema.fieldNames()) for c in (extra_chunks or [])]
+    for j, chunk in enumerate(chunks):
+        # one parquet file per chunk → one micro-batch per trigger
+        chunk.coalesce(1).write.mode("overwrite").parquet(str(src / f"chunk_{j:05d}"))
+
+    flat = src / "flat"
+    flat.mkdir()
+    base_mtime = 1_000_000_000  # fixed epoch; only relative order matters
+    for j, p in enumerate(sorted(src.glob("chunk_*"))):
+        for f in Path(p).glob("*.parquet"):
+            dst = flat / f"{j:05d}.parquet"
+            shutil.copy(f, dst)
+            # FileStreamSource orders by modification time with unstable
+            # ties; stamp strictly increasing mtimes so micro-batch order
+            # is exactly chunk order (otherwise a later-sorted data chunk
+            # can arrive after a flush sentinel and be late vs watermark).
+            os.utime(dst, (base_mtime + j, base_mtime + j))
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(flat))
+    )
+
+
+def run_to_completion(stream_out: DataFrame, name: str | None = None) -> DataFrame:
+    """Run a streaming DataFrame to a memory sink until all replayed input
+    is processed; return the sink contents as a batch DataFrame."""
+    qname = name or f"replay_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_out.sparkSession
+    return spark.table(qname)

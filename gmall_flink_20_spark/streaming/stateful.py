@@ -1,0 +1,251 @@
+"""Arbitrary stateful streaming operators via ``applyInPandasWithState``.
+
+These cover the reference capabilities Spark has no built-in for
+(SURVEY §4 "custom work"): CEP-style sequence detection, per-key state
+machines with event-time timeout alerts, and the stateful daily blacklist.
+The batch operators in ``operators/patterns.py`` / ``operators/
+blacklist.py`` are their oracles (tests assert streaming ≡ batch on
+decided keys).
+
+Semantics notes (documented divergences, SURVEY §7 "what's hard"):
+- GroupState timeouts are watermark-driven and fire at micro-batch
+  granularity, coarser than Flink's exact per-timestamp timers; alerts
+  therefore surface at the first batch whose watermark passed the
+  deadline.
+- A Flink job replaying a finite file advances the watermark to +∞ at
+  end-of-input and fires all pending timers; Spark leaves final pending
+  state undecided. Callers who need Flink's flush-at-eof behavior append
+  a far-future sentinel row per key (the replay harness does this).
+
+Scale notes: state lives in the executor state store partitioned by the
+grouping key — the same hash partitioning a 1000-executor cluster would
+use; per-key state here is O(1) (a few scalars), so state size is bounded
+by live key cardinality, not event volume.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = [
+    "login_fail_pairs_stream",
+    "order_timeout_stream",
+    "blacklist_stream",
+]
+
+# ---------------------------------------------------------------- C2 login
+
+
+_LOGIN_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("first_fail_s", LongType()),
+        StructField("last_fail_s", LongType()),
+    ]
+)
+_LOGIN_STATE = StructType([StructField("last_fail_s", LongType())])
+
+
+def login_fail_pairs_stream(
+    events: DataFrame, max_gap_s: int, fail_type: str = "error"
+) -> DataFrame:
+    """C2 (LoginFailWithState2.java:52-81): per user, two consecutive fails
+    ≤ gap apart emit immediately; any non-fail clears the pair state.
+
+    Expects columns (user_id long, ts_s long, event_type string), rows
+    within a key arriving in event order (guaranteed by the replay harness
+    sorting; in production use a per-key sorter upstream or the C1
+    horizon variant which is order-tolerant).
+    """
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        last_fail = state.get[0] if state.exists else None
+        out_first, out_last = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_s", "event_id"])
+            for _, row in pdf.iterrows():
+                if row["event_type"] == fail_type:
+                    ts = int(row["ts_s"])
+                    if last_fail is not None and ts - last_fail <= max_gap_s:
+                        out_first.append(last_fail)
+                        out_last.append(ts)
+                    last_fail = ts
+                else:
+                    last_fail = None
+        if last_fail is None:
+            state.remove()
+        else:
+            state.update((last_fail,))
+        yield pd.DataFrame(
+            {"user_id": user_id, "first_fail_s": out_first, "last_fail_s": out_last}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, _LOGIN_OUT, _LOGIN_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+# ------------------------------------------------------------- J4 timeout
+
+
+_ORDER_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("create_id", LongType()),
+        StructField("create_ts_s", LongType()),
+        StructField("status", StringType()),
+    ]
+)
+# pending creates as parallel lists (a GroupState value is one tuple)
+_ORDER_STATE = StructType(
+    [
+        StructField("create_ids", StringType()),  # csv of pending ids
+        StructField("create_ts", StringType()),  # csv of pending ts
+    ]
+)
+
+
+def order_timeout_stream(events: DataFrame, horizon_s: int) -> DataFrame:
+    """J4 (OrderTimeOutStateApp.java:57-113) keyed by user: 'view' opens a
+    pending order; a 'purchase' within the horizon emits status 'payed';
+    the event-time timeout (watermark passing create_ts + horizon) emits
+    'timeout' — the reference's side-output alert.
+
+    Expects (user_id long, event_id long, ts_s long, event_type string)
+    plus an event-time 'ts' timestamp column for the watermark.
+    """
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        pending: list[tuple[int, int]] = []
+        if state.exists:
+            ids, tss = state.get
+            if ids:
+                pending = [
+                    (int(i), int(t)) for i, t in zip(ids.split(","), tss.split(","))
+                ]
+        rows: list[tuple[int, int, str]] = []
+
+        if state.hasTimedOut:
+            # watermark passed the earliest deadline: flush every expired create
+            wm_ms = state.getCurrentWatermarkMs()
+            still = []
+            for cid, cts in pending:
+                if (cts + horizon_s) * 1000 <= wm_ms:
+                    rows.append((cid, cts, "timeout"))
+                else:
+                    still.append((cid, cts))
+            pending = still
+        else:
+            for pdf in pdfs:
+                pdf = pdf.sort_values(["ts_s", "event_id"])
+                for _, row in pdf.iterrows():
+                    ts = int(row["ts_s"])
+                    if row["event_type"] == "view":
+                        pending.append((int(row["event_id"]), ts))
+                    elif row["event_type"] == "purchase":
+                        still = []
+                        for cid, cts in pending:
+                            if cts < ts <= cts + horizon_s:
+                                rows.append((cid, cts, "payed"))
+                            elif ts > cts + horizon_s:
+                                rows.append((cid, cts, "timeout"))
+                            else:
+                                still.append((cid, cts))
+                        pending = still
+
+        if pending:
+            state.update(
+                (
+                    ",".join(str(c) for c, _ in pending),
+                    ",".join(str(t) for _, t in pending),
+                )
+            )
+            deadline_ms = min(t for _, t in pending) * 1000 + horizon_s * 1000
+            state.setTimeoutTimestamp(max(deadline_ms, state.getCurrentWatermarkMs() + 1))
+        else:
+            state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": user_id,
+                "create_id": [r[0] for r in rows],
+                "create_ts_s": [r[1] for r in rows],
+                "status": [r[2] for r in rows],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, _ORDER_OUT, _ORDER_STATE, "append", GroupStateTimeout.EventTimeTimeout
+    )
+
+
+# ------------------------------------------------------------- blacklist
+
+
+_BL_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("day_str", StringType()),
+        StructField("out_type", StringType()),  # kept | warning  (side output)
+    ]
+)
+_BL_STATE = StructType(
+    [StructField("day_str", StringType()), StructField("cnt", LongType())]
+)
+
+
+def blacklist_stream(events: DataFrame, threshold: int) -> DataFrame:
+    """§2.10 (AdClickApp.java:112-168) keyed by user: count events per
+    calendar day; rows past the threshold are suppressed and the first
+    excess row becomes a one-shot 'warning' side-output row. The day roll
+    replaces Flink's midnight timer (which the reference got wrong anyway).
+
+    Expects (user_id long, event_id long, ts_s long, day_str string).
+    """
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        day, cnt = (state.get if state.exists else (None, 0))
+        out: list[tuple[int, str, str]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_s", "event_id"])
+            for _, row in pdf.iterrows():
+                if row["day_str"] != day:
+                    day, cnt = row["day_str"], 0
+                cnt += 1
+                if cnt <= threshold:
+                    out.append((int(row["event_id"]), day, "kept"))
+                elif cnt == threshold + 1:
+                    out.append((int(row["event_id"]), day, "warning"))
+        state.update((day, cnt))
+        yield pd.DataFrame(
+            {
+                "user_id": user_id,
+                "event_id": [r[0] for r in out],
+                "day_str": [r[1] for r in out],
+                "out_type": [r[2] for r in out],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, _BL_OUT, _BL_STATE, "append", GroupStateTimeout.NoTimeout
+    )

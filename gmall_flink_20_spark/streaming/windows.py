@@ -1,0 +1,56 @@
+"""Watermarked streaming window aggregations.
+
+Reference parity: timestamp extractors + windowed counts (SURVEY §2.3,
+§2.5). A Flink ``AscendingTimestampExtractor`` ≈ ``withWatermark(ts, "0/1
+seconds")``; ``BoundedOutOfOrdernessTimestampExtractor(n)`` ≈
+``withWatermark(ts, "n seconds")``. Flink's ``allowedLateness`` re-fire has
+no exact Spark analog — update output mode re-emits corrected aggregates
+within the watermark, which is the documented approximation (SURVEY §4).
+
+State sizing at scale: watermark-driven eviction bounds the window state to
+(active windows × keys); sliding windows multiply state by size/slide, so
+wide-size/narrow-slide configs should prefer the tumbling+rollup pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["streaming_windowed_count", "streaming_unique_count"]
+
+
+def streaming_windowed_count(
+    stream: DataFrame,
+    ts_col: str,
+    delay: str,
+    size: str,
+    slide: str | None,
+    *keys: str,
+    count_alias: str = "cnt",
+) -> DataFrame:
+    """Streaming count per (window, keys) with a bounded-out-of-orderness
+    watermark. Run in update mode for per-micro-batch corrections (the
+    reference's allowedLateness-style refinement) or append mode for
+    emit-once-final."""
+    wm = stream.withWatermark(ts_col, delay)
+    w = F.window(ts_col, size, slide) if slide else F.window(ts_col, size)
+    out = wm.groupBy(w.alias("w"), *[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).alias(count_alias)
+    )
+    return out.withColumn("window_end_s", F.col("w.end").cast("long")).drop("w")
+
+
+def streaming_unique_count(
+    stream: DataFrame, ts_col: str, delay: str, size: str, id_col: str, alias: str = "uv"
+) -> DataFrame:
+    """Streaming approx distinct per tumbling window (WA6 intent:
+    memory-bounded distinct; exact countDistinct is unsupported on
+    streams, which is precisely why the reference built a Bloom filter)."""
+    wm = stream.withWatermark(ts_col, delay)
+    return (
+        wm.groupBy(F.window(ts_col, size).alias("w"))
+        .agg(F.approx_count_distinct(id_col).alias(alias))
+        .withColumn("window_end_s", F.col("w.end").cast("long"))
+        .drop("w")
+    )

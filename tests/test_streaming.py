@@ -1,0 +1,123 @@
+"""Streaming ≡ batch equivalence (SURVEY §5 plan item 3): each streaming
+operator, replayed over time-ordered micro-batches, must converge to the
+batch operator's answer once the (sentinel-advanced) watermark passes."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from gmall_flink_20_spark.io import load_events
+from gmall_flink_20_spark.operators import patterns, windows
+from gmall_flink_20_spark.streaming import replay, stateful
+from gmall_flink_20_spark.streaming import windows as swindows
+
+
+def far_future_row(spark, template_df, ts_col="ts", days=30):
+    """One-row inert frame at max(ts)+days — a watermark flush sentinel."""
+    max_ts = template_df.agg(F.max(ts_col)).collect()[0][0]
+    row = template_df.limit(1).collect()[0].asDict()
+    future = datetime.fromtimestamp(
+        max_ts.replace(tzinfo=timezone.utc).timestamp() + days * 86400, tz=timezone.utc
+    ).replace(tzinfo=None)
+    row[ts_col] = future
+    if "ts_s" in row:
+        row["ts_s"] = int(future.replace(tzinfo=timezone.utc).timestamp())
+    if "event_type" in row:
+        row["event_type"] = "noop"  # inert: matches no operator branch
+    if "event_id" in row:
+        row["event_id"] = 10**12 + days
+    return spark.createDataFrame([row], template_df.schema)
+
+
+@pytest.fixture(scope="module")
+def small_events(spark, sf_dir):
+    # ~330 rows: enough structure, fast replay
+    return load_events(spark, sf_dir).filter(F.col("user_id") < 5).cache()
+
+
+def test_streaming_window_count_matches_batch(spark, small_events):
+    clicks = small_events.filter(F.col("event_type") == "click").select("ts", "user_id")
+    sentinel = far_future_row(spark, clicks)
+    stream = replay.replay_stream(spark, clicks, "ts", num_chunks=6, extra_chunks=[sentinel])
+    out = swindows.streaming_windowed_count(stream, "ts", "2 seconds", "1 hour", None, "user_id")
+    got = replay.run_to_completion(out).toPandas()
+
+    exp = windows.tumbling_count(clicks, "ts", "1 hour", "user_id").toPandas()
+    sentinel_we = got["window_end_s"].max()
+    got = got[got["window_end_s"] < sentinel_we]  # sentinel's own window never finalizes
+    exp = exp[exp["window_end_s"].isin(got["window_end_s"])]
+
+    key = ["window_end_s", "user_id", "cnt"]
+    assert sorted(map(tuple, got[key].values.tolist())) == sorted(
+        map(tuple, exp[key].values.tolist())
+    )
+    # append mode emitted every closed window exactly once
+    assert len(got) == got[["window_end_s", "user_id"]].drop_duplicates().shape[0]
+
+
+def test_login_fail_stream_matches_batch(spark, small_events):
+    ev = small_events.select(
+        "user_id", "event_id", F.col("ts").cast("long").alias("ts_s"), "event_type", "ts"
+    )
+    stream = replay.replay_stream(spark, ev, "ts", num_chunks=6)
+    out = stateful.login_fail_pairs_stream(stream.drop("ts"), max_gap_s=7200)
+    got = replay.run_to_completion(out).toPandas()
+
+    exp = patterns.consecutive_event_pairs(
+        small_events, "user_id", "ts", "event_type", "error", 7200, "event_id"
+    ).toPandas()
+    cols = ["user_id", "first_fail_s", "last_fail_s"]
+    assert sorted(map(tuple, got[cols].values.tolist())) == sorted(
+        map(tuple, exp[cols].values.tolist())
+    )
+
+
+def test_order_timeout_stream_matches_batch(spark, small_events):
+    ev = small_events.select(
+        "user_id", "event_id", F.col("ts").cast("long").alias("ts_s"), "event_type", "ts"
+    )
+    s1 = far_future_row(spark, ev, days=30)
+    s2 = far_future_row(spark, ev, days=31)
+    stream = replay.replay_stream(spark, ev, "ts", num_chunks=6, extra_chunks=[s1, s2])
+    wm = stream.withWatermark("ts", "2 seconds")
+    out = stateful.order_timeout_stream(wm, horizon_s=7200)
+    got = replay.run_to_completion(out).toPandas()
+
+    exp = patterns.match_or_timeout(
+        small_events, "user_id", "ts", "event_type", "view", "purchase", 7200, "event_id"
+    ).toPandas()
+    # drop the sentinel's own synthetic create if it produced one
+    got = got[got["create_id"].isin(exp["create_id"])]
+    g = sorted(map(tuple, got[["create_id", "status"]].values.tolist()))
+    e = sorted(map(tuple, exp[["create_id", "status"]].values.tolist()))
+    assert g == e
+
+
+def test_blacklist_stream_matches_batch(spark, small_events):
+    clicks = small_events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("ts_s"),
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day_str"),
+        "ts",
+    )
+    stream = replay.replay_stream(spark, clicks, "ts", num_chunks=6)
+    out = stateful.blacklist_stream(stream.drop("ts"), threshold=3)
+    got = replay.run_to_completion(out).toPandas()
+
+    from gmall_flink_20_spark.operators import blacklist as bl
+
+    kept, warn = bl.daily_threshold_split(
+        small_events.filter(F.col("event_type") == "click"), ["user_id"], "ts", 3, "event_id"
+    )
+    kept_ids = sorted(r.event_id for r in kept.collect())
+    got_kept = sorted(got[got["out_type"] == "kept"]["event_id"].tolist())
+    assert got_kept == kept_ids
+    warn_keys = sorted((r.user_id, r.day_str) for r in warn.collect())
+    got_warn = sorted(
+        map(tuple, got[got["out_type"] == "warning"][["user_id", "day_str"]].values.tolist())
+    )
+    assert got_warn == warn_keys
