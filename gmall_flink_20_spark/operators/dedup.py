@@ -6,9 +6,13 @@ verification. Designed shuffle-light for 100 TB:
 
 - exact: one groupBy on a 128-bit content hash — partial aggregation
   collapses duplicates map-side before the shuffle.
-- minhash-lsh: the only shuffles are (a) the signature groupBy keyed by
-  (doc, seed) and (b) the band-bucket self-join; candidate pairs (tiny) are
-  verified by an equi-join on shingles instead of an all-pairs cross join.
+- minhash-lsh: shingling, signatures and band keys are all row-local
+  higher-order-function expressions (array_distinct/transform/array_min —
+  whole-stage codegen, zero Python); the ONLY shuffle is the band-bucket
+  self-join on a uniform hash key.
+- jaccard verify: per-doc shingle sets travel as arrays, so the exact
+  intersection is a row-local ``array_intersect`` after the pair join —
+  never an exploded shingle-level join.
 
 Determinism contract: hashes are md5 hex strings (DuckDB computes the same
 md5, so min() over signatures agrees bit-for-bit). At production scale
@@ -22,8 +26,11 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "dedup_exact",
+    "shingle_array",
     "shingles",
+    "minhash_signature_array",
     "minhash_signatures",
+    "band_keys",
     "lsh_candidate_pairs",
     "jaccard_verify",
 ]
@@ -40,55 +47,122 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Distinct n-word shingles per doc: (id_col, shingle).
-
-    Built from a whitespace token array with a transform over indices —
-    stays in codegen, no UDF. Docs shorter than n words yield no shingles.
-    """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    # shingle i = tokens[i .. i+n-1] joined by single spaces
-    sh = F.expr(
-        f"transform(sequence(0, size(split(trim({text_col}), '\\\\s+')) - {n}), "
-        f"i -> array_join(slice(split(trim({text_col}), '\\\\s+'), i + 1, {n}), ' '))"
+def _shingle_expr(text_col: str, n: int) -> Column:
+    """Distinct n-word shingles as a row-local array expression (codegen'd,
+    no explode): slice a whitespace token array at each start offset."""
+    toks = f"split(trim({text_col}), '\\\\s+')"
+    return F.expr(
+        f"array_distinct(transform(sequence(0, size({toks}) - {n}), "
+        f"i -> array_join(slice({toks}, i + 1, {n}), ' ')))"
     )
-    return (
-        df.filter(F.size(toks) >= n)
-        .select(F.col(id_col), F.explode(sh).alias("shingle"))
-        .distinct()
+
+
+def shingle_array(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id", parallelism: int | None = None
+) -> DataFrame:
+    """(id, shingles: array<string>) — docs shorter than n words dropped.
+
+    ``parallelism``: explicit repartition before the (CPU-heavy) shingle/
+    hash expressions. A small single-file corpus otherwise reads as ONE
+    partition and serializes all hashing on one core; on a real multi-split
+    corpus the scan already provides parallelism and this can stay None.
+    """
+    if parallelism:
+        df = df.repartition(parallelism, F.col(id_col))
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    return df.filter(F.size(toks) >= n).select(
+        F.col(id_col), _shingle_expr(text_col, n).alias("shingles")
+    )
+
+
+def shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exploded (id, shingle) rows — the row-level view of shingle_array."""
+    return shingle_array(df, n, text_col, id_col).select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
+    )
+
+
+def _sig_expr(num_hashes: int, shingles_col: str = "shingles") -> Column:
+    """MinHash signature: sig[s] = min over shingles of md5(s || ':' || sh).
+    Row-local array of array_min's — no shuffle, no row explosion."""
+    return F.expr(
+        f"transform(sequence(0, {num_hashes - 1}), "
+        f"s -> array_min(transform({shingles_col}, sh -> md5(cast(concat(cast(s as string), ':', sh) as binary)))))"
+    )
+
+
+def minhash_signature_array(
+    shingle_arr: DataFrame, num_hashes: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sig: array<string>[num_hashes])."""
+    return shingle_arr.select(
+        F.col(id_col), _sig_expr(num_hashes).alias("sig")
     )
 
 
 def minhash_signatures(
     shingle_df: DataFrame, num_hashes: int = 16, id_col: str = "doc_id"
 ) -> DataFrame:
-    """MinHash: for seed s, sig_s(doc) = min over shingles of
-    md5(s || ':' || shingle). Output (id_col, seed, minhash)."""
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    hashed = shingle_df.select(F.col(id_col), F.col("shingle"), seeds).select(
-        F.col(id_col),
-        F.col("seed"),
-        F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle")).cast("binary")).alias("h"),
+    """Row-level (id, seed, minhash) view (kept for tests/compat; the LSH
+    path uses the array form)."""
+    arr = (
+        shingle_df.groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("shingles"))
+        .select(F.col(id_col), _sig_expr(num_hashes).alias("sig"))
     )
-    return hashed.groupBy(id_col, "seed").agg(F.min("h").alias("minhash"))
+    return arr.select(
+        F.col(id_col), F.posexplode("sig").alias("seed", "minhash")
+    )
+
+
+def band_keys(
+    sig_df: DataFrame, bands: int, rows_per_band: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, band_id, band_key): band_key = md5 of the band's sorted
+    'seed:minhash' strings — bounded-cardinality uniform join key."""
+    outs = []
+    for b in range(bands):
+        parts = F.array(
+            *[
+                F.concat_ws(
+                    ":",
+                    F.lit(str(b * rows_per_band + r)),
+                    F.element_at("sig", b * rows_per_band + r + 1),
+                )
+                for r in range(rows_per_band)
+            ]
+        )
+        outs.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("|", F.array_sort(parts)).cast("binary")).alias("band_key"),
+            )
+        )
+    return sig_df.select(
+        F.col(id_col), F.explode(F.array(*outs)).alias("bk")
+    ).select(F.col(id_col), F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key"))
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, bands: int = 4, rows_per_band: int = 4, id_col: str = "doc_id"
+    sig_df: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    id_col: str = "doc_id",
+    from_array: bool = False,
 ) -> DataFrame:
-    """Band the signature and self-join on (band_id, band_key) buckets.
+    """Self-join band buckets → candidate pairs (doc_a < doc_b).
 
-    Docs sharing ≥1 band bucket become a candidate pair (doc_a < doc_b).
-    The join key is the md5 of the band's concatenated minhashes, so bucket
-    cardinality stays bounded and the shuffle is on a uniform hash key.
+    ``sig_df`` is either the row-level (id, seed, minhash) form or, with
+    ``from_array=True``, the (id, sig array) form (preferred: no
+    signature shuffle at all).
     """
-    banded = (
-        sig_df.withColumn("band_id", F.expr(f"CAST(seed DIV {rows_per_band} AS INT)"))
-        .groupBy(id_col, "band_id")
-        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list(
-            F.concat_ws(":", F.col("seed").cast("string"), F.col("minhash"))
-        ))).cast("binary")).alias("band_key"))
-    )
+    if from_array:
+        banded = band_keys(sig_df, bands, rows_per_band, id_col)
+    else:
+        arr = sig_df.groupBy(id_col).agg(
+            F.array_sort(F.collect_list(F.struct("seed", "minhash"))).alias("sm")
+        ).select(F.col(id_col), F.expr("transform(sm, x -> x.minhash)").alias("sig"))
+        banded = band_keys(arr, bands, rows_per_band, id_col)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -106,27 +180,26 @@ def lsh_candidate_pairs(
 def jaccard_verify(
     pairs: DataFrame, shingle_df: DataFrame, threshold: float, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Exact Jaccard on candidate pairs via shingle equi-joins (never an
-    all-pairs cross join): |A∩B| from a 3-way join, |A∪B| = |A|+|B|−|A∩B|.
+    """Exact Jaccard on candidate pairs: join each side's shingle *array*
+    onto the pair and intersect row-locally (``array_intersect``), so cost
+    is O(pairs × shingles-per-doc) with no shingle-level shuffle.
 
-    Jaccard is emitted as the exact integer pair (inter, union) plus their
+    Accepts either the exploded (id, shingle) frame or the (id, shingles)
+    array frame. Emits exact integer (inter_sz, union_sz) plus their
     double ratio — bit-identical across engines.
     """
-    sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    sa = shingle_df.select(F.col(id_col).alias("doc_a"), "shingle")
-    sb = shingle_df.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (
-        pairs.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter_sz"))
-    )
-    za = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
-    zb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    if "shingles" in shingle_df.columns:
+        arr = shingle_df
+    else:
+        arr = shingle_df.groupBy(id_col).agg(F.collect_set("shingle").alias("shingles"))
+    za = arr.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
+    zb = arr.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
     out = (
-        inter.join(za, "doc_a")
+        pairs.join(za, "doc_a")
         .join(zb, "doc_b")
-        .withColumn("union_sz", F.col("sz_a") + F.col("sz_b") - F.col("inter_sz"))
+        .withColumn("inter_sz", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
+        .filter(F.col("inter_sz") > 0)
+        .withColumn("union_sz", (F.size("sh_a") + F.size("sh_b")).cast("long") - F.col("inter_sz"))
         .withColumn("jaccard", F.col("inter_sz").cast("double") / F.col("union_sz").cast("double"))
     )
     return out.filter(F.col("jaccard") >= threshold).select(
