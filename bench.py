@@ -46,7 +46,11 @@ BENCH_QUERIES = [
     "docs_dedup_exact",
     "docs_minhash_lsh_pairs",
     "docs_ngram_jaccard",
+    "docs_simhash",
+    "docs_simhash_neardup",
     "emb_ann_topk",
+    "emb_ann_lsh",
+    "emb_cosine_neardup",
 ]
 
 

@@ -1,0 +1,123 @@
+"""Scale-path similarity search: LSH-bucketed ANN and blocked cosine
+near-dup (complements operators/similarity.py's brute-force baseline).
+
+Random-hyperplane LSH: the hyperplane matrix W (n_planes × dim) is a
+deterministic literal generated from a fixed seed and inlined into BOTH
+the Spark plan and the SQL oracle, so bucket assignment is reproducible
+and engine-independent. Bucketing turns the O(|Q|·|C|) brute-force scan
+into a per-bucket scan — the 100 TB pattern is: signature the corpus once
+(row-local dot products, zero shuffle), then equi-join on the bucket id.
+
+Recall is probabilistic (documented): a query only sees candidates in its
+own bucket. Multi-probe (flipping low-margin bits) raises recall with the
+same plan shape.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import cosine
+
+__all__ = ["hyperplanes", "lsh_bucket_expr", "ann_lsh_topk", "cosine_near_dup_blocked"]
+
+
+def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1): md5-counter PRNG
+    so any engine (or the SQL oracle generator) reproduces them exactly."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()
+            (u,) = struct.unpack(">Q", h[:8])
+            row.append((u / 2**63) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def _dot_literal(vec_col: str, plane: list[float]) -> str:
+    """SQL for dot(vec, literal_plane) as a sequential double fold."""
+    arr = ", ".join(f"CAST({w!r} AS DOUBLE)" for w in plane)
+    return (
+        f"aggregate(zip_with({vec_col}, array({arr}), "
+        f"(x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def lsh_bucket_expr(vec_col: str, planes: list[list[float]]) -> Column:
+    """Bucket id = sign bits of the plane dot products, packed little-endian."""
+    bits = [
+        f"IF({_dot_literal(vec_col, p)} >= 0, {1 << j}L, 0L)"
+        for j, p in enumerate(planes)
+    ]
+    return F.expr(" + ".join(bits))
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbors among same-LSH-bucket candidates.
+
+    The corpus is signatured once (row-local); the only shuffle is the
+    bucket equi-join. Queries are broadcast as in the brute-force baseline.
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    planes = hyperplanes(n_planes, dim, seed)
+    bucketed = emb.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket_expr(vec_col, planes).alias("bucket")
+    )
+    queries = bucketed.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), F.col("bucket")
+    )
+    corpus = bucketed.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), F.col("bucket")
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", cosine(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def cosine_near_dup_blocked(
+    emb: DataFrame,
+    threshold: float,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ threshold) within blocking
+    buckets — the blocked all-pairs pattern (block on a cheap key: label,
+    LSH bucket, cluster id) that replaces a quadratic corpus scan."""
+    a = emb.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va")
+    )
+    b = emb.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("score", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("score") >= threshold)
+        # ids only: raw float scores are engine-representation-sensitive
+        .select("vec_a", "vec_b")
+    )

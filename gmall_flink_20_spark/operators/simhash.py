@@ -1,0 +1,101 @@
+"""SimHash fingerprinting + hamming-distance near-dup detection.
+
+Beyond-reference scope (training-data pipeline). 32-bit SimHash built
+entirely from row-local array expressions over the token array:
+
+    bit b of doc = sign( Σ_tokens (bit b of md5(token)) ? +1 : −1 )
+
+The per-token bit comes from the md5 hex nibbles (both engines produce
+identical lowercase hex, so the oracle agrees bit-for-bit). Production
+would use 64/128-bit xxhash-based signatures — identical plan shape.
+
+Near-dup pairs use the classic banding trick: with ≤ k bit flips, two
+32-bit signatures still agree on ≥ 1 of k+1 bands, so banding the
+signature into (k+1) 8-bit bands and equi-joining on (band_id, band_val)
+finds every pair with hamming ≤ k (k ≤ 3 here); a bit_count(xor) filter
+verifies exactly. One shuffle (the band join), uniform join keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["simhash32", "simhash_near_dup"]
+
+_HEX = "0123456789abcdef"
+
+
+def _simhash_expr(text_col: str, bits: int = 32) -> Column:
+    """Row-local SimHash over whitespace tokens.
+
+    nibble(tok, i) = instr(hex, substr(md5(tok), i+1, 1)) − 1; bit b lives
+    in nibble b DIV 4 at position b % 4. The per-bit vote is
+    Σ (2·bit − 1); the signature packs sign bits little-endian.
+    """
+    toks = f"array_distinct(split(trim({text_col}), '\\\\s+'))"
+    # per-token md5 computed once via transform, then per-bit votes
+    votes = (
+        f"transform(sequence(0, {bits - 1}), b -> "
+        f"  aggregate(transform({toks}, t -> md5(cast(t as binary))), 0L, "
+        f"    (acc, h) -> acc + CASE WHEN "
+        f"      ((instr('{_HEX}', substring(h, CAST(b DIV 4 AS INT) + 1, 1)) - 1) "
+        f"        >> (b % 4)) % 2 = 1 THEN 1 ELSE -1 END))"
+    )
+    return F.expr(
+        f"aggregate(zip_with({votes}, sequence(0, {bits - 1}), "
+        f"(v, b) -> IF(v >= 0, shiftleft(1L, b), 0L)), 0L, (acc, x) -> acc + x)"
+    )
+
+
+def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash: long) — 32-bit signature."""
+    return df.select(F.col(id_col), _simhash_expr(text_col).alias("simhash"))
+
+
+def simhash_near_dup(
+    sig_df: DataFrame,
+    max_hamming: int = 1,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+) -> DataFrame:
+    """Pairs (doc_a, doc_b, hamming) with hamming(sig_a, sig_b) ≤ k.
+
+    Bands = k+1 equal slices of the 32-bit signature (pigeonhole: ≤ k
+    flips leave one band untouched), so recall is exact for any k with
+    32 % (k+1) == 0. Wider bands (small k) mean more selective buckets —
+    k=1 gives 2×16-bit bands, 65536 buckets each.
+    """
+    bands = max_hamming + 1
+    assert 32 % bands == 0, "band width must divide 32"
+    width = 32 // bands
+    mask = (1 << width) - 1
+    outs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.shiftrightunsigned(F.col(sim_col), b * width).bitwiseAND(F.lit(mask)).alias("band_val"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig_df.select(
+        F.col(id_col), F.col(sim_col), F.explode(F.array(*outs)).alias("bk")
+    ).select(id_col, sim_col, F.col("bk.band_id").alias("band_id"), F.col("bk.band_val").alias("band_val"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.bit_count(
+                F.col(f"a.{sim_col}").bitwiseXOR(F.col(f"b.{sim_col}"))
+            ).cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -335,3 +335,84 @@ SELECT query_id, neighbor_id, rank FROM (
     FROM scored
 ) WHERE rank <= 5
 """
+
+# ------------------------------------------- simhash / embedding near-dup
+
+_SIMHASH = r"""
+SELECT doc_id,
+  CAST(list_sum(list_transform(range(0, 32), b ->
+    CASE WHEN list_sum(list_transform(list_distinct(string_split_regex(trim(text), '\s+')), t ->
+      CASE WHEN ((strpos('0123456789abcdef', substr(md5(t), CAST(b // 4 AS INT) + 1, 1)) - 1)
+                  >> (b % 4)) % 2 = 1 THEN 1 ELSE -1 END)) >= 0
+    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+FROM documents
+"""
+
+ORACLES["docs_simhash"] = _SIMHASH
+
+ORACLES["docs_simhash_neardup"] = f"""
+WITH sig AS ({_SIMHASH}),
+band AS (
+    SELECT doc_id, simhash, g.band_id, (simhash >> (g.band_id * 16)) & 65535 AS band_val
+    FROM sig, (SELECT unnest(range(0, 2)) AS band_id) g
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM band a JOIN band b
+  ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+"""
+
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+# double-precision dot (list_dot_product computes float-typed lists in
+# float precision, which disagrees with the Spark kernel's double fold)
+_DDOT = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_DCOS = (
+    f"({_DDOT.format(a='{a}', b='{b}')}) / "
+    f"(sqrt({_DDOT.format(a='{a}', b='{a}')}) * sqrt({_DDOT.format(a='{b}', b='{b}')}))"
+)
+
+ORACLES["emb_cosine_neardup"] = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_DCOS.format(a='a.embedding', b='b.embedding')} >= 0.25
+"""
+
+
+def _lsh_bucket_sql(vec: str, n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """Bucket expression with the same literal hyperplanes the Spark
+    operator inlines (operators/ann.hyperplanes)."""
+    from .operators.ann import hyperplanes
+
+    terms = []
+    for j, plane in enumerate(hyperplanes(n_planes, dim, seed)):
+        arr = ", ".join(f"CAST({w!r} AS DOUBLE)" for w in plane)
+        dot = (
+            f"list_sum(list_transform(range(1, {dim} + 1), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ([{arr}])[i]))"
+        )
+        terms.append(f"CASE WHEN {dot} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END")
+    return " + ".join(terms)
+
+
+ORACLES["emb_ann_lsh"] = f"""
+WITH sig AS (
+    SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM sig WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS nv, bucket FROM sig)
+SELECT query_id, neighbor_id, rank FROM (
+    SELECT q.query_id, c.neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY {_COS.format(a='q.qv', b='c.nv')} DESC, c.neighbor_id ASC) AS rank
+    FROM q JOIN c USING (bucket) WHERE q.query_id <> c.neighbor_id
+) WHERE rank <= 5
+"""

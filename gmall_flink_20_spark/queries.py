@@ -19,7 +19,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .io import load_events, load_table
-from .operators import blacklist, dedup, distinct, joins, patterns, similarity, text, topn, windows
+from .operators import (
+    ann,
+    blacklist,
+    dedup,
+    distinct,
+    joins,
+    patterns,
+    similarity,
+    simhash,
+    text,
+    topn,
+    windows,
+)
 from .plans import tpch
 
 __all__ = ["QUERIES", "NO_ORACLE"]
@@ -239,6 +251,30 @@ def emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return simhash.simhash32(docs)
+
+
+def docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return simhash.simhash_near_dup(simhash.simhash32(docs), max_hamming=1)
+
+
+def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.ann_lsh_topk(emb, list(range(10)), 5, n_planes=8, seed=42)
+
+
+def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.cosine_near_dup_blocked(emb, threshold=0.25)
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -269,7 +305,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_dedup_exact": docs_dedup_exact,
     "docs_minhash_lsh_pairs": docs_minhash_lsh_pairs,
     "docs_ngram_jaccard": docs_ngram_jaccard,
+    "docs_simhash": docs_simhash,
+    "docs_simhash_neardup": docs_simhash_neardup,
     "emb_ann_topk": emb_ann_topk,
+    "emb_ann_lsh": emb_ann_lsh,
+    "emb_cosine_neardup": emb_cosine_neardup,
 }
 
 # queries whose semantics are estimator-specific → rows-only driver check

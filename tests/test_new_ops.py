@@ -1,0 +1,125 @@
+"""Unit tests: simhash family, LSH ANN, blocked cosine near-dup, sources."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gmall_flink_20_spark.operators import ann, simhash
+from gmall_flink_20_spark.sources import connectors, generators
+
+
+def test_simhash_identical_and_near_docs(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # identical → hamming 0
+            (3, base + " iota"),  # near
+            (4, "totally different words everywhere now yes ok right"),
+        ],
+        "doc_id long, text string",
+    )
+    sig = simhash.simhash32(docs)
+    vals = {r.doc_id: r.simhash for r in sig.collect()}
+    assert vals[1] == vals[2]
+    assert 0 <= vals[1] < 2**32
+    pairs = simhash.simhash_near_dup(sig, max_hamming=3).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
+    assert got.get((1, 2)) == 0
+    # banding recall is exact for k<=3: any pair with hamming<=3 is found
+    import itertools
+
+    for a, b in itertools.combinations(sorted(vals), 2):
+        h = bin(vals[a] ^ vals[b]).count("1")
+        assert ((a, b) in got) == (h <= 3), (a, b, h)
+
+
+def test_lsh_ann_subset_of_bruteforce_bucket(spark):
+    from gmall_flink_20_spark.io import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = ann.ann_lsh_topk(emb, [0, 1, 2], 3, n_planes=4).collect()
+    assert len(out) > 0
+    # ranks are dense per query starting at 1
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_hyperplanes_deterministic():
+    a = ann.hyperplanes(4, 8, seed=7)
+    b = ann.hyperplanes(4, 8, seed=7)
+    c = ann.hyperplanes(4, 8, seed=8)
+    assert a == b and a != c
+    assert all(-1.0 <= w < 1.0 for row in a for w in row)
+
+
+def test_cosine_near_dup_blocked(spark):
+    rows = [
+        (0, 0, [1.0, 0.0]),
+        (1, 0, [0.99, 0.01]),
+        (2, 0, [0.0, 1.0]),
+        (3, 1, [1.0, 0.0]),  # other block: never paired with 0/1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    out = {(r.vec_a, r.vec_b) for r in ann.cosine_near_dup_blocked(emb, 0.9).collect()}
+    assert out == {(0, 1)}
+
+
+def test_market_behavior_transform(spark):
+    from datetime import datetime
+
+    rate = spark.createDataFrame(
+        [(datetime(2024, 1, 1, i // 60, i % 60), i) for i in range(100)],
+        "timestamp timestamp, value long",
+    )
+    out = generators.market_behavior_transform(rate, n_users=50)
+    rows = out.collect()
+    assert len(rows) == 100
+    assert {r.behavior for r in rows} <= set(generators.BEHAVIORS)
+    assert {r.channel for r in rows} <= set(generators.CHANNELS)
+    assert all(0 <= r.user_id < 50 for r in rows)
+    # deterministic in value
+    again = generators.market_behavior_transform(rate, n_users=50).collect()
+    assert rows == again
+
+
+def test_csv_and_json_line_parsers(spark):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ip", StringType()),
+            StructField("event_type", StringType()),
+            StructField("ts", LongType()),
+        ]
+    )
+    # the reference's LoginLog.csv line shape (LoginEvent bean,
+    # gmall-login-fail/.../bean/LoginEvent.java:14-18)
+    lines = spark.createDataFrame(
+        [("5402,83.149.11.115,success,1558430815",)], "value string"
+    )
+    row = connectors.csv_lines_to_rows(lines, schema).collect()[0]
+    assert (row.user_id, row.ip, row.event_type, row.ts) == (
+        5402,
+        "83.149.11.115",
+        "success",
+        1558430815,
+    )
+    jlines = spark.createDataFrame(
+        [('{"user_id": 7, "ip": "1.2.3.4", "event_type": "fail", "ts": 10}',)],
+        "value string",
+    )
+    jrow = connectors.json_lines_to_rows(jlines, schema).collect()[0]
+    assert (jrow.user_id, jrow.event_type) == (7, "fail")
+
+
+def test_streaming_source_builders_declare(spark):
+    # declaration-only: no connection until .start()
+    df = generators.market_behavior_stream(spark, rows_per_second=5)
+    assert df.isStreaming and set(df.columns) == {"user_id", "behavior", "channel", "ts"}
+    sock = connectors.socket_stream(spark, "localhost", 9999)
+    assert sock.isStreaming
