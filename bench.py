@@ -69,6 +69,9 @@ def main() -> None:
         rows = QUERIES[name](spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
         del rows
+        # operators may persist() self-join inputs; isolate queries so
+        # cached blocks/broadcasts don't pressure later measurements
+        spark.catalog.clearCache()
 
     print(
         json.dumps(

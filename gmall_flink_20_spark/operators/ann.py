@@ -21,7 +21,7 @@ import struct
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .similarity import cosine
+from .similarity import cosine, dot, norm
 
 __all__ = ["hyperplanes", "lsh_bucket_expr", "ann_lsh_topk", "cosine_near_dup_blocked"]
 
@@ -78,16 +78,22 @@ def ann_lsh_topk(
         F.col(id_col), F.col(vec_col), lsh_bucket_expr(vec_col, planes).alias("bucket")
     )
     queries = bucketed.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), F.col("bucket")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+        F.col("bucket"),
     )
     corpus = bucketed.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), F.col("bucket")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        norm(F.col(vec_col)).alias("nn"),
+        F.col("bucket"),
     )
     scored = (
         F.broadcast(queries)
         .join(corpus, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", cosine(F.col("qv"), F.col("nv")))
+        .withColumn("score", dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -107,16 +113,22 @@ def cosine_near_dup_blocked(
     """Embedding near-dup pairs (cosine ≥ threshold) within blocking
     buckets — the blocked all-pairs pattern (block on a cheap key: label,
     LSH bucket, cluster id) that replaces a quadratic corpus scan."""
-    a = emb.select(
-        F.col(block_col).alias("blk"), F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va")
+    withnorm = emb.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nrm"),
+    ).persist()  # self-join input: compute norms once, not once per side
+    a = withnorm.select(
+        F.col("blk"), F.col("vid").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )
-    b = emb.select(
-        F.col(block_col).alias("blk"), F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb")
+    b = withnorm.select(
+        F.col("blk"), F.col("vid").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
     return (
         a.join(b, "blk")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("score", cosine(F.col("va"), F.col("vb")))
+        .withColumn("score", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
         .filter(F.col("score") >= threshold)
         # ids only: raw float scores are engine-representation-sensitive
         .select("vec_a", "vec_b")

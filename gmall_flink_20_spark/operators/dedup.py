@@ -84,7 +84,7 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "d
 
 def _sig_expr(num_hashes: int, shingles_col: str = "shingles") -> Column:
     """MinHash signature: sig[s] = min over shingles of md5(s || ':' || sh).
-    Row-local array of array_min's — no shuffle, no row explosion."""
+    Row-local array of array_min's (kept for the no-shuffle variant)."""
     return F.expr(
         f"transform(sequence(0, {num_hashes - 1}), "
         f"s -> array_min(transform({shingles_col}, sh -> md5(cast(concat(cast(s as string), ':', sh) as binary)))))"
@@ -94,10 +94,91 @@ def _sig_expr(num_hashes: int, shingles_col: str = "shingles") -> Column:
 def minhash_signature_array(
     shingle_arr: DataFrame, num_hashes: int = 16, id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, sig: array<string>[num_hashes])."""
-    return shingle_arr.select(
-        F.col(id_col), _sig_expr(num_hashes).alias("sig")
+    """(id, sig: array<string>[num_hashes]).
+
+    Explode + flat-column hashing + one min-aggregate: nested higher-order
+    lambdas fall out of whole-stage codegen (interpreted, ~10× slower), so
+    the hash columns are plain md5 projections over exploded shingle rows
+    — fully codegen'd — and the signature reassembles via num_hashes
+    ``min()`` aggregates in a single shuffle on the doc key.
+    """
+    exploded = shingle_arr.select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
     )
+    return _min_agg_signature(exploded, num_hashes, id_col)
+
+
+def _min_agg_signature(exploded: DataFrame, num_hashes: int, id_col: str) -> DataFrame:
+    hash_cols = [
+        F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")).cast("binary")).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    return (
+        exploded.select(F.col(id_col), *hash_cols)
+        .groupBy(id_col)
+        .agg(*[F.min(f"h{s}").alias(f"m{s}") for s in range(num_hashes)])
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"m{s}") for s in range(num_hashes)]).alias("sig"),
+        )
+    )
+
+
+def shingle_rows_from_text(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """(id, shingle) rows via explode(sequence) + element_at — fully
+    codegen (no higher-order lambdas). May contain duplicate shingles."""
+    if parallelism:
+        df = df.repartition(parallelism, F.col(id_col))
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("toks")).filter(F.size("toks") >= n)
+    return base.select(
+        F.col(id_col),
+        F.col("toks"),
+        F.explode(F.sequence(F.lit(0), F.size("toks") - n)).alias("i"),
+    ).select(
+        F.col(id_col),
+        F.concat_ws(
+            " ", *[F.element_at("toks", F.col("i") + j + 1) for j in range(n)]
+        ).alias("shingle"),
+    )
+
+
+def shingle_sets_from_text(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """(id, shingles: array<string>) distinct sets, via the codegen row
+    path + collect_set (which dedups) — faster than the row-local HOF
+    construction for CPU-bound corpora."""
+    rows = shingle_rows_from_text(df, n, text_col, id_col, parallelism)
+    return rows.groupBy(id_col).agg(F.collect_set("shingle").alias("shingles"))
+
+
+def minhash_signature_from_text(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Fastest signature path: shingle positions exploded via
+    ``explode(sequence(...))`` + ``element_at`` — every expression is
+    codegen-friendly (no higher-order lambdas, which Spark interprets).
+    Duplicate shingles are NOT removed: min() over a multiset equals min()
+    over its set, so the distinct step is provably unnecessary here.
+    """
+    exploded = shingle_rows_from_text(df, n, text_col, id_col, parallelism)
+    return _min_agg_signature(exploded, num_hashes, id_col)
 
 
 def minhash_signatures(
@@ -163,6 +244,8 @@ def lsh_candidate_pairs(
             F.array_sort(F.collect_list(F.struct("seed", "minhash"))).alias("sm")
         ).select(F.col(id_col), F.expr("transform(sm, x -> x.minhash)").alias("sig"))
         banded = band_keys(arr, bands, rows_per_band, id_col)
+    # self-join would otherwise recompute the whole signature lineage twice
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (

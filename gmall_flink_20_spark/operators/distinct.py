@@ -39,7 +39,7 @@ def approx_unique_count(
     ts_col: str,
     size: str,
     id_col: str,
-    rsd: float = 0.01,
+    rsd: float = 0.05,
     alias: str = "uv_approx",
 ) -> DataFrame:
     """HLL++ distinct per tumbling window (replaces the reference's

@@ -26,31 +26,40 @@ __all__ = ["simhash32", "simhash_near_dup"]
 _HEX = "0123456789abcdef"
 
 
-def _simhash_expr(text_col: str, bits: int = 32) -> Column:
-    """Row-local SimHash over whitespace tokens.
+def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash: long) — 32-bit signature.
 
-    nibble(tok, i) = instr(hex, substr(md5(tok), i+1, 1)) − 1; bit b lives
-    in nibble b DIV 4 at position b % 4. The per-bit vote is
-    Σ (2·bit − 1); the signature packs sign bits little-endian.
+    Shape: explode distinct tokens → one md5 per row (codegen'd) → 32
+    per-bit ±1 votes as flat CASE columns → 32 sums in one groupBy →
+    row-local sign/pack. Nested per-bit lambdas would recompute the token
+    hash 32× in interpreted mode; this formulation hashes once per token
+    and stays inside whole-stage codegen end to end.
+
+    bit b of md5 hex: nibble = instr('{hex}', substr(h, b DIV 4 + 1, 1))−1,
+    vote_b = ((nibble >> (b % 4)) % 2) ? +1 : −1; signature packs
+    sign(Σ votes) little-endian.
     """
     toks = f"array_distinct(split(trim({text_col}), '\\\\s+'))"
-    # per-token md5 computed once via transform, then per-bit votes
-    votes = (
-        f"transform(sequence(0, {bits - 1}), b -> "
-        f"  aggregate(transform({toks}, t -> md5(cast(t as binary))), 0L, "
-        f"    (acc, h) -> acc + CASE WHEN "
-        f"      ((instr('{_HEX}', substring(h, CAST(b DIV 4 AS INT) + 1, 1)) - 1) "
-        f"        >> (b % 4)) % 2 = 1 THEN 1 ELSE -1 END))"
+    exploded = df.select(
+        F.col(id_col), F.explode(F.expr(f"transform({toks}, t -> md5(cast(t as binary)))")).alias("h")
     )
-    return F.expr(
-        f"aggregate(zip_with({votes}, sequence(0, {bits - 1}), "
-        f"(v, b) -> IF(v >= 0, shiftleft(1L, b), 0L)), 0L, (acc, x) -> acc + x)"
+    vote_cols = [
+        F.expr(
+            f"CASE WHEN ((instr('{_HEX}', substring(h, {b // 4 + 1}, 1)) - 1) "
+            f">> {b % 4}) % 2 = 1 THEN 1 ELSE -1 END"
+        ).alias(f"v{b}")
+        for b in range(32)
+    ]
+    packed = None
+    for b in range(32):
+        term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else packed + term
+    return (
+        exploded.select(F.col(id_col), *vote_cols)
+        .groupBy(id_col)
+        .agg(*[F.sum(f"v{b}").alias(f"s{b}") for b in range(32)])
+        .select(F.col(id_col), packed.alias("simhash"))
     )
-
-
-def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash: long) — 32-bit signature."""
-    return df.select(F.col(id_col), _simhash_expr(text_col).alias("simhash"))
 
 
 def simhash_near_dup(
@@ -80,6 +89,8 @@ def simhash_near_dup(
     banded = sig_df.select(
         F.col(id_col), F.col(sim_col), F.explode(F.array(*outs)).alias("bk")
     ).select(id_col, sim_col, F.col("bk.band_id").alias("band_id"), F.col("bk.band_val").alias("band_val"))
+    # self-join would otherwise recompute the signature lineage twice
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (

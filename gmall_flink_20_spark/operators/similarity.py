@@ -20,18 +20,28 @@ from pyspark.sql import functions as F
 __all__ = ["cosine", "ann_bruteforce_topk"]
 
 
+def dot(x: Column, y: Column) -> Column:
+    """Sequential double fold of an element-wise product (matches the
+    oracle's loop order bit-for-bit)."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(x: Column) -> Column:
+    return F.sqrt(dot(x, x))
+
+
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<float/double> columns (double math,
-    sequential fold so engines agree bit-for-bit)."""
+    """Cosine similarity of two array<float/double> columns.
 
-    def dot(x: Column, y: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    NOTE: computes both norms inline (3 folds per pair). In pairwise
+    operators, precompute ``norm`` once per row instead and divide —
+    higher-order folds are interpreted, so per-pair norm recomputation
+    triples the dominant cost (see ann_bruteforce_topk)."""
+    return dot(a, b) / (norm(a) * norm(b))
 
 
 def ann_bruteforce_topk(
@@ -51,13 +61,21 @@ def ann_bruteforce_topk(
     """
     queries = (
         emb.filter(F.col(id_col).isin(query_ids))
-        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            norm(F.col(vec_col)).alias("qn"),
+        )
     )
-    corpus = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        norm(F.col(vec_col)).alias("nn"),
+    )
     scored = (
         F.broadcast(queries)
         .join(corpus, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", cosine(F.col("qv"), F.col("nv")))
+        .withColumn("score", dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (

@@ -228,8 +228,9 @@ def docs_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
-    arr = dedup.shingle_array(load_table(spark, sf_dir, "documents"), n=3, parallelism=par)
-    sig = dedup.minhash_signature_array(arr, num_hashes=16)
+    sig = dedup.minhash_signature_from_text(
+        load_table(spark, sf_dir, "documents"), n=3, num_hashes=16, parallelism=par
+    )
     return dedup.lsh_candidate_pairs(sig, bands=4, rows_per_band=4, from_array=True)
 
 
@@ -240,7 +241,7 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("l"), F.col("source").alias("s"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("l"), F.col("source").alias("s"))
     pairs = a.join(b, ["l", "s"]).filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
-    arr = dedup.shingle_array(docs, n=3, parallelism=spark.sparkContext.defaultParallelism)
+    arr = dedup.shingle_sets_from_text(docs, n=3, parallelism=spark.sparkContext.defaultParallelism)
     return dedup.jaccard_verify(pairs, arr, threshold=0.0)
 
 
