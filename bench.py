@@ -23,6 +23,7 @@ from gmall_flink_20_spark.session import get_spark
 # Headline set: every operator family at its heaviest registry entry.
 BENCH_QUERIES = [
     "hot_items_topn",
+    "hot_urls_topn",
     "page_views",
     "unique_visitors",
     "unique_visitors_approx",

@@ -54,6 +54,20 @@ SELECT window_end_s, item_id, cnt, rn FROM (
 """,
 )
 
+ORACLES["hot_urls_topn"] = _sliding(
+    base="SELECT '/page/' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 20 AS VARCHAR) AS url, ts "
+    "FROM events WHERE event_type = 'view'",
+    size=600,
+    slide=60,
+    select="""
+SELECT window_end_s, url, cnt, rn FROM (
+    SELECT window_end_s, url, cnt,
+           row_number() OVER (PARTITION BY window_end_s ORDER BY cnt DESC, url ASC) AS rn
+    FROM (SELECT window_end_s, url, count(*) AS cnt FROM exp GROUP BY 1, 2)
+) WHERE rn <= 3
+""",
+)
+
 ORACLES["page_views"] = f"""
 SELECT (CAST(floor(epoch(ts)/3600) AS BIGINT) + 1) * 3600 AS window_end_s, count(*) AS pv
 FROM events WHERE event_type = 'click' GROUP BY 1

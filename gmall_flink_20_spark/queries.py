@@ -67,6 +67,22 @@ def hot_items_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("window_end_s", "item_id", "cnt", F.col("rn").cast("long").alias("rn"))
 
 
+def hot_urls_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WA2+T2/T3 (HotUrlApp.java:33-183, HotUrlApp_MapState / test-tree
+    HotUrlApp2): per-URL hit counts over sliding 10min/1min windows,
+    top-3 per window. 'view' events play the GET requests; the URL is
+    derived from the JSON item key (the reference's parsed apache-log
+    path). Late-data re-fires (allowedLateness + MapState upsert) are
+    subsumed by batch/update-mode recomputation — see SURVEY §4."""
+    views = _events(spark, sf_dir).filter(F.col("event_type") == "view").select(
+        F.concat(F.lit("/page/"), (F.get_json_object("props", "$.k").cast("long") % 20).cast("string")).alias("url"),
+        "ts",
+    )
+    counts = windows.windowed_count(views, "ts", "10 minutes", "1 minute", "url")
+    top = topn.top_n_per_key(counts, ["window_end_s"], "cnt", 3, tiebreak=["url"])
+    return top.select("window_end_s", "url", "cnt", F.col("rn").cast("long").alias("rn"))
+
+
 def page_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WA3 (PageViewApp.java:57-60): tumbling 1h click (pv) count. The
     salted two-phase variant (WA4, PageViewApp_2.java) is subsumed by
@@ -281,6 +297,7 @@ def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # reference analytics (SURVEY §2)
     "hot_items_topn": hot_items_topn,
+    "hot_urls_topn": hot_urls_topn,
     "page_views": page_views,
     "unique_visitors": unique_visitors,
     "unique_visitors_approx": unique_visitors_approx,
