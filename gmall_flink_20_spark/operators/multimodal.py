@@ -28,7 +28,16 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["MEDIA_SCHEMA", "FEATURE_SCHEMA", "attach_media", "extract_features"]
+__all__ = [
+    "MEDIA_SCHEMA",
+    "FEATURE_SCHEMA",
+    "RESIZED_SCHEMA",
+    "FRAME_SCHEMA",
+    "attach_media",
+    "extract_features",
+    "resize_images",
+    "sample_frames",
+]
 
 MEDIA_SCHEMA = StructType(
     [
@@ -47,6 +56,23 @@ FEATURE_SCHEMA = StructType(
         StructField("kind", StringType(), False),
         StructField("n_bytes", LongType(), True),
         StructField("feature_hash", LongType(), True),
+    ]
+)
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame", BinaryType(), True),
     ]
 )
 
@@ -91,3 +117,57 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
             yield out
 
     return media.mapInPandas(_decode_batch, schema=FEATURE_SCHEMA)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, fake_decode: bool = True
+) -> DataFrame:
+    """Resize image payloads via mapInPandas. Real path: PIL decode →
+    resize → re-encode inside ``_resize_batch``; here the stub emits a
+    deterministic truncated payload with the target dimensions so the
+    Spark-side contract (schema, batch shape, 1:1 rows) is testable."""
+
+    def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "image"]
+            if not fake_decode:
+                raise NotImplementedError("image resize requires PIL, not in this container")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    # stub: deterministic function of payload + target dims
+                    "payload": pdf["payload"].map(
+                        lambda b: b[: max(4, (width * height) % max(1, len(b) or 1))] if b else b
+                    ),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(_resize_batch, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, every_n: int = 10, max_frames: int = 4, fake_decode: bool = True
+) -> DataFrame:
+    """Sample frames from video payloads (1:N row fan-out) via
+    mapInPandas. Real path: ffmpeg/pyav seek+decode; the stub emits
+    ``max_frames`` deterministic byte slices so partitioning and the
+    exploding row contract are real."""
+
+    def _sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "video"]
+            if not fake_decode:
+                raise NotImplementedError("frame sampling requires ffmpeg, not in this container")
+            ids, idxs, frames = [], [], []
+            for _, row in pdf.iterrows():
+                payload = row["payload"] or b""
+                for i in range(max_frames):
+                    off = (i * every_n) % max(1, len(payload))
+                    ids.append(row["media_id"])
+                    idxs.append(i)
+                    frames.append(payload[off : off + 8])
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.mapInPandas(_sample_batch, schema=FRAME_SCHEMA)

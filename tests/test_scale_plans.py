@@ -65,13 +65,28 @@ def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
 def test_multimodal_plumbing(spark):
     from gmall_flink_20_spark.operators import multimodal
 
-    base = spark.range(6).withColumnRenamed("id", "doc_id")
+    base = spark.range(12).withColumnRenamed("id", "doc_id")
     media = multimodal.attach_media(base)
     assert media.schema == multimodal.MEDIA_SCHEMA or [f.name for f in media.schema] == [
         f.name for f in multimodal.MEDIA_SCHEMA
     ]
     feats = multimodal.extract_features(media, fake_decode=True)
     rows = {r.media_id: r for r in feats.collect()}
-    assert len(rows) == 6
+    assert len(rows) == 12
     assert rows[0].n_bytes == 32  # sha256 payload
     assert rows[0].kind in {"image", "audio", "video"}
+
+    resized = multimodal.resize_images(media, 64, 48, fake_decode=True).collect()
+    n_images = media.filter("kind = 'image'").count()
+    assert len(resized) == n_images and all(r.width == 64 and r.height == 48 for r in resized)
+
+    frames = multimodal.sample_frames(media, every_n=5, max_frames=3, fake_decode=True)
+    fr = frames.collect()
+    n_videos = media.filter("kind = 'video'").count()
+    assert len(fr) == n_videos * 3  # 1:N fan-out
+    assert {r.frame_idx for r in fr} == {0, 1, 2}
+    # real decode path is gated, not silently faked
+    import pytest
+
+    with pytest.raises(Exception):
+        multimodal.extract_features(media, fake_decode=False).collect()
