@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "blacklist_kept",
     "blacklist_warnings",
     "login_fail_consecutive",
+    "login_fail_times3",
     "login_fail_horizon",
     "order_timeout",
     "pay_receipt_interval_join",

@@ -26,7 +26,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["consecutive_event_pairs", "events_within_horizon", "match_or_timeout"]
+__all__ = [
+    "consecutive_event_pairs",
+    "consecutive_n_events",
+    "events_within_horizon",
+    "match_or_timeout",
+]
 
 
 def consecutive_event_pairs(
@@ -59,6 +64,42 @@ def consecutive_event_pairs(
             F.col(key),
             F.col("prev_ts").cast("long").alias("first_fail_s"),
             F.col(ts_col).cast("long").alias("last_fail_s"),
+        )
+    )
+
+
+def consecutive_n_events(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    event_col: str,
+    target: str,
+    n: int,
+    within_s: int,
+    order_tiebreak: str,
+) -> DataFrame:
+    """CEP ``times(n).consecutive().within(w)`` generalization
+    (LoginFailwithStateCEP_More.java:46-57): n strictly-adjacent
+    ``target`` events whose first→last span is ≤ ``within_s``.
+
+    A chain of n−1 lags over the per-key event order — one shuffle, no
+    self-joins; generalizes C3 (n=2).
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts_col), F.col(order_tiebreak))
+    out = df.withColumn("cur_ts_s", F.col(ts_col).cast("long"))
+    conds = F.col(event_col) == target
+    for i in range(1, n):
+        out = out.withColumn(f"lag_type_{i}", F.lag(event_col, i).over(w))
+        out = out.withColumn(f"lag_ts_{i}", F.lag(F.col(ts_col).cast("long"), i).over(w))
+        conds = conds & (F.col(f"lag_type_{i}") == target)
+    first_ts = F.col(f"lag_ts_{n-1}")
+    return (
+        out.filter(conds & (F.col("cur_ts_s") - first_ts <= within_s))
+        .select(
+            F.col(key),
+            first_ts.alias("first_fail_s"),
+            F.col("cur_ts_s").alias("last_fail_s"),
+            F.lit(n).cast("long").alias("times"),
         )
     )
 

@@ -430,3 +430,17 @@ SELECT query_id, neighbor_id, rank FROM (
     FROM q JOIN c USING (bucket) WHERE q.query_id <> c.neighbor_id
 ) WHERE rank <= 5
 """
+
+ORACLES["login_fail_times3"] = f"""
+SELECT user_id, lag2_ts AS first_fail_s, ts_s AS last_fail_s, CAST(3 AS BIGINT) AS times
+FROM (
+    SELECT user_id, event_type, {_TS} AS ts_s,
+           lag(event_type, 1) OVER w AS lag1_type,
+           lag(event_type, 2) OVER w AS lag2_type,
+           lag({_TS}, 2) OVER w AS lag2_ts
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+WHERE event_type = 'error' AND lag1_type = 'error' AND lag2_type = 'error'
+  AND ts_s - lag2_ts <= 21600
+"""

@@ -155,6 +155,14 @@ def login_fail_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def login_fail_times3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 (LoginFailwithStateCEP_More.java:46-57): 3 strictly-consecutive
+    'error' events within 6h end-to-end."""
+    return patterns.consecutive_n_events(
+        _events(spark, sf_dir), "user_id", "ts", "event_type", "error", 3, 21600, "event_id"
+    )
+
+
 def login_fail_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1/C4 (LoginFailWithState.java:51-111): ≥2 'error' events within 2h
     of an anchoring error."""
@@ -306,6 +314,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "blacklist_kept": blacklist_kept,
     "blacklist_warnings": blacklist_warnings,
     "login_fail_consecutive": login_fail_consecutive,
+    "login_fail_times3": login_fail_times3,
     "login_fail_horizon": login_fail_horizon,
     "order_timeout": order_timeout,
     "pay_receipt_interval_join": pay_receipt_interval_join,

@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis): operator outputs vs brute-force
+Python models on arbitrary small inputs."""
+
+from __future__ import annotations
+
+from collections import Counter
+from datetime import datetime, timezone
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from gmall_flink_20_spark.operators import patterns, topn, windows
+
+EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # user
+        st.integers(min_value=0, max_value=7200),  # ts seconds offset
+        st.sampled_from(["error", "success"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+BASE = 1_700_000_000  # epoch anchor (multiple of nothing special)
+
+
+def ts(s: int):
+    return datetime.fromtimestamp(BASE + s, tz=timezone.utc).replace(tzinfo=None)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(EVENTS)
+def test_tumbling_count_matches_model(spark, events):
+    rows = [(u, ts(t)) for u, t, _ in events]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.window_end_s, r.user_id): r.cnt
+        for r in windows.tumbling_count(df, "ts", "10 minutes", "user_id").collect()
+    }
+    model = Counter()
+    for u, t, _ in events:
+        window_end = ((BASE + t) // 600 + 1) * 600
+        model[(window_end, u)] += 1
+    assert got == dict(model)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(EVENTS)
+def test_consecutive_pairs_matches_model(spark, events):
+    rows = [(u, i, ts(t), et) for i, (u, t, et) in enumerate(events)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, event_type string")
+    got = sorted(
+        (r.user_id, r.first_fail_s, r.last_fail_s)
+        for r in patterns.consecutive_event_pairs(
+            df, "user_id", "ts", "event_type", "error", 60, "event_id"
+        ).collect()
+    )
+    model = []
+    per_user: dict = {}
+    for i, (u, t, et) in enumerate(events):
+        per_user.setdefault(u, []).append((t, i, et))
+    for u, evs in per_user.items():
+        evs.sort()
+        for (t0, _, e0), (t1, _, e1) in zip(evs, evs[1:]):
+            if e0 == "error" and e1 == "error" and (BASE + t1) - (BASE + t0) <= 60:
+                model.append((u, BASE + t0, BASE + t1))
+    assert got == sorted(model)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # partition
+            st.integers(min_value=0, max_value=50),  # item
+            st.integers(min_value=1, max_value=99),  # count
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda x: (x[0], x[1]),
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_topn_matches_model(spark, rows, n):
+    df = spark.createDataFrame(rows, "p long, item long, cnt long")
+    got = {}
+    for r in topn.top_n_per_key(df, ["p"], "cnt", n, tiebreak=["item"]).collect():
+        got.setdefault(r.p, []).append((r.rn, r.item, r.cnt))
+    model = {}
+    for p, item, cnt in rows:
+        model.setdefault(p, []).append((item, cnt))
+    for p, items in model.items():
+        ranked = sorted(items, key=lambda ic: (-ic[1], ic[0]))[:n]
+        model[p] = [(i + 1, item, cnt) for i, (item, cnt) in enumerate(ranked)]
+    got = {p: sorted(v) for p, v in got.items()}
+    assert got == model
