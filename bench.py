@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "tpch_q5",
     "tpch_q6",
     "docs_token_count",
+    "docs_token_count_bpe",
+    "docs_winnowing",
     "docs_quality",
     "docs_lang_id",
     "docs_fingerprint",

@@ -18,9 +18,11 @@ from pyspark.sql import functions as F
 __all__ = [
     "tokens",
     "token_count",
+    "token_count_bpe",
     "quality_score",
     "lang_id",
     "fingerprint",
+    "winnowing_fingerprints",
     "LANG_MARKERS",
 ]
 
@@ -97,6 +99,68 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         s = F.col(f"score_{lang}")
         guess = F.when((s == max_score) & (max_score > 0), F.lit(lang)).otherwise(guess)
     return out.select(F.col(id_col), guess.alias("lang_guess"), max_score.alias("lang_score"))
+
+
+_BPE_PATTERN = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
+
+
+def token_count_bpe(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BPE-ish regex token count: letter runs, single digits, and
+    punctuation marks as separate tokens (the GPT-2-style pre-tokenizer
+    shape, simplified to an engine-portable character-class regex).
+    ``regexp_count`` is JVM-side; the oracle uses
+    ``len(regexp_extract_all(...))`` with the identical pattern."""
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(F.col(text_col), F.lit(_BPE_PATTERN)).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document fingerprinting by winnowing (the MOSS scheme): hash every
+    k-gram (k consecutive tokens, a rolling-hash stand-in computed as
+    md5), then keep the minimum hash of each sliding window of ``window``
+    consecutive k-gram hashes. Output the distinct selected fingerprints
+    per doc — a compact, position-robust signature for overlap detection.
+
+    All row-local until the final explode+distinct; the k-gram and window
+    machinery is the codegen-friendly explode(sequence)+element_at shape.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("toks")).filter(
+        F.size("toks") >= k + window - 1
+    )
+    # hashes[i] = md5 of the k-gram starting at token i (0-based)
+    grams = base.select(
+        F.col(id_col),
+        F.col("toks"),
+        F.explode(F.sequence(F.lit(0), F.size("toks") - k)).alias("i"),
+    ).select(
+        F.col(id_col),
+        F.col("i"),
+        F.md5(
+            F.concat_ws(" ", *[F.element_at("toks", F.col("i") + j + 1) for j in range(k)]).cast("binary")
+        ).alias("h"),
+    )
+    # window minimum over window consecutive gram hashes, via a rows frame
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy("i").rowsBetween(0, window - 1)
+    winmin = grams.withColumn("wmin", F.min("h").over(w)).withColumn(
+        "n_grams", F.count("i").over(W.partitionBy(id_col))
+    )
+    # only full windows (start i ≤ n_grams - window)
+    return (
+        winmin.filter(F.col("i") <= F.col("n_grams") - window)
+        .select(F.col(id_col), F.col("wmin").alias("fp"))
+        .distinct()
+    )
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -444,3 +444,27 @@ FROM (
 WHERE event_type = 'error' AND lag1_type = 'error' AND lag2_type = 'error'
   AND ts_s - lag2_ts <= 21600
 """
+
+ORACLES["docs_token_count_bpe"] = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+ORACLES["docs_winnowing"] = r"""
+WITH base AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    WHERE len(string_split_regex(trim(text), '\s+')) >= 8
+),
+grams AS (
+    SELECT doc_id, i, md5(array_to_string(t[i + 1 : i + 5], ' ')) AS h
+    FROM (SELECT doc_id, t, unnest(range(0, len(t) - 4)) AS i FROM base)
+),
+winmin AS (
+    SELECT doc_id, i,
+           min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+           count(*) OVER (PARTITION BY doc_id) AS n_grams
+    FROM grams
+)
+SELECT DISTINCT doc_id, wmin AS fp FROM winmin WHERE i <= n_grams - 4
+"""

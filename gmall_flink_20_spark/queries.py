@@ -234,6 +234,17 @@ def docs_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_count(load_table(spark, sf_dir, "documents"))
 
 
+def docs_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_count_bpe(load_table(spark, sf_dir, "documents"))
+
+
+def docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return text.winnowing_fingerprints(docs, k=5, window=4)
+
+
 def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_score(load_table(spark, sf_dir, "documents"))
 
@@ -326,6 +337,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q6": tpch.q6_forecast_revenue,
     # training-data pipeline
     "docs_token_count": docs_token_count,
+    "docs_token_count_bpe": docs_token_count_bpe,
+    "docs_winnowing": docs_winnowing,
     "docs_quality": docs_quality,
     "docs_lang_id": docs_lang_id,
     "docs_fingerprint": docs_fingerprint,

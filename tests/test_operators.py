@@ -182,3 +182,17 @@ def test_ann_bruteforce_exact_neighbors(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = similarity.ann_bruteforce_topk(emb, [0], 2).collect()
     assert [(r.neighbor_id, r.rank) for r in sorted(out, key=lambda r: r.rank)] == [(1, 1), (3, 2)]
+
+
+def test_windowed_count_rollup_equals_direct(spark):
+    from gmall_flink_20_spark.io import load_events
+    from gmall_flink_20_spark.operators import windows as W
+
+    clicks = load_events(spark, "/root/testdata/sf0.001").filter(
+        "event_type = 'click'"
+    ).select("user_id", "ts")
+    direct = W.windowed_count(clicks, "ts", "1 hour", "10 minutes", "user_id")
+    rollup = W.windowed_count_rollup(clicks, "ts", 3600, 600, "user_id")
+    d = sorted(map(tuple, direct.select("window_end_s", "user_id", "cnt").collect()))
+    r = sorted(map(tuple, rollup.select("window_end_s", "user_id", "cnt").collect()))
+    assert d == r
