@@ -61,7 +61,11 @@ BENCH_QUERIES = [
 def main() -> None:
     sf_dir = default_sf_dir()
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    spark = get_spark(app_name="bench")
+    # shuffle-partition sizing is per-deployment; for the local bench SF,
+    # 16 initial partitions (AQE coalesces further) measures best —
+    # override via SPARK_GRAFT_SHUFFLE_PARTITIONS for other targets.
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "16"))
+    spark = get_spark(app_name="bench", shuffle_partitions=shuffle)
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM + file listing so q1 doesn't pay one-time costs
