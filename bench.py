@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "unique_visitors_approx",
     "channel_stats",
     "province_ad_clicks",
+    "user_sessions",
     "blacklist_kept",
     "blacklist_warnings",
     "login_fail_consecutive",

@@ -29,6 +29,7 @@ __all__ = [
     "windowed_count",
     "windowed_count_rollup",
     "tumbling_count",
+    "session_count",
     "window_end_s",
 ]
 
@@ -107,6 +108,33 @@ def windowed_count_rollup(
     return (
         expanded.groupBy("window_end_s", *[F.col(g) for g in group_names])
         .agg(F.sum("_partial").alias(count_alias))
+    )
+
+
+def session_count(
+    df: DataFrame,
+    ts_col: str,
+    gap_s: int,
+    *keys: Column | str,
+    count_alias: str = "n_events",
+) -> DataFrame:
+    """Per-key session windows (gap-based), ``session_window`` built-in.
+
+    Beyond-reference (the reference has no session windows, SURVEY §2.12)
+    but native to Spark and oracle-checkable via gaps-and-islands SQL.
+    Event times are floored to whole seconds BEFORE sessionization so the
+    merge decision (gap boundary) is integral and engine-independent.
+    """
+    key_cols = [F.col(k) if isinstance(k, str) else k for k in keys]
+    floored = F.timestamp_seconds(F.col(ts_col).cast("long"))
+    return (
+        df.groupBy(
+            F.session_window(floored, f"{gap_s} seconds").alias("w"), *key_cols
+        )
+        .agg(F.count(F.lit(1)).alias(count_alias))
+        .withColumn("session_start_s", F.col("w.start").cast("long"))
+        .withColumn("session_end_s", F.col("w.end").cast("long"))
+        .drop("w")
     )
 
 

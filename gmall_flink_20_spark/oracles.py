@@ -468,3 +468,22 @@ winmin AS (
 )
 SELECT DISTINCT doc_id, wmin AS fp FROM winmin WHERE i <= n_grams - 4
 """
+
+ORACLES["user_sessions"] = f"""
+WITH e AS (SELECT user_id, {_TS} AS ts_s FROM events),
+m AS (
+    SELECT user_id, ts_s,
+           CASE WHEN lag(ts_s) OVER w IS NULL
+                  OR ts_s - lag(ts_s) OVER w >= 1800 THEN 1 ELSE 0 END AS brk
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)
+),
+s AS (
+    SELECT user_id, ts_s,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY ts_s
+                          ROWS UNBOUNDED PRECEDING) AS sid
+    FROM m
+)
+SELECT user_id, min(ts_s) AS session_start_s, max(ts_s) + 1800 AS session_end_s,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""

@@ -129,6 +129,14 @@ def province_ad_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user — beyond-reference
+    (SURVEY §2.12), Spark-native via session_window."""
+    return windows.session_count(_events(spark, sf_dir), "ts", 1800, "user_id").select(
+        "user_id", "session_start_s", "session_end_s", "n_events"
+    )
+
+
 def blacklist_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 main output (AdClickApp.java:112-168): clicks under the daily
     per-user budget (threshold 3/day)."""
@@ -322,6 +330,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unique_visitors_approx": unique_visitors_approx,
     "channel_stats": channel_stats,
     "province_ad_clicks": province_ad_clicks,
+    "user_sessions": user_sessions,
     "blacklist_kept": blacklist_kept,
     "blacklist_warnings": blacklist_warnings,
     "login_fail_consecutive": login_fail_consecutive,
