@@ -123,3 +123,34 @@ def test_streaming_source_builders_declare(spark):
     assert df.isStreaming and set(df.columns) == {"user_id", "behavior", "channel", "ts"}
     sock = connectors.socket_stream(spark, "localhost", 9999)
     assert sock.isStreaming
+
+
+def test_market_behavior_stream_live(spark):
+    """Live rate-source run: a few micro-batches of generated events land
+    in a memory sink with the expected shape."""
+    import time
+    import uuid
+
+    name = f"mb_{uuid.uuid4().hex[:8]}"
+    stream = generators.market_behavior_stream(spark, rows_per_second=200, n_users=20)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            n = spark.table(name).count()
+            if n >= 50:
+                break
+            time.sleep(0.5)
+        assert n >= 50, f"only {n} rows generated"
+        sample = spark.table(name).limit(200).collect()
+        assert {r.behavior for r in sample} <= set(generators.BEHAVIORS)
+        assert {r.channel for r in sample} <= set(generators.CHANNELS)
+    finally:
+        q.stop()

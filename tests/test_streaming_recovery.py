@@ -1,0 +1,96 @@
+"""Checkpoint recovery: a stateful streaming query stopped mid-input and
+restarted from its checkpoint produces exactly the batch answer — no
+lost and no duplicated decisions (exactly-once within the sink table)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from gmall_flink_20_spark.io import load_events
+from gmall_flink_20_spark.operators import blacklist as bl
+from gmall_flink_20_spark.streaming import stateful
+
+
+def _write_chunk(df, path: Path, j: int, mtime: int):
+    import os
+
+    tmp = path.parent / f"tmp_{uuid.uuid4().hex[:6]}"
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+    for f in tmp.glob("*.parquet"):
+        dst = path / f"{j:05d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (mtime, mtime))
+    shutil.rmtree(tmp)
+
+
+def test_blacklist_stream_recovers_from_checkpoint(spark, sf_dir):
+    clicks = (
+        load_events(spark, sf_dir)
+        .filter((F.col("event_type") == "click") & (F.col("user_id") < 5))
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts").cast("long").alias("ts_s"),
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day_str"),
+        )
+        .orderBy("ts_s")
+    )
+    rows = clicks.collect()
+    half = len(rows) // 2
+    schema = clicks.schema
+
+    base = Path(tempfile.mkdtemp(prefix="recov_"))
+    src = base / "src"
+    src.mkdir()
+    ckpt = str(base / "ckpt")
+    out_dir = str(base / "out")
+
+    # phase 1: only the first half visible
+    _write_chunk(spark.createDataFrame(rows[:half], schema), src, 0, 1_000_000_000)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            stateful.blacklist_stream(stream, threshold=3)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # processes half, commits offsets + state to the checkpoint
+
+    # phase 2: the rest arrives; restart the SAME query from the checkpoint
+    _write_chunk(spark.createDataFrame(rows[half:], schema), src, 1, 1_000_000_001)
+    run_once()
+
+    got = spark.read.parquet(out_dir).toPandas()
+    kept_exp, warn_exp = bl.daily_threshold_split(
+        load_events(spark, sf_dir).filter(
+            (F.col("event_type") == "click") & (F.col("user_id") < 5)
+        ),
+        ["user_id"],
+        "ts",
+        3,
+        "event_id",
+    )
+    kept_ids = sorted(r.event_id for r in kept_exp.collect())
+    got_kept = sorted(got[got["out_type"] == "kept"]["event_id"].tolist())
+    assert got_kept == kept_ids  # exactly once: nothing lost, nothing doubled
+    warn_keys = sorted((r.user_id, r.day_str) for r in warn_exp.collect())
+    got_warn = sorted(
+        map(tuple, got[got["out_type"] == "warning"][["user_id", "day_str"]].values.tolist())
+    )
+    assert got_warn == warn_keys
