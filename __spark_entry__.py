@@ -8,9 +8,16 @@ expose the full registry from ``gmall_flink_20_spark.queries`` /
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# importable regardless of the caller's working directory
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 from gmall_flink_20_spark.oracles import ORACLES
 from gmall_flink_20_spark.queries import NO_ORACLE, QUERIES

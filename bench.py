@@ -75,7 +75,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
-        rows = QUERIES[name](spark, sf_dir).collect()
+        # Arrow-batched materialization: collect() round-trips every row
+        # through Py4J; toPandas ships Arrow record batches
+        rows = QUERIES[name](spark, sf_dir).toPandas()
         timings[name] = round(time.perf_counter() - t0, 3)
         del rows
         # operators may persist() self-join inputs; isolate queries so
