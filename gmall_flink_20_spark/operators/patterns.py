@@ -119,10 +119,21 @@ def events_within_horizon(
     fails = df.filter(F.col(event_col) == target).select(
         F.col(key), F.col(ts_col).cast("long").alias("ts_s")
     )
-    a = fails.alias("a")
-    b = fails.alias("b")
+    # Time-bucketed equi-join: a fail in [anchor, anchor+h) lives in the
+    # anchor's h-sized bucket or the next one, so replicating the probe
+    # side ×2 turns the range join into an equi join on (key, bucket) —
+    # per-task work is then bounded by fails-per-key-per-horizon rather
+    # than fails-per-key (the all-pairs blowup a pure range residual
+    # leaves on a hot key).
+    anchors = fails.withColumn("bucket", F.expr(f"ts_s DIV {horizon_s}"))
+    probes = fails.withColumn(
+        "bucket", F.explode(F.array(F.expr(f"ts_s DIV {horizon_s}"), F.expr(f"ts_s DIV {horizon_s} - 1")))
+    )
+    a = anchors.alias("a")
+    b = probes.alias("b")
     cond = (
         (F.col(f"a.{key}") == F.col(f"b.{key}"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col("b.ts_s") >= F.col("a.ts_s"))
         & (F.col("b.ts_s") < F.col("a.ts_s") + horizon_s)
     )

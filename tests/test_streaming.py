@@ -121,3 +121,25 @@ def test_blacklist_stream_matches_batch(spark, small_events):
         map(tuple, got[got["out_type"] == "warning"][["user_id", "day_str"]].values.tolist())
     )
     assert got_warn == warn_keys
+
+
+def test_streaming_sliding_window_count_matches_batch(spark, small_events):
+    """WA7-style sliding windows (1h size / 10m slide) in append mode
+    converge to the batch expansion once the watermark passes."""
+    ev = small_events.select("ts", "event_type")
+    sentinel = far_future_row(spark, ev)
+    stream = replay.replay_stream(spark, ev, "ts", num_chunks=6, extra_chunks=[sentinel])
+    out = swindows.streaming_windowed_count(
+        stream, "ts", "2 seconds", "1 hour", "10 minutes", "event_type"
+    )
+    got = replay.run_to_completion(out).toPandas()
+
+    exp = windows.windowed_count(ev, "ts", "1 hour", "10 minutes", "event_type").toPandas()
+    sentinel_cut = got["window_end_s"].max() - 6 * 600  # sentinel's own windows
+    got = got[got["window_end_s"] < sentinel_cut]
+    exp = exp[exp["window_end_s"].isin(got["window_end_s"])]
+
+    key = ["window_end_s", "event_type", "cnt"]
+    assert sorted(map(tuple, got[key].values.tolist())) == sorted(
+        map(tuple, exp[key].values.tolist())
+    )
