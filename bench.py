@@ -40,8 +40,14 @@ BENCH_QUERIES = [
     "pay_receipt_reconcile",
     "tpch_q1",
     "tpch_q3",
+    "tpch_q4",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q14",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q22",
     "docs_token_count",
     "docs_token_count_bpe",
     "docs_winnowing",

@@ -342,8 +342,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # scale/bench plans
     "tpch_q1": tpch.q1_pricing_summary,
     "tpch_q3": tpch.q3_top_orders,
+    "tpch_q4": tpch.q4_order_priority,
     "tpch_q5": tpch.q5_local_supplier_volume,
     "tpch_q6": tpch.q6_forecast_revenue,
+    "tpch_q14": tpch.q14_promo_revenue,
+    "tpch_q17": tpch.q17_small_quantity_revenue,
+    "tpch_q18": tpch.q18_large_orders,
+    "tpch_q19": tpch.q19_disjunctive_revenue,
+    "tpch_q22": tpch.q22_idle_balances,
     # training-data pipeline
     "docs_token_count": docs_token_count,
     "docs_token_count_bpe": docs_token_count_bpe,
