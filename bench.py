@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "docs_simhash_neardup",
     "emb_ann_topk",
     "emb_ann_lsh",
+    "emb_ann_ivf",
     "emb_cosine_neardup",
 ]
 

@@ -513,6 +513,43 @@ SELECT query_id, neighbor_id, rank FROM (
 ) WHERE rank <= 5
 """
 
+# IVF: assignment distance is a sequential double fold (mirrors the Spark
+# zip_with/aggregate kernel exactly); argmin tiebreaks on centroid id.
+_DL2 = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+)
+
+ORACLES["emb_ann_ivf"] = f"""
+WITH cents AS (
+    SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16
+),
+dists AS (
+    SELECT e.vec_id, e.embedding, c.cid,
+           {_DL2.format(a='e.embedding', b='c.cv')} AS d2
+    FROM embeddings e, cents c
+),
+assigned AS (
+    SELECT vec_id AS neighbor_id, embedding AS nv, cid AS list_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+        FROM dists
+    ) WHERE rn = 1
+),
+probes AS (
+    SELECT vec_id AS query_id, embedding AS qv, cid AS list_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS pr
+        FROM dists WHERE vec_id < 10
+    ) WHERE pr <= 4
+)
+SELECT query_id, neighbor_id, rank FROM (
+    SELECT p.query_id, a.neighbor_id,
+           row_number() OVER (PARTITION BY p.query_id
+               ORDER BY {_DCOS.format(a='p.qv', b='a.nv')} DESC, a.neighbor_id ASC) AS rank
+    FROM probes p JOIN assigned a USING (list_id)
+    WHERE p.query_id <> a.neighbor_id
+) WHERE rank <= 5
+"""
+
 ORACLES["login_fail_times3"] = f"""
 SELECT user_id, lag2_ts AS first_fail_s, ts_s AS last_fail_s, CAST(3 AS BIGINT) AS times
 FROM (

@@ -314,6 +314,11 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ann_lsh_topk(emb, list(range(10)), 5, n_planes=8, seed=42)
 
 
+def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.ann_ivf_topk(emb, list(range(10)), 5, nlist=16, nprobe=4)
+
+
 def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ann.cosine_near_dup_blocked(emb, threshold=0.25)
@@ -364,6 +369,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_simhash_neardup": docs_simhash_neardup,
     "emb_ann_topk": emb_ann_topk,
     "emb_ann_lsh": emb_ann_lsh,
+    "emb_ann_ivf": emb_ann_ivf,
     "emb_cosine_neardup": emb_cosine_neardup,
 }
 

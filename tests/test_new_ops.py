@@ -48,6 +48,34 @@ def test_lsh_ann_subset_of_bruteforce_bucket(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+def test_ivf_full_probe_equals_bruteforce(spark):
+    """nprobe == nlist degenerates IVF to an exact scan: the top-k must
+    equal the brute-force baseline rank-for-rank."""
+    from gmall_flink_20_spark.io import load_table
+    from gmall_flink_20_spark.operators import similarity
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    ivf = ann.ann_ivf_topk(emb, [0, 1, 2], 3, nlist=8, nprobe=8).collect()
+    bf = similarity.ann_bruteforce_topk(emb, [0, 1, 2], 3).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted([(r.query_id, r.rank, r.neighbor_id) for r in ivf]) == sorted(
+        [(r.query_id, r.rank, r.neighbor_id) for r in bf]
+    )
+
+
+def test_ivf_partial_probe_ranks_dense(spark):
+    from gmall_flink_20_spark.io import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = ann.ann_ivf_topk(emb, [0, 1, 2], 3, nlist=8, nprobe=2).collect()
+    assert len(out) > 0
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
 def test_hyperplanes_deterministic():
     a = ann.hyperplanes(4, 8, seed=7)
     b = ann.hyperplanes(4, 8, seed=7)
