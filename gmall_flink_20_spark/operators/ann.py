@@ -21,6 +21,7 @@ import struct
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._cache import eager_persist
 from .similarity import cosine, dot, norm
 
 __all__ = [
@@ -207,7 +208,9 @@ def cosine_near_dup_blocked(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
         norm(F.col(vec_col)).alias("nrm"),
-    ).persist()  # self-join input: compute norms once, not once per side
+    )
+    # self-join input: compute norms once, not once per side
+    withnorm = eager_persist(withnorm)
     a = withnorm.select(
         F.col("blk"), F.col("vid").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )

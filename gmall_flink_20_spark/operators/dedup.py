@@ -21,18 +21,40 @@ you'd swap md5 for xxhash64 — identical plan shape, cheaper hash.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ._cache import eager_persist
+
+# k-permutation minhash: h_s(x) = (a_s·x + c_s) mod P over ONE 60-bit base
+# hash per shingle (16× fewer md5 calls than hashing per seed). P = 2³¹−1
+# keeps a_s·x < 2⁶² (no int64 overflow); constants derive from md5 so any
+# engine regenerates them.
+MINHASH_P = 2147483647
+
+
+def minhash_perm_consts(num_hashes: int) -> list[tuple[int, int]]:
+    out = []
+    for s in range(num_hashes):
+        a = int(hashlib.md5(f"a:{s}".encode()).hexdigest()[:8], 16) % (MINHASH_P - 1) + 1
+        c = int(hashlib.md5(f"c:{s}".encode()).hexdigest()[:8], 16) % MINHASH_P
+        out.append((a, c))
+    return out
 
 __all__ = [
     "dedup_exact",
     "shingle_array",
     "shingles",
     "minhash_signature_array",
+    "minhash_signature_permuted",
     "minhash_signatures",
+    "minhash_perm_consts",
     "band_keys",
     "lsh_candidate_pairs",
     "jaccard_verify",
+    "jaccard_blocked",
 ]
 
 
@@ -181,6 +203,46 @@ def minhash_signature_from_text(
     return _min_agg_signature(exploded, num_hashes, id_col)
 
 
+def minhash_signature_permuted(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """(id, sig: array<bigint>) via k affine permutations of one base hash.
+
+    ``minhash_signature_from_text`` pays num_hashes md5 calls per shingle;
+    here each shingle is md5'd ONCE into a 60-bit bigint and the k hash
+    functions are (a_s·x + c_s) mod P — integer arithmetic both engines
+    evaluate identically, and min() over a multiset still equals min()
+    over the set so duplicate shingles need no dedup. Same plan shape:
+    explode → flat projections → one groupBy with k min() aggregates.
+    """
+    rows = shingle_rows_from_text(df, n, text_col, id_col, parallelism)
+    base = rows.select(
+        F.col(id_col),
+        F.expr(
+            f"CAST(conv(substr(md5(shingle), 1, 15), 16, 10) AS BIGINT) % {MINHASH_P}"
+        ).alias("b0"),
+    )
+    consts = minhash_perm_consts(num_hashes)
+    hash_cols = [
+        ((F.lit(a) * F.col("b0") + F.lit(c)) % MINHASH_P).alias(f"h{s}")
+        for s, (a, c) in enumerate(consts)
+    ]
+    return (
+        base.select(F.col(id_col), *hash_cols)
+        .groupBy(id_col)
+        .agg(*[F.min(f"h{s}").alias(f"m{s}") for s in range(num_hashes)])
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"m{s}") for s in range(num_hashes)]).alias("sig"),
+        )
+    )
+
+
 def minhash_signatures(
     shingle_df: DataFrame, num_hashes: int = 16, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -208,7 +270,9 @@ def band_keys(
                 F.concat_ws(
                     ":",
                     F.lit(str(b * rows_per_band + r)),
-                    F.element_at("sig", b * rows_per_band + r + 1),
+                    # explicit string cast: sig elements are md5 strings or
+                    # permuted-minhash bigints depending on the signature path
+                    F.element_at("sig", b * rows_per_band + r + 1).cast("string"),
                 )
                 for r in range(rows_per_band)
             ]
@@ -245,7 +309,7 @@ def lsh_candidate_pairs(
         ).select(F.col(id_col), F.expr("transform(sm, x -> x.minhash)").alias("sig"))
         banded = band_keys(arr, bands, rows_per_band, id_col)
     # self-join would otherwise recompute the whole signature lineage twice
-    banded = banded.persist()
+    banded = eager_persist(banded)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -257,6 +321,74 @@ def lsh_candidate_pairs(
         )
         .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
         .distinct()
+    )
+
+
+def jaccard_blocked(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.0,
+    block_cols: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard for every same-block doc pair, in ONE
+    self-join.
+
+    Two wins over pairs + jaccard_verify:
+    - shingles travel as 60-bit md5 hashes (bigint): the per-pair
+      ``array_intersect`` compares longs, not strings (~3× cheaper), and
+      both engines hash identically so results agree bit-for-bit even in
+      the ≈2⁻⁶⁰ collision case (a collision perturbs both the same way);
+    - pair enumeration and shingle-set attachment fuse into one
+      block-keyed self-join instead of a pairs join plus two array joins.
+    """
+    if parallelism:
+        df = df.repartition(parallelism, F.col(id_col))
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(
+        F.col(id_col), *[F.col(c) for c in block_cols], toks.alias("toks")
+    ).filter(F.size("toks") >= n)
+    rows = base.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.col("toks"),
+        F.explode(F.sequence(F.lit(0), F.size("toks") - n)).alias("i"),
+    ).select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.expr(
+            "CAST(conv(substr(md5(concat_ws(' ', "
+            + ", ".join(f"element_at(toks, i + {j + 1})" for j in range(n))
+            + ")), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    )
+    # both self-join sides share this lineage: hash the corpus once
+    arr = eager_persist(rows.groupBy(id_col, *block_cols).agg(F.collect_set("h").alias("sh")))
+    a = arr.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+    )
+    b = arr.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    out = (
+        a.join(b, list(block_cols))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("inter_sz", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
+        .filter(F.col("inter_sz") > 0)
+        .withColumn(
+            "union_sz",
+            (F.size("sh_a") + F.size("sh_b")).cast("long") - F.col("inter_sz"),
+        )
+        .withColumn("jaccard", F.col("inter_sz").cast("double") / F.col("union_sz").cast("double"))
+    )
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "inter_sz", "union_sz", "jaccard"
     )
 
 

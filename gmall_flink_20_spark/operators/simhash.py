@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._cache import eager_persist
+
 __all__ = ["simhash32", "simhash_near_dup"]
 
 _HEX = "0123456789abcdef"
@@ -90,7 +92,7 @@ def simhash_near_dup(
         F.col(id_col), F.col(sim_col), F.explode(F.array(*outs)).alias("bk")
     ).select(id_col, sim_col, F.col("bk.band_id").alias("band_id"), F.col("bk.band_val").alias("band_val"))
     # self-join would otherwise recompute the signature lineage twice
-    banded = banded.persist()
+    banded = eager_persist(banded)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -374,12 +374,17 @@ _SHINGLES = r"""
     )
 """
 
+# k-permutation constants shared with dedup.minhash_signature_permuted
+from .operators.dedup import MINHASH_P, minhash_perm_consts  # noqa: E402
+
+_PERMS = ", ".join(f"({s}, {a}, {c})" for s, (a, c) in enumerate(minhash_perm_consts(16)))
+
 ORACLES["docs_minhash_lsh_pairs"] = f"""
 WITH sh AS ({_SHINGLES}),
 sig AS (
     SELECT doc_id, g.seed,
-           min(md5(CAST(g.seed AS VARCHAR) || ':' || shingle)) AS minhash
-    FROM sh, generate_series(0, 15) AS g(seed)
+           min((g.a * (CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % {MINHASH_P}) + g.c) % {MINHASH_P}) AS minhash
+    FROM sh, (VALUES {_PERMS}) AS g(seed, a, c)
     GROUP BY doc_id, g.seed
 ),
 band AS (
@@ -392,28 +397,30 @@ FROM band a JOIN band b
   ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 """
 
-ORACLES["docs_ngram_jaccard"] = f"""
-WITH sh AS ({_SHINGLES}),
-pairs AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM documents a JOIN documents b
-      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+# shingles as 60-bit md5 hashes — mirrors the Spark kernel exactly (both
+# engines hash identically, so parity holds even across hash collisions)
+ORACLES["docs_ngram_jaccard"] = r"""
+WITH toks AS (
+    SELECT doc_id, lang, source, string_split_regex(trim(text), '\s+') AS t
+    FROM documents
 ),
-sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-inter AS (
-    SELECT p.doc_a, p.doc_b, count(*) AS inter_sz
-    FROM pairs p
-    JOIN sh sa ON sa.doc_id = p.doc_a
-    JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
-    GROUP BY p.doc_a, p.doc_b
+arr AS (
+    SELECT doc_id, lang, source,
+           list_distinct(list_transform(range(0, len(t) - 2),
+               i -> CAST(concat('0x', substr(md5(concat_ws(' ', t[i+1], t[i+2], t[i+3])), 1, 15)) AS BIGINT))) AS sh
+    FROM toks WHERE len(t) >= 3
 )
-SELECT i.doc_a, i.doc_b, i.inter_sz,
-       za.sz + zb.sz - i.inter_sz AS union_sz,
-       CAST(i.inter_sz AS DOUBLE) / CAST(za.sz + zb.sz - i.inter_sz AS DOUBLE) AS jaccard
-FROM inter i
-JOIN sizes za ON za.doc_id = i.doc_a
-JOIN sizes zb ON zb.doc_id = i.doc_b
-WHERE CAST(i.inter_sz AS DOUBLE) / CAST(za.sz + zb.sz - i.inter_sz AS DOUBLE) >= 0.0
+SELECT doc_a, doc_b, inter_sz,
+       union_sz,
+       CAST(inter_sz AS DOUBLE) / CAST(union_sz AS DOUBLE) AS jaccard
+FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter_sz,
+           CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS union_sz
+    FROM arr a JOIN arr b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+)
+WHERE inter_sz > 0
 """
 
 ORACLES["emb_ann_topk"] = """

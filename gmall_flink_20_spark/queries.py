@@ -271,7 +271,7 @@ def docs_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
-    sig = dedup.minhash_signature_from_text(
+    sig = dedup.minhash_signature_permuted(
         load_table(spark, sf_dir, "documents"), n=3, num_hashes=16, parallelism=par
     )
     return dedup.lsh_candidate_pairs(sig, bands=4, rows_per_band=4, from_array=True)
@@ -279,13 +279,12 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard for every same-(lang, source) doc pair —
-    the blocked (bucketed) verification pass of near-dup detection."""
+    the blocked (bucketed) verification pass of near-dup detection.
+    Shingle sets travel as 60-bit hashes; one block-keyed self-join."""
     docs = load_table(spark, sf_dir, "documents")
-    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("l"), F.col("source").alias("s"))
-    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("l"), F.col("source").alias("s"))
-    pairs = a.join(b, ["l", "s"]).filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
-    arr = dedup.shingle_sets_from_text(docs, n=3, parallelism=spark.sparkContext.defaultParallelism)
-    return dedup.jaccard_verify(pairs, arr, threshold=0.0)
+    return dedup.jaccard_blocked(
+        docs, n=3, threshold=0.0, parallelism=spark.sparkContext.defaultParallelism
+    )
 
 
 def emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
