@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "docs_dedup_exact",
     "docs_minhash_lsh_pairs",
     "docs_ngram_jaccard",
+    "docs_corpus_select",
     "docs_simhash",
     "docs_simhash_neardup",
     "emb_ann_topk",

@@ -1,0 +1,81 @@
+"""End-to-end training-corpus curation — the composition the individual
+text/dedup operators exist for.
+
+One pass selects the documents worth keeping: language filter, length
+floor, stopword-ratio floor (quality), and exact-duplicate collapse to
+the lowest-id keeper. The whole pipeline is a SINGLE scan of the corpus:
+quality and language features are row-local column expressions, and the
+dup-keeper decision is one window over the content fingerprint — so at
+100 TB this costs one read plus one shuffle (on md5(text), a uniform
+key), regardless of how many filters compose on top.
+
+(Reference scope note: the reference has no corpus operators at all —
+this is the beyond-reference training-data-pipeline surface from the
+build brief, composed from operators/text.py + operators/dedup.py
+semantics.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import LANG_MARKERS, tokens
+
+__all__ = ["corpus_select"]
+
+
+def corpus_select(
+    df: DataFrame,
+    lang: str = "en",
+    min_tokens: int = 20,
+    min_stopword_ratio: float = 0.04,
+    stopwords: tuple[str, ...] = ("the", "a", "and", "of", "to", "in"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curated (doc_id, n_tokens, stopword_ratio, lang_guess) selection.
+
+    Keeps a document iff it (a) is the lowest-id copy of its exact
+    content group, (b) language-IDs as ``lang``, (c) has at least
+    ``min_tokens`` tokens, and (d) has stopword density at or above
+    ``min_stopword_ratio``. Ratio thresholds compare double divisions of
+    exact integers — engine-independent.
+    """
+    toks = tokens(text_col)
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    n_tokens = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("long")
+
+    # language argmax (same fold as text.lang_id: first language in
+    # marker order wins ties, 'und' when nothing fires)
+    scores = {
+        lg: F.regexp_count(F.col(text_col), F.lit(r"\b(" + "|".join(ws) + r")\b")).cast("long")
+        for lg, ws in LANG_MARKERS.items()
+    }
+    max_score = None
+    for s in scores.values():
+        max_score = s if max_score is None else F.greatest(max_score, s)
+    guess = F.lit("und")
+    for lg in reversed(list(scores)):
+        guess = F.when((scores[lg] == max_score) & (max_score > 0), F.lit(lg)).otherwise(guess)
+
+    keeper_rn = F.row_number().over(
+        Window.partitionBy(F.md5(F.col(text_col).cast("binary"))).orderBy(id_col)
+    )
+    feats = df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        (n_stop.cast("double") / n_tokens.cast("double")).alias("stopword_ratio"),
+        guess.alias("lang_guess"),
+        keeper_rn.alias("_rn"),
+    )
+    return (
+        feats.filter(
+            (F.col("_rn") == 1)
+            & (F.col("lang_guess") == lang)
+            & (F.col("n_tokens") >= min_tokens)
+            & (F.col("stopword_ratio") >= min_stopword_ratio)
+        )
+        .drop("_rn")
+    )

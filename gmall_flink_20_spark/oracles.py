@@ -355,6 +355,33 @@ SELECT doc_id,
 FROM (SELECT *, greatest(score_en, score_fr, score_es, score_de, score_zh) AS m FROM scored)
 """
 
+# single-scan curation: features + keeper window + thresholds (mirrors
+# operators/curation.py: en, >=20 tokens, stopword ratio >= 0.04)
+ORACLES["docs_corpus_select"] = f"""
+WITH feats AS (
+    SELECT doc_id,
+           CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter({_TOKENS}, t -> t IN ('the','a','and','of','to','in'))) AS DOUBLE)
+               / CAST(len({_TOKENS}) AS DOUBLE) AS stopword_ratio,
+           {_SCORE_EXPRS},
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents
+),
+langed AS (
+    SELECT *,
+           CASE WHEN score_en = m AND m > 0 THEN 'en'
+                WHEN score_fr = m AND m > 0 THEN 'fr'
+                WHEN score_es = m AND m > 0 THEN 'es'
+                WHEN score_de = m AND m > 0 THEN 'de'
+                WHEN score_zh = m AND m > 0 THEN 'zh'
+                ELSE 'und' END AS lang_guess
+    FROM (SELECT *, greatest(score_en, score_fr, score_es, score_de, score_zh) AS m FROM feats)
+)
+SELECT doc_id, n_tokens, stopword_ratio, lang_guess
+FROM langed
+WHERE rn = 1 AND lang_guess = 'en' AND n_tokens >= 20 AND stopword_ratio >= 0.04
+"""
+
 ORACLES["docs_fingerprint"] = r"""
 SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
 FROM documents

@@ -22,6 +22,7 @@ from .io import load_events, load_table
 from .operators import (
     ann,
     blacklist,
+    curation,
     dedup,
     distinct,
     joins,
@@ -287,6 +288,12 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship curation composition: single-scan language + quality +
+    exact-dedup-keeper selection (operators/curation.py)."""
+    return curation.corpus_select(load_table(spark, sf_dir, "documents"))
+
+
 def emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ann_bruteforce_topk(emb, list(range(10)), 5).select(
@@ -364,6 +371,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_dedup_exact": docs_dedup_exact,
     "docs_minhash_lsh_pairs": docs_minhash_lsh_pairs,
     "docs_ngram_jaccard": docs_ngram_jaccard,
+    "docs_corpus_select": docs_corpus_select,
     "docs_simhash": docs_simhash,
     "docs_simhash_neardup": docs_simhash_neardup,
     "emb_ann_topk": emb_ann_topk,

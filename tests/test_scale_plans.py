@@ -45,6 +45,40 @@ def test_province_join_broadcasts_nation(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_q4_exists_becomes_semi_join(spark, sf_dir):
+    plan = plan_of(tpch.q4_order_priority(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_q22_not_exists_becomes_anti_join(spark, sf_dir):
+    plan = plan_of(tpch.q22_idle_balances(spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
+def test_q19_broadcasts_part_and_pushes_brand_filter(spark, sf_dir):
+    plan = plan_of(tpch.q19_disjunctive_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the disjunction's common conjunct on part must reach the scan side
+    assert "PushedFilters:" in plan
+
+
+def test_q18_preaggregates_before_join(spark, sf_dir):
+    # HAVING subquery: lineitem aggregates on l_orderkey BEFORE joining
+    # orders — the join must see aggregated rows, not raw lineitem
+    plan = plan_of(tpch.q18_large_orders(spark, sf_dir))
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+
+
+def test_corpus_select_is_single_scan(spark, sf_dir):
+    # the composed curation pipeline must not join documents to itself:
+    # one FileScan of documents.parquet, one window, filters on top
+    plan = plan_of(QUERIES["docs_corpus_select"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Window" in plan
+
+
 def test_builtin_pipelines_have_no_python_udf(spark, sf_dir):
     # Everything except the multimodal stub stays JVM-side.
     for name in ["hot_items_topn", "docs_quality", "docs_minhash_lsh_pairs", "emb_ann_topk"]:
