@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "docs_minhash_lsh_pairs",
     "docs_ngram_jaccard",
     "docs_corpus_select",
+    "media_features",
     "docs_simhash",
     "docs_simhash_neardup",
     "emb_ann_topk",

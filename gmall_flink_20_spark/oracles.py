@@ -355,6 +355,23 @@ SELECT doc_id,
 FROM (SELECT *, greatest(score_en, score_fr, score_es, score_de, score_zh) AS m FROM scored)
 """
 
+# multimodal stub parity: payload = unhex(sha256(id)), feature_hash =
+# first 8 payload bytes as SIGNED big-endian int64 (HUGEINT two's-
+# complement fold mirrors Python's int.from_bytes(signed=True))
+ORACLES["media_features"] = """
+WITH h AS (
+    SELECT doc_id, sha256(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+)
+SELECT doc_id AS media_id,
+       (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+       CAST(octet_length(unhex(hx)) AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN hu >= 9223372036854775808 THEN hu - 18446744073709551616 ELSE hu END AS BIGINT) AS feature_hash
+FROM (SELECT *,
+             CAST(CAST(concat('0x', substr(hx, 1, 8)) AS BIGINT) AS HUGEINT) * 4294967296
+               + CAST(concat('0x', substr(hx, 9, 8)) AS BIGINT) AS hu
+      FROM h)
+"""
+
 # single-scan curation: features + keeper window + thresholds (mirrors
 # operators/curation.py: en, >=20 tokens, stopword ratio >= 0.04)
 ORACLES["docs_corpus_select"] = f"""

@@ -24,6 +24,7 @@ from .operators import (
     blacklist,
     curation,
     dedup,
+    multimodal,
     distinct,
     joins,
     patterns,
@@ -294,6 +295,15 @@ def docs_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.corpus_select(load_table(spark, sf_dir, "documents"))
 
 
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: opaque binary payloads (derived
+    deterministically from doc ids) → Arrow-batched mapInPandas feature
+    extraction. The decode stub is deterministic, so even this Python-UDF
+    path is oracle-checked (operators/multimodal.py)."""
+    media = multimodal.attach_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media, fake_decode=True)
+
+
 def emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ann_bruteforce_topk(emb, list(range(10)), 5).select(
@@ -372,6 +382,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_minhash_lsh_pairs": docs_minhash_lsh_pairs,
     "docs_ngram_jaccard": docs_ngram_jaccard,
     "docs_corpus_select": docs_corpus_select,
+    "media_features": media_features,
     "docs_simhash": docs_simhash,
     "docs_simhash_neardup": docs_simhash_neardup,
     "emb_ann_topk": emb_ann_topk,
