@@ -30,6 +30,8 @@ BENCH_QUERIES = [
     "channel_stats",
     "province_ad_clicks",
     "user_sessions",
+    "user_running_counts",
+    "province_clicks_salted",
     "blacklist_kept",
     "blacklist_warnings",
     "login_fail_consecutive",

@@ -31,6 +31,7 @@ __all__ = [
     "tumbling_count",
     "session_count",
     "window_end_s",
+    "running_counts",
 ]
 
 
@@ -135,6 +136,41 @@ def session_count(
         .withColumn("session_start_s", F.col("w.start").cast("long"))
         .withColumn("session_end_s", F.col("w.end").cast("long"))
         .drop("w")
+    )
+
+
+def running_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    flag_col: str,
+    flag_value: str,
+) -> DataFrame:
+    """Per-key running totals (analytic window, not a time window): for
+    every event, the cumulative event count and cumulative count of
+    ``flag_col == flag_value`` up to and including it.
+
+    Order is made total with the id tiebreak so both engines agree row
+    for row. One shuffle (partition by key); within a partition the
+    running frame is a single sort + linear scan — the same plan shape a
+    1000-executor cluster runs, with each user's history local to one
+    task.
+    """
+    from pyspark.sql import Window as W
+
+    ts_s = F.col(ts_col).cast("long")
+    w = (
+        W.partitionBy(key_col)
+        .orderBy(ts_s.asc(), F.col(id_col).asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(key_col),
+        ts_s.alias("ts_s"),
+        F.count(F.lit(1)).over(w).alias("running_events"),
+        F.sum(F.when(F.col(flag_col) == flag_value, 1).otherwise(0)).over(w).alias("running_flagged"),
     )
 
 

@@ -147,6 +147,22 @@ SELECT c.create_id, c.user_id, c.create_ts_s,
 FROM creates c
 """
 
+ORACLES["user_running_counts"] = f"""
+SELECT event_id, user_id, {_TS} AS ts_s,
+       count(*) OVER w AS running_events,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER w AS BIGINT) AS running_flagged
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY {_TS} ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+ORACLES["province_clicks_salted"] = """
+SELECT n.n_name, count(*) AS cnt
+FROM (SELECT user_id % 25 AS nk FROM events WHERE event_type = 'click') c
+JOIN nation n ON c.nk = n.n_nationkey
+GROUP BY n.n_name
+"""
+
 ORACLES["pay_receipt_interval_join"] = f"""
 WITH pays AS (
     SELECT event_id AS pay_id, user_id, {_TS} AS pay_ts_s

@@ -139,6 +139,30 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic (row-frame) window surface: per-user cumulative event and
+    purchase counts in event-time order — the batch form of the
+    reference's per-key ValueState counters (§2.9)."""
+    return windows.running_counts(
+        _events(spark, sf_dir), "user_id", "ts", "event_id", "event_type", "purchase"
+    )
+
+
+def province_clicks_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/skew.salted_join demonstration with a correctness oracle:
+    the salted plan must produce EXACTLY the plain-join answer (salt is a
+    physical rewrite, not a semantic one). Counts clicks per nation via an
+    8-way salted join instead of a broadcast."""
+    from .operators import skew
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("nk"), "n_name"
+    )
+    clicks = _clicks(spark, sf_dir).select((F.col("user_id") % 25).alias("nk"))
+    joined = skew.salted_join(clicks, nation, on=["nk"], n=8)
+    return joined.groupBy("n_name").agg(F.count(F.lit(1)).alias("cnt"))
+
+
 def blacklist_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 main output (AdClickApp.java:112-168): clicks under the daily
     per-user budget (threshold 3/day)."""
@@ -352,6 +376,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "channel_stats": channel_stats,
     "province_ad_clicks": province_ad_clicks,
     "user_sessions": user_sessions,
+    "user_running_counts": user_running_counts,
+    "province_clicks_salted": province_clicks_salted,
     "blacklist_kept": blacklist_kept,
     "blacklist_warnings": blacklist_warnings,
     "login_fail_consecutive": login_fail_consecutive,
