@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "docs_minhash_lsh_pairs",
     "docs_ngram_jaccard",
     "docs_corpus_select",
+    "docs_neardup_verified",
     "media_features",
     "docs_simhash",
     "docs_simhash_neardup",

@@ -55,6 +55,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "jaccard_verify",
     "jaccard_blocked",
+    "neardup_verified",
 ]
 
 
@@ -390,6 +391,47 @@ def jaccard_blocked(
     return out.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", "inter_sz", "union_sz", "jaccard"
     )
+
+
+def neardup_verified(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    threshold: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """The complete near-dup pipeline in one plan: k-permutation minhash
+    → LSH banding → candidate pairs → exact hashed-shingle Jaccard ≥
+    threshold.
+
+    This is the canonical two-phase shape for 100 TB dedup: the cheap
+    probabilistic phase bounds the candidate set (shuffles only band
+    keys), and the exact phase touches only |candidates| × 2 shingle
+    sets — broadcast-joined because candidates are small by construction.
+    Emits (doc_a, doc_b, inter_sz, union_sz, jaccard).
+    """
+    sig = minhash_signature_permuted(df, n, num_hashes, text_col, id_col, parallelism)
+    pairs = lsh_candidate_pairs(sig, bands, rows_per_band, id_col, from_array=True)
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("toks")).filter(F.size("toks") >= n)
+    rows = base.select(
+        F.col(id_col),
+        F.col("toks"),
+        F.explode(F.sequence(F.lit(0), F.size("toks") - n)).alias("i"),
+    ).select(
+        F.col(id_col),
+        F.expr(
+            "CAST(conv(substr(md5(concat_ws(' ', "
+            + ", ".join(f"element_at(toks, i + {j + 1})" for j in range(n))
+            + ")), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    )
+    arr = rows.groupBy(id_col).agg(F.collect_set("h").alias("shingles"))
+    return jaccard_verify(pairs, arr, threshold, id_col)
 
 
 def jaccard_verify(

@@ -439,9 +439,9 @@ from .operators.dedup import MINHASH_P, minhash_perm_consts  # noqa: E402
 
 _PERMS = ", ".join(f"({s}, {a}, {c})" for s, (a, c) in enumerate(minhash_perm_consts(16)))
 
-ORACLES["docs_minhash_lsh_pairs"] = f"""
-WITH sh AS ({_SHINGLES}),
-sig AS (
+# shared CTE fragments: permuted signature + band keys (reused by the
+# candidate-pairs query and the end-to-end verified near-dup pipeline)
+_MINHASH_CTES = f"""sig AS (
     SELECT doc_id, g.seed,
            min((g.a * (CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % {MINHASH_P}) + g.c) % {MINHASH_P}) AS minhash
     FROM sh, (VALUES {_PERMS}) AS g(seed, a, c)
@@ -451,10 +451,45 @@ band AS (
     SELECT doc_id, CAST(seed // 4 AS INT) AS band_id,
            md5(array_to_string(list_sort(list(CAST(seed AS VARCHAR) || ':' || minhash)), '|')) AS band_key
     FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT)
-)
+)"""
+
+ORACLES["docs_minhash_lsh_pairs"] = f"""
+WITH sh AS ({_SHINGLES}),
+{_MINHASH_CTES}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM band a JOIN band b
   ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+_HASHED_SETS = r"""
+    SELECT doc_id,
+           list_distinct(list_transform(range(0, len(t) - 2),
+               i -> CAST(concat('0x', substr(md5(concat_ws(' ', t[i+1], t[i+2], t[i+3])), 1, 15)) AS BIGINT))) AS hsh
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)
+    WHERE len(t) >= 3
+"""
+
+ORACLES["docs_neardup_verified"] = f"""
+WITH sh AS ({_SHINGLES}),
+{_MINHASH_CTES},
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM band a JOIN band b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+arr AS ({_HASHED_SETS})
+SELECT doc_a, doc_b, inter_sz, union_sz,
+       CAST(inter_sz AS DOUBLE) / CAST(union_sz AS DOUBLE) AS jaccard
+FROM (
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(x.hsh, y.hsh)) AS BIGINT) AS inter_sz,
+           CAST(len(x.hsh) + len(y.hsh) - len(list_intersect(x.hsh, y.hsh)) AS BIGINT) AS union_sz
+    FROM cand c
+    JOIN arr x ON x.doc_id = c.doc_a
+    JOIN arr y ON y.doc_id = c.doc_b
+)
+WHERE inter_sz > 0
+  AND CAST(inter_sz AS DOUBLE) / CAST(union_sz AS DOUBLE) >= 0.3
 """
 
 # shingles as 60-bit md5 hashes — mirrors the Spark kernel exactly (both

@@ -313,6 +313,15 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete two-phase near-dup pipeline: minhash-LSH candidates →
+    exact hashed-shingle Jaccard ≥ 0.3 (operators/dedup.neardup_verified)."""
+    return dedup.neardup_verified(
+        load_table(spark, sf_dir, "documents"),
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
 def docs_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship curation composition: single-scan language + quality +
     exact-dedup-keeper selection (operators/curation.py)."""
@@ -408,6 +417,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_minhash_lsh_pairs": docs_minhash_lsh_pairs,
     "docs_ngram_jaccard": docs_ngram_jaccard,
     "docs_corpus_select": docs_corpus_select,
+    "docs_neardup_verified": docs_neardup_verified,
     "media_features": media_features,
     "docs_simhash": docs_simhash,
     "docs_simhash_neardup": docs_simhash_neardup,
