@@ -94,3 +94,78 @@ def test_topn_matches_model(spark, rows, n):
         model[p] = [(i + 1, item, cnt) for i, (item, cnt) in enumerate(ranked)]
     got = {p: sorted(v) for p, v in got.items()}
     assert got == model
+
+
+DOCS = st.lists(
+    st.text(alphabet="ab cd", min_size=0, max_size=40),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(DOCS)
+def test_jaccard_blocked_matches_python_model(spark, texts):
+    """Exact hashed-shingle Jaccard (n=1 so short strings shingle) must
+    equal a direct Python set model on every same-block pair."""
+    from gmall_flink_20_spark.operators import dedup
+
+    rows = [(i, t, "x", "y") for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    got = {
+        (r.doc_a, r.doc_b): (r.inter_sz, r.union_sz)
+        for r in dedup.jaccard_blocked(df, n=1).collect()
+    }
+    # engine tokenization: split(trim(s), '\s+') yields [""] for empty
+    # input in BOTH Spark and DuckDB (the oracles agree on this edge), so
+    # the model must too
+    def toks(t: str) -> list[str]:
+        t = t.strip()
+        return [""] if t == "" else t.split()
+
+    sets = {i: set(toks(t)) for i, t in enumerate(texts)}
+    ids = sorted(sets)
+    expected = {
+        (a, b): (len(sets[a] & sets[b]), len(sets[a]) + len(sets[b]) - len(sets[a] & sets[b]))
+        for a in ids for b in ids
+        if a < b and len(sets[a] & sets[b]) > 0
+    }
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(DOCS)
+def test_permuted_minhash_ignores_duplicate_shingles(spark, texts):
+    """min() over a multiset equals min() over its set: signatures from
+    text with repeated tokens must equal signatures of the deduped text."""
+    from gmall_flink_20_spark.operators import dedup
+
+    rows = [(i, t) for i, t in enumerate(texts) if len(t.split()) >= 1]
+    if not rows:
+        return
+    dup_rows = [(i, t + " " + t) for i, t in rows]  # every 1-shingle twice
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ddf = spark.createDataFrame(dup_rows, "doc_id long, text string")
+    sig = {r.doc_id: r.sig for r in dedup.minhash_signature_permuted(df, n=1).collect()}
+    dsig = {r.doc_id: r.sig for r in dedup.minhash_signature_permuted(ddf, n=1).collect()}
+    assert sig == dsig
+
+
+def test_ivf_recall_monotone_in_nprobe(spark):
+    """More probes can only add candidates: top-k under nprobe=p must be
+    at least as close to brute force as nprobe=1 (set containment of
+    scanned cells implies rank quality is monotone; we check the exact
+    top-1 neighbor is recovered once nprobe reaches nlist)."""
+    from gmall_flink_20_spark.io import load_table
+    from gmall_flink_20_spark.operators import ann, similarity
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    bf = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in similarity.ann_bruteforce_topk(emb, [0, 1], 1).collect()
+    }
+    full = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ann.ann_ivf_topk(emb, [0, 1], 1, nlist=4, nprobe=4).collect()
+    }
+    assert full == bf
