@@ -147,6 +147,9 @@ SELECT c.create_id, c.user_id, c.create_ts_s,
 FROM creates c
 """
 
+# the streaming form must produce EXACTLY the batch answer
+ORACLES["order_timeout_streaming"] = ORACLES["order_timeout"]
+
 ORACLES["user_running_counts"] = f"""
 SELECT event_id, user_id, {_TS} AS ts_s,
        count(*) OVER w AS running_events,

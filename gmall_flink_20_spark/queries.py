@@ -213,6 +213,26 @@ def order_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_timeout_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/J4 as ACTUAL Structured Streaming (applyInPandasWithState +
+    event-time timers), run to completion over replayed micro-batches —
+    the driver verifies it against the same SQL oracle as the batch form,
+    proving streaming ≡ batch end-to-end (streaming/stateful.py:122).
+    Excluded from bench (it measures the replay harness, not the engine).
+    """
+    from .streaming import replay, stateful
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_id", F.col("ts").cast("long").alias("ts_s"), "event_type", "ts"
+    )
+    s1 = replay.flush_sentinel(spark, ev, days=30)
+    s2 = replay.flush_sentinel(spark, ev, days=31)
+    stream = replay.replay_stream(spark, ev, "ts", num_chunks=8, extra_chunks=[s1, s2])
+    out = stateful.order_timeout_stream(stream.withWatermark("ts", "2 seconds"), horizon_s=7200)
+    res = replay.run_to_completion(out)
+    return res.select("create_id", "user_id", "create_ts_s", "status")
+
+
 def pay_receipt_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 (PayReceiptWithJoinApp.java:50-70): purchases interval-joined to
     clicks (receipts) within ±30 min on the user key."""
@@ -393,6 +413,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "login_fail_times3": login_fail_times3,
     "login_fail_horizon": login_fail_horizon,
     "order_timeout": order_timeout,
+    "order_timeout_streaming": order_timeout_streaming,
     "pay_receipt_interval_join": pay_receipt_interval_join,
     "pay_receipt_reconcile": pay_receipt_reconcile,
     # scale/bench plans

@@ -23,8 +23,32 @@ import uuid
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-__all__ = ["replay_stream", "run_to_completion"]
+__all__ = ["replay_stream", "run_to_completion", "flush_sentinel"]
+
+
+def flush_sentinel(spark: SparkSession, template_df: DataFrame, ts_col: str = "ts", days: int = 30) -> DataFrame:
+    """One-row inert frame at max(ts)+days — replayed as a trailing
+    micro-batch it advances the watermark past every deadline so
+    event-time timers fire deterministically (use two, ``days`` apart:
+    the first moves the watermark, the second delivers the batch in
+    which the now-expired timers run)."""
+    from datetime import datetime, timezone
+
+    max_ts = template_df.agg(F.max(ts_col)).collect()[0][0]
+    row = template_df.limit(1).collect()[0].asDict()
+    future = datetime.fromtimestamp(
+        max_ts.replace(tzinfo=timezone.utc).timestamp() + days * 86400, tz=timezone.utc
+    ).replace(tzinfo=None)
+    row[ts_col] = future
+    if "ts_s" in row:
+        row["ts_s"] = int(future.replace(tzinfo=timezone.utc).timestamp())
+    if "event_type" in row:
+        row["event_type"] = "noop"  # inert: matches no operator branch
+    if "event_id" in row:
+        row["event_id"] = 10**12 + days
+    return spark.createDataFrame([row], template_df.schema)
 
 
 def replay_stream(
