@@ -147,8 +147,10 @@ SELECT c.create_id, c.user_id, c.create_ts_s,
 FROM creates c
 """
 
-# the streaming form must produce EXACTLY the batch answer
+# the streaming forms must produce EXACTLY the batch answers
 ORACLES["order_timeout_streaming"] = ORACLES["order_timeout"]
+ORACLES["login_fail_streaming"] = ORACLES["login_fail_consecutive"]
+ORACLES["blacklist_kept_streaming"] = ORACLES["blacklist_kept"]
 
 ORACLES["user_running_counts"] = f"""
 SELECT event_id, user_id, {_TS} AS ts_s,

@@ -233,6 +233,42 @@ def order_timeout_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("create_id", "user_id", "create_ts_s", "status")
 
 
+def login_fail_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 as actual Structured Streaming (per-key last-fail state across
+    micro-batches) — verified against the batch lag-based SQL oracle
+    (streaming/stateful.py:60). Excluded from bench."""
+    from .streaming import replay, stateful
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_id", F.col("ts").cast("long").alias("ts_s"), "event_type", "ts"
+    )
+    stream = replay.replay_stream(spark, ev, "ts", num_chunks=8)
+    out = stateful.login_fail_pairs_stream(stream.drop("ts"), max_gap_s=7200)
+    return replay.run_to_completion(out).select("user_id", "first_fail_s", "last_fail_s")
+
+
+def blacklist_kept_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 kept-side as actual Structured Streaming (per-(user, day)
+    count state) — verified against the batch SQL oracle
+    (streaming/stateful.py:214). Excluded from bench."""
+    from .streaming import replay, stateful
+
+    clicks = _clicks(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("ts_s"),
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day_str"),
+        "ts",
+    )
+    stream = replay.replay_stream(spark, clicks, "ts", num_chunks=8)
+    out = stateful.blacklist_stream(stream.drop("ts"), threshold=3)
+    return (
+        replay.run_to_completion(out)
+        .filter(F.col("out_type") == "kept")
+        .select("event_id", "user_id")
+    )
+
+
 def pay_receipt_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 (PayReceiptWithJoinApp.java:50-70): purchases interval-joined to
     clicks (receipts) within ±30 min on the user key."""
@@ -414,6 +450,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "login_fail_horizon": login_fail_horizon,
     "order_timeout": order_timeout,
     "order_timeout_streaming": order_timeout_streaming,
+    "login_fail_streaming": login_fail_streaming,
+    "blacklist_kept_streaming": blacklist_kept_streaming,
     "pay_receipt_interval_join": pay_receipt_interval_join,
     "pay_receipt_reconcile": pay_receipt_reconcile,
     # scale/bench plans
