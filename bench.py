@@ -28,6 +28,7 @@ BENCH_QUERIES = [
     "unique_visitors",
     "unique_visitors_approx",
     "channel_stats",
+    "channel_stats_rollup",
     "province_ad_clicks",
     "user_sessions",
     "user_running_counts",

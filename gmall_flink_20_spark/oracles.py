@@ -147,6 +147,9 @@ SELECT c.create_id, c.user_id, c.create_ts_s,
 FROM creates c
 """
 
+# the rollup strategy is a physical rewrite: identical answer
+ORACLES["channel_stats_rollup"] = ORACLES["channel_stats"]
+
 # the streaming forms must produce EXACTLY the batch answers
 ORACLES["order_timeout_streaming"] = ORACLES["order_timeout"]
 ORACLES["login_fail_streaming"] = ORACLES["login_fail_consecutive"]

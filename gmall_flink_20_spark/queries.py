@@ -118,6 +118,18 @@ def channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def channel_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WA7 via the tumbling-bucket + rollup strategy (the principled form
+    of the reference's two-phase salted count, PageViewApp_2.java:63-157):
+    shuffle volume is buckets×keys — independent of event rate — instead
+    of events×(size/slide). MUST equal channel_stats exactly (same
+    oracle), proving the strategy is a physical rewrite only."""
+    ev = _events(spark, sf_dir).select(_channel(), F.col("event_type").alias("behavior"), "ts")
+    return windows.windowed_count_rollup(ev, "ts", 3600, 600, "channel", "behavior").select(
+        "window_end_s", "channel", "behavior", "cnt"
+    )
+
+
 def province_ad_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WA8 (AdClickApp.java:63-109): sliding 1h/10m click counts per
     province; the province dim is the broadcast-joined nation table."""
@@ -439,6 +451,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unique_visitors": unique_visitors,
     "unique_visitors_approx": unique_visitors_approx,
     "channel_stats": channel_stats,
+    "channel_stats_rollup": channel_stats_rollup,
     "province_ad_clicks": province_ad_clicks,
     "user_sessions": user_sessions,
     "user_running_counts": user_running_counts,
