@@ -154,6 +154,8 @@ ORACLES["channel_stats_rollup"] = ORACLES["channel_stats"]
 ORACLES["order_timeout_streaming"] = ORACLES["order_timeout"]
 ORACLES["login_fail_streaming"] = ORACLES["login_fail_consecutive"]
 ORACLES["blacklist_kept_streaming"] = ORACLES["blacklist_kept"]
+ORACLES["hot_items_topn_streaming"] = ORACLES["hot_items_topn"]
+ORACLES["hot_urls_topn_streaming"] = ORACLES["hot_urls_topn"]
 
 ORACLES["user_running_counts"] = f"""
 SELECT event_id, user_id, {_TS} AS ts_s,

@@ -281,6 +281,66 @@ def blacklist_kept_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _topn_streaming(
+    spark: SparkSession,
+    rows: DataFrame,
+    key_col: str,
+    size: str,
+    slide: str,
+    n: int,
+) -> DataFrame:
+    """Shared body for the streaming Top-N entries: replay → update-mode
+    sliding-window count → per-micro-batch upsert into a distributed
+    parquet append-log store → rank the merged snapshot."""
+    import tempfile
+
+    from .streaming import replay
+    from .streaming import topn as stopn
+    from .streaming import windows as swindows
+
+    stream = replay.replay_stream(spark, rows, "ts", num_chunks=8)
+    counts = swindows.streaming_windowed_count(
+        stream, "ts", "2 seconds", size, slide, key_col
+    )
+    store = stopn.ParquetUpsertStore(
+        tempfile.mkdtemp(prefix="topn_store_") + "/log", "window_end_s", key_col
+    )
+    q = stopn.topn_upsert_sink(counts, store).trigger(availableNow=True).start()
+    q.awaitTermination()
+    snap = store.snapshot(spark)
+    top = topn.top_n_per_key(snap, ["window_end_s"], "cnt", n, tiebreak=[key_col])
+    return top.select(
+        "window_end_s", key_col, "cnt", F.col("rn").cast("long").alias("rn")
+    )
+
+
+def hot_items_topn_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WA1+T1 as ACTUAL Structured Streaming (HotItemApp.java:60-190): the
+    sliding-window count runs in update output mode; every micro-batch's
+    changed (window, item) rows are upserted into a distributed append-log
+    store (the reference's MapState upsert), and the Top-5 is ranked from
+    the merged snapshot — verified against the same SQL oracle as the
+    batch form. Excluded from bench (it measures the replay harness)."""
+    clicks = _clicks(spark, sf_dir).select(_item_id(), "ts")
+    return _topn_streaming(spark, clicks, "item_id", "1 hour", "5 minutes", 5)
+
+
+def hot_urls_topn_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WA2+T2/T3 as actual Structured Streaming
+    (HotUrlApp_MapState.java:116-186): update-mode re-emission + store
+    upsert IS the allowedLateness re-fire semantics — a late count
+    correction overwrites the earlier (window, url) row before ranking.
+    Verified against the batch hot_urls_topn oracle. Excluded from bench."""
+    views = _events(spark, sf_dir).filter(F.col("event_type") == "view").select(
+        F.concat(
+            F.lit("/page/"),
+            (F.get_json_object("props", "$.k").cast("long") % 20).cast("string"),
+        ).alias("url"),
+        "ts",
+    )
+    return _topn_streaming(spark, views, "url", "10 minutes", "1 minute", 3)
+
+
 def pay_receipt_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 (PayReceiptWithJoinApp.java:50-70): purchases interval-joined to
     clicks (receipts) within ±30 min on the user key."""
@@ -465,6 +525,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_timeout_streaming": order_timeout_streaming,
     "login_fail_streaming": login_fail_streaming,
     "blacklist_kept_streaming": blacklist_kept_streaming,
+    "hot_items_topn_streaming": hot_items_topn_streaming,
+    "hot_urls_topn_streaming": hot_urls_topn_streaming,
     "pay_receipt_interval_join": pay_receipt_interval_join,
     "pay_receipt_reconcile": pay_receipt_reconcile,
     # scale/bench plans

@@ -23,10 +23,8 @@ def test_streaming_topn_converges_to_batch(spark, sf_dir):
     counts = swindows.streaming_windowed_count(
         stream, "ts", "2 seconds", "1 hour", None, "item_id"
     )
-    store: dict = {}
-    q = stopn.topn_upsert_sink(counts, "window_end_s", "item_id", "cnt", store).trigger(
-        availableNow=True
-    ).start()
+    store = stopn.DriverDictStore("window_end_s", "item_id", "cnt")
+    q = stopn.topn_upsert_sink(counts, store).trigger(availableNow=True).start()
     q.awaitTermination()
     got = stopn.topn_from_store(store, 5)
 
@@ -37,3 +35,13 @@ def test_streaming_topn_converges_to_batch(spark, sf_dir):
         exp.setdefault(r.window_end_s, []).append((r.item_id, r.cnt))
 
     assert got == exp  # every window's Top-5, exact
+
+
+def test_parquet_upsert_store_last_write_wins(spark, tmp_path):
+    store = stopn.ParquetUpsertStore(str(tmp_path / "log"), "w", "k")
+    b1 = spark.createDataFrame([(1, "a", 5), (1, "b", 2)], "w int, k string, cnt int")
+    b2 = spark.createDataFrame([(1, "a", 9), (2, "a", 1)], "w int, k string, cnt int")
+    store.upsert(b1, 0)
+    store.upsert(b2, 1)
+    snap = {(r.w, r.k): r.cnt for r in store.snapshot(spark).collect()}
+    assert snap == {(1, "a"): 9, (1, "b"): 2, (2, "a"): 1}
