@@ -203,6 +203,10 @@ SELECT category, count(*) AS cnt FROM (
 ) GROUP BY category
 """
 
+# the streaming stream-stream joins must produce EXACTLY the batch answers
+ORACLES["pay_receipt_interval_join_streaming"] = ORACLES["pay_receipt_interval_join"]
+ORACLES["pay_receipt_reconcile_streaming"] = ORACLES["pay_receipt_reconcile"]
+
 # ---------------------------------------------------- scale/bench plans
 
 ORACLES["tpch_q1"] = """

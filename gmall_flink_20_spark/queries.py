@@ -389,6 +389,81 @@ def pay_receipt_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rec.groupBy("category").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def pay_receipt_interval_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 as ACTUAL stream-stream join (PayReceiptWithJoinApp.java:50-70):
+    both replayed sides watermarked, inner join with the ±30 min
+    time-range condition — Spark evicts join state once the watermark
+    passes the range bound, the same cleanup Flink's interval join does.
+    Event times are floored to whole seconds BEFORE the join so the range
+    predicate is integral and matches the batch oracle exactly. Verified
+    against the same SQL oracle as the batch form; excluded from bench."""
+    from .streaming import joins as sjoins
+    from .streaming import replay
+
+    ev = _events(spark, sf_dir)
+    floored = F.timestamp_seconds(F.col("ts").cast("long"))
+    pays = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pay_id"),
+        F.col("user_id").alias("key"),
+        floored.alias("pay_t"),
+    )
+    recs = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("receipt_id"),
+        F.col("user_id").alias("key"),
+        floored.alias("receipt_t"),
+    )
+    sp = replay.replay_stream(spark, pays, "pay_t", num_chunks=6)
+    sr = replay.replay_stream(spark, recs, "receipt_t", num_chunks=6)
+    out = sjoins.stream_interval_join(sp, sr, "key", "pay_t", "receipt_t", -1800, 1800)
+    return replay.run_to_completion(
+        out.select(
+            F.col("l.pay_id").alias("pay_id"),
+            F.col("r.receipt_id").alias("receipt_id"),
+            F.col("l.key").alias("user_id"),
+            F.col("l.pay_t").cast("long").alias("pay_ts_s"),
+            F.col("r.receipt_t").cast("long").alias("receipt_ts_s"),
+        )
+    )
+
+
+def pay_receipt_reconcile_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 as ACTUAL stream-stream FULL OUTER join
+    (PayReceiptWithConnectApp.java:62-157): matched pairs emit promptly;
+    orphans emit null-padded once the watermark passes their join window —
+    exactly the reference's timer-fired side-output alerts. Reserved-key
+    (-1) flush sentinels on both sides advance the watermark past the last
+    real join window at EOF. Verified against the batch oracle; excluded
+    from bench."""
+    from .streaming import joins as sjoins
+    from .streaming import replay
+
+    ev = _events(spark, sf_dir)
+    floored = F.timestamp_seconds(F.col("ts").cast("long"))
+    pays = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("key"), floored.alias("pay_t")
+    )
+    recs = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("key"), floored.alias("receipt_t")
+    )
+    sl = replay.flush_sentinel(spark, pays, ts_col="pay_t", days=30, overrides={"key": -1})
+    sr_ = replay.flush_sentinel(spark, recs, ts_col="receipt_t", days=31, overrides={"key": -2})
+    sp = replay.replay_stream(spark, pays, "pay_t", num_chunks=6, extra_chunks=[sl])
+    sr = replay.replay_stream(spark, recs, "receipt_t", num_chunks=6, extra_chunks=[sr_])
+    out = sjoins.stream_reconcile_full_outer(
+        sp, sr, "key", "pay_t", "receipt_t", -3600, 3600,
+        matched="matched", left_only="payed_no_receipt", right_only="receipt_no_pay",
+    )
+    res = replay.run_to_completion(
+        out.select(
+            "category",
+            F.coalesce(F.col("l.key"), F.col("r.key")).alias("k"),
+        )
+    )
+    return res.filter(F.col("k") >= 0).groupBy("category").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
 # ------------------------------------------------ training-data pipeline
 
 
@@ -527,6 +602,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "blacklist_kept_streaming": blacklist_kept_streaming,
     "hot_items_topn_streaming": hot_items_topn_streaming,
     "hot_urls_topn_streaming": hot_urls_topn_streaming,
+    "pay_receipt_interval_join_streaming": pay_receipt_interval_join_streaming,
+    "pay_receipt_reconcile_streaming": pay_receipt_reconcile_streaming,
     "pay_receipt_interval_join": pay_receipt_interval_join,
     "pay_receipt_reconcile": pay_receipt_reconcile,
     # scale/bench plans

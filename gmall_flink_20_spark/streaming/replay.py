@@ -28,12 +28,25 @@ from pyspark.sql import functions as F
 __all__ = ["replay_stream", "run_to_completion", "flush_sentinel"]
 
 
-def flush_sentinel(spark: SparkSession, template_df: DataFrame, ts_col: str = "ts", days: int = 30) -> DataFrame:
+def flush_sentinel(
+    spark: SparkSession,
+    template_df: DataFrame,
+    ts_col: str = "ts",
+    days: int = 30,
+    overrides: dict | None = None,
+) -> DataFrame:
     """One-row inert frame at max(ts)+days — replayed as a trailing
     micro-batch it advances the watermark past every deadline so
     event-time timers fire deterministically (use two, ``days`` apart:
     the first moves the watermark, the second delivers the batch in
-    which the now-expired timers run)."""
+    which the now-expired timers run).
+
+    The sentinel lands on the RESERVED key ``user_id = -1`` (when the
+    frame has a user_id column) rather than cloning an arbitrary real
+    key's id, so no real key's timer path depends on receiving sentinel
+    data — every real key's expired timers fire through the watermark
+    (hasTimedOut) path. ``overrides`` force other columns (e.g. the key
+    column of a differently-keyed stream) onto reserved values."""
     from datetime import datetime, timezone
 
     max_ts = template_df.agg(F.max(ts_col)).collect()[0][0]
@@ -48,6 +61,10 @@ def flush_sentinel(spark: SparkSession, template_df: DataFrame, ts_col: str = "t
         row["event_type"] = "noop"  # inert: matches no operator branch
     if "event_id" in row:
         row["event_id"] = 10**12 + days
+    if "user_id" in row:
+        row["user_id"] = -1  # reserved sentinel key
+    for k, v in (overrides or {}).items():
+        row[k] = v
     return spark.createDataFrame([row], template_df.schema)
 
 
