@@ -246,16 +246,26 @@ def order_timeout_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def login_fail_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C2 as actual Structured Streaming (per-key last-fail state across
-    micro-batches) — verified against the batch lag-based SQL oracle
-    (streaming/stateful.py:60). Excluded from bench."""
+    """C2 as actual Structured Streaming — replayed with BOUNDED
+    OUT-OF-ORDERNESS (±5 min deterministic disorder, the test-tree
+    out-of-orderness variant of LoginFailWithState.java:44-49): events are
+    buffered in GroupState and decided in event-time order as the
+    watermark advances. Verified against the same batch lag-based SQL
+    oracle — proving streaming ≡ batch on a genuinely unsorted stream.
+    Excluded from bench."""
     from .streaming import replay, stateful
 
     ev = load_events(spark, sf_dir).select(
         "user_id", "event_id", F.col("ts").cast("long").alias("ts_s"), "event_type", "ts"
     )
-    stream = replay.replay_stream(spark, ev, "ts", num_chunks=8)
-    out = stateful.login_fail_pairs_stream(stream.drop("ts"), max_gap_s=7200)
+    s1 = replay.flush_sentinel(spark, ev, days=30)
+    s2 = replay.flush_sentinel(spark, ev, days=31)
+    stream = replay.replay_stream(
+        spark, ev, "ts", num_chunks=8, disorder_s=300, extra_chunks=[s1, s2]
+    )
+    out = stateful.login_fail_pairs_stream(
+        stream.withWatermark("ts", "660 seconds"), max_gap_s=7200
+    )
     return replay.run_to_completion(out).select("user_id", "first_fail_s", "last_fail_s")
 
 

@@ -75,6 +75,7 @@ def replay_stream(
     num_chunks: int = 8,
     workdir: str | None = None,
     extra_chunks: list[DataFrame] | None = None,
+    disorder_s: int = 0,
 ) -> DataFrame:
     """Write ``batch_df`` as ``num_chunks`` time-ordered parquet files and
     return a streaming DataFrame replaying them one file per trigger.
@@ -82,12 +83,31 @@ def replay_stream(
     ``extra_chunks``: frames appended as individual trailing micro-batches
     — used for flush sentinels (two far-future one-row chunks let the
     watermark first advance past every deadline and then deliver one more
-    batch in which the expired timers actually fire)."""
+    batch in which the expired timers actually fire).
+
+    ``disorder_s`` > 0 replays with BOUNDED OUT-OF-ORDERNESS: each row's
+    replay position is its event time plus a deterministic (md5 of
+    event_id) offset in [-disorder_s, +disorder_s), so later chunks carry
+    earlier event times — a live stream with bounded disorder. The event
+    time regression between arrivals is < 2·disorder_s; consumers must
+    watermark with at least that delay or Spark drops the late rows."""
     base = Path(workdir or tempfile.mkdtemp(prefix="replay_"))
     src = base / f"src_{uuid.uuid4().hex[:8]}"
     src.mkdir(parents=True)
 
-    rows = batch_df.orderBy(ts_col).collect()
+    if disorder_s:
+        import hashlib
+        from datetime import timedelta
+
+        def _replay_key(row):
+            eid = row["event_id"] if "event_id" in row.__fields__ else 0
+            h = int(hashlib.md5(str(eid).encode()).hexdigest()[:8], 16)
+            off = h % (2 * disorder_s) - disorder_s
+            return row[ts_col] + timedelta(seconds=off)
+
+        rows = sorted(batch_df.collect(), key=_replay_key)
+    else:
+        rows = batch_df.orderBy(ts_col).collect()
     n = max(1, math.ceil(len(rows) / num_chunks))
     schema = batch_df.schema
     chunks = [

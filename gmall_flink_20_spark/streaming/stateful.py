@@ -54,48 +54,85 @@ _LOGIN_OUT = StructType(
         StructField("last_fail_s", LongType()),
     ]
 )
-_LOGIN_STATE = StructType([StructField("last_fail_s", LongType())])
+# processed-prefix scalar + the not-yet-decidable event buffer
+_LOGIN_STATE = StructType(
+    [
+        StructField("last_fail_s", LongType()),
+        StructField("buf", StringType()),  # "ts,event_id,is_fail;..." for ts > watermark
+    ]
+)
 
 
 def login_fail_pairs_stream(
     events: DataFrame, max_gap_s: int, fail_type: str = "error"
 ) -> DataFrame:
     """C2 (LoginFailWithState2.java:52-81): per user, two consecutive fails
-    ≤ gap apart emit immediately; any non-fail clears the pair state.
+    ≤ gap apart emit a pair; any non-fail in between clears the state.
 
-    Expects columns (user_id long, ts_s long, event_type string), rows
-    within a key arriving in event order (guaranteed by the replay harness
-    sorting; in production use a per-key sorter upstream or the C1
-    horizon variant which is order-tolerant).
+    OUT-OF-ORDER SAFE (the test-tree 5 s-out-of-orderness variant,
+    gmall-login-fail LoginFailWithState.java:44-49): arrivals are buffered
+    in GroupState and only the prefix with event time strictly below the
+    watermark is processed (in total (ts, event_id) order) — the same
+    buffer-until-watermark pattern Flink's CEP operator uses internally.
+    The remainder keeps an event-time timeout at its earliest timestamp so
+    it is flushed as soon as the watermark passes it even if the key never
+    receives another row.
+
+    Expects (user_id long, event_id long, ts_s long, event_type string)
+    plus a watermarked event-time 'ts' timestamp column. Rows later than
+    the watermark are dropped by Spark upstream — size the watermark delay
+    to the source's disorder bound.
     """
 
     def fn(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        last_fail = state.get[0] if state.exists else None
-        out_first, out_last = [], []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts_s", "event_id"])
-            for _, row in pdf.iterrows():
-                if row["event_type"] == fail_type:
-                    ts = int(row["ts_s"])
+        last_fail, buf = (state.get if state.exists else (None, None))
+        if last_fail is not None:
+            last_fail = int(last_fail)
+        items: list[tuple[int, int, bool]] = []
+        if buf:
+            for part in buf.split(";"):
+                t, i, fl = part.split(",")
+                items.append((int(t), int(i), fl == "1"))
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for _, row in pdf.iterrows():
+                    items.append(
+                        (int(row["ts_s"]), int(row["event_id"]), row["event_type"] == fail_type)
+                    )
+        wm_ms = state.getCurrentWatermarkMs()
+        items.sort()
+        out_first: list[int] = []
+        out_last: list[int] = []
+        rest: list[tuple[int, int, bool]] = []
+        for ts, eid, is_fail in items:
+            # strict <: a row with ts == watermark could still gain equal-ts
+            # peers, so it is not yet decidable
+            if ts * 1000 < wm_ms:
+                if is_fail:
                     if last_fail is not None and ts - last_fail <= max_gap_s:
                         out_first.append(last_fail)
                         out_last.append(ts)
                     last_fail = ts
                 else:
                     last_fail = None
-        if last_fail is None:
-            state.remove()
+            else:
+                rest.append((ts, eid, is_fail))
+        if rest or last_fail is not None:
+            buf_s = ";".join(f"{t},{i},{1 if f else 0}" for t, i, f in rest)
+            state.update((last_fail, buf_s))
+            if rest:
+                state.setTimeoutTimestamp(max(min(t for t, _, _ in rest) * 1000, wm_ms + 1))
         else:
-            state.update((last_fail,))
+            state.remove()
         yield pd.DataFrame(
             {"user_id": user_id, "first_fail_s": out_first, "last_fail_s": out_last}
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
-        fn, _LOGIN_OUT, _LOGIN_STATE, "append", GroupStateTimeout.NoTimeout
+        fn, _LOGIN_OUT, _LOGIN_STATE, "append", GroupStateTimeout.EventTimeTimeout
     )
 
 

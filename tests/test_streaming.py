@@ -58,12 +58,21 @@ def test_streaming_window_count_matches_batch(spark, small_events):
     assert len(got) == got[["window_end_s", "user_id"]].drop_duplicates().shape[0]
 
 
-def test_login_fail_stream_matches_batch(spark, small_events):
+def test_login_fail_stream_matches_batch_out_of_order(spark, small_events):
+    """The replay is deliberately UNSORTED (bounded ±5 min disorder): the
+    buffered GroupState implementation must still reproduce the batch
+    lag-based answer exactly."""
     ev = small_events.select(
         "user_id", "event_id", F.col("ts").cast("long").alias("ts_s"), "event_type", "ts"
     )
-    stream = replay.replay_stream(spark, ev, "ts", num_chunks=6)
-    out = stateful.login_fail_pairs_stream(stream.drop("ts"), max_gap_s=7200)
+    s1 = far_future_row(spark, ev, days=30)
+    s2 = far_future_row(spark, ev, days=31)
+    stream = replay.replay_stream(
+        spark, ev, "ts", num_chunks=6, disorder_s=300, extra_chunks=[s1, s2]
+    )
+    out = stateful.login_fail_pairs_stream(
+        stream.withWatermark("ts", "660 seconds"), max_gap_s=7200
+    )
     got = replay.run_to_completion(out).toPandas()
 
     exp = patterns.consecutive_event_pairs(
