@@ -21,6 +21,7 @@ import struct
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from . import blocking
 from ._cache import eager_persist
 from .similarity import cosine, dot, norm
 
@@ -199,10 +200,16 @@ def cosine_near_dup_blocked(
     block_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_cap_rows: int = 2000,
 ) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ threshold) within blocking
     buckets — the blocked all-pairs pattern (block on a cheap key: label,
-    LSH bucket, cluster id) that replaces a quadratic corpus scan."""
+    LSH bucket, cluster id) that replaces a quadratic corpus scan.
+
+    Blocks over ``block_cap_rows`` are triangle-partitioned
+    (operators/blocking.py): identical answer, but a dominant block's
+    pair evaluations spread over many tasks instead of one quadratic
+    task — the bound that keeps this shape viable at 100 TB."""
     withnorm = emb.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("vid"),
@@ -211,17 +218,12 @@ def cosine_near_dup_blocked(
     )
     # self-join input: compute norms once, not once per side
     withnorm = eager_persist(withnorm)
-    a = withnorm.select(
-        F.col("blk"), F.col("vid").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
-    )
-    b = withnorm.select(
-        F.col("blk"), F.col("vid").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
-    )
+    pairs = blocking.bounded_block_pairs(withnorm, ["blk"], "vid", cap_rows=block_cap_rows)
     return (
-        a.join(b, "blk")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("score", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        pairs.withColumn(
+            "score", dot(F.col("v_a"), F.col("v_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+        )
         .filter(F.col("score") >= threshold)
         # ids only: raw float scores are engine-representation-sensitive
-        .select("vec_a", "vec_b")
+        .select(F.col("vid_a").alias("vec_a"), F.col("vid_b").alias("vec_b"))
     )

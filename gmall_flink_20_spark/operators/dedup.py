@@ -26,6 +26,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from . import blocking
 from ._cache import eager_persist
 
 # k-permutation minhash: h_s(x) = (a_s·x + c_s) mod P over ONE 60-bit base
@@ -342,9 +343,10 @@ def jaccard_blocked(
     text_col: str = "text",
     id_col: str = "doc_id",
     parallelism: int | None = None,
+    block_cap_rows: int = 2000,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for every same-block doc pair, in ONE
-    self-join.
+    """Exact n-gram Jaccard for every same-block doc pair, with bounded
+    per-task work.
 
     Two wins over pairs + jaccard_verify:
     - shingles travel as 60-bit md5 hashes (bigint): the per-pair
@@ -352,7 +354,13 @@ def jaccard_blocked(
       both engines hash identically so results agree bit-for-bit even in
       the ≈2⁻⁶⁰ collision case (a collision perturbs both the same way);
     - pair enumeration and shingle-set attachment fuse into one
-      block-keyed self-join instead of a pairs join plus two array joins.
+      block-keyed join instead of a pairs join plus two array joins.
+
+    Blocks larger than ``block_cap_rows`` are triangle-partitioned
+    (operators/blocking.py) so no single task is quadratic in a
+    data-dependent block size — the answer is identical, a monster block
+    just fans out over many tasks. For truly unbounded corpora prefer
+    ``neardup_verified`` (LSH bounds the candidate set instead).
     """
     if parallelism:
         df = df.repartition(parallelism, F.col(id_col))
@@ -376,19 +384,14 @@ def jaccard_blocked(
     )
     # both self-join sides share this lineage: hash the corpus once
     arr = eager_persist(rows.groupBy(id_col, *block_cols).agg(F.collect_set("h").alias("sh")))
-    a = arr.select(
-        *[F.col(c) for c in block_cols],
-        F.col(id_col).alias("doc_a"),
-        F.col("sh").alias("sh_a"),
-    )
-    b = arr.select(
-        *[F.col(c) for c in block_cols],
-        F.col(id_col).alias("doc_b"),
-        F.col("sh").alias("sh_b"),
-    )
+    pairs = blocking.bounded_block_pairs(arr, block_cols, id_col, cap_rows=block_cap_rows)
     out = (
-        a.join(b, list(block_cols))
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        pairs.select(
+            F.col(f"{id_col}_a").alias("doc_a"),
+            F.col(f"{id_col}_b").alias("doc_b"),
+            F.col("sh_a"),
+            F.col("sh_b"),
+        )
         .withColumn("inter_sz", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
         .filter(F.col("inter_sz") > 0)
         .withColumn(
