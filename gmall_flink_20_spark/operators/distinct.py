@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["unique_count", "approx_unique_count"]
+__all__ = ["unique_count", "approx_unique_count", "approx_unique_count_checked"]
 
 
 def unique_count(
@@ -49,4 +49,36 @@ def approx_unique_count(
         .agg(F.approx_count_distinct(id_col, rsd).alias(alias))
         .withColumn("window_end_s", F.col("w.end").cast("long"))
         .drop("w")
+    )
+
+
+def approx_unique_count_checked(
+    df: DataFrame,
+    ts_col: str,
+    size: str,
+    id_col: str,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """WA6 with a value gate: per window, the exact UV plus a boolean
+    asserting the HLL++ estimate is within max(3, 3·rsd·exact) of it.
+
+    The estimate itself is estimator-specific (no engine-independent
+    oracle exists), but this error-bound form IS oracle-checkable: the
+    SQL oracle emits the exact UV and literal TRUE, so a hash match
+    proves the bound held for every window. The absolute floor of 3
+    covers the linear-counting range (tiny windows), where error is a
+    few hash collisions rather than the relative rsd — 3·rsd·uv alone
+    would demand an exact estimate whenever uv < 1/(3·rsd)."""
+    w = df.groupBy(F.window(ts_col, size).alias("w")).agg(
+        F.countDistinct(id_col).alias("uv"),
+        F.approx_count_distinct(id_col, rsd).alias("_hll"),
+    )
+    return (
+        w.withColumn("window_end_s", F.col("w.end").cast("long"))
+        .withColumn(
+            "hll_within_bound",
+            F.abs(F.col("_hll") - F.col("uv"))
+            <= F.greatest(F.lit(3.0), F.lit(3 * rsd) * F.col("uv")),
+        )
+        .drop("w", "_hll")
     )

@@ -79,6 +79,17 @@ SELECT (CAST(floor(epoch(ts)/3600) AS BIGINT) + 1) * 3600 AS window_end_s,
 FROM events GROUP BY 1
 """
 
+# WA6 error-bound gate: the HLL++ estimate has no engine-independent
+# value, but |HLL − exact| ≤ max(3, 3·rsd·exact) is checkable — the
+# Spark side computes the boolean, the oracle expects TRUE for every
+# window (plus the exact UV, which pins windows and exact values)
+ORACLES["unique_visitors_approx"] = """
+SELECT (CAST(floor(epoch(ts)/3600) AS BIGINT) + 1) * 3600 AS window_end_s,
+       count(DISTINCT user_id) AS uv,
+       TRUE AS hll_within_bound
+FROM events GROUP BY 1
+"""
+
 ORACLES["channel_stats"] = _sliding(
     base="SELECT 'ch' || CAST(user_id % 4 AS VARCHAR) AS channel, event_type AS behavior, ts FROM events",
     size=3600,

@@ -103,10 +103,12 @@ def unique_visitors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def unique_visitors_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WA6 (UniqueVisitorApp2.java:93-168): HLL++ replaces the hand-rolled
-    Redis-bitmap Bloom filter. No SQL oracle (estimator-specific)."""
-    return distinct.approx_unique_count(_events(spark, sf_dir), "ts", "1 hour", "user_id").select(
-        "window_end_s", "uv_approx"
-    )
+    Redis-bitmap Bloom filter. Oracle-checked via the error-bound gate:
+    per window the exact UV plus a boolean asserting the estimate landed
+    within max(3, 3·rsd·uv) (operators/distinct.approx_unique_count_checked)."""
+    return distinct.approx_unique_count_checked(
+        _events(spark, sf_dir), "ts", "1 hour", "user_id"
+    ).select("window_end_s", "uv", "hll_within_bound")
 
 
 def channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -649,4 +651,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 # queries whose semantics are estimator-specific → rows-only driver check
-NO_ORACLE = {"unique_visitors_approx"}
+# (empty since WA6 gained its error-bound oracle)
+NO_ORACLE: set[str] = set()
