@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "docs_simhash_neardup",
     "emb_ann_topk",
     "emb_ann_lsh",
+    "emb_ann_lsh_multiprobe",
     "emb_ann_ivf",
     "emb_cosine_neardup",
 ]
@@ -110,13 +111,14 @@ def main() -> None:
     spark = get_spark(app_name="bench", shuffle_partitions=shuffle)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM + file listing so no query pays one-time costs: a scan
-    # query, plus a tiny synthetic plan touching the operator classes the
-    # registry uses (window functions, explode/HOF arrays, JSON, joins,
-    # Arrow-batched Python). JIT/codegen infra warm-up is excluded from
-    # the measurement on the DuckDB side too, so this keeps the
-    # comparison honest without pre-running any measured query.
-    QUERIES["tpch_q6"](spark, sf_dir).collect()
+    # Warm the JVM + file listing so no query pays one-time costs: a raw
+    # non-registry parquet scan, plus a tiny synthetic plan touching the
+    # operator classes the registry uses (window functions, explode/HOF
+    # arrays, JSON, joins, Arrow-batched Python). JIT/codegen infra
+    # warm-up is excluded from the measurement on the DuckDB side too, so
+    # this keeps the comparison honest without pre-running any measured
+    # query.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     _warm_operator_classes(spark)
 
     # Best-of-N per query (default 2): single-run totals on this

@@ -157,28 +157,70 @@ def ann_lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
+    n_probes: int = 1,
 ) -> DataFrame:
-    """Top-k cosine neighbors among same-LSH-bucket candidates.
+    """Top-k cosine neighbors among LSH-bucket candidates.
 
     The corpus is signatured once (row-local); the only shuffle is the
-    bucket equi-join. Queries are broadcast as in the brute-force baseline.
+    bucket equi-join. Queries are broadcast as in the brute-force
+    baseline. ``dim`` is schema metadata passed as a parameter — plan
+    construction submits NO job (no data probe).
+
+    ``n_probes`` > 1 enables MULTI-PROBE LSH: each query additionally
+    probes the buckets reached by flipping its lowest-|margin| sign bits
+    (the planes whose dot product is closest to zero — exactly the bits
+    most likely to differ for a true near neighbor). Recall rises toward
+    brute force with the SAME plan shape: the probe list is row-local on
+    the tiny query side, corpus signatures and the bucket equi-join are
+    unchanged; each corpus row still lives in exactly one bucket, so no
+    candidate dedup is needed.
     """
-    dim = len(emb.select(vec_col).first()[0])
     planes = hyperplanes(n_planes, dim, seed)
-    bucketed = emb.select(
-        F.col(id_col), F.col(vec_col), lsh_bucket_expr(vec_col, planes).alias("bucket")
-    )
-    queries = bucketed.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        norm(F.col(vec_col)).alias("qn"),
-        F.col("bucket"),
-    )
-    corpus = bucketed.select(
+    corpus = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("nv"),
         norm(F.col(vec_col)).alias("nn"),
-        F.col("bucket"),
+        lsh_bucket_expr(vec_col, planes).alias("bucket"),
+    )
+    pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(n_planes)])
+    qsrc = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+        F.array(*[F.expr(_dot_literal(vec_col, p)) for p in planes]).alias("_dots"),
+    )
+    base = F.aggregate(
+        F.zip_with(
+            F.col("_dots"),
+            pow2,
+            lambda d, w: F.when(d >= 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # planes ordered by |margin| asc (tiebreak: plane index) — the flip order
+    flip_order = F.array_sort(
+        F.transform(
+            F.col("_dots"), lambda d, j: F.struct(F.abs(d).alias("m"), j.alias("j"))
+        )
+    )
+    if n_probes <= 1:
+        probes = F.array(F.col("_base"))
+    else:
+        probes = F.concat(
+            F.array(F.col("_base")),
+            F.transform(
+                F.slice(F.col("_flips"), 1, n_probes - 1),
+                lambda s: F.col("_base").bitwiseXOR(F.element_at(pow2, s["j"] + 1)),
+            ),
+        )
+    queries = (
+        qsrc.withColumn("_base", base)
+        .withColumn("_flips", flip_order)
+        .select(
+            "query_id", "qv", "qn", F.explode(probes).alias("bucket")
+        )
     )
     scored = (
         F.broadcast(queries)

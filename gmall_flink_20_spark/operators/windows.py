@@ -70,7 +70,7 @@ def windowed_count_rollup(
     ts_col: str,
     size_s: int,
     slide_s: int,
-    *keys: Column | str,
+    *keys: str,
     count_alias: str = "cnt",
 ) -> DataFrame:
     """Sliding-window count via tumbling-bucket pre-aggregation + rollup.
@@ -84,9 +84,25 @@ def windowed_count_rollup(
     events-per-bucket (≫1 → rollup wins; ≈1 → direct is one less
     shuffle). This is the principled form of the reference's hand-rolled
     two-phase salted count (PageViewApp_2.java:63-157).
+
+    Keys must be column NAMES (strings): the rollup re-groups the
+    expanded buckets by name, and deriving a stable name from an
+    arbitrary Column expression would need private APIs. Alias the
+    expression on the input frame first.
     """
+    if size_s % slide_s != 0:
+        raise ValueError(
+            f"windowed_count_rollup requires size_s % slide_s == 0 "
+            f"(got size_s={size_s}, slide_s={slide_s}): the tumbling-bucket "
+            f"expansion only matches Spark's window() for divisible configs"
+        )
+    if not all(isinstance(k, str) for k in keys):
+        raise TypeError(
+            "windowed_count_rollup keys must be strings; alias Column "
+            "expressions on the input frame before calling"
+        )
     n = size_s // slide_s
-    key_cols = [F.col(k) if isinstance(k, str) else k for k in keys]
+    key_cols = [F.col(k) for k in keys]
     buckets = (
         df.groupBy(
             F.window(ts_col, f"{slide_s} seconds").alias("b"), *key_cols
@@ -105,9 +121,8 @@ def windowed_count_rollup(
             )
         ),
     )
-    group_names = [c if isinstance(c, str) else c._jc.toString() for c in keys]
     return (
-        expanded.groupBy("window_end_s", *[F.col(g) for g in group_names])
+        expanded.groupBy("window_end_s", *[F.col(k) for k in keys])
         .agg(F.sum("_partial").alias(count_alias))
     )
 

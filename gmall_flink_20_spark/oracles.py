@@ -543,13 +543,23 @@ FROM (
 WHERE inter_sz > 0
 """
 
-ORACLES["emb_ann_topk"] = """
+# double-precision dot (list_dot_product computes float-typed lists in
+# float precision, which disagrees with the Spark kernel's double fold)
+_DDOT = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_DCOS = (
+    f"({_DDOT.format(a='{a}', b='{b}')}) / "
+    f"(sqrt({_DDOT.format(a='{a}', b='{a}')}) * sqrt({_DDOT.format(a='{b}', b='{b}')}))"
+)
+
+ORACLES["emb_ann_topk"] = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
 c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
 scored AS (
     SELECT q.query_id, c.neighbor_id,
-           list_dot_product(q.qv, c.nv)
-             / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.nv, c.nv))) AS score
+           {_DCOS.format(a='q.qv', b='c.nv')} AS score
     FROM q, c WHERE q.query_id <> c.neighbor_id
 )
 SELECT query_id, neighbor_id, rank FROM (
@@ -586,22 +596,6 @@ FROM band a JOIN band b
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
 """
 
-_COS = (
-    "list_dot_product({a}, {b}) / "
-    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
-)
-
-# double-precision dot (list_dot_product computes float-typed lists in
-# float precision, which disagrees with the Spark kernel's double fold)
-_DDOT = (
-    "list_sum(list_transform(range(1, 65), "
-    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
-)
-_DCOS = (
-    f"({_DDOT.format(a='{a}', b='{b}')}) / "
-    f"(sqrt({_DDOT.format(a='{a}', b='{a}')}) * sqrt({_DDOT.format(a='{b}', b='{b}')}))"
-)
-
 ORACLES["emb_cosine_neardup"] = f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
 FROM embeddings a JOIN embeddings b
@@ -610,19 +604,27 @@ WHERE {_DCOS.format(a='a.embedding', b='b.embedding')} >= 0.25
 """
 
 
-def _lsh_bucket_sql(vec: str, n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
-    """Bucket expression with the same literal hyperplanes the Spark
-    operator inlines (operators/ann.hyperplanes)."""
+def _plane_dots_sql(vec: str, n_planes: int = 8, dim: int = 64, seed: int = 42) -> list[str]:
+    """Per-plane double-fold dot products with the same literal
+    hyperplanes the Spark operator inlines (operators/ann.hyperplanes)."""
     from .operators.ann import hyperplanes
 
-    terms = []
-    for j, plane in enumerate(hyperplanes(n_planes, dim, seed)):
+    out = []
+    for plane in hyperplanes(n_planes, dim, seed):
         arr = ", ".join(f"CAST({w!r} AS DOUBLE)" for w in plane)
-        dot = (
+        out.append(
             f"list_sum(list_transform(range(1, {dim} + 1), "
             f"i -> CAST({vec}[i] AS DOUBLE) * ([{arr}])[i]))"
         )
-        terms.append(f"CASE WHEN {dot} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END")
+    return out
+
+
+def _lsh_bucket_sql(vec: str, n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """Bucket expression: sign bits of the plane dots, packed little-endian."""
+    terms = [
+        f"CASE WHEN {dot} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        for j, dot in enumerate(_plane_dots_sql(vec, n_planes, dim, seed))
+    ]
     return " + ".join(terms)
 
 
@@ -635,8 +637,39 @@ c AS (SELECT vec_id AS neighbor_id, embedding AS nv, bucket FROM sig)
 SELECT query_id, neighbor_id, rank FROM (
     SELECT q.query_id, c.neighbor_id,
            row_number() OVER (PARTITION BY q.query_id
-               ORDER BY {_COS.format(a='q.qv', b='c.nv')} DESC, c.neighbor_id ASC) AS rank
+               ORDER BY {_DCOS.format(a='q.qv', b='c.nv')} DESC, c.neighbor_id ASC) AS rank
     FROM q JOIN c USING (bucket) WHERE q.query_id <> c.neighbor_id
+) WHERE rank <= 5
+"""
+
+# multi-probe LSH: each query also probes the buckets reached by flipping
+# its lowest-|margin| sign bits — mirrors operators/ann.ann_lsh_topk
+# (n_probes=4) with the identical plane literals and flip ordering
+_N_PROBES = 4
+_DOTS_LIST = ", ".join(_plane_dots_sql("embedding"))
+
+ORACLES["emb_ann_lsh_multiprobe"] = f"""
+WITH sig AS (
+    SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket FROM embeddings
+),
+qd AS (
+    SELECT vec_id AS query_id, embedding AS qv, bucket, [{_DOTS_LIST}] AS dots
+    FROM sig WHERE vec_id < 10
+),
+probes AS (
+    SELECT query_id, qv,
+           unnest(list_prepend(bucket, list_transform(
+               list_sort(list_transform(range(0, 8),
+                   j -> {{'m': abs(dots[CAST(j AS INT) + 1]), 'j': j}}))[1:{_N_PROBES - 1}],
+               s -> xor(bucket, CAST(1 AS BIGINT) << s.j)))) AS bucket
+    FROM qd
+),
+c AS (SELECT vec_id AS neighbor_id, embedding AS nv, bucket FROM sig)
+SELECT query_id, neighbor_id, rank FROM (
+    SELECT p.query_id, c.neighbor_id,
+           row_number() OVER (PARTITION BY p.query_id
+               ORDER BY {_DCOS.format(a='p.qv', b='c.nv')} DESC, c.neighbor_id ASC) AS rank
+    FROM probes p JOIN c USING (bucket) WHERE p.query_id <> c.neighbor_id
 ) WHERE rank <= 5
 """
 

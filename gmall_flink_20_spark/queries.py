@@ -578,6 +578,15 @@ def emb_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ann_lsh_topk(emb, list(range(10)), 5, n_planes=8, seed=42)
 
 
+def emb_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: the query additionally probes the buckets at
+    its lowest-|margin| sign bits flipped (4 probes total) — recall rises
+    toward brute force with the same one-shuffle plan shape
+    (operators/ann.ann_lsh_topk n_probes=4)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.ann_lsh_topk(emb, list(range(10)), 5, n_planes=8, seed=42, n_probes=4)
+
+
 def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ann.ann_ivf_topk(emb, list(range(10)), 5, nlist=16, nprobe=4)
@@ -646,6 +655,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_simhash_neardup": docs_simhash_neardup,
     "emb_ann_topk": emb_ann_topk,
     "emb_ann_lsh": emb_ann_lsh,
+    "emb_ann_lsh_multiprobe": emb_ann_lsh_multiprobe,
     "emb_ann_ivf": emb_ann_ivf,
     "emb_cosine_neardup": emb_cosine_neardup,
 }
