@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "emb_ann_lsh",
     "emb_ann_lsh_multiprobe",
     "emb_ann_ivf",
+    "emb_ann_ivf_trained",
     "emb_cosine_neardup",
 ]
 

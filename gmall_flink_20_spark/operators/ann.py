@@ -30,6 +30,8 @@ __all__ = [
     "lsh_bucket_expr",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "kmeans_centroids",
+    "with_unit",
     "cosine_near_dup_blocked",
 ]
 
@@ -43,6 +45,144 @@ def _l2sq(a: Column, b: Column) -> Column:
     return F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v)
 
 
+def with_unit(df: DataFrame, vec_col: str, dim: int, out: str = "_av") -> DataFrame:
+    """Attach a MATERIALIZED unit-normalized copy of ``vec_col`` as
+    ``out``; returns a persisted frame.
+
+    Two persist-barriered steps, each with a small expression tree:
+    (1) the norm as a single fold column, (2) the per-element division
+    referencing the cached norm. Without the barriers the optimizer
+    collapses the projections and re-folds the norm INSIDE the division
+    lambda — O(dim²) interpreted work per row — and the resulting giant
+    expression tree also makes every downstream plan canonicalization
+    crawl. Values match the SQL oracle's ``x / sqrt(double-fold dot)``
+    exactly (same fold order, same divisions)."""
+    pre = eager_persist(df.withColumn("_nrm", norm(F.col(vec_col))))
+    return eager_persist(
+        pre.withColumn(
+            out, F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("_nrm"))
+        ).drop("_nrm")
+    )
+
+
+def _assign_udf(cents: list[tuple[int, list[float]]]):
+    """Arrow-vectorized nearest-centroid assignment against the (tiny)
+    trained centroid matrix shipped in the UDF closure.
+
+    Row-local, zero shuffle, one small plan node — the interpreted
+    higher-order-function fold per (row × centroid) is ~100× slower,
+    and inlining nlist × dim literal expressions makes plan analysis
+    crawl. numpy's pairwise summation may differ from a sequential fold
+    in the last ulp; assignment flips only when two cells are
+    equidistant to ~1e-13, which the rounded-mean contract makes a
+    measure-zero event (and ties on EQUAL distances still break by the
+    lowest centroid id: argmin takes the first minimum and the centroid
+    rows are sorted by cid)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    C = np.array([cv for _, cv in cents], dtype=np.float64)  # (nlist, dim)
+
+    def assign(v):
+        V = np.array(v.tolist(), dtype=np.float64)  # (n, dim)
+        d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        return pd.Series(ids[np.argmin(d2, axis=1)].astype("int32"))
+
+    # real-object annotations: `from __future__ import annotations` makes
+    # inline hints strings, which pandas_udf's type inference rejects
+    assign.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(assign, "int")
+
+
+def _probe_udf(cents: list[tuple[int, list[float]]], nprobe: int):
+    """Arrow-vectorized nprobe-nearest cell list per query vector
+    (ordered by (d2, cid) — the same deterministic tiebreak)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    C = np.array([cv for _, cv in cents], dtype=np.float64)
+
+    def probe(v):
+        V = np.array(v.tolist(), dtype=np.float64)
+        d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        out = []
+        for row in d2:
+            order = np.lexsort((ids, row))[:nprobe]
+            out.append(ids[order].astype("int32").tolist())
+        return pd.Series(out)
+
+    probe.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(probe, "array<int>")
+
+
+def kmeans_centroids_local(
+    emb: DataFrame,
+    nlist: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    normalize: bool = False,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd k-means — the IVF coarse quantizer, trained
+    with the canonical Spark iteration shape: centroids (nlist × dim
+    doubles, ~1 KB) live on the driver and are inlined as literals, so
+    ASSIGNMENT IS ROW-LOCAL (zero shuffle, no join) and each iteration
+    is exactly one job — a corpus scan feeding a per-cell mean
+    aggregation. This is how MLlib's KMeans iterates too; the corpus
+    itself never leaves the executors.
+
+    Determinism contract (mirrored by the SQL oracle): init is the
+    ``nlist`` lowest-id vectors; assignment ties break on centroid id;
+    cell means are ROUNDED to 6 decimals so the two engines' float
+    summation orders cannot drift the centroids apart; empty cells keep
+    their previous centroid. ``normalize=True`` trains SPHERICAL
+    k-means (unit vectors: L2-argmin == cosine-argmax).
+    """
+    if normalize:
+        emb = with_unit(emb.select(F.col(id_col), F.col(vec_col)), vec_col, dim).select(
+            F.col(id_col), F.col("_av").alias(vec_col)
+        )
+    init = emb.filter(F.col(id_col) < nlist).select(F.col(id_col), F.col(vec_col)).collect()
+    cents = sorted((int(r[id_col]), [float(x) for x in r[vec_col]]) for r in init)
+    for _ in range(iters):
+        means_rows = (
+            emb.withColumn("_cid", _assign_udf(cents)(F.col(vec_col)))
+            .groupBy("_cid")
+            .agg(
+                *[
+                    F.round(F.avg(F.col(vec_col).getItem(i).cast("double")), 6).alias(f"_m{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        new = {int(r["_cid"]): [float(r[f"_m{i}"]) for i in range(dim)] for r in means_rows}
+        cents = [(cid, new.get(cid, cv)) for cid, cv in cents]
+    return cents
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    nlist: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    normalize: bool = False,
+) -> DataFrame:
+    """DataFrame view of ``kmeans_centroids_local`` — (cid, cv) rows."""
+    spark = emb.sparkSession
+    cents = kmeans_centroids_local(emb, nlist, iters, id_col, vec_col, dim, normalize)
+    return spark.createDataFrame(
+        [(c, v) for c, v in cents], "cid int, cv array<double>"
+    )
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -51,58 +191,93 @@ def ann_ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_iters: int = 0,
+    dim: int = 64,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize the corpus into ``nlist``
     cells, then scan only each query's ``nprobe`` nearest cells.
 
-    The coarse quantizer here is deterministic — the ``nlist``
-    lowest-id vectors act as centroids (a k-means stand-in so both
-    engines derive identical cells; production would plug trained
-    centroids into the same plan). Assignment is an argmin over
-    (distance, centroid id) — a broadcast cross join against the tiny
-    centroid set folded map-side by a min(struct) partial aggregate, so
-    the corpus never shuffles for assignment. Probing broadcasts
-    (query, cell) pairs; the candidate scan is a broadcast equi-join on
-    the cell id. At 100 TB: write the corpus bucketed/partitioned BY
-    list_id once, and every query batch probes only nprobe/nlist of the
-    data — the IVF recall/cost dial.
+    The coarse quantizer is deterministic: with ``train_iters`` > 0 it
+    is SPHERICAL ``kmeans_centroids`` (Lloyd iterations both engines
+    reproduce thanks to rounded means; assignment then runs on unit
+    vectors, i.e. cosine-argmax — the quantizer metric matches the
+    query metric); with 0 it degenerates to the ``nlist`` lowest-id
+    vectors. Assignment is an argmin over (distance, centroid id) — a
+    broadcast cross join against the tiny centroid set folded map-side
+    by a min(struct) partial aggregate, so the corpus never shuffles
+    for assignment. Probing broadcasts (query, cell) pairs; the
+    candidate scan is a broadcast equi-join on the cell id. At 100 TB:
+    write the corpus bucketed/partitioned BY list_id once, and every
+    query batch probes only nprobe/nlist of the data — the IVF
+    recall/cost dial.
 
     Recall is probabilistic like any IVF (documented); nprobe = nlist
-    degenerates to exact brute force (tested).
+    degenerates to exact brute force regardless of training (tested).
     """
-    cents = emb.filter(F.col(id_col) < nlist).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
-    )
-    paired = emb.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(cents))
-    # lexicographic min(struct) == argmin with deterministic id tiebreak
-    assigned = (
-        paired.withColumn("d2", _l2sq(F.col(vec_col), F.col("cv")))
-        .groupBy(id_col, vec_col)
-        .agg(F.min(F.struct("d2", "cid")).alias("best"))
-        .select(
+    if train_iters > 0:
+        # normalize ONCE into a persisted base shared by training and
+        # the final assignment/probe pass; assignment runs row-local
+        # against the literal trained centroids (zero shuffle)
+        base = with_unit(emb.select(F.col(id_col), F.col(vec_col)), vec_col, dim)
+        cents_local = kmeans_centroids_local(
+            base.select(F.col(id_col), F.col("_av").alias(vec_col)),
+            nlist,
+            train_iters,
+            id_col,
+            vec_col,
+            dim=dim,
+            normalize=False,
+        )
+        assigned = base.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("nv"),
             norm(F.col(vec_col)).alias("nn"),
-            F.col("best.cid").alias("list_id"),
+            _assign_udf(cents_local)(F.col("_av")).alias("list_id"),
         )
-    )
-    probes = (
-        paired.filter(F.col(id_col).isin(query_ids))
-        .withColumn("d2", _l2sq(F.col(vec_col), F.col("cv")))
-        .withColumn(
-            "pr",
-            F.row_number().over(
-                Window.partitionBy(id_col).orderBy(F.asc("d2"), F.asc("cid"))
-            ),
+        # tiny query side: nprobe nearest cells per query, exploded
+        probes = (
+            base.filter(F.col(id_col).isin(query_ids))
+            .select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("qv"),
+                norm(F.col(vec_col)).alias("qn"),
+                F.explode(_probe_udf(cents_local, nprobe)(F.col("_av"))).alias("list_id"),
+            )
         )
-        .filter(F.col("pr") <= nprobe)
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qv"),
-            norm(F.col(vec_col)).alias("qn"),
-            F.col("cid").alias("list_id"),
+    else:
+        cents = emb.filter(F.col(id_col) < nlist).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
         )
-    )
+        paired = emb.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(cents))
+        # lexicographic min(struct) == argmin with deterministic id tiebreak
+        assigned = (
+            paired.withColumn("d2", _l2sq(F.col(vec_col), F.col("cv")))
+            .groupBy(id_col, vec_col)
+            .agg(F.min(F.struct("d2", "cid")).alias("best"))
+            .select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("nv"),
+                norm(F.col(vec_col)).alias("nn"),
+                F.col("best.cid").alias("list_id"),
+            )
+        )
+        probes = (
+            paired.filter(F.col(id_col).isin(query_ids))
+            .withColumn("d2", _l2sq(F.col(vec_col), F.col("cv")))
+            .withColumn(
+                "pr",
+                F.row_number().over(
+                    Window.partitionBy(id_col).orderBy(F.asc("d2"), F.asc("cid"))
+                ),
+            )
+            .filter(F.col("pr") <= nprobe)
+            .select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("qv"),
+                norm(F.col(vec_col)).alias("qn"),
+                F.col("cid").alias("list_id"),
+            )
+        )
     scored = (
         F.broadcast(probes)
         .join(assigned, "list_id")

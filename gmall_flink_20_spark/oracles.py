@@ -710,6 +710,64 @@ SELECT query_id, neighbor_id, rank FROM (
 ) WHERE rank <= 5
 """
 
+def _ivf_trained_sql(nlist: int = 16, nprobe: int = 4, iters: int = 3, dim: int = 64, k: int = 5) -> str:
+    """Trained-IVF oracle: spherical Lloyd k-means unrolled as CTE chain —
+    mirrors operators/ann.kmeans_centroids(normalize=True) feeding
+    ann_ivf_topk, including the round(mean, 6) determinism contract and
+    empty-cell carry-forward."""
+    unit = (
+        "list_transform(embedding, x -> CAST(x AS DOUBLE) / "
+        f"sqrt({_DDOT.format(a='embedding', b='embedding')}))"
+    )
+    dl2 = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        "i -> (u.uv[i] - c.cv[i]) * (u.uv[i] - c.cv[i])))"
+    )
+    means = ", ".join(f"round(avg(uv[{i + 1}]), 6)" for i in range(dim))
+    ctes = [
+        f"u AS (SELECT vec_id, embedding, {unit} AS uv FROM embeddings)",
+        f"cents0 AS (SELECT vec_id AS cid, uv AS cv FROM u WHERE vec_id < {nlist})",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""a{t} AS (
+    SELECT vec_id, uv, cid FROM (
+        SELECT u.vec_id, u.uv, c.cid,
+               row_number() OVER (PARTITION BY u.vec_id ORDER BY {dl2} ASC, c.cid ASC) AS rn
+        FROM u, cents{t - 1} c) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"m{t} AS (SELECT cid, [{means}] AS mv FROM a{t} GROUP BY cid)"
+        )
+        ctes.append(
+            f"cents{t} AS (SELECT c.cid, COALESCE(m.mv, c.cv) AS cv "
+            f"FROM cents{t - 1} c LEFT JOIN m{t} m USING (cid))"
+        )
+    final = f"""assigned AS (
+    SELECT vec_id AS neighbor_id, embedding AS nv, cid AS list_id FROM (
+        SELECT u.vec_id, u.embedding, c.cid,
+               row_number() OVER (PARTITION BY u.vec_id ORDER BY {dl2} ASC, c.cid ASC) AS rn
+        FROM u, cents{iters} c) WHERE rn = 1
+),
+probes AS (
+    SELECT vec_id AS query_id, embedding AS qv, cid AS list_id FROM (
+        SELECT u.vec_id, u.embedding, c.cid,
+               row_number() OVER (PARTITION BY u.vec_id ORDER BY {dl2} ASC, c.cid ASC) AS pr
+        FROM u, cents{iters} c WHERE u.vec_id < 10) WHERE pr <= {nprobe}
+)
+SELECT query_id, neighbor_id, rank FROM (
+    SELECT p.query_id, a.neighbor_id,
+           row_number() OVER (PARTITION BY p.query_id
+               ORDER BY {_DCOS.format(a='p.qv', b='a.nv')} DESC, a.neighbor_id ASC) AS rank
+    FROM probes p JOIN assigned a USING (list_id)
+    WHERE p.query_id <> a.neighbor_id
+) WHERE rank <= {k}"""
+    return "WITH " + ",\n".join(ctes) + ",\n" + final
+
+
+ORACLES["emb_ann_ivf_trained"] = _ivf_trained_sql()
+
 ORACLES["login_fail_times3"] = f"""
 SELECT user_id, lag2_ts AS first_fail_s, ts_s AS last_fail_s, CAST(3 AS BIGINT) AS times
 FROM (

@@ -592,6 +592,18 @@ def emb_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ann_ivf_topk(emb, list(range(10)), 5, nlist=16, nprobe=4)
 
 
+def emb_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a TRAINED coarse quantizer: 3 spherical Lloyd iterations
+    (deterministic — rounded means, fixed init) computed as DataFrame
+    aggregations inside the plan, then the same probe/scan shape as
+    emb_ann_ivf. The oracle unrolls the identical iterations in SQL.
+    Note (honest finding): on this synthetic near-uniform corpus trained
+    cells match untrained recall (~0.9 at nprobe/nlist = 1/4); the win
+    appears on clustered data (tests/test_new_ops.py demonstrates it)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.ann_ivf_topk(emb, list(range(10)), 5, nlist=16, nprobe=4, train_iters=3)
+
+
 def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ann.cosine_near_dup_blocked(emb, threshold=0.25)
@@ -657,6 +669,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_ann_lsh": emb_ann_lsh,
     "emb_ann_lsh_multiprobe": emb_ann_lsh_multiprobe,
     "emb_ann_ivf": emb_ann_ivf,
+    "emb_ann_ivf_trained": emb_ann_ivf_trained,
     "emb_cosine_neardup": emb_cosine_neardup,
 }
 

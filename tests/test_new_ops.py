@@ -63,6 +63,65 @@ def test_ivf_full_probe_equals_bruteforce(spark):
     )
 
 
+def _clustered_embeddings(spark, n_clusters=4, per=40, dim=8):
+    """4 well-separated clusters with md5 jitter; ids 0..7 all sit in
+    cluster 0, so the untrained lowest-id quantizer is adversarially
+    initialized while trained k-means can migrate its centroids."""
+    import hashlib
+
+    def jit(vid, d):
+        h = int(hashlib.md5(f"{vid}:{d}".encode()).hexdigest()[:8], 16)
+        return (h / 0xFFFFFFFF) * 2 - 1
+
+    rows, vid = [], 0
+    for _ in range(8):
+        base = [0.0] * dim
+        base[0] = 10.0
+        rows.append((vid, [base[d] + jit(vid, d) for d in range(dim)]))
+        vid += 1
+    for c in range(n_clusters):
+        for _ in range(per):
+            base = [0.0] * dim
+            base[c * 2] = 10.0
+            rows.append((vid, [base[d] + jit(vid, d) for d in range(dim)]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_trained_beats_untrained_on_clustered_data(spark):
+    """Spherical Lloyd training must lift recall when the corpus has
+    cluster structure and the untrained init is bad (measured: 0.65 ->
+    0.975 at nprobe=1). On structure-less uniform data the two match —
+    that finding is documented on the registry entry."""
+    from gmall_flink_20_spark.operators import similarity
+
+    emb = _clustered_embeddings(spark)
+    qids, k = [8, 48, 88, 128, 9, 49, 89, 129], 5
+    bf = {(r.query_id, r.neighbor_id) for r in similarity.ann_bruteforce_topk(emb, qids, k).collect()}
+    u = {(r.query_id, r.neighbor_id) for r in ann.ann_ivf_topk(emb, qids, k, nlist=8, nprobe=1).collect()}
+    t = {
+        (r.query_id, r.neighbor_id)
+        for r in ann.ann_ivf_topk(emb, qids, k, nlist=8, nprobe=1, train_iters=3, dim=8).collect()
+    }
+    recall_u = len(u & bf) / len(bf)
+    recall_t = len(t & bf) / len(bf)
+    assert recall_t > recall_u
+    assert recall_t >= 0.9
+
+
+def test_ivf_trained_full_probe_equals_bruteforce(spark):
+    """nprobe == nlist is exact regardless of training."""
+    from gmall_flink_20_spark.io import load_table
+    from gmall_flink_20_spark.operators import similarity
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    ivf = ann.ann_ivf_topk(emb, [0, 1, 2], 3, nlist=8, nprobe=8, train_iters=2).collect()
+    bf = similarity.ann_bruteforce_topk(emb, [0, 1, 2], 3).collect()
+    assert sorted([(r.query_id, r.rank, r.neighbor_id) for r in ivf]) == sorted(
+        [(r.query_id, r.rank, r.neighbor_id) for r in bf]
+    )
+
+
 def test_ivf_partial_probe_ranks_dense(spark):
     from gmall_flink_20_spark.io import load_table
 
