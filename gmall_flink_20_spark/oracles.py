@@ -218,6 +218,38 @@ SELECT category, count(*) AS cnt FROM (
 ORACLES["pay_receipt_interval_join_streaming"] = ORACLES["pay_receipt_interval_join"]
 ORACLES["pay_receipt_reconcile_streaming"] = ORACLES["pay_receipt_reconcile"]
 
+
+def _mb_hash(tag: str) -> str:
+    """DuckDB mirror of the generator's md5-derived 60-bit hash."""
+    return (
+        "CAST(concat('0x', substr(md5(CAST(value AS VARCHAR) || '"
+        f":{tag}'), 1, 15)) AS BIGINT)"
+    )
+
+
+# S3: regenerate the deterministic market-behavior stream arithmetically
+# (row i fires at start + i/10 s; categories are md5-derived from i) and
+# count per tumbling 10-min (channel, behavior) window
+ORACLES["market_behavior_channel_stats"] = f"""
+WITH gen AS (
+    SELECT CAST(t.i AS BIGINT) AS value,
+           1700000000 + CAST(t.i // 10 AS BIGINT) AS ts_s
+    FROM range(0, 60000) t(i)
+),
+ev AS (
+    SELECT (ts_s // 600 + 1) * 600 AS window_end_s,
+           CASE ({_mb_hash('c')} % 4)
+             WHEN 0 THEN 'app store' WHEN 1 THEN 'wechat'
+             WHEN 2 THEN 'weibo' ELSE 'tieba' END AS channel,
+           CASE ({_mb_hash('b')} % 4)
+             WHEN 0 THEN 'CLICK' WHEN 1 THEN 'DOWNLOAD'
+             WHEN 2 THEN 'INSTALL' ELSE 'UNINSTALL' END AS behavior
+    FROM gen
+)
+SELECT window_end_s, channel, behavior, count(*) AS cnt
+FROM ev GROUP BY 1, 2, 3
+"""
+
 # ---------------------------------------------------- scale/bench plans
 
 ORACLES["tpch_q1"] = """

@@ -476,6 +476,30 @@ def pay_receipt_reconcile_streaming(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def market_behavior_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 + WA7 (MarketBehaviorSource.java:16-47 feeding the channel
+    stats job): the deterministic market-behavior generator — the batch
+    replica of the rate-source transform — replayed as a REAL stream
+    through a watermarked tumbling 10-min (channel, behavior) count.
+    The DuckDB oracle regenerates the identical stream arithmetically
+    (md5-derived categories over range(n)), so the generator itself is
+    value-checked end-to-end. ``sf_dir`` is unused: the source is the
+    generator, as in the reference. Excluded from bench."""
+    from .sources import generators
+    from .streaming import replay
+    from .streaming import windows as swindows
+
+    gen = generators.market_behavior_frame(spark, n=60000)
+    sentinel = replay.flush_sentinel(spark, gen, ts_col="ts", days=30)
+    stream = replay.replay_stream(spark, gen, "ts", num_chunks=8, extra_chunks=[sentinel])
+    out = swindows.streaming_windowed_count(
+        stream, "ts", "2 seconds", "10 minutes", None, "channel", "behavior"
+    )
+    return replay.run_to_completion(out).select(
+        "window_end_s", "channel", "behavior", "cnt"
+    )
+
+
 # ------------------------------------------------ training-data pipeline
 
 
