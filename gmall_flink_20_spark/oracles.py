@@ -381,6 +381,202 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
 """
 
+_REV = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+
+ORACLES["tpch_q2"] = """
+WITH euro_supp AS (
+    SELECT s_suppkey, s_name, s_acctbal, n_name
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+),
+cost AS (
+    SELECT l.l_partkey, l.l_suppkey, es.s_name, es.s_acctbal, es.n_name,
+           MIN(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS cost
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN euro_supp es ON l.l_suppkey = es.s_suppkey
+    WHERE p.p_size BETWEEN 14 AND 16
+    GROUP BY 1, 2, 3, 4, 5
+),
+min_cost AS (
+    SELECT l_partkey AS mc_partkey, MIN(cost) AS min_cost FROM cost GROUP BY 1
+)
+SELECT CAST(CAST(c.s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS s_acctbal,
+       c.s_name, c.n_name, c.l_partkey AS partkey,
+       CAST(c.cost AS DOUBLE) AS supply_cost
+FROM cost c JOIN min_cost m
+  ON c.l_partkey = m.mc_partkey AND c.cost = m.min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, partkey
+LIMIT 100
+"""
+
+ORACLES["tpch_q7"] = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM({_REV}) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+  AND cn.n_name IN ('NATION_1', 'NATION_2')
+  AND sn.n_name <> cn.n_name
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+"""
+
+ORACLES["tpch_q8"] = f"""
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN sn.n_name = 'NATION_12' THEN {_REV}
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS nation_revenue,
+       CAST(SUM({_REV}) AS DOUBLE) AS total_revenue,
+       CAST(SUM(CASE WHEN sn.n_name = 'NATION_12' THEN {_REV}
+                     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         / CAST(SUM({_REV}) AS DOUBLE) AS mkt_share
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+WHERE p.p_type = 'ECONOMY'
+  AND EXISTS (SELECT 1 FROM customer c
+              JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+              JOIN region r ON cn.n_regionkey = r.r_regionkey
+              WHERE c.c_custkey = o.o_custkey AND r.r_name = 'ASIA')
+GROUP BY 1
+"""
+
+ORACLES["tpch_q9"] = f"""
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM({_REV} - CAST(p.p_retailprice AS DECIMAL(12,2))
+                         * CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+ORACLES["tpch_q10"] = f"""
+SELECT c.c_custkey AS custkey, c.c_name,
+       CAST(SUM({_REV}) AS DOUBLE) AS revenue,
+       CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal,
+       n.n_name
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-10-01' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1, 2, 4, 5
+ORDER BY revenue DESC, custkey ASC
+LIMIT 20
+"""
+
+ORACLES["tpch_q11"] = """
+WITH per_part AS (
+    SELECT l.l_partkey, SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS value_dec
+    FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM supplier s
+                  JOIN nation n ON s.s_nationkey = n.n_nationkey
+                  WHERE s.s_suppkey = l.l_suppkey AND n.n_name = 'NATION_7')
+    GROUP BY 1
+),
+total AS (SELECT SUM(value_dec) AS total_dec FROM per_part)
+SELECT p.l_partkey AS partkey, CAST(p.value_dec AS DOUBLE) AS value
+FROM per_part p, total t
+WHERE p.value_dec * 1000 > t.total_dec
+ORDER BY value DESC, partkey ASC
+"""
+
+ORACLES["tpch_q12"] = """
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+"""
+
+ORACLES["tpch_q13"] = """
+WITH per_cust AS (
+    SELECT o_custkey, count(*) AS cnt FROM orders
+    WHERE o_orderstatus <> 'P' GROUP BY 1
+)
+SELECT c_count, count(*) AS custdist FROM (
+    SELECT COALESCE(p.cnt, 0) AS c_count
+    FROM customer c LEFT OUTER JOIN per_cust p ON c.c_custkey = p.o_custkey
+) GROUP BY 1
+"""
+
+ORACLES["tpch_q15"] = f"""
+WITH per_supp AS (
+    SELECT l_suppkey, SUM({_REV}) AS rev_dec
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+    GROUP BY 1
+)
+SELECT p.l_suppkey AS suppkey, s.s_name, CAST(p.rev_dec AS DOUBLE) AS total_revenue
+FROM per_supp p JOIN supplier s ON p.l_suppkey = s.s_suppkey
+WHERE p.rev_dec = (SELECT MAX(rev_dec) FROM per_supp)
+"""
+
+ORACLES["tpch_q16"] = """
+SELECT p.p_brand, p.p_type, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#5' AND p.p_size IN (1, 2, 3, 4, 5, 6, 7, 8)
+  AND NOT EXISTS (SELECT 1 FROM supplier s
+                  WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+ORACLES["tpch_q20"] = """
+WITH heavy AS (
+    SELECT l_suppkey
+    FROM lineitem l
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM part p
+                  WHERE p.p_partkey = l.l_partkey AND p.p_name LIKE 'red%')
+    GROUP BY l_suppkey, l_partkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 50
+)
+SELECT s.s_suppkey AS suppkey, s.s_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'EUROPE'
+  AND EXISTS (SELECT 1 FROM heavy h WHERE h.l_suppkey = s.s_suppkey)
+"""
+
+ORACLES["tpch_q21"] = """
+WITH per_os AS (
+    SELECT l.l_orderkey, l.l_suppkey,
+           MAX(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+    FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F')
+    GROUP BY 1, 2
+),
+per_o AS (
+    SELECT l_orderkey, count(*) AS n_supp, SUM(has_r) AS n_fail
+    FROM per_os GROUP BY 1
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per_os x
+JOIN per_o y ON x.l_orderkey = y.l_orderkey
+JOIN supplier s ON x.l_suppkey = s.s_suppkey
+WHERE x.has_r = 1 AND y.n_supp >= 2 AND y.n_fail = 1
+GROUP BY 1
+ORDER BY numwait DESC, s.s_name
+LIMIT 100
+"""
+
 # ---------------------------------------------- training-data pipeline
 
 _TOKENS = r"string_split_regex(trim(text), '\s+')"

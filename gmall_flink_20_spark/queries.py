@@ -661,18 +661,31 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hot_urls_topn_streaming": hot_urls_topn_streaming,
     "pay_receipt_interval_join_streaming": pay_receipt_interval_join_streaming,
     "pay_receipt_reconcile_streaming": pay_receipt_reconcile_streaming,
+    "market_behavior_channel_stats": market_behavior_channel_stats,
     "pay_receipt_interval_join": pay_receipt_interval_join,
     "pay_receipt_reconcile": pay_receipt_reconcile,
-    # scale/bench plans
+    # scale/bench plans (all 22 TPC-H shapes, adapted to the reduced schema)
     "tpch_q1": tpch.q1_pricing_summary,
+    "tpch_q2": tpch.q2_min_cost_supplier,
     "tpch_q3": tpch.q3_top_orders,
     "tpch_q4": tpch.q4_order_priority,
     "tpch_q5": tpch.q5_local_supplier_volume,
     "tpch_q6": tpch.q6_forecast_revenue,
+    "tpch_q7": tpch.q7_volume_shipping,
+    "tpch_q8": tpch.q8_market_share,
+    "tpch_q9": tpch.q9_product_type_profit,
+    "tpch_q10": tpch.q10_returned_items,
+    "tpch_q11": tpch.q11_important_parts,
+    "tpch_q12": tpch.q12_late_lines_priority,
+    "tpch_q13": tpch.q13_customer_distribution,
     "tpch_q14": tpch.q14_promo_revenue,
+    "tpch_q15": tpch.q15_top_supplier,
+    "tpch_q16": tpch.q16_supplier_part_counts,
     "tpch_q17": tpch.q17_small_quantity_revenue,
     "tpch_q18": tpch.q18_large_orders,
     "tpch_q19": tpch.q19_disjunctive_revenue,
+    "tpch_q20": tpch.q20_promotion_suppliers,
+    "tpch_q21": tpch.q21_waiting_suppliers,
     "tpch_q22": tpch.q22_idle_balances,
     # training-data pipeline
     "docs_token_count": docs_token_count,
