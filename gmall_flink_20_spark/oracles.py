@@ -745,6 +745,53 @@ WHERE inter_sz > 0
   AND CAST(inter_sz AS DOUBLE) / CAST(union_sz AS DOUBLE) >= 0.3
 """
 
+# verified near-dup pairs + their transitive closure: a recursive CTE
+# walks labels across the symmetrized pair graph; min reachable id ==
+# the cluster id the Spark large-star/small-star operator assigns
+_NEARDUP_CLUSTER_CTES = f"""sh AS ({_SHINGLES}),
+{_MINHASH_CTES},
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM band a JOIN band b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+arr AS ({_HASHED_SETS}),
+pairs AS (
+    SELECT c.doc_a, c.doc_b
+    FROM cand c
+    JOIN arr x ON x.doc_id = c.doc_a
+    JOIN arr y ON y.doc_id = c.doc_b
+    WHERE len(list_intersect(x.hsh, y.hsh)) > 0
+      AND CAST(len(list_intersect(x.hsh, y.hsh)) AS DOUBLE)
+          / CAST(len(x.hsh) + len(y.hsh) - len(list_intersect(x.hsh, y.hsh)) AS DOUBLE) >= 0.3
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION ALL
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+walk(id, l) AS (
+    SELECT DISTINCT a, a FROM edges
+    UNION
+    SELECT e.b, w.l FROM walk w JOIN edges e ON w.id = e.a
+),
+clusters AS (
+    SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(l) AS BIGINT) AS cluster_id
+    FROM walk GROUP BY id
+)"""
+
+ORACLES["docs_neardup_clusters"] = f"""
+WITH RECURSIVE {_NEARDUP_CLUSTER_CTES}
+SELECT doc_id, cluster_id FROM clusters
+"""
+
+ORACLES["docs_dedup_resolved"] = f"""
+WITH RECURSIVE {_NEARDUP_CLUSTER_CTES}
+SELECT d.doc_id FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM clusters c
+                  WHERE c.doc_id = d.doc_id AND c.cluster_id <> c.doc_id)
+"""
+
 # shingles as 60-bit md5 hashes — mirrors the Spark kernel exactly (both
 # engines hash identically, so parity holds even across hash collisions)
 ORACLES["docs_ngram_jaccard"] = r"""

@@ -22,6 +22,7 @@ from .io import load_events, load_table
 from .operators import (
     ann,
     blacklist,
+    components,
     curation,
     dedup,
     multimodal,
@@ -561,6 +562,30 @@ def docs_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER resolution: the verified near-dup pairs closed
+    under transitivity via distributed connected components
+    (large-star/small-star, operators/components.py) — (doc_id,
+    cluster_id = min doc id of the cluster) for every clustered doc."""
+    pairs = dedup.neardup_verified(
+        load_table(spark, sf_dir, "documents"),
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    return components.neardup_clusters(pairs)
+
+
+def docs_dedup_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup endgame: keep ONE doc per near-dup cluster (the
+    cluster-minimum id) plus every unclustered doc — the corpus a
+    training pipeline would actually emit after near-dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.neardup_verified(
+        docs, parallelism=spark.sparkContext.defaultParallelism
+    )
+    clusters = components.neardup_clusters(pairs)
+    return components.resolve_duplicates(docs, clusters).select("doc_id")
+
+
 def docs_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship curation composition: single-scan language + quality +
     exact-dedup-keeper selection (operators/curation.py)."""
@@ -699,6 +724,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_ngram_jaccard": docs_ngram_jaccard,
     "docs_corpus_select": docs_corpus_select,
     "docs_neardup_verified": docs_neardup_verified,
+    "docs_neardup_clusters": docs_neardup_clusters,
+    "docs_dedup_resolved": docs_dedup_resolved,
     "media_features": media_features,
     "docs_simhash": docs_simhash,
     "docs_simhash_neardup": docs_simhash_neardup,

@@ -169,3 +169,86 @@ def test_ivf_recall_monotone_in_nprobe(spark):
         for r in ann.ann_ivf_topk(emb, [0, 1], 1, nlist=4, nprobe=4).collect()
     }
     assert full == bf
+
+
+# ---------------------------------------------------------------- components
+
+EDGE_LISTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=24),
+        st.integers(min_value=0, max_value=24),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _union_find_components(edges):
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a == b:
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {
+        x: find(x) for x in parent
+        if any(a != b and x in (a, b) for a, b in edges)
+    }
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(EDGE_LISTS)
+def test_connected_components_matches_union_find(spark, edges):
+    from gmall_flink_20_spark.operators import components
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.id: r.component
+        for r in components.connected_components(df).collect()
+    }
+    assert got == _union_find_components(edges)
+
+
+def test_connected_components_chain_converges(spark):
+    """A 64-node path is the worst case for naive min-label propagation
+    (diameter 63); large-star/small-star must close it in O(log² n)
+    rounds — well inside the default max_iter."""
+    from gmall_flink_20_spark.operators import components
+
+    edges = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.component for r in components.connected_components(df).collect()}
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_resolve_duplicates_keep_best(spark):
+    from gmall_flink_20_spark.operators import components
+
+    docs = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.1), (4, 0.7)], "doc_id long, quality double"
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id long, cluster_id long"
+    )
+    # min-id canonical: keeps 1 (root) and unclustered 4
+    kept = sorted(
+        r.doc_id for r in components.resolve_duplicates(docs, clusters).collect()
+    )
+    assert kept == [1, 4]
+    # quality-ranked canonical: keeps 2 (best of cluster) and 4
+    best = sorted(
+        r.doc_id
+        for r in components.resolve_duplicates(
+            docs, clusters, rank_cols=["quality"]
+        ).collect()
+    )
+    assert best == [2, 4]
