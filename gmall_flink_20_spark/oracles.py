@@ -792,6 +792,41 @@ WHERE NOT EXISTS (SELECT 1 FROM clusters c
                   WHERE c.doc_id = d.doc_id AND c.cluster_id <> c.doc_id)
 """
 
+# text cleaning: the dirt injection and the Java∩RE2 regex set mirror
+# operators/cleaning.py byte for byte (DuckDB regexp_replace needs 'g')
+ORACLES["docs_clean"] = r"""
+WITH dirty AS (
+    SELECT doc_id,
+           '<p class="body">' || text || '</p>'
+           || CASE WHEN doc_id % 3 = 0 THEN
+                ' Contact <a href="mailto:user' || CAST(doc_id AS VARCHAR)
+                || '@example.com">user' || CAST(doc_id AS VARCHAR) || '@example.com</a> now'
+              ELSE '' END
+           || CASE WHEN doc_id % 5 = 0 THEN ' Call 555-123-4567 &amp; ping 10.0.0.1' ELSE '' END
+           || CASE WHEN doc_id % 7 = 0 THEN ' 5&nbsp;stars<br/>' ELSE '' END AS text
+    FROM documents
+),
+stripped AS (
+    SELECT doc_id, text,
+           trim(regexp_replace(
+               replace(replace(replace(replace(replace(
+                   regexp_replace(text, '<[^>]+>', ' ', 'g'),
+                   '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '),
+               '\s+', ' ', 'g')) AS s
+    FROM dirty
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(s,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '[0-9]{3}-[0-9]{3,4}-[0-9]{4}', '<PHONE>', 'g'),
+           '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3,4}-[0-9]{4}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+       CAST(CASE WHEN regexp_matches(text, '<[^>]+>') THEN 1 ELSE 0 END AS INT) AS had_html
+FROM stripped
+"""
+
 # shingles as 60-bit md5 hashes — mirrors the Spark kernel exactly (both
 # engines hash identically, so parity holds even across hash collisions)
 ORACLES["docs_ngram_jaccard"] = r"""

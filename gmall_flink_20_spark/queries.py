@@ -22,6 +22,7 @@ from .io import load_events, load_table
 from .operators import (
     ann,
     blacklist,
+    cleaning,
     components,
     curation,
     dedup,
@@ -586,6 +587,42 @@ def docs_dedup_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     return components.resolve_duplicates(docs, clusters).select("doc_id")
 
 
+def docs_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML-strip + PII-redact cleaning pass (operators/cleaning.py). The
+    synthetic corpus is markup-free, so the query first injects
+    deterministic doc_id-derived HTML tags, mailto links, phones, IPs and
+    entities — the DuckDB oracle injects the byte-identical dirt and
+    must produce the byte-identical cleaned text, value-checking the
+    shared Java∩RE2 regex semantics end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    dirty = F.concat(
+        F.lit('<p class="body">'),
+        F.col("text"),
+        F.lit("</p>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(' Contact <a href="mailto:user'),
+                sid,
+                F.lit('@example.com">user'),
+                sid,
+                F.lit("@example.com</a> now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit(" Call 555-123-4567 &amp; ping 10.0.0.1"),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" 5&nbsp;stars<br/>")).otherwise(
+            F.lit("")
+        ),
+    )
+    return cleaning.clean_documents(
+        docs.select("doc_id", dirty.alias("text"))
+    )
+
+
 def docs_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship curation composition: single-scan language + quality +
     exact-dedup-keeper selection (operators/curation.py)."""
@@ -726,6 +763,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_neardup_verified": docs_neardup_verified,
     "docs_neardup_clusters": docs_neardup_clusters,
     "docs_dedup_resolved": docs_dedup_resolved,
+    "docs_clean": docs_clean,
     "media_features": media_features,
     "docs_simhash": docs_simhash,
     "docs_simhash_neardup": docs_simhash_neardup,

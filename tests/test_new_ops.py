@@ -280,3 +280,23 @@ def test_market_behavior_stream_live(spark):
         assert {r.channel for r in sample} <= set(generators.CHANNELS)
     finally:
         q.stop()
+
+
+def test_cleaning_ops(spark):
+    from gmall_flink_20_spark.operators import cleaning
+
+    df = spark.createDataFrame(
+        [
+            (1, '<p>Hi <b>there</b></p> mail a.b+c@x-y.org or 555-123-4567'),
+            (2, 'plain &amp; simple&nbsp;text with 192.168.0.255 inside'),
+            (3, 'no dirt at   all'),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in cleaning.clean_documents(df).collect()}
+    assert out[1].clean_text == "Hi there mail <EMAIL> or <PHONE>"
+    assert (out[1].n_emails, out[1].n_phones, out[1].had_html) == (1, 1, 1)
+    assert out[2].clean_text == "plain & simple text with <IP> inside"
+    assert (out[2].n_ips, out[2].had_html) == (1, 0)
+    assert out[3].clean_text == "no dirt at all"
+    assert (out[3].n_emails, out[3].n_phones, out[3].n_ips) == (0, 0, 0)
