@@ -73,6 +73,9 @@ BENCH_QUERIES = [
     "docs_minhash_lsh_pairs",
     "docs_ngram_jaccard",
     "docs_corpus_select",
+    "docs_neardup_clusters",
+    "docs_dedup_resolved",
+    "docs_clean",
     "docs_neardup_verified",
     "media_features",
     "docs_simhash",

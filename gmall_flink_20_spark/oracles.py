@@ -1134,3 +1134,4 @@ SELECT user_id, min(ts_s) AS session_start_s, max(ts_s) + 1800 AS session_end_s,
        count(*) AS n_events
 FROM s GROUP BY user_id, sid
 """
+ORACLES["user_sessions_streaming"] = ORACLES["user_sessions"]

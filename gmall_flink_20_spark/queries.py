@@ -478,6 +478,25 @@ def pay_receipt_reconcile_streaming(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def user_sessions_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows as ACTUAL Structured Streaming: gap-based
+    ``session_window`` in append mode — a session is emitted exactly when
+    the watermark passes its close (Flink EventTimeSessionWindows
+    semantics, beyond-reference per SURVEY §2.12). Replayed micro-batch
+    by micro-batch and verified against the same gaps-and-islands oracle
+    as the batch ``user_sessions``. Excluded from bench."""
+    from .streaming import replay
+    from .streaming import windows as swindows
+
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    sentinel = replay.flush_sentinel(spark, ev, ts_col="ts", days=30)
+    stream = replay.replay_stream(spark, ev, "ts", num_chunks=8, extra_chunks=[sentinel])
+    out = swindows.streaming_session_count(stream, "ts", "2 seconds", 1800, "user_id")
+    return replay.run_to_completion(out).select(
+        "user_id", "session_start_s", "session_end_s", "n_events"
+    )
+
+
 def market_behavior_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 + WA7 (MarketBehaviorSource.java:16-47 feeding the channel
     stats job): the deterministic market-behavior generator — the batch
@@ -724,6 +743,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pay_receipt_interval_join_streaming": pay_receipt_interval_join_streaming,
     "pay_receipt_reconcile_streaming": pay_receipt_reconcile_streaming,
     "market_behavior_channel_stats": market_behavior_channel_stats,
+    "user_sessions_streaming": user_sessions_streaming,
     "pay_receipt_interval_join": pay_receipt_interval_join,
     "pay_receipt_reconcile": pay_receipt_reconcile,
     # scale/bench plans (all 22 TPC-H shapes, adapted to the reduced schema)

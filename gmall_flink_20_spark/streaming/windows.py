@@ -17,7 +17,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["streaming_windowed_count", "streaming_unique_count"]
+__all__ = [
+    "streaming_windowed_count",
+    "streaming_unique_count",
+    "streaming_session_count",
+]
 
 
 def streaming_windowed_count(
@@ -39,6 +43,35 @@ def streaming_windowed_count(
         F.count(F.lit(1)).alias(count_alias)
     )
     return out.withColumn("window_end_s", F.col("w.end").cast("long")).drop("w")
+
+
+def streaming_session_count(
+    stream: DataFrame,
+    ts_col: str,
+    delay: str,
+    gap_s: int,
+    *keys: str,
+    count_alias: str = "n_events",
+) -> DataFrame:
+    """Streaming gap-based session windows (append mode: a session is
+    emitted once the watermark passes its close — Flink's EventTimeSession
+    trigger semantics). Event times are floored to whole seconds BEFORE
+    sessionization, exactly like the batch ``session_count``, so both
+    forms verify against one gaps-and-islands oracle. State per key is one
+    open session (merged on arrival), evicted at emission — bounded by
+    (active keys), not event volume."""
+    floored = stream.withColumn(
+        "__ts", F.timestamp_seconds(F.col(ts_col).cast("long"))
+    ).withWatermark("__ts", delay)
+    out = floored.groupBy(
+        F.session_window("__ts", f"{gap_s} seconds").alias("w"),
+        *[F.col(k) for k in keys],
+    ).agg(F.count(F.lit(1)).alias(count_alias))
+    return (
+        out.withColumn("session_start_s", F.col("w.start").cast("long"))
+        .withColumn("session_end_s", F.col("w.end").cast("long"))
+        .drop("w")
+    )
 
 
 def streaming_unique_count(

@@ -124,3 +124,37 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(Exception):
         multimodal.extract_features(media, fake_decode=False).collect()
+
+
+def test_q10_broadcasts_customer_and_pushes_returnflag(spark, sf_dir):
+    plan = plan_of(tpch.q10_returned_items(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "l_returnflag" in plan.split("PushedFilters:")[1].split("\n")[0]
+
+
+def test_q16_anti_join_and_broadcast_part(spark, sf_dir):
+    plan = plan_of(tpch.q16_supplier_part_counts(spark, sf_dir))
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+
+
+def test_q21_single_orderkey_shuffle_no_self_join(spark, sf_dir):
+    # the EXISTS/NOT-EXISTS pair must NOT become lineitem self-joins:
+    # one semi vs orders + window counts over the same order-key shuffle
+    import re
+
+    plan = plan_of(tpch.q21_waiting_suppliers(spark, sf_dir))
+    scans = set(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert len(scans) <= 3  # lineitem, orders, supplier — each read once
+    assert "Window" in plan
+
+
+def test_q2_no_cartesian_and_broadcast_dims(spark, sf_dir):
+    plan = plan_of(tpch.q2_min_cost_supplier(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cleaning_is_pure_codegen(spark, sf_dir):
+    plan = plan_of(QUERIES["docs_clean"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # zero shuffle: row-local column ops
