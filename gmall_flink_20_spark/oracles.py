@@ -218,6 +218,12 @@ SELECT category, count(*) AS cnt FROM (
 ORACLES["pay_receipt_interval_join_streaming"] = ORACLES["pay_receipt_interval_join"]
 ORACLES["pay_receipt_reconcile_streaming"] = ORACLES["pay_receipt_reconcile"]
 
+# streaming dedup: the injected duplicate copies must all be dropped, so
+# the oracle is exactly the original events table
+ORACLES["events_dedup_streaming"] = f"""
+SELECT event_id, user_id, event_type, {_TS} AS ts_s FROM events
+"""
+
 
 def _mb_hash(tag: str) -> str:
     """DuckDB mirror of the generator's md5-derived 60-bit hash."""

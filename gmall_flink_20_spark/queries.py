@@ -497,6 +497,34 @@ def user_sessions_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps first-arrival per event_id and
+    evicts state once the watermark passes — the only dedup that survives
+    an unbounded stream (plain dropDuplicates state grows forever). The
+    replay injects a duplicate of every 3rd event 1 s later (same
+    event_id); the oracle is simply the ORIGINAL events table — every
+    injected copy must be dropped, no original may be. Excluded from
+    bench."""
+    from .streaming import replay
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type", "ts")
+    dups = ev.filter(F.col("event_id") % 3 == 0).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1 SECOND")
+    )
+    stream = replay.replay_stream(spark, ev.unionAll(dups), "ts", num_chunks=8)
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = deduped.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("long").alias("ts_s"),
+    )
+    return replay.run_to_completion(out)
+
+
 def market_behavior_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 + WA7 (MarketBehaviorSource.java:16-47 feeding the channel
     stats job): the deterministic market-behavior generator — the batch
@@ -744,6 +772,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pay_receipt_reconcile_streaming": pay_receipt_reconcile_streaming,
     "market_behavior_channel_stats": market_behavior_channel_stats,
     "user_sessions_streaming": user_sessions_streaming,
+    "events_dedup_streaming": events_dedup_streaming,
     "pay_receipt_interval_join": pay_receipt_interval_join,
     "pay_receipt_reconcile": pay_receipt_reconcile,
     # scale/bench plans (all 22 TPC-H shapes, adapted to the reduced schema)
