@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "docs_neardup_clusters",
     "docs_dedup_resolved",
     "docs_clean",
+    "docs_stratified_sample",
     "docs_neardup_verified",
     "media_features",
     "docs_simhash",

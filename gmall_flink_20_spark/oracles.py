@@ -833,6 +833,23 @@ SELECT doc_id,
 FROM stripped
 """
 
+# stratified sampling: thresholds are exact integers (dyadic rates ×
+# 2^60) computed here once, so both engines compare identical literals
+_SAMPLE_H = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 15)) AS BIGINT)"
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25, "es": 0.75, "zh": 0.125}
+_SAMPLE_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN lang = '{s}' THEN {int(r * (1 << 60))}"
+        for s, r in sorted(_SAMPLE_RATES.items())
+    )
+    + f" ELSE {1 << 60} END"
+)
+ORACLES["docs_stratified_sample"] = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {_SAMPLE_H} < {_SAMPLE_CASE}
+"""
+
 # shingles as 60-bit md5 hashes — mirrors the Spark kernel exactly (both
 # engines hash identically, so parity holds even across hash collisions)
 ORACLES["docs_ngram_jaccard"] = r"""

@@ -670,6 +670,22 @@ def docs_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling (operators/sampling.py):
+    per-language keep rates folded into one pushed-down filter — zero
+    shuffle, reproducible across engines/retries (df.sample is neither).
+    Rates are dyadic so threshold = rate·2^60 is exact."""
+    from .operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        docs,
+        rates={"en": 0.5, "de": 0.25, "es": 0.75, "zh": 0.125},
+        stratum_col="lang",
+        key_col="doc_id",
+    ).select("doc_id", "lang", "source")
+
+
 def docs_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship curation composition: single-scan language + quality +
     exact-dedup-keeper selection (operators/curation.py)."""
@@ -813,6 +829,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_neardup_clusters": docs_neardup_clusters,
     "docs_dedup_resolved": docs_dedup_resolved,
     "docs_clean": docs_clean,
+    "docs_stratified_sample": docs_stratified_sample,
     "media_features": media_features,
     "docs_simhash": docs_simhash,
     "docs_simhash_neardup": docs_simhash_neardup,

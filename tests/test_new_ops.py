@@ -300,3 +300,27 @@ def test_cleaning_ops(spark):
     assert (out[2].n_ips, out[2].had_html) == (1, 0)
     assert out[3].clean_text == "no dirt at all"
     assert (out[3].n_emails, out[3].n_phones, out[3].n_ips) == (0, 0, 0)
+
+
+def test_stratified_sample_deterministic_and_monotone(spark):
+    from gmall_flink_20_spark.operators import sampling
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    half = sampling.hash_sample(df, 0.5)
+    again = sampling.hash_sample(df, 0.5)
+    assert sorted(r.doc_id for r in half.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+    # same salt, higher rate => strict superset (widening never resamples)
+    wide = set(r.doc_id for r in sampling.hash_sample(df, 0.75).collect())
+    assert set(r.doc_id for r in half.collect()) <= wide
+    # rate lands near expectation on uniform keys
+    n = half.count()
+    assert 800 < n < 1200
+    # stratified: each stratum honors its own rate
+    strat = sampling.stratified_sample(df, {"en": 1.0, "de": 0.0})
+    langs = {r.lang for r in strat.collect()}
+    assert langs == {"en"} and strat.count() == 1000
