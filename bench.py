@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "unique_visitors_approx",
     "channel_stats",
     "channel_stats_rollup",
+    "channel_stats_cube",
     "province_ad_clicks",
     "user_sessions",
     "user_running_counts",

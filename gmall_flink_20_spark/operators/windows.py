@@ -32,6 +32,7 @@ __all__ = [
     "session_count",
     "window_end_s",
     "running_counts",
+    "cube_count",
 ]
 
 
@@ -193,3 +194,24 @@ def tumbling_count(
     df: DataFrame, ts_col: str, size: str, *keys: Column | str, count_alias: str = "cnt"
 ) -> DataFrame:
     return windowed_count(df, ts_col, size, None, *keys, count_alias=count_alias)
+
+
+def cube_count(df, *dims: str, total_label: str = "ALL", count_alias: str = "cnt"):
+    """Multi-dimensional aggregate: counts for every subset of ``dims``
+    (grand total, each margin, the full cross) in ONE pass — Spark's
+    ``cube`` expands grouping sets map-side (Expand), so the plan is one
+    scan + one shuffle no matter how many dimensions. NULL grouping slots
+    are labeled ``total_label`` (the inputs here are non-null), keeping
+    the output engine-comparable.
+
+    Beyond-reference (SURVEY §2.12 notes the reference has no grouping
+    sets); standard fare for an analytics engine, so offered first-class.
+    """
+    from pyspark.sql import functions as F
+
+    agg = df.cube(*dims).count().withColumnRenamed("count", count_alias)
+    out = agg.select(
+        *[F.coalesce(F.col(d), F.lit(total_label)).alias(d) for d in dims],
+        F.col(count_alias),
+    )
+    return out

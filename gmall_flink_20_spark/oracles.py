@@ -97,6 +97,16 @@ ORACLES["channel_stats"] = _sliding(
     select="SELECT window_end_s, channel, behavior, count(*) AS cnt FROM exp GROUP BY 1, 2, 3",
 )
 
+ORACLES["channel_stats_cube"] = """
+SELECT COALESCE(channel, 'ALL') AS channel,
+       COALESCE(behavior, 'ALL') AS behavior,
+       count(*) AS cnt
+FROM (SELECT 'ch' || CAST(user_id % 4 AS VARCHAR) AS channel,
+             event_type AS behavior
+      FROM events)
+GROUP BY CUBE (channel, behavior)
+"""
+
 ORACLES["province_ad_clicks"] = _sliding(
     base="SELECT n.n_name, e.ts FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey "
     "WHERE e.event_type = 'click'",

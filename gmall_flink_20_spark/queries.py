@@ -122,6 +122,15 @@ def channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def channel_stats_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional aggregate surface: grand total, per-channel,
+    per-behavior, and full-cross counts in one pass via ``cube``
+    (operators/windows.cube_count) — one scan + one shuffle regardless
+    of dimension count."""
+    ev = _events(spark, sf_dir).select(_channel(), F.col("event_type").alias("behavior"))
+    return windows.cube_count(ev, "channel", "behavior")
+
+
 def channel_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WA7 via the tumbling-bucket + rollup strategy (the principled form
     of the reference's two-phase salted count, PageViewApp_2.java:63-157):
@@ -769,6 +778,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unique_visitors_approx": unique_visitors_approx,
     "channel_stats": channel_stats,
     "channel_stats_rollup": channel_stats_rollup,
+    "channel_stats_cube": channel_stats_cube,
     "province_ad_clicks": province_ad_clicks,
     "user_sessions": user_sessions,
     "user_running_counts": user_running_counts,
