@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "docs_neardup_clusters",
     "docs_dedup_resolved",
     "docs_clean",
+    "docs_repetition",
+    "docs_line_dedup",
     "docs_stratified_sample",
     "docs_neardup_verified",
     "media_features",

@@ -29,6 +29,7 @@ __all__ = [
     "redact_pii",
     "normalize_ws",
     "clean_documents",
+    "dedup_lines",
 ]
 
 # Java ∩ RE2 regex subset — keep in sync with oracles.py
@@ -60,6 +61,49 @@ def redact_pii(col: Column) -> Column:
 
 def normalize_ws(col: Column) -> Column:
     return F.trim(F.regexp_replace(col, "\\s+", " "))
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-global line dedup (the C4 pipeline's repeated-line removal,
+    Raffel et al. 2020 §2.2): every line keeps exactly its FIRST corpus
+    occurrence — ordered by (doc id, position) — and later copies are cut
+    from their documents. Documents whose every line was seen earlier
+    drop out entirely.
+
+    Plan shape for 100 TB: lines shuffle once on their md5 (the
+    first-occurrence window), survivors shuffle once on doc id for
+    reassembly — both keyed, no cross-key state, no skew beyond genuinely
+    viral lines (and a line dominating the corpus is exactly what this
+    op deletes). The md5 keeps shuffle bytes flat regardless of line
+    length; an md5 collision would merge two distinct lines, which both
+    engines would do identically (~2^-64, documented not handled).
+
+    Emits (id, text) with ≥1 surviving line, reassembled in original
+    order with ``sep``.
+    """
+    from pyspark.sql import Window as W
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("pos", "line"),
+    ).withColumn("h", F.md5(F.col("line").cast("binary")))
+    first = F.row_number().over(W.partitionBy("h").orderBy(F.col(id_col), F.col("pos")))
+    kept = lines.withColumn("rn", first).filter(F.col("rn") == 1)
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("parts")
+        )
+        .select(
+            F.col(id_col),
+            F.concat_ws(sep, F.transform("parts", lambda p: p["line"])).alias("text"),
+        )
+    )
 
 
 def clean_documents(

@@ -23,6 +23,7 @@ __all__ = [
     "lang_id",
     "fingerprint",
     "winnowing_fingerprints",
+    "repetition_features",
     "LANG_MARKERS",
 ]
 
@@ -161,6 +162,96 @@ def winnowing_fingerprints(
         .select(F.col(id_col), F.col("wmin").alias("fp"))
         .distinct()
     )
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): documents
+    dominated by repeated fragments are low-quality training data.
+
+    Emits per doc:
+    - ``frac_repeated_tokens`` — 1 − distinct/total tokens (row-local);
+    - ``top2gram_char_frac`` — characters covered by the single most
+      frequent 2-gram (count × gram length, overlap-counted) over total
+      characters; ties break to the lexically smallest gram;
+    - ``dup3gram_char_frac`` — characters covered by all 3-grams occurring
+      more than once, over total characters.
+
+    Shape for 100 TB: the gram counts shuffle on (doc_id, gram) — fully
+    key-parallel, no cross-doc state — then collapse back to one row per
+    doc. All values are exact-integer ratios so the DuckDB oracle is
+    bit-identical.
+    """
+    from pyspark.sql import Window as W
+
+    toks = F.split(F.trim(F.col(text_col)), _WS)
+    base = df.select(
+        F.col(id_col),
+        toks.alias("toks"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+    ).select(
+        F.col(id_col),
+        F.col("toks"),
+        F.col("n_chars"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+    )
+
+    def grams(n: int) -> DataFrame:
+        return base.filter(F.size("toks") >= n).select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.size("toks") - n)).alias("i"),
+            F.col("toks"),
+        ).select(
+            F.col(id_col),
+            F.concat_ws(
+                " ", *[F.element_at("toks", F.col("i") + j + 1) for j in range(n)]
+            ).alias("gram"),
+        )
+
+    g2 = grams(2).groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    top2 = (
+        g2.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy(id_col).orderBy(F.desc("cnt"), F.asc("gram"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col(id_col),
+            (F.col("cnt") * F.length("gram")).cast("long").alias("top2_chars"),
+        )
+    )
+    g3 = grams(3).groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    dup3 = (
+        g3.filter(F.col("cnt") >= 2)
+        .groupBy(id_col)
+        .agg(F.sum(F.col("cnt") * F.length("gram")).cast("long").alias("dup3_chars"))
+    )
+    out = (
+        base.drop("toks")
+        .join(top2, id_col, "left")
+        .join(dup3, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            (
+                F.lit(1.0)
+                - F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")
+            ).alias("frac_repeated_tokens"),
+            (
+                F.coalesce(F.col("top2_chars"), F.lit(0)).cast("double")
+                / F.col("n_chars").cast("double")
+            ).alias("top2gram_char_frac"),
+            (
+                F.coalesce(F.col("dup3_chars"), F.lit(0)).cast("double")
+                / F.col("n_chars").cast("double")
+            ).alias("dup3gram_char_frac"),
+        )
+    )
+    return out
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -843,6 +843,76 @@ SELECT doc_id,
 FROM stripped
 """
 
+# Gopher repetition filters: gram counts from the same 1-based token
+# array on both engines; ratios are divisions of exact integers
+ORACLES["docs_repetition"] = r"""
+WITH base AS (
+    SELECT doc_id,
+           string_split_regex(trim(text), '\s+') AS toks,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+),
+b2 AS (
+    SELECT doc_id, toks, n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+    FROM base
+),
+g2 AS (
+    SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram
+    FROM b2, UNNEST(range(1, len(toks))) AS t(i)
+    WHERE len(toks) >= 2
+),
+c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY doc_id, gram),
+top2 AS (
+    SELECT doc_id, CAST(cnt * length(gram) AS BIGINT) AS top2_chars
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn FROM c2)
+    WHERE rn = 1
+),
+g3 AS (
+    SELECT doc_id, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS gram
+    FROM b2, UNNEST(range(1, len(toks) - 1)) AS t(i)
+    WHERE len(toks) >= 3
+),
+c3 AS (SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY doc_id, gram),
+dup3 AS (
+    SELECT doc_id, CAST(sum(cnt * length(gram)) AS BIGINT) AS dup3_chars
+    FROM c3 WHERE cnt >= 2 GROUP BY doc_id
+)
+SELECT b2.doc_id, n_tokens,
+       1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS frac_repeated_tokens,
+       CAST(COALESCE(top2_chars, 0) AS DOUBLE) / CAST(n_chars AS DOUBLE) AS top2gram_char_frac,
+       CAST(COALESCE(dup3_chars, 0) AS DOUBLE) / CAST(n_chars AS DOUBLE) AS dup3gram_char_frac
+FROM b2
+LEFT JOIN top2 USING (doc_id)
+LEFT JOIN dup3 USING (doc_id)
+"""
+
+# C4 repeated-line removal over deterministically re-chunked 3-token
+# lines; first corpus occurrence (doc_id, pos) survives, docs reassemble
+# in original line order
+ORACLES["docs_line_dedup"] = r"""
+WITH src AS (
+    SELECT doc_id,
+           array_to_string(
+               list_transform(
+                   range(CAST(ceil(len(string_split_regex(trim(text), '\s+')) / 3.0) AS BIGINT)),
+                   b -> array_to_string((string_split_regex(trim(text), '\s+'))[b * 3 + 1 : b * 3 + 3], ' ')
+               ), chr(10)) AS text
+    FROM documents
+),
+lines AS (
+    SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS line
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM src)
+),
+kept AS (
+    SELECT *, row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+    FROM lines
+)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+FROM kept WHERE rn = 1 GROUP BY doc_id
+"""
+
 # stratified sampling: thresholds are exact integers (dyadic rates ×
 # 2^60) computed here once, so both engines compare identical literals
 _SAMPLE_H = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 15)) AS BIGINT)"

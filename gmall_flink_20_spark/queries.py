@@ -588,6 +588,33 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (operators/text.repetition_features):
+    repeated-token fraction, top-2-gram character coverage, duplicated
+    3-gram character coverage — the features a quality gate thresholds
+    before training."""
+    return text.repetition_features(load_table(spark, sf_dir, "documents"))
+
+
+def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global line dedup (operators/cleaning.dedup_lines, the C4
+    repeated-line removal). The synthetic corpus is single-line, so the
+    query first re-chunks each doc into 3-token lines (deterministically,
+    on both engines) — short lines from a 30-word vocabulary collide
+    heavily across docs, so the dedup does real work under the gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    nlines = F.ceil(F.size(toks) / F.lit(3.0)).cast("int")
+    chunked = F.concat_ws(
+        "\n",
+        F.transform(
+            F.sequence(F.lit(0), nlines - 1),
+            lambda b: F.concat_ws(" ", F.slice(toks, b * 3 + 1, 3)),
+        ),
+    )
+    return cleaning.dedup_lines(docs.select("doc_id", chunked.alias("text")))
+
+
 def docs_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_exact(load_table(spark, sf_dir, "documents"))
 
@@ -839,6 +866,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_neardup_clusters": docs_neardup_clusters,
     "docs_dedup_resolved": docs_dedup_resolved,
     "docs_clean": docs_clean,
+    "docs_repetition": docs_repetition,
+    "docs_line_dedup": docs_line_dedup,
     "docs_stratified_sample": docs_stratified_sample,
     "media_features": media_features,
     "docs_simhash": docs_simhash,

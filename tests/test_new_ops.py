@@ -324,3 +324,43 @@ def test_stratified_sample_deterministic_and_monotone(spark):
     strat = sampling.stratified_sample(df, {"en": 1.0, "de": 0.0})
     langs = {r.lang for r in strat.collect()}
     assert langs == {"en"} and strat.count() == 1000
+
+
+def test_repetition_features(spark):
+    from gmall_flink_20_spark.operators import text as tops
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),          # "a b" 2-gram dominates
+            (2, "x y z w"),              # all distinct, no repeats
+            (3, "q q q q q"),            # one token repeated
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in tops.repetition_features(df).collect()}
+    # doc 1: 6 tokens, 2 distinct -> 2/3 repeated; top 2-gram "a b" x3 (of
+    # "a b","b a","a b","b a","a b"), 3*3=9 chars over 11
+    assert abs(out[1].frac_repeated_tokens - (1 - 2 / 6)) < 1e-12
+    assert abs(out[1].top2gram_char_frac - 9 / 11) < 1e-12
+    # doc 1 dup 3-grams: "a b a" x2 + "b a b" x2 -> (2+2)*5 = 20 chars / 11
+    assert abs(out[1].dup3gram_char_frac - 20 / 11) < 1e-12
+    assert out[2].frac_repeated_tokens == 0.0
+    assert out[2].dup3gram_char_frac == 0.0
+    # doc 3: top 2-gram "q q" x4 -> 4*3=12 chars over 9
+    assert abs(out[3].frac_repeated_tokens - (1 - 1 / 5)) < 1e-12
+    assert abs(out[3].top2gram_char_frac - 12 / 9) < 1e-12
+
+
+def test_dedup_lines_keeps_first_occurrence(spark):
+    from gmall_flink_20_spark.operators import cleaning
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\ngamma"),
+            (2, "beta\ndelta"),        # beta already seen in doc 1
+            (3, "alpha\nbeta"),        # fully duplicated -> doc drops out
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in cleaning.dedup_lines(df).collect()}
+    assert out == {1: "alpha\nbeta\ngamma", 2: "delta"}
