@@ -175,6 +175,8 @@ ORACLES["channel_stats_rollup"] = ORACLES["channel_stats"]
 ORACLES["order_timeout_streaming"] = ORACLES["order_timeout"]
 ORACLES["login_fail_streaming"] = ORACLES["login_fail_consecutive"]
 ORACLES["blacklist_kept_streaming"] = ORACLES["blacklist_kept"]
+ORACLES["page_views_streaming"] = ORACLES["page_views"]
+ORACLES["unique_visitors_streaming"] = ORACLES["unique_visitors"]
 ORACLES["hot_items_topn_streaming"] = ORACLES["hot_items_topn"]
 ORACLES["hot_urls_topn_streaming"] = ORACLES["hot_urls_topn"]
 

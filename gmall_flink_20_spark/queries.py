@@ -364,6 +364,75 @@ def hot_urls_topn_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topn_streaming(spark, views, "url", "10 minutes", "1 minute", 3)
 
 
+def page_views_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WA3 as ACTUAL Structured Streaming (PageViewApp.java:57-60): the
+    tumbling 1h click count in APPEND mode — each window emits exactly
+    once, when the watermark passes its end (Flink's default event-time
+    trigger). The reserved-key (-1) flush sentinels advance event time
+    past every real window at EOF; they MUST flow through the watermark
+    node (a pre-aggregation filter would be predicate-pushed below it and
+    the final windows would never close), so their far-future windows are
+    instead dropped from the materialized result. Verified against the
+    batch page_views oracle. Excluded from bench."""
+    from .streaming import replay
+
+    clicks = _clicks(spark, sf_dir).select("user_id", "ts")
+    cutoff = int(
+        clicks.agg(F.max(F.col("ts").cast("long"))).collect()[0][0]
+    ) + 86400
+    s1 = replay.flush_sentinel(spark, clicks, days=30)
+    s2 = replay.flush_sentinel(spark, clicks, days=31)
+    stream = replay.replay_stream(
+        spark, clicks, "ts", num_chunks=8, extra_chunks=[s1, s2]
+    )
+    out = (
+        stream.withWatermark("ts", "2 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("pv"))
+        .select(F.col("w.end").cast("long").alias("window_end_s"), "pv")
+    )
+    return (
+        replay.run_to_completion(out)
+        .filter(F.col("window_end_s") < cutoff)
+        .select("window_end_s", "pv")
+    )
+
+
+def unique_visitors_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WA5 as ACTUAL Structured Streaming — EXACT windowed distinct via
+    chained stateful operators: dropDuplicatesWithinWatermark on
+    (user_id, hour) feeds a windowed count (the Spark-4 multi-stateful
+    append pipeline). The 2h watermark delay strictly exceeds the 1h
+    dedup horizon, so every same-window duplicate is still in state when
+    its copy arrives — the dedup is exact, not best-effort — while state
+    stays bounded at (users active in the last 2h), the same bound the
+    reference's Redis bitmap holds per window (UniqueVisitorApp.java:
+    53-79). Flush sentinels flow through the watermark node (see
+    page_views_streaming) and their windows are dropped from the result.
+    Verified against the batch unique_visitors oracle. Excluded from
+    bench."""
+    from .streaming import replay
+
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    cutoff = int(ev.agg(F.max(F.col("ts").cast("long"))).collect()[0][0]) + 86400
+    s1 = replay.flush_sentinel(spark, ev, days=30)
+    s2 = replay.flush_sentinel(spark, ev, days=31)
+    stream = replay.replay_stream(spark, ev, "ts", num_chunks=8, extra_chunks=[s1, s2])
+    out = (
+        stream.withWatermark("ts", "2 hours")
+        .withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .dropDuplicatesWithinWatermark(["user_id", "hour"])
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("uv"))
+        .select(F.col("w.end").cast("long").alias("window_end_s"), "uv")
+    )
+    return (
+        replay.run_to_completion(out)
+        .filter(F.col("window_end_s") < cutoff)
+        .select("window_end_s", "uv")
+    )
+
+
 def pay_receipt_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 (PayReceiptWithJoinApp.java:50-70): purchases interval-joined to
     clicks (receipts) within ±30 min on the user key."""
@@ -819,6 +888,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_timeout_streaming": order_timeout_streaming,
     "login_fail_streaming": login_fail_streaming,
     "blacklist_kept_streaming": blacklist_kept_streaming,
+    "page_views_streaming": page_views_streaming,
+    "unique_visitors_streaming": unique_visitors_streaming,
     "hot_items_topn_streaming": hot_items_topn_streaming,
     "hot_urls_topn_streaming": hot_urls_topn_streaming,
     "pay_receipt_interval_join_streaming": pay_receipt_interval_join_streaming,
