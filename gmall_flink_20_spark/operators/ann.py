@@ -31,6 +31,7 @@ __all__ = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "kmeans_centroids",
+    "kmeans_assign",
     "with_unit",
     "cosine_near_dup_blocked",
 ]
@@ -180,6 +181,38 @@ def kmeans_centroids(
     cents = kmeans_centroids_local(emb, nlist, iters, id_col, vec_col, dim, normalize)
     return spark.createDataFrame(
         [(c, v) for c, v in cents], "cid int, cv array<double>"
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    nlist: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-vector cluster id after ``iters`` spherical Lloyd iterations —
+    embedding clustering as a first-class corpus operator (topic bucketing,
+    diversity sampling, IVF cell layout all consume this).
+
+    Same execution shape as the quantizer training itself: the trained
+    centroids are a driver-side literal, so the final assignment pass is
+    row-local Arrow-vectorized argmin — the corpus is scanned, never
+    shuffled. Emits (id, cluster_id)."""
+    base = with_unit(emb.select(F.col(id_col), F.col(vec_col)), vec_col, dim)
+    cents = kmeans_centroids_local(
+        base.select(F.col(id_col), F.col("_av").alias(vec_col)),
+        nlist,
+        iters,
+        id_col,
+        vec_col,
+        dim=dim,
+        normalize=False,
+    )
+    return base.select(
+        F.col(id_col),
+        _assign_udf(cents)(F.col("_av")).cast("long").alias("cluster_id"),
     )
 
 

@@ -1125,11 +1125,11 @@ SELECT query_id, neighbor_id, rank FROM (
 ) WHERE rank <= 5
 """
 
-def _ivf_trained_sql(nlist: int = 16, nprobe: int = 4, iters: int = 3, dim: int = 64, k: int = 5) -> str:
-    """Trained-IVF oracle: spherical Lloyd k-means unrolled as CTE chain —
-    mirrors operators/ann.kmeans_centroids(normalize=True) feeding
-    ann_ivf_topk, including the round(mean, 6) determinism contract and
-    empty-cell carry-forward."""
+def _kmeans_ctes(nlist: int, iters: int, dim: int) -> tuple[list[str], str]:
+    """Shared unrolled spherical-Lloyd CTE chain (mirrors
+    operators/ann.kmeans_centroids(normalize=True): round(mean, 6)
+    determinism contract, empty-cell carry-forward). Returns (ctes, the
+    per-row squared-L2 expression against alias c)."""
     unit = (
         "list_transform(embedding, x -> CAST(x AS DOUBLE) / "
         f"sqrt({_DDOT.format(a='embedding', b='embedding')}))"
@@ -1159,6 +1159,13 @@ def _ivf_trained_sql(nlist: int = 16, nprobe: int = 4, iters: int = 3, dim: int 
             f"cents{t} AS (SELECT c.cid, COALESCE(m.mv, c.cv) AS cv "
             f"FROM cents{t - 1} c LEFT JOIN m{t} m USING (cid))"
         )
+    return ctes, dl2
+
+
+def _ivf_trained_sql(nlist: int = 16, nprobe: int = 4, iters: int = 3, dim: int = 64, k: int = 5) -> str:
+    """Trained-IVF oracle: spherical Lloyd k-means unrolled as CTE chain
+    feeding the ann_ivf_topk probe/scan shape."""
+    ctes, dl2 = _kmeans_ctes(nlist, iters, dim)
     final = f"""assigned AS (
     SELECT vec_id AS neighbor_id, embedding AS nv, cid AS list_id FROM (
         SELECT u.vec_id, u.embedding, c.cid,
@@ -1182,6 +1189,20 @@ SELECT query_id, neighbor_id, rank FROM (
 
 
 ORACLES["emb_ann_ivf_trained"] = _ivf_trained_sql()
+
+
+def _kmeans_assign_sql(nlist: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Per-vector cluster assignment after the trained iterations — one
+    more argmin against the final centroids (mirrors ann.kmeans_assign)."""
+    ctes, dl2 = _kmeans_ctes(nlist, iters, dim)
+    final = f"""SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM (
+    SELECT u.vec_id, c.cid,
+           row_number() OVER (PARTITION BY u.vec_id ORDER BY {dl2} ASC, c.cid ASC) AS rn
+    FROM u, cents{iters} c) WHERE rn = 1"""
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+ORACLES["emb_kmeans"] = _kmeans_assign_sql()
 
 ORACLES["login_fail_times3"] = f"""
 SELECT user_id, lag2_ts AS first_fail_s, ts_s AS last_fail_s, CAST(3 AS BIGINT) AS times

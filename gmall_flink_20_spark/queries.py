@@ -858,6 +858,16 @@ def emb_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ann_ivf_topk(emb, list(range(10)), 5, nlist=16, nprobe=4, train_iters=3)
 
 
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding clustering as a first-class operator
+    (operators/ann.kmeans_assign): per-vector cluster id after 3
+    deterministic spherical Lloyd iterations, k=8. The oracle unrolls the
+    identical iterations in SQL — every one of the corpus's assignments is
+    value-checked, not just the centroids."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.kmeans_assign(emb, nlist=8, iters=3)
+
+
 def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ann.cosine_near_dup_blocked(emb, threshold=0.25)
@@ -948,6 +958,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_ann_lsh_multiprobe": emb_ann_lsh_multiprobe,
     "emb_ann_ivf": emb_ann_ivf,
     "emb_ann_ivf_trained": emb_ann_ivf_trained,
+    "emb_kmeans": emb_kmeans,
     "emb_cosine_neardup": emb_cosine_neardup,
 }
 

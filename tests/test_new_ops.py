@@ -364,3 +364,23 @@ def test_dedup_lines_keeps_first_occurrence(spark):
     )
     out = {r.doc_id: r.text for r in cleaning.dedup_lines(df).collect()}
     assert out == {1: "alpha\nbeta\ngamma", 2: "delta"}
+
+
+def test_kmeans_assign_matches_centroid_argmin(spark):
+    import numpy as np
+
+    from gmall_flink_20_spark.operators import ann
+
+    rng = np.random.RandomState(7)
+    # spherical k-means clusters DIRECTIONS: even ids point into the first
+    # 4 dims, odd ids into the last 4 (disjoint support -> orthogonal)
+    rows = []
+    for i in range(40):
+        v = [float(x) for x in rng.rand(4) + 0.5]
+        rows.append((i, (v + [0.0] * 4) if i % 2 == 0 else ([0.0] * 4 + v)))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.cluster_id for r in ann.kmeans_assign(df, nlist=4, iters=2, dim=8).collect()}
+    assert set(out) == set(range(40))
+    even = {out[i] for i in range(0, 40, 2)}
+    odd = {out[i] for i in range(1, 40, 2)}
+    assert even.isdisjoint(odd)
