@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "docs_repetition",
     "docs_line_dedup",
     "docs_stratified_sample",
+    "docs_token_quantiles",
     "docs_neardup_verified",
     "media_features",
     "docs_simhash",

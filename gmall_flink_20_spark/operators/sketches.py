@@ -1,0 +1,85 @@
+"""Sketch aggregates under value gates.
+
+Approximate aggregates (quantile sketches, HLL) have no engine-independent
+oracle — two engines' estimates legitimately differ. The gateable form is
+the ERROR-BOUND check (same pattern as distinct.approx_unique_count_checked):
+compute the estimate AND the exact bound test in one plan, emit the exact
+part plus a boolean; the SQL oracle emits the exact part plus literal TRUE,
+so a hash match proves the estimator's contract held on every group.
+
+``percentile_approx`` is Spark's Greenwald-Khanna-style sketch: with
+``accuracy`` A it guarantees a DETERMINISTIC rank error ε = 1/A around
+the target rank ⌈p·n⌉. ``approx_quantiles_checked`` asserts exactly
+that, via one extra keyed pass that ranks each estimate against the
+group's values: the estimate's rank interval [count_< + 1, count_≤]
+must intersect ⌈p·n⌉ ± max(1, ε·n). The one-rank floor mirrors the HLL
+gate's absolute floor — at tiny n the ε·n band collapses below the
+sketch's tie/boundary resolution (empirically Spark's summaries land
+within 1 rank of the band there; the theoretical ε·n bound governs as
+n grows).
+
+Scale shape: the sketch itself is a mergeable partial aggregate (one
+shuffle on the group key, constant state per group); the bound check adds
+one broadcast of the tiny per-group estimates and a second keyed pass —
+and is a harness/validation construct, not something a production job
+re-runs per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["approx_quantiles_checked"]
+
+
+def approx_quantiles_checked(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+    accuracy: int = 100,
+) -> DataFrame:
+    """Per group: exact row count plus one boolean per requested quantile
+    asserting the sketch estimate's rank interval intersects
+    ⌈p·n⌉ ± max(1, ε·n), ε = 1/accuracy.
+
+    Checked as: count(v ≤ est) ≥ ⌈p·n⌉ − slack  AND
+    count(v < est) + 1 ≤ ⌈p·n⌉ + slack. Emits (group, n_rows,
+    q<pp>_ok...)."""
+    eps = 1.0 / accuracy
+    vals = df.select(F.col(group_col), F.col(value_col).alias("_v"))
+    agg = vals.groupBy(group_col).agg(
+        F.percentile_approx("_v", list(probs), accuracy).alias("_qs"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    est = agg.select(
+        F.col(group_col),
+        F.col("n_rows"),
+        F.posexplode("_qs").alias("_pi", "_est"),
+    )
+    ranked = (
+        vals.join(F.broadcast(est), group_col)
+        .groupBy(group_col, "_pi", "n_rows", "_est")
+        .agg(
+            F.sum((F.col("_v") <= F.col("_est")).cast("long")).alias("_le"),
+            F.sum((F.col("_v") < F.col("_est")).cast("long")).alias("_lt"),
+        )
+    )
+    p_arr = F.array(*[F.lit(p) for p in probs])
+    target = F.ceil(F.element_at(p_arr, F.col("_pi") + 1) * F.col("n_rows")).cast(
+        "double"
+    )
+    slack = F.greatest(F.lit(1.0), F.lit(eps) * F.col("n_rows").cast("double"))
+    checked = ranked.withColumn(
+        "_ok",
+        (F.col("_le").cast("double") >= target - slack)
+        & (F.col("_lt").cast("double") + 1.0 <= target + slack),
+    )
+    flags = [
+        F.max(F.when(F.col("_pi") == i, F.col("_ok"))).alias(
+            f"q{int(round(p * 100)):02d}_ok"
+        )
+        for i, p in enumerate(probs)
+    ]
+    return checked.groupBy(group_col, "n_rows").agg(*flags)

@@ -915,6 +915,14 @@ SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
 FROM kept WHERE rn = 1 GROUP BY doc_id
 """
 
+# quantile-sketch error-bound gate: the oracle pins the exact group
+# counts and TRUE for each rank-bound check (sketches.py)
+ORACLES["docs_token_quantiles"] = f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+       TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok, TRUE AS q90_ok
+FROM documents GROUP BY lang
+"""
+
 # stratified sampling: thresholds are exact integers (dyadic rates ×
 # 2^60) computed here once, so both engines compare identical literals
 _SAMPLE_H = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 15)) AS BIGINT)"

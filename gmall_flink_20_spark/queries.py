@@ -791,6 +791,20 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+def docs_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution per language via the percentile_approx
+    sketch, under the error-bound gate (operators/sketches.py): the oracle
+    pins the exact per-language doc count and literal TRUE for each
+    quantile's rank-bound check — a hash match proves the GK ε-guarantee
+    held for every (lang, quantile)."""
+    from .operators import sketches
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", F.size(text.tokens()).cast("long").alias("n_tokens")
+    )
+    return sketches.approx_quantiles_checked(docs, "lang", "n_tokens")
+
+
 def docs_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship curation composition: single-scan language + quality +
     exact-dedup-keeper selection (operators/curation.py)."""
@@ -950,6 +964,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_repetition": docs_repetition,
     "docs_line_dedup": docs_line_dedup,
     "docs_stratified_sample": docs_stratified_sample,
+    "docs_token_quantiles": docs_token_quantiles,
     "media_features": media_features,
     "docs_simhash": docs_simhash,
     "docs_simhash_neardup": docs_simhash_neardup,

@@ -384,3 +384,17 @@ def test_kmeans_assign_matches_centroid_argmin(spark):
     even = {out[i] for i in range(0, 40, 2)}
     odd = {out[i] for i in range(1, 40, 2)}
     assert even.isdisjoint(odd)
+
+
+def test_approx_quantiles_checked_bounds(spark):
+    from gmall_flink_20_spark.operators import sketches
+
+    # heavy ties + skew: the adversarial shape for rank-bound checks
+    rows = [("a", v % 7) for v in range(500)] + [("b", 1) for _ in range(200)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r.g: r for r in sketches.approx_quantiles_checked(df, "g", "v").collect()}
+    assert out["a"].n_rows == 500 and out["b"].n_rows == 200
+    for g in ("a", "b"):
+        assert all(
+            getattr(out[g], c) for c in ("q25_ok", "q50_ok", "q75_ok", "q90_ok")
+        ), out[g]
