@@ -42,6 +42,10 @@ BENCH_QUERIES = [
     "order_timeout",
     "pay_receipt_interval_join",
     "pay_receipt_reconcile",
+    "events_asof_attribution",
+    "events_funnel",
+    "events_retention",
+    "channel_behavior_pivot",
     "tpch_q1",
     "tpch_q2",
     "tpch_q3",
@@ -80,7 +84,9 @@ BENCH_QUERIES = [
     "docs_repetition",
     "docs_line_dedup",
     "docs_stratified_sample",
+    "docs_weighted_sample",
     "docs_token_quantiles",
+    "docs_tfidf_topk",
     "docs_neardup_verified",
     "media_features",
     "docs_simhash",

@@ -1,0 +1,221 @@
+"""Event-analytics operators a product-analytics engine is expected to
+ship on top of the reference's event model: as-of (temporal) join,
+funnel conversion, retention cohorts, and pivoted behavior counts.
+
+All four are expressed as declarative DataFrame plans shaped for the
+100 TB case:
+
+* ``asof_join`` — the union+window formulation: ONE shuffle on the join
+  key, no range/theta join, no per-row probe. This is the standard
+  scalable as-of (a sort-merge within each key partition), versus a
+  range join whose candidate set is data-dependent.
+* ``funnel`` / ``retention_cohorts`` — window functions partitioned by
+  user: Catalyst plans consecutive windows over the same partitioning
+  with a single exchange, so per-user state never round-trips.
+* ``pivot_counts`` — pivot with EXPLICIT values, so no extra collect
+  pass to discover the pivot domain, and the whole thing is one
+  map-side-combined aggregation.
+
+Reference scope: the reference's apps stop at windowed counts/top-N
+(e.g. channelApp.java:52-72 counts by channel×behavior); these extend
+the same event model to the joins/cohorts a warehouse team would add
+next, keeping the DuckDB-oracle parity discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "funnel", "retention_cohorts", "pivot_counts"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    time_col: str,
+    carry: dict[str, str],
+    right_tiebreak: str | None = None,
+    tolerance_s: int | None = None,
+) -> DataFrame:
+    """For each left row, attach the most recent right row of the same
+    ``key`` with ``right.time <= left.time`` (ties at equal timestamps
+    match — "as of now" includes now).
+
+    ``carry`` maps right-side column → output alias. ``right_tiebreak``
+    picks a winner among right rows sharing (key, time): the row with
+    the LARGEST tiebreak value wins (deterministic). ``tolerance_s``
+    nulls the carried values when the matched right row is older than
+    ``left.time - tolerance_s`` (the "don't attribute to a click from
+    last month" guard).
+
+    Plan shape: tag each side, union, one window per carried column
+    partitioned by key ordered by (time, side, tiebreak) with
+    ``last(..., ignorenulls)`` over rows-unbounded-preceding, then keep
+    the left rows. One exchange on ``key``; the sort is the merge step
+    of a sort-merge as-of. No range join, no broadcast requirement on
+    either side — both sides stream through the same partitioning, so
+    this survives two large inputs.
+    """
+    lcols = left.columns
+    lextra = [c for c in lcols if c not in (key, time_col)]
+    tb = right_tiebreak if right_tiebreak is not None else F.lit(0)
+    time_type = right.schema[time_col].dataType
+    r = right.select(
+        F.col(key),
+        F.col(time_col),
+        # side=0 sorts right rows BEFORE left rows at equal time, so a
+        # left row at t sees right rows at exactly t (<= semantics)
+        F.lit(0).alias("_side"),
+        (F.col(tb) if isinstance(tb, str) else tb).alias("_tb"),
+        F.col(time_col).cast(time_type).alias("_r_time"),
+        *[F.col(src).alias(f"_c_{alias}") for src, alias in carry.items()],
+    )
+    l = left.select(
+        F.col(key),
+        F.col(time_col),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_tb"].dataType).alias("_tb"),
+        F.lit(None).cast(time_type).alias("_r_time"),
+        *[F.lit(None).cast(r.schema[f"_c_{alias}"].dataType).alias(f"_c_{alias}") for alias in carry.values()],
+        *[F.col(c).alias(f"_l_{c}") for c in lextra],
+    )
+    r = r.select(
+        *[F.col(c) for c in r.columns],
+        *[F.lit(None).cast(l.schema[f"_l_{c}"].dataType).alias(f"_l_{c}") for c in lextra],
+    )
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(time_col).asc(), F.col("_side").asc(), F.col("_tb").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = r.unionByName(l)
+    out_cols = [F.last(f"_c_{alias}", ignorenulls=True).over(w).alias(alias) for alias in carry.values()]
+    matched_t = F.last("_r_time", ignorenulls=True).over(w).alias("_m_time")
+    res = carried.select(key, time_col, "_side", *[c for c in carried.columns if c.startswith("_l_")], *out_cols, matched_t)
+    res = res.filter(F.col("_side") == 1).drop("_side")
+    if tolerance_s is not None:
+        lag = (
+            F.expr(f"INTERVAL {int(tolerance_s)} SECONDS")
+            if str(time_type) == "TimestampType()"
+            else F.lit(int(tolerance_s))
+        )
+        keep = F.col("_m_time") >= F.col(time_col) - lag
+        res = res.select(
+            key,
+            time_col,
+            *[F.col(c) for c in res.columns if c.startswith("_l_")],
+            *[F.when(keep, F.col(a)).alias(a) for a in carry.values()],
+            F.when(keep, F.col("_m_time")).alias("_m_time"),
+        )
+    renames = {f"_l_{c}": c for c in lcols if c not in (key, time_col)}
+    for old, new in renames.items():
+        res = res.withColumnRenamed(old, new)
+    return res.withColumnRenamed("_m_time", "matched_time")
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    horizon_s: int,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel: users whose earliest qualifying chain
+    step[0] → step[1] → ... completes with every later step at or after
+    the previous step's time and within ``horizon_s`` of step[0].
+
+    Semantics (the standard "earliest chain" funnel): s0 = min time of
+    step[0]; s_i = min time of step[i] with s_{i-1} <= t <= s0 + horizon.
+    Greedy-earliest is optimal here: taking the earliest valid time for
+    each step never excludes a completion a later choice would allow.
+
+    Returns one row per step: (step, step_name, users).
+
+    Plan: one exchange on ``user_col``; each chained min is a window
+    over the same partitioning (no orderBy → no per-window sort), then
+    a single global aggregation of COUNT(s_i IS NOT NULL).
+    """
+    if not steps:
+        raise ValueError("funnel requires at least one step")
+    w = Window.partitionBy(user_col)
+    df = events.select(user_col, time_col, type_col)
+    horizon = (
+        F.expr(f"INTERVAL {int(horizon_s)} SECONDS")
+        if str(df.schema[time_col].dataType) == "TimestampType()"
+        else F.lit(int(horizon_s))
+    )
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == F.lit(step)
+        if i > 0:
+            cond = cond & (F.col(time_col) >= F.col(f"_s{i - 1}"))
+            cond = cond & (F.col(time_col) <= F.col("_s0") + horizon)
+        df = df.withColumn(f"_s{i}", F.min(F.when(cond, F.col(time_col))).over(w))
+    per_user = df.groupBy(user_col).agg(
+        *[F.max(f"_s{i}").alias(f"_s{i}") for i in range(len(steps))]
+    )
+    counts = per_user.agg(
+        *[F.count(f"_s{i}").alias(f"_n{i}") for i in range(len(steps))]
+    )
+    stack = ", ".join(f"{i + 1}, '{steps[i]}', _n{i}" for i in range(len(steps)))
+    return counts.select(
+        F.expr(f"stack({len(steps)}, {stack}) AS (step, step_name, users)")
+    ).select(F.col("step").cast("long"), "step_name", F.col("users").cast("long").alias("users"))
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Classic retention triangle: cohort users by their first active
+    day, count distinct users active at each day-offset from cohort day.
+
+    Returns (cohort_day string, day_offset long, users long).
+
+    Plan: window-min over ``user_col`` (one exchange) computes each
+    user's cohort day without a self-join, then one distinct-aggregate
+    on (cohort, offset, user) → (cohort, offset). Two shuffles total —
+    the same count a hand-written two-phase MR job would need.
+    """
+    day = F.to_date(F.col(time_col))
+    w = Window.partitionBy(user_col)
+    df = (
+        events.select(F.col(user_col), day.alias("_day"))
+        .withColumn("_cohort", F.min("_day").over(w))
+        .withColumn("_offset", F.datediff(F.col("_day"), F.col("_cohort")))
+    )
+    if max_offset is not None:
+        df = df.filter(F.col("_offset") <= max_offset)
+    return (
+        df.groupBy("_cohort", "_offset")
+        .agg(F.countDistinct(user_col).alias("users"))
+        .select(
+            F.col("_cohort").cast("string").alias("cohort_day"),
+            F.col("_offset").cast("long").alias("day_offset"),
+            F.col("users").cast("long").alias("users"),
+        )
+    )
+
+
+def pivot_counts(
+    df: DataFrame,
+    group_col: str,
+    pivot_col: str,
+    values: list[str],
+) -> DataFrame:
+    """Cross-tab: one row per ``group_col``, one column per pivot value,
+    cells = row counts (0 when absent).
+
+    ``values`` is explicit, so Spark skips the distinct-values discovery
+    job and the plan is a single map-side-combined aggregation — the
+    shape ``GROUP BY group`` + N conditional sums lowers to.
+    """
+    out = df.groupBy(group_col).pivot(pivot_col, values).count()
+    return out.select(
+        group_col, *[F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("long").alias(v) for v in values]
+    )

@@ -19,7 +19,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["HASH_SPACE", "sample_hash", "hash_sample", "stratified_sample"]
+__all__ = [
+    "HASH_SPACE",
+    "sample_hash",
+    "hash_sample",
+    "stratified_sample",
+    "weighted_sample",
+]
 
 HASH_SPACE = 1 << 60  # 15 hex chars of md5
 
@@ -65,3 +71,33 @@ def stratified_sample(
             thr
         )
     return df.filter(sample_hash(key_col, salt) < thr)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): each row gets priority ln(u)/w with u the row's
+    salted 60-bit md5 uniform mapped into (0,1); the k LARGEST
+    priorities are the sample, each row's inclusion probability
+    proportional to its weight.
+
+    Scale shape: the priority is a pure row-local expression (no
+    shuffle), and top-k lowers to TakeOrdered — per-partition heaps plus
+    a k-row driver merge, never a global sort. Deterministic across
+    runs, engines, partitionings, and retries; ties broken by key.
+    """
+    u = (sample_hash(key_col, salt).cast("double") + F.lit(1.0)) / F.lit(
+        float(HASH_SPACE) + 2.0
+    )
+    pri = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.withColumn("_pri", pri)
+        .orderBy(F.col("_pri").desc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("_pri")
+    )

@@ -12,7 +12,7 @@ the DuckDB oracle computes bit-identical values.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -24,6 +24,7 @@ __all__ = [
     "fingerprint",
     "winnowing_fingerprints",
     "repetition_features",
+    "tfidf_topk",
     "LANG_MARKERS",
 ]
 
@@ -259,3 +260,60 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     reproduces it exactly; at scale swap for xxhash64 — same plan shape)."""
     normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), _WS, " ")
     return df.select(F.col(id_col), F.md5(normalized.cast("binary")).alias("fp"))
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k keywords per document by smoothed tf-idf
+    (idf = ln((1+N)/(1+df)) + 1, the scikit-learn smoothing; score
+    rounded to 6 decimals so both engines hash identically).
+
+    Plan shape for 100 TB: terms come from one explode (no self-join);
+    document frequency is a map-side-combined two-column aggregate; the
+    corpus size N is a broadcast one-row aggregate (no driver collect,
+    no single-partition window). Ranking is a window over doc_id — the
+    same key the tf aggregate just shuffled on, so Catalyst reuses the
+    partitioning and the rank adds no exchange.
+    """
+    terms = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf").cast("double")
+                * (
+                    F.log(
+                        (F.lit(1.0) + F.col("n_docs").cast("double"))
+                        / (F.lit(1.0) + F.col("df").cast("double"))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -1269,3 +1269,121 @@ SELECT user_id, min(ts_s) AS session_start_s, max(ts_s) + 1800 AS session_end_s,
 FROM s GROUP BY user_id, sid
 """
 ORACLES["user_sessions_streaming"] = ORACLES["user_sessions"]
+
+# ---------------------------------------------------------- analytics ops
+
+# as-of join: DuckDB's native ASOF JOIN is the independent formulation of
+# the repo's union+window plan (analytics.asof_join). Right rows sharing
+# (user, second) collapse to the max-event_id winner first — the same
+# tiebreak the Spark side's (_side, _tb) sort applies.
+ORACLES["events_asof_attribution"] = f"""
+WITH p AS (
+    SELECT user_id, {_TS} AS ts_s, event_id
+    FROM events WHERE event_type = 'purchase'
+),
+c AS (
+    SELECT user_id, ts_s,
+           max_by(item_id, event_id) AS click_item
+    FROM (
+        SELECT user_id, {_TS} AS ts_s, event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id
+        FROM events WHERE event_type = 'click'
+    ) GROUP BY user_id, ts_s
+)
+SELECT p.user_id, p.ts_s, p.event_id,
+       CASE WHEN c.ts_s >= p.ts_s - 3600 THEN c.click_item END AS click_item,
+       CASE WHEN c.ts_s >= p.ts_s - 3600 THEN c.ts_s END AS click_ts_s
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts_s >= c.ts_s
+"""
+
+# funnel: identical earliest-chain semantics via chained filtered window
+# mins (analytics.funnel)
+ORACLES["events_funnel"] = f"""
+WITH e AS (SELECT user_id, {_TS} AS ts_s, event_type FROM events),
+s0 AS (
+    SELECT *, min(CASE WHEN event_type = 'view' THEN ts_s END)
+              OVER (PARTITION BY user_id) AS s0 FROM e
+),
+s1 AS (
+    SELECT *, min(CASE WHEN event_type = 'click' AND ts_s >= s0
+                        AND ts_s <= s0 + 86400 THEN ts_s END)
+              OVER (PARTITION BY user_id) AS s1 FROM s0
+),
+s2 AS (
+    SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_s >= s1
+                        AND ts_s <= s0 + 86400 THEN ts_s END)
+              OVER (PARTITION BY user_id) AS s2 FROM s1
+),
+u AS (SELECT user_id, max(s0) AS s0, max(s1) AS s1, max(s2) AS s2
+      FROM s2 GROUP BY user_id)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name, CAST(count(s0) AS BIGINT) AS users FROM u
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'click', CAST(count(s1) AS BIGINT) FROM u
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(s2) AS BIGINT) FROM u
+"""
+
+# retention cohorts (analytics.retention_cohorts)
+ORACLES["events_retention"] = """
+WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+c AS (SELECT *, min(day) OVER (PARTITION BY user_id) AS cohort FROM d)
+SELECT CAST(cohort AS VARCHAR) AS cohort_day,
+       CAST(day - cohort AS BIGINT) AS day_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users
+FROM c GROUP BY cohort, day - cohort
+"""
+
+# pivoted channel×behavior counts (analytics.pivot_counts)
+ORACLES["channel_behavior_pivot"] = """
+SELECT 'ch' || CAST(user_id % 4 AS VARCHAR) AS channel,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+FROM events GROUP BY channel
+"""
+
+# A-ES weighted sampling (sampling.weighted_sample): identical salted
+# 60-bit uniform and priority formula, identical tiebreak
+_WSAMPLE_H = (
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':wsample'), 1, 15)) "
+    "AS BIGINT)"
+)
+ORACLES["docs_weighted_sample"] = f"""
+SELECT doc_id, lang, source, n_chars FROM (
+    SELECT doc_id, lang, source, n_chars,
+           ln(({_WSAMPLE_H} + 1.0) / {float(1 << 60) + 2.0!r})
+             / CAST(n_chars AS DOUBLE) AS pri
+    FROM documents
+) ORDER BY pri DESC, doc_id ASC LIMIT 100
+"""
+
+# smoothed tf-idf top-3 keywords (text.tfidf_topk): identical
+# tokenization ([^a-z]+ on lower), smoothing, 6-dp rounding, tiebreaks
+ORACLES["docs_tfidf_topk"] = """
+WITH terms AS (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+    FROM documents
+),
+t AS (
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+    FROM terms WHERE term <> '' GROUP BY doc_id, term
+),
+d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+s AS (
+    SELECT doc_id, t.term, tf, df,
+           round(CAST(tf AS DOUBLE)
+                 * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0), 6) AS score
+    FROM t JOIN d ON t.term = d.term CROSS JOIN n
+),
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, term ASC) AS rank
+    FROM s
+)
+SELECT doc_id, term, tf, df, score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3
+"""

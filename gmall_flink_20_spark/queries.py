@@ -805,6 +805,100 @@ def docs_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.approx_quantiles_checked(docs, "lang", "n_tokens")
 
 
+def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (temporal) join: attach to every purchase the user's most
+    recent click at-or-before it, within a 1 h tolerance (last-touch
+    attribution). Union+window plan — one shuffle on user_id, no range
+    join (operators/analytics.asof_join). Times floored to epoch seconds
+    on both engines per the oracle convention; ties at equal (user, ts)
+    resolve to the click with the largest event_id."""
+    from .operators import analytics
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("long").alias("ts_s"), "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").cast("long").alias("ts_s"),
+        "event_id",
+        _item_id(),
+    )
+    out = analytics.asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        time_col="ts_s",
+        carry={"item_id": "click_item"},
+        right_tiebreak="event_id",
+        tolerance_s=3600,
+    )
+    return out.select(
+        "user_id",
+        "ts_s",
+        "event_id",
+        "click_item",
+        F.col("matched_time").cast("long").alias("click_ts_s"),
+    )
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase within 24 h of the first
+    view (earliest-chain semantics, operators/analytics.funnel). One
+    exchange on user_id; chained window mins, no self-joins."""
+    from .operators import analytics
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("long").alias("ts_s"), "event_type"
+    )
+    return analytics.funnel(
+        ev, ["view", "click", "purchase"], horizon_s=86400, time_col="ts_s"
+    )
+
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle: users cohorted by first active day, distinct
+    actives per (cohort_day, day_offset) (operators/analytics.
+    retention_cohorts). Window-min cohort assignment — no self-join."""
+    from .operators import analytics
+
+    return analytics.retention_cohorts(_events(spark, sf_dir))
+
+
+def channel_behavior_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tab of the reference's channel×behavior counts
+    (channelApp.java:52-72 re-shaped): one row per channel, one column
+    per behavior. Explicit pivot values → single map-side-combined agg,
+    no domain-discovery job (operators/analytics.pivot_counts)."""
+    from .operators import analytics
+
+    ev = _events(spark, sf_dir).select(_channel(), "event_type")
+    return analytics.pivot_counts(
+        ev, "channel", "event_type", ["click", "view", "purchase", "signup", "error"]
+    )
+
+
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES, operators/sampling.weighted_sample): 100 docs drawn
+    with probability ∝ n_chars. Row-local priorities + TakeOrdered —
+    no global sort, reproducible across engines and partitionings."""
+    from .operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.weighted_sample(docs, k=100, weight_col="n_chars").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 keywords per document by smoothed tf-idf (operators/text.
+    tfidf_topk): explode → two map-side-combined aggs → broadcast scalar
+    N → rank over the tf partitioning. No driver collect; score rounded
+    to 6 dp so both engines hash identically."""
+    return text.tfidf_topk(load_table(spark, sf_dir, "documents"), k=3)
+
+
 def docs_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship curation composition: single-scan language + quality +
     exact-dedup-keeper selection (operators/curation.py)."""
@@ -923,6 +1017,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_dedup_streaming": events_dedup_streaming,
     "pay_receipt_interval_join": pay_receipt_interval_join,
     "pay_receipt_reconcile": pay_receipt_reconcile,
+    # event analytics (as-of join, funnel, retention, pivot)
+    "events_asof_attribution": events_asof_attribution,
+    "events_funnel": events_funnel,
+    "events_retention": events_retention,
+    "channel_behavior_pivot": channel_behavior_pivot,
     # scale/bench plans (all 22 TPC-H shapes, adapted to the reduced schema)
     "tpch_q1": tpch.q1_pricing_summary,
     "tpch_q2": tpch.q2_min_cost_supplier,
@@ -964,7 +1063,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_repetition": docs_repetition,
     "docs_line_dedup": docs_line_dedup,
     "docs_stratified_sample": docs_stratified_sample,
+    "docs_weighted_sample": docs_weighted_sample,
     "docs_token_quantiles": docs_token_quantiles,
+    "docs_tfidf_topk": docs_tfidf_topk,
     "media_features": media_features,
     "docs_simhash": docs_simhash,
     "docs_simhash_neardup": docs_simhash_neardup,

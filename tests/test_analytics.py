@@ -1,0 +1,211 @@
+"""Unit tests for operators/analytics.py (as-of join, funnel, retention,
+pivot), sampling.weighted_sample, and text.tfidf_topk — semantics on
+hand-built frames plus the plan-shape contracts."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from gmall_flink_20_spark.operators import analytics, sampling, text
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+# ------------------------------------------------------------ as-of join
+
+
+def test_asof_join_basic_and_ties(spark):
+    left = spark.createDataFrame(
+        [Row(k=1, t=10, oid="a"), Row(k=1, t=5, oid="b"), Row(k=2, t=7, oid="c")]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, t=5, rid=1, v="r1"),
+            Row(k=1, t=5, rid=2, v="r2"),  # tie at t=5 → larger rid wins
+            Row(k=1, t=9, rid=3, v="r3"),
+            Row(k=2, t=8, rid=4, v="r4"),  # after left t=7 → no match
+        ]
+    )
+    out = analytics.asof_join(
+        left, right, key="k", time_col="t", carry={"v": "v"}, right_tiebreak="rid"
+    )
+    got = {(r.k, r.t): (r.v, r.matched_time) for r in out.collect()}
+    assert got[(1, 10)] == ("r3", 9)
+    assert got[(1, 5)] == ("r2", 5)  # <= semantics + max-rid tiebreak
+    assert got[(2, 7)] == (None, None)
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    left = spark.createDataFrame([Row(k=1, t=100, oid="a")])
+    right = spark.createDataFrame([Row(k=1, t=10, rid=1, v="old")])
+    out = analytics.asof_join(
+        left, right, key="k", time_col="t", carry={"v": "v"},
+        right_tiebreak="rid", tolerance_s=50,
+    )
+    row = out.collect()[0]
+    assert row.v is None and row.matched_time is None
+
+
+def test_asof_join_single_exchange(spark):
+    left = spark.createDataFrame([Row(k=1, t=10, oid="a")])
+    right = spark.createDataFrame([Row(k=1, t=5, rid=1, v="x")])
+    plan = _plan(
+        analytics.asof_join(
+            left, right, key="k", time_col="t", carry={"v": "v"}, right_tiebreak="rid"
+        )
+    )
+    # union + window: exactly one shuffle on the key, no join operator
+    assert plan.count(") Exchange") == 1 and "hashpartitioning(k" in plan
+    assert "Join" not in plan
+
+
+# --------------------------------------------------------------- funnel
+
+
+def test_funnel_earliest_chain(spark):
+    ev = spark.createDataFrame(
+        [
+            # u1 completes A→B→C in order
+            Row(user_id=1, ts_s=10, event_type="A"),
+            Row(user_id=1, ts_s=20, event_type="B"),
+            Row(user_id=1, ts_s=30, event_type="C"),
+            # u2: C before B → stops after B
+            Row(user_id=2, ts_s=10, event_type="A"),
+            Row(user_id=2, ts_s=15, event_type="C"),
+            Row(user_id=2, ts_s=20, event_type="B"),
+            # u3: B only (no A) → reaches no step
+            Row(user_id=3, ts_s=10, event_type="B"),
+        ]
+    )
+    out = analytics.funnel(ev, ["A", "B", "C"], horizon_s=1000, time_col="ts_s")
+    got = {r.step_name: r.users for r in out.collect()}
+    assert got == {"A": 2, "B": 2, "C": 1}
+
+
+def test_funnel_horizon_excludes_late_completion(spark):
+    ev = spark.createDataFrame(
+        [
+            Row(user_id=1, ts_s=0, event_type="A"),
+            Row(user_id=1, ts_s=2000, event_type="B"),  # outside horizon of A@0
+        ]
+    )
+    out = analytics.funnel(ev, ["A", "B"], horizon_s=1000, time_col="ts_s")
+    got = {r.step_name: r.users for r in out.collect()}
+    assert got == {"A": 1, "B": 0}
+
+
+def test_funnel_same_timestamp_step_counts(spark):
+    # step at exactly the same second as the previous step qualifies (>=)
+    ev = spark.createDataFrame(
+        [Row(user_id=1, ts_s=5, event_type="A"), Row(user_id=1, ts_s=5, event_type="B")]
+    )
+    out = analytics.funnel(ev, ["A", "B"], horizon_s=10, time_col="ts_s")
+    got = {r.step_name: r.users for r in out.collect()}
+    assert got == {"A": 1, "B": 1}
+
+
+def test_funnel_single_exchange(spark):
+    ev = spark.createDataFrame([Row(user_id=1, ts_s=0, event_type="A")])
+    plan = _plan(analytics.funnel(ev, ["A", "B", "C"], horizon_s=10, time_col="ts_s"))
+    # chained window mins share ONE hash partitioning on user_id; the
+    # only other exchange is the single-row global-agg gather
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert plan.count(") Exchange") == 2
+
+
+# ------------------------------------------------------------- retention
+
+
+def test_retention_cohorts(spark):
+    ev = spark.createDataFrame(
+        [
+            Row(user_id=1, ts="2024-01-01 10:00:00"),
+            Row(user_id=1, ts="2024-01-03 09:00:00"),
+            Row(user_id=2, ts="2024-01-01 23:59:59"),
+            Row(user_id=2, ts="2024-01-01 08:00:00"),
+        ]
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    out = analytics.retention_cohorts(ev)
+    got = {(r.cohort_day, r.day_offset): r.users for r in out.collect()}
+    assert got == {("2024-01-01", 0): 2, ("2024-01-01", 2): 1}
+
+
+# ----------------------------------------------------------------- pivot
+
+
+def test_pivot_counts_fills_absent_with_zero(spark):
+    df = spark.createDataFrame(
+        [Row(g="x", v="a"), Row(g="x", v="a"), Row(g="y", v="b")]
+    )
+    out = analytics.pivot_counts(df, "g", "v", ["a", "b", "c"])
+    got = {r.g: (r.a, r.b, r.c) for r in out.collect()}
+    assert got == {"x": (2, 0, 0), "y": (0, 1, 0)}
+
+
+def test_pivot_no_domain_discovery_job(spark):
+    # explicit values → building the plan schedules no Spark job
+    df = spark.createDataFrame([Row(g="x", v="a")])
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    out = analytics.pivot_counts(df, "g", "v", ["a", "b"])
+    _ = out.schema
+    assert tracker.getJobIdsForGroup(None) == before
+
+
+# ------------------------------------------------------ weighted sampling
+
+
+def test_weighted_sample_deterministic_and_sized(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 1).alias("w")
+    )
+    a = sampling.weighted_sample(df, 50, "w", key_col="doc_id")
+    b = sampling.weighted_sample(df.repartition(7), 50, "w", key_col="doc_id")
+    ra = sorted(r.doc_id for r in a.collect())
+    rb = sorted(r.doc_id for r in b.collect())
+    assert len(ra) == 50 and ra == rb  # partitioning-independent
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    # one row with overwhelming weight is (near-)always selected
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 7, F.lit(10_000_000)).otherwise(F.lit(1)).alias("w"),
+    )
+    out = sampling.weighted_sample(df, 5, "w", key_col="doc_id")
+    assert 7 in {r.doc_id for r in out.collect()}
+
+
+# ----------------------------------------------------------------- tfidf
+
+
+def test_tfidf_scores_and_ranks(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="apple apple banana"),
+            Row(doc_id=2, text="banana cherry"),
+        ]
+    )
+    out = text.tfidf_topk(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: apple tf=2 df=1 beats banana tf=1 df=2
+    top1 = sorted(by_doc[1], key=lambda r: r.rank)
+    assert [r.term for r in top1] == ["apple", "banana"]
+    idf_apple = math.log((1 + 2) / (1 + 1)) + 1
+    assert abs(top1[0].score - round(2 * idf_apple, 6)) < 1e-9
+    # ranks are dense per doc starting at 1
+    assert [r.rank for r in top1] == [1, 2]
+
+
+def test_tfidf_no_python_udf(spark, sf_dir):
+    from gmall_flink_20_spark.io import load_table
+
+    plan = _plan(text.tfidf_topk(load_table(spark, sf_dir, "documents"), k=3))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
