@@ -151,19 +151,24 @@ def kmeans_centroids_local(
     init = emb.filter(F.col(id_col) < nlist).select(F.col(id_col), F.col(vec_col)).collect()
     cents = sorted((int(r[id_col]), [float(x) for x in r[vec_col]]) for r in init)
     for _ in range(iters):
+        # per-cell means via ONE posexplode + (cid, pos) agg — a fixed
+        # 4-column plan regardless of dim (building dim separate
+        # round(avg(getItem)) columns costs ~0.8 s of driver-side py4j
+        # per iteration; the exploded agg is nlist×dim rows, trivial)
         means_rows = (
             emb.withColumn("_cid", _assign_udf(cents)(F.col(vec_col)))
-            .groupBy("_cid")
-            .agg(
-                *[
-                    F.round(F.avg(F.col(vec_col).getItem(i).cast("double")), 6).alias(f"_m{i}")
-                    for i in range(dim)
-                ]
-            )
+            .select("_cid", F.posexplode(F.col(vec_col)).alias("_pos", "_x"))
+            .groupBy("_cid", "_pos")
+            .agg(F.round(F.avg(F.col("_x").cast("double")), 6).alias("_m"))
             .collect()
         )
-        new = {int(r["_cid"]): [float(r[f"_m{i}"]) for i in range(dim)] for r in means_rows}
-        cents = [(cid, new.get(cid, cv)) for cid, cv in cents]
+        new: dict[int, dict[int, float]] = {}
+        for r in means_rows:
+            new.setdefault(int(r["_cid"]), {})[int(r["_pos"])] = float(r["_m"])
+        cents = [
+            (cid, [new[cid][i] for i in range(dim)] if cid in new else cv)
+            for cid, cv in cents
+        ]
     return cents
 
 
