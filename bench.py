@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "emb_ann_lsh_multiprobe",
     "emb_ann_ivf",
     "emb_ann_ivf_trained",
+    "emb_ann_pq",
     "emb_kmeans",
     "emb_cosine_neardup",
 ]

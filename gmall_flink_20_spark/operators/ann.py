@@ -34,6 +34,8 @@ __all__ = [
     "kmeans_assign",
     "with_unit",
     "cosine_near_dup_blocked",
+    "pq_train_local",
+    "ann_pq_topk",
 ]
 
 
@@ -481,4 +483,158 @@ def cosine_near_dup_blocked(
         .filter(F.col("score") >= threshold)
         # ids only: raw float scores are engine-representation-sensitive
         .select(F.col("vid_a").alias("vec_a"), F.col("vid_b").alias("vec_b"))
+    )
+
+
+# ------------------------------------------------------------------- PQ
+
+
+def _pq_encode_udf(codebooks: list[list[tuple[int, list[float]]]], m: int, subdim: int):
+    """Arrow-vectorized PQ encoder: embedding → array<int> of m codes
+    (argmin sub-distance per subspace, ties to the lowest codeword id).
+    Row-local — the corpus is scanned, never shuffled, to encode."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ids = np.array([[cid for cid, _ in cb] for cb in codebooks])  # (m, ks)
+    C = np.array([[cv for _, cv in cb] for cb in codebooks])  # (m, ks, subdim)
+
+    def encode(v):
+        V = np.array(v.tolist(), dtype=np.float64).reshape(len(v), m, subdim)
+        d2 = ((V[:, :, None, :] - C[None, :, :, :]) ** 2).sum(-1)  # (n, m, ks)
+        am = np.argmin(d2, axis=2)  # first minimum → lowest cid (rows sorted)
+        codes = np.take_along_axis(np.broadcast_to(ids, d2.shape[:2] + (ids.shape[1],)), am[:, :, None], 2)
+        return pd.Series([row.astype("int32").tolist() for row in codes[:, :, 0]])
+
+    encode.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(encode, "array<int>")
+
+
+def pq_train_local(
+    emb: DataFrame,
+    m: int = 8,
+    subdim: int = 8,
+    ks: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """Deterministic per-subspace Lloyd training of the PQ codebooks
+    (m subspaces × ks codewords × subdim dims), same contract as
+    ``kmeans_centroids_local``: init from the ks lowest-id vectors'
+    subvectors, means rounded to 6 decimals, empty cells carry forward,
+    ties on codeword id.
+
+    One job per iteration: the encoder UDF assigns ALL subspaces in a
+    single row-local pass, then one posexplode over the full vector
+    feeds a (subspace, codeword, position) mean — the fixed-size plan
+    shape regardless of m·ks·subdim. Codebooks (m·ks·subdim doubles,
+    ~8 KB) live driver-side like any quantizer literal."""
+    dim = m * subdim
+    init = emb.filter(F.col(id_col) < ks).select(F.col(id_col), F.col(vec_col)).collect()
+    rows = sorted((int(r[id_col]), [float(x) for x in r[vec_col]]) for r in init)
+    books = [
+        [(cid, v[j * subdim : (j + 1) * subdim]) for cid, v in rows]
+        for j in range(m)
+    ]
+    for _ in range(iters):
+        enc = _pq_encode_udf(books, m, subdim)
+        means_rows = (
+            emb.select(F.col(id_col), F.col(vec_col), enc(F.col(vec_col)).alias("_codes"))
+            .select("_codes", F.posexplode(F.col(vec_col)).alias("_p", "_x"))
+            .select(
+                (F.col("_p") / subdim).cast("int").alias("_j"),
+                F.element_at("_codes", (F.col("_p") / subdim).cast("int") + 1).alias("_cid"),
+                (F.col("_p") % subdim).alias("_pos"),
+                F.col("_x").cast("double").alias("_x"),
+            )
+            .groupBy("_j", "_cid", "_pos")
+            .agg(F.round(F.avg("_x"), 6).alias("_mean"))
+            .collect()
+        )
+        new: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means_rows:
+            new.setdefault((int(r["_j"]), int(r["_cid"])), {})[int(r["_pos"])] = float(r["_mean"])
+        books = [
+            [
+                (cid, [new[(j, cid)][i] for i in range(subdim)] if (j, cid) in new else cv)
+                for cid, cv in books[j]
+            ]
+            for j in range(m)
+        ]
+    return books
+
+
+def ann_pq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    m: int = 8,
+    subdim: int = 8,
+    ks: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC) — the classic memory-bound 100 TB similarity-search path
+    (Jégou et al., "Product Quantization for Nearest Neighbor Search"):
+    the corpus is stored as m small codes (8 bytes/vector here vs 256
+    for raw floats), and each query scans codes with a precomputed
+    distance table instead of touching the vectors.
+
+    Plan shape: (1) train codebooks (driver-side literals, see
+    pq_train_local); (2) encode the corpus ROW-LOCALLY (one Arrow pass,
+    zero shuffle — at 100 TB this is the one full scan, and its output
+    is 32× smaller than the input); (3) per query, the m×ks distance
+    table is computed driver-side from the tiny collected query batch
+    and broadcast as a flat literal column, so scoring is a row-local
+    fixed-order 8-term lookup sum over the code array — whole-stage
+    codegen, no join, no shuffle before the per-query top-k rank.
+
+    Determinism contract (mirrored bit-for-bit by the SQL oracle): the
+    distance-table entries are sequential left-to-right folds, and the
+    ADC sum runs in ascending subspace order in both engines, so the
+    approximate distances are identical doubles; ranking ties (e.g.
+    identical codes) break on neighbor_id. Approximate recall is the
+    PQ trade-off (documented), not a correctness gap — the gate checks
+    the PQ semantics themselves.
+    """
+    books = pq_train_local(emb, m, subdim, ks, iters, id_col, vec_col)
+    enc = _pq_encode_udf(books, m, subdim)
+    encoded = emb.select(F.col(id_col).alias("neighbor_id"), enc(F.col(vec_col)).alias("codes"))
+
+    qrows = sorted(
+        (int(r[id_col]), [float(x) for x in r[vec_col]])
+        for r in emb.filter(F.col(id_col).isin(query_ids)).select(id_col, vec_col).collect()
+    )
+    spark = emb.sparkSession
+    # flat distance table per query: dt[j*ks + cid] = ||q_j - c_{j,cid}||²
+    # computed sequentially left-to-right (matches the oracle's fold)
+    qdt = []
+    for qid, qv in qrows:
+        dt = []
+        for j in range(m):
+            for cid, cv in books[j]:
+                s = 0.0
+                for i in range(subdim):
+                    d = qv[j * subdim + i] - cv[i]
+                    s = s + d * d
+                dt.append(s)
+        qdt.append((qid, dt))
+    queries = spark.createDataFrame(qdt, "query_id long, dt array<double>")
+
+    dist = None
+    for j in range(m):
+        term = F.element_at("dt", F.lit(j * ks) + F.element_at("codes", j + 1) + 1)
+        dist = term if dist is None else dist + term
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        encoded.crossJoin(F.broadcast(queries))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("dist", dist)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
     )

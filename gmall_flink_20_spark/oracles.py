@@ -1387,3 +1387,70 @@ r AS (
 SELECT doc_id, term, tf, df, score, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= 3
 """
+
+
+def _pq_sql(m: int = 8, subdim: int = 8, ks: int = 16, iters: int = 2, k: int = 5) -> str:
+    """PQ/ADC oracle (mirrors ann.ann_pq_topk): per-subspace Lloyd CTE
+    chain (round-6 means, empty-cell carry-forward, cid tiebreaks),
+    row_number encoding, and an ADC sum whose distance-table entries and
+    subspace-order fold reproduce the Spark side's sequential doubles
+    bit-for-bit (list aggregation ordered by (j, cid) / j)."""
+    dl2 = (
+        f"list_sum(list_transform(range(1, {subdim + 1}), "
+        "i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])))"
+    )
+    means = ", ".join(f"round(avg(sv[{i + 1}]), 6)" for i in range(subdim))
+    ctes = [
+        f"""sub AS (
+    SELECT vec_id, g.j,
+           list_transform(range(1, {subdim + 1}),
+                          i -> CAST(embedding[g.j * {subdim} + i] AS DOUBLE)) AS sv
+    FROM embeddings, generate_series(0, {m - 1}) AS g(j)
+)""",
+        f"cents0 AS (SELECT j, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < {ks})",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""a{t} AS (
+    SELECT vec_id, j, sv, cid FROM (
+        SELECT s.vec_id, s.j, s.sv, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.j
+                                  ORDER BY {dl2} ASC, c.cid ASC) AS rn
+        FROM sub s JOIN cents{t - 1} c ON s.j = c.j) WHERE rn = 1
+)"""
+        )
+        ctes.append(f"m{t} AS (SELECT j, cid, [{means}] AS mv FROM a{t} GROUP BY j, cid)")
+        ctes.append(
+            f"cents{t} AS (SELECT c.j, c.cid, COALESCE(m.mv, c.cv) AS cv "
+            f"FROM cents{t - 1} c LEFT JOIN m{t} m ON c.j = m.j AND c.cid = m.cid)"
+        )
+    final = f"""enc AS (
+    SELECT vec_id, j, cid FROM (
+        SELECT s.vec_id, s.j, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.j
+                                  ORDER BY {dl2} ASC, c.cid ASC) AS rn
+        FROM sub s JOIN cents{iters} c ON s.j = c.j) WHERE rn = 1
+),
+codes AS (SELECT vec_id, list(cid ORDER BY j) AS codes FROM enc GROUP BY vec_id),
+dt AS (
+    SELECT s.vec_id AS query_id, s.j, c.cid, {dl2} AS d2
+    FROM sub s JOIN cents{iters} c ON s.j = c.j
+    WHERE s.vec_id < 10
+),
+dtl AS (SELECT query_id, list(d2 ORDER BY j, cid) AS dt FROM dt GROUP BY query_id),
+scored AS (
+    SELECT d.query_id, co.vec_id AS neighbor_id,
+           list_sum(list_transform(range({m}),
+                    j -> dt[j * {ks} + codes[j + 1] + 1])) AS dist
+    FROM dtl d, codes co WHERE d.query_id <> co.vec_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dist ASC, neighbor_id ASC) AS rank
+    FROM scored
+) WHERE rank <= {k}"""
+    return "WITH " + ",\n".join(ctes) + ",\n" + final
+
+
+ORACLES["emb_ann_pq"] = _pq_sql()

@@ -966,6 +966,19 @@ def emb_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ann_ivf_topk(emb, list(range(10)), 5, nlist=16, nprobe=4, train_iters=3)
 
 
+def emb_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with ADC scoring (operators/ann.
+    ann_pq_topk): codebooks trained per subspace (2 deterministic Lloyd
+    iterations), corpus encoded row-locally to 8 one-byte codes, queries
+    scored via broadcast distance-table lookups — no join, no shuffle
+    before the per-query rank. The 32×-compression scan path for
+    100 TB similarity search."""
+    from .operators import ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.ann_pq_topk(emb, query_ids=list(range(10)), k=5)
+
+
 def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding clustering as a first-class operator
     (operators/ann.kmeans_assign): per-vector cluster id after 3
@@ -1074,6 +1087,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_ann_lsh_multiprobe": emb_ann_lsh_multiprobe,
     "emb_ann_ivf": emb_ann_ivf,
     "emb_ann_ivf_trained": emb_ann_ivf_trained,
+    "emb_ann_pq": emb_ann_pq,
     "emb_kmeans": emb_kmeans,
     "emb_cosine_neardup": emb_cosine_neardup,
 }

@@ -398,3 +398,49 @@ def test_approx_quantiles_checked_bounds(spark):
         assert all(
             getattr(out[g], c) for c in ("q25_ok", "q50_ok", "q75_ok", "q90_ok")
         ), out[g]
+
+
+# ------------------------------------------------------------------- PQ
+
+
+def test_pq_duplicate_vectors_get_identical_codes(spark):
+    from gmall_flink_20_spark.io import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    books = ann.pq_train_local(emb, m=8, subdim=8, ks=16, iters=1)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    assert all(len(cv) == 8 for b in books for _, cv in b)
+    enc = ann._pq_encode_udf(books, 8, 8)
+    # a vector duplicated under two ids encodes to the same codes
+    dup = emb.limit(1).select(F.lit(900001).alias("vec_id"), "embedding").unionByName(
+        emb.limit(1).select(F.lit(900002).alias("vec_id"), "embedding")
+    )
+    rows = dup.select("vec_id", enc(F.col("embedding")).alias("codes")).collect()
+    assert rows[0].codes == rows[1].codes
+    assert all(0 <= c < 16 for c in rows[0].codes)
+
+
+def test_pq_topk_ranks_dense_and_recall_positive(spark):
+    from gmall_flink_20_spark.io import load_table
+    from gmall_flink_20_spark.operators import similarity
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = ann.ann_pq_topk(emb, query_ids=[0, 1, 2], k=5).collect()
+    by_q = {}
+    for r in out:
+        assert r.query_id != r.neighbor_id
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert set(by_q) == {0, 1, 2}
+    for ranks in by_q.values():
+        assert sorted(ranks) == [1, 2, 3, 4, 5]
+    # ADC is approximate, but on real data it must overlap the exact
+    # top-20 cosine neighbors for most queries (sanity, not a tight bound)
+    exact = similarity.ann_bruteforce_topk(emb, [0, 1, 2], 20)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(
+        len(set(n for q2, n in [(r.query_id, r.neighbor_id) for r in out if r.query_id == q]) & exact_sets[q])
+        for q in by_q
+    )
+    assert hits >= 3
