@@ -46,9 +46,14 @@ def default_sf_dir() -> str:
 def _ensure_session_conf(spark: SparkSession) -> None:
     """Make any caller-provided session able to read the test tables and
     hash-match the oracle: ns parquet readable, dates/windows in UTC.
-    Both are runtime-settable SQL confs, so this works even when the
-    caller (e.g. the verify driver) built a plain SparkSession."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Runtime-settable SQL confs, so this works even when the caller
+    (e.g. the verify driver) built a plain SparkSession. ``nanosAsLong``
+    is gone in newer Sparks (ns parquet reads as TIMESTAMP_NTZ instead —
+    ``_normalize_events`` handles both), so it's best-effort."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
@@ -62,9 +67,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _normalize_events(df: DataFrame) -> DataFrame:
-    """ns-long → µs timestamp. `ts DIV 1000` stays in integer arithmetic."""
-    if dict(df.dtypes).get("ts") == "bigint":
+    """Normalize ``ts`` to a session-tz (UTC) TIMESTAMP whatever the
+    reader produced for the TIMESTAMP(NANOS) parquet column:
+
+    - older Sparks + ``nanosAsLong``: BIGINT ns → µs via ``ts DIV 1000``
+      (integer division — a double division would lose precision at
+      1.7e18 ns);
+    - newer Sparks (no legacy conf): TIMESTAMP_NTZ with the ns value
+      floor-truncated to µs — bit-identical to the DIV path (verified
+      against DuckDB's ``epoch_ns(ts)//1000``); cast to LTZ so downstream
+      ``cast("long")`` epoch-second floors keep working.
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

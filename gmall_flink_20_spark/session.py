@@ -49,7 +49,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # The driver's events table stores TIMESTAMP(NANOS) which Spark has
-        # no native type for; read as long (ns since epoch), convert in io.
+        # no native type for; older Sparks read it as long via this legacy
+        # conf, newer ones ignore the conf and read TIMESTAMP_NTZ —
+        # io._normalize_events handles both representations.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Arrow transfer for the Pandas-UDF/applyInPandas slow path.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
