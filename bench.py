@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "events_asof_attribution",
     "events_funnel",
     "events_retention",
+    "events_rate_anomaly",
     "channel_behavior_pivot",
     "tpch_q1",
     "tpch_q2",
@@ -87,6 +88,10 @@ BENCH_QUERIES = [
     "docs_weighted_sample",
     "docs_token_quantiles",
     "docs_tfidf_topk",
+    "docs_decontaminate",
+    "docs_pack_sequences",
+    "docs_collocations",
+    "docs_vocabulary",
     "docs_neardup_verified",
     "media_features",
     "docs_simhash",

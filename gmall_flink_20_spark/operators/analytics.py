@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "funnel", "retention_cohorts", "pivot_counts"]
+__all__ = ["asof_join", "funnel", "retention_cohorts", "pivot_counts", "rate_anomaly"]
 
 
 def asof_join(
@@ -218,4 +218,69 @@ def pivot_counts(
     out = df.groupBy(group_col).pivot(pivot_col, values).count()
     return out.select(
         group_col, *[F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("long").alias(v) for v in values]
+    )
+
+
+def rate_anomaly(
+    events: DataFrame,
+    bucket_s: int = 3600,
+    trailing: int = 24,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Event-rate anomaly detection: z-score of each time bucket's count
+    against the trailing ``trailing`` observed buckets of the same key.
+
+    Emits only buckets with a full trailing history and non-constant
+    history (exact integer gate ``trailing·Σx² − (Σx)² > 0``, no float
+    epsilon). The z-score is computed from exact integer sums in a fixed
+    expression order and rounded to 6 decimals, so the DuckDB oracle
+    reproduces it bit-for-bit; the anomaly flag compares the ROUNDED
+    score so the flag can't straddle an engine ulp.
+
+    Plan shape for 100 TB: one map-side-combined count per (key, bucket)
+    — shuffle volume is bucket×key cardinality, independent of event
+    rate — then one window per key ordered by bucket. The window's
+    re-exchange on the bare key only moves the AGGREGATED bucket rows
+    (thousands per key), so keeping the fine (key, bucket) partitioning
+    for the raw-event aggregate is the right trade: full parallelism
+    where the data is big, a tiny shuffle where it's small.
+    """
+    bucket_end = (
+        F.col(ts_col).cast("long")
+        - (F.col(ts_col).cast("long") % F.lit(bucket_s))
+        + F.lit(bucket_s)
+    ).alias("bucket_end_s")
+    counts = events.groupBy(F.col(key_col), bucket_end).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_end_s")
+        .rowsBetween(-trailing, -1)
+    )
+    t = float(trailing)
+    hist = counts.select(
+        F.col(key_col),
+        F.col("bucket_end_s"),
+        F.col("cnt"),
+        F.count(F.lit(1)).over(w).alias("n_hist"),
+        F.sum("cnt").over(w).cast("long").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).cast("long").alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.lit(t)
+    # population variance from exact integer sums: (n·Σx² − (Σx)²) / n²
+    var_num = F.lit(trailing) * F.col("ss") - F.col("s") * F.col("s")
+    var = var_num.cast("double") / F.lit(t * t)
+    z = F.round((F.col("cnt").cast("double") - mean) / F.sqrt(var), 6)
+    return (
+        hist.filter((F.col("n_hist") == trailing) & (var_num > 0))
+        .select(
+            F.col(key_col),
+            F.col("bucket_end_s"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(mean, 6).alias("mean_trailing"),
+            z.alias("zscore"),
+            (F.abs(z) > F.lit(3.0)).alias("is_anomaly"),
+        )
     )

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from .text import LANG_MARKERS, tokens
 
-__all__ = ["corpus_select"]
+__all__ = ["corpus_select", "decontaminate"]
 
 
 def corpus_select(
@@ -78,4 +78,72 @@ def corpus_select(
             & (F.col("stopword_ratio") >= min_stopword_ratio)
         )
         .drop("_rn")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share any
+    word ``n``-gram with a benchmark (eval) document — the standard
+    n-gram-overlap test-set-leak filter applied before training.
+
+    Output: one row per corpus document with the count of distinct
+    benchmark-overlapping n-grams and a ``contaminated`` flag.
+
+    Plan shape for 100 TB: corpus grams are one explode + distinct —
+    never joined to themselves; the benchmark side (eval suites are
+    small: thousands of docs, millions of grams) is deduped and
+    BROADCAST, so the contamination check is a map-side hash probe with
+    no shuffle of the corpus gram stream beyond the per-doc distinct.
+    The gram key is md5 (portable to the DuckDB oracle); at production
+    scale swap for xxhash64 — same plan shape.
+    """
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        base = df.select(F.col(id_col), toks.alias("toks")).filter(
+            F.size("toks") >= n
+        )
+        return (
+            base.select(
+                F.col(id_col),
+                F.explode(F.sequence(F.lit(0), F.size("toks") - n)).alias("i"),
+                F.col("toks"),
+            )
+            .select(
+                F.col(id_col),
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        *[F.element_at("toks", F.col("i") + j + 1) for j in range(n)],
+                    ).cast("binary")
+                ).alias("h"),
+            )
+            .distinct()
+        )
+
+    corpus_grams = grams(corpus)
+    bench_grams = grams(benchmark).select("h").distinct()
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+    return (
+        corpus.select(F.col(id_col))
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_contaminated_grams"), F.lit(0))
+            .cast("long")
+            .alias("n_contaminated_grams"),
+            (F.coalesce(F.col("n_contaminated_grams"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
     )

@@ -25,6 +25,8 @@ __all__ = [
     "winnowing_fingerprints",
     "repetition_features",
     "tfidf_topk",
+    "collocations_topk",
+    "vocabulary",
     "LANG_MARKERS",
 ]
 
@@ -316,4 +318,111 @@ def tfidf_topk(
             "score",
             F.col("rank").cast("long").alias("rank"),
         )
+    )
+
+
+def collocations_topk(
+    df: DataFrame,
+    k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k corpus collocations (adjacent word pairs) by PMI.
+
+    PMI = ln( (c12/N_pair) / ((c1/N_tok) * (c2/N_tok)) ) with unigram
+    counts c1/c2 over ALL tokens and pair counts over adjacent pairs;
+    ``min_count`` guards the low-frequency PMI blowup. The score is
+    rounded to 6 decimals and the rank orders by the ROUNDED score (then
+    words), so both engines rank identically.
+
+    Plan shape for 100 TB: unigrams and bigrams are each one explode +
+    map-side-combined aggregate; the frequency joins run AFTER the
+    ``min_count`` filter, so only the surviving (small) pair set joins
+    the unigram table, and the two corpus totals are broadcast one-row
+    aggregates — no driver collect, no cross join of token streams.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda t: t != ""
+    )
+    base = df.select(toks.alias("toks"))
+    uni = (
+        base.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_tok = uni.agg(F.sum("c").cast("long").alias("n_tok"))
+    pairs = (
+        base.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(F.sequence(F.lit(0), F.size("toks") - 2)).alias("i"),
+            F.col("toks"),
+        )
+        .select(
+            F.element_at("toks", F.col("i") + 1).alias("w1"),
+            F.element_at("toks", F.col("i") + 2).alias("w2"),
+        )
+    )
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    n_pair = pc.agg(F.sum("c12").cast("long").alias("n_pair"))
+    scored = (
+        pc.filter(F.col("c12") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_pair))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("c12").cast("double") / F.col("n_pair").cast("double"))
+                    / (
+                        (F.col("c1").cast("double") / F.col("n_tok").cast("double"))
+                        * (F.col("c2").cast("double") / F.col("n_tok").cast("double"))
+                    )
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            F.col("c1").cast("long").alias("c1"),
+            F.col("c2").cast("long").alias("c2"),
+            "pmi",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def vocabulary(
+    df: DataFrame,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Frequency-thresholded vocabulary with stable ids (count desc, term
+    asc) — the deterministic token-vocabulary construction step of a
+    tokenizer-training pipeline.
+
+    Plan shape for 100 TB: one explode + map-side-combined count, then
+    the ``min_count`` filter BEFORE the ranking window, so the
+    single-partition rank only ever sees the surviving vocabulary
+    (bounded: vocabularies are ≤ a few million terms however large the
+    corpus) — the corpus-sized term stream never passes through a global
+    sort.
+    """
+    terms = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("term")
+    ).filter(F.col("term") != "")
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    return (
+        counts.filter(F.col("cnt") >= min_count)
+        .withColumn("vocab_id", F.row_number().over(w).cast("long"))
+        .select("term", F.col("cnt").cast("long").alias("cnt"), "vocab_id")
     )

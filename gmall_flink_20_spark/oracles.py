@@ -1454,3 +1454,127 @@ SELECT query_id, neighbor_id, rank FROM (
 
 
 ORACLES["emb_ann_pq"] = _pq_sql()
+
+_5GRAM = (
+    "list_distinct(list_transform(range(0, len(t) - 4), "
+    "i -> md5(concat_ws(' ', t[i+1], t[i+2], t[i+3], t[i+4], t[i+5]))))"
+)
+
+ORACLES["docs_decontaminate"] = rf"""
+WITH cg AS (
+    SELECT doc_id, unnest({_5GRAM}) AS h
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents WHERE doc_id % 20 <> 0)
+    WHERE len(t) >= 5
+),
+bg AS (
+    SELECT DISTINCT unnest({_5GRAM}) AS h
+    FROM (SELECT string_split_regex(trim(text), '\s+') AS t
+          FROM documents WHERE doc_id % 20 = 0)
+    WHERE len(t) >= 5
+),
+hits AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+    FROM cg JOIN bg USING (h) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(hits.n, 0) AS BIGINT) AS n_contaminated_grams,
+       coalesce(hits.n, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+LEFT JOIN hits USING (doc_id)
+"""
+
+ORACLES["docs_pack_sequences"] = r"""
+WITH base AS (
+    SELECT doc_id, source,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+cum AS (
+    SELECT doc_id, source, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS tok_end
+    FROM base WHERE n_tokens > 0
+)
+SELECT doc_id, source, n_tokens,
+       CAST(tok_end - n_tokens AS BIGINT) AS tok_start,
+       CAST((tok_end - n_tokens) // 256 AS BIGINT) AS seq_first,
+       CAST((tok_end - 1) // 256 AS BIGINT) AS seq_last
+FROM cum
+"""
+
+ORACLES["docs_collocations"] = r"""
+WITH toks AS (
+    SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                       x -> x <> '') AS t
+    FROM documents
+),
+uc AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS c
+    FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+),
+nt AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uc),
+pairs AS (
+    SELECT t[i+1] AS w1, t[i+2] AS w2
+    FROM (SELECT t, unnest(range(0, len(t) - 1)) AS i
+          FROM toks WHERE len(t) >= 2)
+),
+pc AS (
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+    FROM pairs GROUP BY w1, w2
+),
+np AS (SELECT CAST(sum(c12) AS BIGINT) AS n_pair FROM pc),
+scored AS (
+    SELECT pc.w1, pc.w2, pc.c12, u1.c AS c1, u2.c AS c2,
+           round(ln((CAST(pc.c12 AS DOUBLE) / CAST(np.n_pair AS DOUBLE)) /
+                    ((CAST(u1.c AS DOUBLE) / CAST(nt.n_tok AS DOUBLE)) *
+                     (CAST(u2.c AS DOUBLE) / CAST(nt.n_tok AS DOUBLE)))), 6) AS pmi
+    FROM pc
+    JOIN uc u1 ON pc.w1 = u1.w
+    JOIN uc u2 ON pc.w2 = u2.w, np, nt
+    WHERE pc.c12 >= 5
+)
+SELECT w1, w2, c12, c1, c2, pmi, rank FROM (
+    SELECT *, CAST(row_number() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS BIGINT) AS rank
+    FROM scored
+) WHERE rank <= 50
+"""
+
+ORACLES["docs_vocabulary"] = r"""
+WITH counts AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                    x -> x <> '')) AS term
+          FROM documents)
+    GROUP BY term
+)
+SELECT term, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, term ASC) AS BIGINT) AS vocab_id
+FROM counts WHERE cnt >= 5
+"""
+
+ORACLES["events_rate_anomaly"] = """
+WITH counts AS (
+    SELECT event_type,
+           CAST(floor(epoch(ts)/3600) AS BIGINT) * 3600 + 3600 AS bucket_end_s,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+),
+hist AS (
+    SELECT event_type, bucket_end_s, cnt,
+           count(*) OVER w AS n_hist,
+           CAST(sum(cnt) OVER w AS BIGINT) AS s,
+           CAST(sum(cnt * cnt) OVER w AS BIGINT) AS ss
+    FROM counts
+    WINDOW w AS (PARTITION BY event_type ORDER BY bucket_end_s
+                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, bucket_end_s, cnt, mean_trailing, zscore,
+       abs(zscore) > 3.0 AS is_anomaly
+FROM (
+    SELECT event_type, bucket_end_s, cnt,
+           round(CAST(s AS DOUBLE) / 24.0, 6) AS mean_trailing,
+           round((CAST(cnt AS DOUBLE) - CAST(s AS DOUBLE) / 24.0)
+                 / sqrt(CAST(24 * ss - s * s AS DOUBLE) / 576.0), 6) AS zscore
+    FROM hist WHERE n_hist = 24 AND 24 * ss - s * s > 0
+)
+"""

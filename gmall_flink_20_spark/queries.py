@@ -994,6 +994,59 @@ def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.cosine_near_dup_blocked(emb, threshold=0.25)
 
 
+
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/curation.decontaminate): the
+    n-gram-overlap test-set-leak filter. Docs with doc_id % 20 == 0 play
+    the held-out benchmark; the rest are the training corpus. Benchmark
+    grams are deduped and broadcast, so the corpus side never shuffles
+    its gram stream into a join."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 20 == 0)
+    return curation.decontaminate(corpus, benchmark, n=5)
+
+
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing per source shard
+    (operators/packing.pack_sequences): running token sum per shard, cut
+    into 256-token sequences; exact integer arithmetic end-to-end."""
+    from .operators import packing
+
+    return packing.pack_sequences(
+        load_table(spark, sf_dir, "documents"), seq_len=256
+    )
+
+
+def docs_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus collocations by PMI (operators/text.
+    collocations_topk): two map-side-combined gram counts, min-count
+    filter before the frequency joins, broadcast scalar totals; score
+    rounded to 6 dp and ranked by the rounded value in both engines."""
+    return text.collocations_topk(
+        load_table(spark, sf_dir, "documents"), k=50, min_count=5
+    )
+
+
+def docs_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-thresholded vocabulary with stable ids (operators/text.
+    vocabulary): count, filter, then rank — the global window only sees
+    the bounded post-threshold vocabulary."""
+    return text.vocabulary(load_table(spark, sf_dir, "documents"), min_count=5)
+
+
+def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type hourly rate anomaly vs the trailing 24 observed
+    hours (operators/analytics.rate_anomaly): z-score from exact integer
+    sums, full-history + non-constant gates are exact integer
+    comparisons, score rounded to 6 dp."""
+    from .operators import analytics
+
+    return analytics.rate_anomaly(
+        _events(spark, sf_dir), bucket_s=3600, trailing=24
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1035,6 +1088,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": events_funnel,
     "events_retention": events_retention,
     "channel_behavior_pivot": channel_behavior_pivot,
+    "events_rate_anomaly": events_rate_anomaly,
     # scale/bench plans (all 22 TPC-H shapes, adapted to the reduced schema)
     "tpch_q1": tpch.q1_pricing_summary,
     "tpch_q2": tpch.q2_min_cost_supplier,
@@ -1079,6 +1133,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_weighted_sample": docs_weighted_sample,
     "docs_token_quantiles": docs_token_quantiles,
     "docs_tfidf_topk": docs_tfidf_topk,
+    "docs_decontaminate": docs_decontaminate,
+    "docs_pack_sequences": docs_pack_sequences,
+    "docs_collocations": docs_collocations,
+    "docs_vocabulary": docs_vocabulary,
     "media_features": media_features,
     "docs_simhash": docs_simhash,
     "docs_simhash_neardup": docs_simhash_neardup,

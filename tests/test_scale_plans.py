@@ -158,3 +158,39 @@ def test_cleaning_is_pure_codegen(spark, sf_dir):
     plan = plan_of(QUERIES["docs_clean"](spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan  # zero shuffle: row-local column ops
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
+    # the corpus gram stream must probe a BROADCAST benchmark-gram table,
+    # never shuffle-join against it
+    plan = plan_of(QUERIES["docs_decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "PythonUDF" not in plan
+
+
+def test_pack_sequences_single_exchange_on_shard(spark, sf_dir):
+    # one scan, one exchange (the per-shard window); all arithmetic codegen
+    plan = plan_of(QUERIES["docs_pack_sequences"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "Window" in plan and "PythonUDF" not in plan
+    # the window partitions by the shard key — no single-partition sort
+    assert "hashpartitioning(source" in plan
+
+
+def test_collocations_no_udf_and_filters_before_joins(spark, sf_dir):
+    plan = plan_of(QUERIES["docs_collocations"](spark, sf_dir))
+    assert "PythonUDF" not in plan
+    # min_count filter must run on the aggregated pair counts (c12 >= 5)
+    # BEFORE the unigram joins — i.e. a Filter on count appears
+    assert "c12" in plan
+
+
+def test_rate_anomaly_aggregates_before_window(spark, sf_dir):
+    # the raw-event count shuffles on the fine (key, bucket) pair for
+    # parallelism; the per-key window re-exchange must sit ABOVE the
+    # aggregate so it only moves bucket rows, not raw events
+    plan = plan_of(QUERIES["events_rate_anomaly"](spark, sf_dir))
+    assert "PythonUDF" not in plan
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1
