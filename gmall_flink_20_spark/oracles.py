@@ -1578,3 +1578,6 @@ FROM (
     FROM hist WHERE n_hist = 24 AND 24 * ss - s * s > 0
 )
 """
+
+# streaming form verifies against the identical batch oracle
+ORACLES["events_rate_anomaly_streaming"] = ORACLES["events_rate_anomaly"]

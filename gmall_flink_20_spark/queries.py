@@ -995,6 +995,36 @@ def emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def events_rate_anomaly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate anomaly as ACTUAL Structured Streaming
+    (streaming/stateful.rate_anomaly_stream): hourly buckets accumulate
+    in GroupState per event_type and finalize as the watermark passes
+    their end; each finalized bucket scores against the trailing-24
+    finalized history and joins the ring. Event-time timeouts flush the
+    final buckets at EOF (sentinels land on the reserved 'noop' key).
+    Verified against the batch events_rate_anomaly oracle. Excluded from
+    bench."""
+    from .streaming import replay, stateful
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.col("ts").cast("long").alias("ts_s"), "ts"
+    )
+    cutoff = int(ev.agg(F.max("ts_s")).collect()[0][0]) + 86400
+    s1 = replay.flush_sentinel(spark, ev, days=30)
+    s2 = replay.flush_sentinel(spark, ev, days=31)
+    stream = replay.replay_stream(spark, ev, "ts", num_chunks=8, extra_chunks=[s1, s2])
+    out = stateful.rate_anomaly_stream(
+        stream.withWatermark("ts", "2 seconds"), bucket_s=3600, trailing=24
+    )
+    return (
+        replay.run_to_completion(out)
+        .filter((F.col("bucket_end_s") < cutoff) & (F.col("event_type") != "noop"))
+        .select(
+            "event_type", "bucket_end_s", "cnt", "mean_trailing", "zscore", "is_anomaly"
+        )
+    )
+
+
 def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/curation.decontaminate): the
     n-gram-overlap test-set-leak filter. Docs with doc_id % 20 == 0 play
@@ -1089,6 +1119,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_retention": events_retention,
     "channel_behavior_pivot": channel_behavior_pivot,
     "events_rate_anomaly": events_rate_anomaly,
+    "events_rate_anomaly_streaming": events_rate_anomaly_streaming,
     # scale/bench plans (all 22 TPC-H shapes, adapted to the reduced schema)
     "tpch_q1": tpch.q1_pricing_summary,
     "tpch_q2": tpch.q2_min_cost_supplier,

@@ -25,6 +25,7 @@ by live key cardinality, not event volume.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 from typing import Any
 
@@ -32,6 +33,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -42,6 +45,7 @@ __all__ = [
     "login_fail_pairs_stream",
     "order_timeout_stream",
     "blacklist_stream",
+    "rate_anomaly_stream",
 ]
 
 # ---------------------------------------------------------------- C2 login
@@ -285,4 +289,124 @@ def blacklist_stream(events: DataFrame, threshold: int) -> DataFrame:
 
     return events.groupBy("user_id").applyInPandasWithState(
         fn, _BL_OUT, _BL_STATE, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+# ------------------------------------------------------- rate anomaly
+
+_RATE_OUT = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("bucket_end_s", LongType()),
+        StructField("cnt", LongType()),
+        StructField("mean_trailing", DoubleType()),
+        StructField("zscore", DoubleType()),
+        StructField("is_anomaly", BooleanType()),
+    ]
+)
+# open (not-yet-final) buckets as parallel csv lists + the trailing
+# finalized-count history (ascending bucket order, newest last)
+_RATE_STATE = StructType(
+    [
+        StructField("open_ends", StringType()),
+        StructField("open_cnts", StringType()),
+        StructField("hist", StringType()),
+    ]
+)
+
+
+def rate_anomaly_stream(
+    events: DataFrame, bucket_s: int, trailing: int
+) -> DataFrame:
+    """Streaming form of ``operators/analytics.rate_anomaly``: per key,
+    accumulate counts into open time buckets in GroupState; when the
+    watermark passes a bucket's end the bucket FINALIZES (no admissible
+    row can still land in it), its z-score against the trailing
+    ``trailing`` finalized buckets is emitted, and its count joins the
+    history ring. Event-time timeouts finalize buckets on watermark
+    advance even when the key receives no further rows.
+
+    Emits exactly the batch operator's rows (full-history + non-constant
+    integer gates, same double expression order, round-to-6), so both
+    forms verify against one SQL oracle.
+
+    State per key is O(open buckets + trailing): bounded by watermark
+    delay / bucket size, independent of event volume.
+
+    Expects (event_type string, ts_s long) plus a watermarked event-time
+    'ts' column.
+    """
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (etype,) = key
+        opens: dict[int, int] = {}
+        hist: list[int] = []
+        if state.exists:
+            open_ends, open_cnts, hist_s = state.get
+            if open_ends:
+                opens = {
+                    int(e): int(c)
+                    for e, c in zip(open_ends.split(","), open_cnts.split(","))
+                }
+            if hist_s:
+                hist = [int(x) for x in hist_s.split(",")]
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ends = (
+                    pdf["ts_s"].astype("int64")
+                    - pdf["ts_s"].astype("int64") % bucket_s
+                    + bucket_s
+                )
+                for e, c in ends.value_counts().items():
+                    opens[int(e)] = opens.get(int(e), 0) + int(c)
+
+        wm_ms = state.getCurrentWatermarkMs()
+        out: list[tuple[int, int, float | None, float | None, bool | None]] = []
+        for end in sorted(opens):
+            if end * 1000 > wm_ms:
+                break
+            cnt = opens.pop(end)
+            if len(hist) == trailing:
+                s = sum(hist)
+                ss = sum(x * x for x in hist)
+                var_num = trailing * ss - s * s  # exact integer gate
+                if var_num > 0:
+                    mean = s / float(trailing)
+                    z = (cnt - mean) / math.sqrt(var_num / float(trailing * trailing))
+                    zr = round(z, 6)
+                    out.append((end, cnt, round(mean, 6), zr, abs(zr) > 3.0))
+            hist.append(cnt)
+            if len(hist) > trailing:
+                hist.pop(0)
+
+        if opens or hist:
+            state.update(
+                (
+                    ",".join(str(e) for e in sorted(opens)),
+                    ",".join(str(opens[e]) for e in sorted(opens)),
+                    ",".join(str(x) for x in hist),
+                )
+            )
+            if opens:
+                state.setTimeoutTimestamp(
+                    max(min(opens) * 1000, wm_ms + 1)
+                )
+        else:
+            state.remove()
+        yield pd.DataFrame(
+            {
+                "event_type": etype,
+                "bucket_end_s": [r[0] for r in out],
+                "cnt": [r[1] for r in out],
+                "mean_trailing": [r[2] for r in out],
+                "zscore": [r[3] for r in out],
+                "is_anomaly": [r[4] for r in out],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        fn, _RATE_OUT, _RATE_STATE, "append", GroupStateTimeout.EventTimeTimeout
     )
