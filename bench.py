@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "emb_ann_ivf",
     "emb_ann_ivf_trained",
     "emb_ann_pq",
+    "emb_ann_ivf_pq",
     "emb_kmeans",
     "emb_cosine_neardup",
 ]

@@ -1581,3 +1581,124 @@ FROM (
 
 # streaming form verifies against the identical batch oracle
 ORACLES["events_rate_anomaly_streaming"] = ORACLES["events_rate_anomaly"]
+
+
+def _ivf_pq_sql(
+    nlist: int = 16,
+    nprobe: int = 4,
+    coarse_iters: int = 2,
+    m: int = 8,
+    subdim: int = 8,
+    ks: int = 16,
+    pq_iters: int = 2,
+    dim: int = 64,
+    k: int = 5,
+) -> str:
+    """IVF-PQ oracle (mirrors ann.ann_ivf_pq_topk): a raw-vector L2
+    Lloyd CTE chain (the coarse quantizer), the _pq_sql codebook/code/
+    distance-table machinery (by_residual=False), and an ADC scan
+    restricted to each query's nprobe nearest inverted lists."""
+    # ---- coarse quantizer: plain L2 Lloyd on the raw (double-cast) vectors
+    cdl2 = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        "i -> (v.vv[i] - c.cv[i]) * (v.vv[i] - c.cv[i])))"
+    )
+    cmeans = ", ".join(f"round(avg(vv[{i + 1}]), 6)" for i in range(dim))
+    ctes = [
+        "v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings)",
+        f"cc0 AS (SELECT vec_id AS cid, vv AS cv FROM v WHERE vec_id < {nlist})",
+    ]
+    for t in range(1, coarse_iters + 1):
+        ctes.append(
+            f"""ca{t} AS (
+    SELECT vec_id, vv, cid FROM (
+        SELECT v.vec_id, v.vv, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY {cdl2} ASC, c.cid ASC) AS rn
+        FROM v, cc{t - 1} c) WHERE rn = 1
+)"""
+        )
+        ctes.append(f"cm{t} AS (SELECT cid, [{cmeans}] AS mv FROM ca{t} GROUP BY cid)")
+        ctes.append(
+            f"cc{t} AS (SELECT c.cid, COALESCE(m.mv, c.cv) AS cv "
+            f"FROM cc{t - 1} c LEFT JOIN cm{t} m USING (cid))"
+        )
+    ctes.append(
+        f"""cassign AS (
+    SELECT vec_id, cid AS list_id FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY {cdl2} ASC, c.cid ASC) AS rn
+        FROM v, cc{coarse_iters} c) WHERE rn = 1
+)"""
+    )
+    ctes.append(
+        f"""cprobe AS (
+    SELECT vec_id AS query_id, cid AS list_id FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY {cdl2} ASC, c.cid ASC) AS pr
+        FROM v, cc{coarse_iters} c WHERE v.vec_id < 10) WHERE pr <= {nprobe}
+)"""
+    )
+    # ---- PQ codebooks / codes / distance tables (same CTEs as _pq_sql)
+    dl2 = (
+        f"list_sum(list_transform(range(1, {subdim + 1}), "
+        "i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])))"
+    )
+    means = ", ".join(f"round(avg(sv[{i + 1}]), 6)" for i in range(subdim))
+    ctes.append(
+        f"""sub AS (
+    SELECT vec_id, g.j,
+           list_transform(range(1, {subdim + 1}),
+                          i -> CAST(embedding[g.j * {subdim} + i] AS DOUBLE)) AS sv
+    FROM embeddings, generate_series(0, {m - 1}) AS g(j)
+)"""
+    )
+    ctes.append(f"cents0 AS (SELECT j, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < {ks})")
+    for t in range(1, pq_iters + 1):
+        ctes.append(
+            f"""a{t} AS (
+    SELECT vec_id, j, sv, cid FROM (
+        SELECT s.vec_id, s.j, s.sv, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.j
+                                  ORDER BY {dl2} ASC, c.cid ASC) AS rn
+        FROM sub s JOIN cents{t - 1} c ON s.j = c.j) WHERE rn = 1
+)"""
+        )
+        ctes.append(f"m{t} AS (SELECT j, cid, [{means}] AS mv FROM a{t} GROUP BY j, cid)")
+        ctes.append(
+            f"cents{t} AS (SELECT c.j, c.cid, COALESCE(m.mv, c.cv) AS cv "
+            f"FROM cents{t - 1} c LEFT JOIN m{t} m ON c.j = m.j AND c.cid = m.cid)"
+        )
+    final = f"""enc AS (
+    SELECT vec_id, j, cid FROM (
+        SELECT s.vec_id, s.j, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.j
+                                  ORDER BY {dl2} ASC, c.cid ASC) AS rn
+        FROM sub s JOIN cents{pq_iters} c ON s.j = c.j) WHERE rn = 1
+),
+codes AS (SELECT vec_id, list(cid ORDER BY j) AS codes FROM enc GROUP BY vec_id),
+dt AS (
+    SELECT s.vec_id AS query_id, s.j, c.cid, {dl2} AS d2
+    FROM sub s JOIN cents{pq_iters} c ON s.j = c.j
+    WHERE s.vec_id < 10
+),
+dtl AS (SELECT query_id, list(d2 ORDER BY j, cid) AS dt FROM dt GROUP BY query_id),
+scored AS (
+    SELECT p.query_id, co.vec_id AS neighbor_id,
+           list_sum(list_transform(range({m}),
+                    j -> dt[j * {ks} + codes[j + 1] + 1])) AS dist
+    FROM cprobe p
+    JOIN cassign ca ON p.list_id = ca.list_id
+    JOIN codes co ON co.vec_id = ca.vec_id
+    JOIN dtl d ON d.query_id = p.query_id
+    WHERE p.query_id <> co.vec_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dist ASC, neighbor_id ASC) AS rank
+    FROM scored
+) WHERE rank <= {k}"""
+    return "WITH " + ",\n".join(ctes) + ",\n" + final
+
+
+ORACLES["emb_ann_ivf_pq"] = _ivf_pq_sql()

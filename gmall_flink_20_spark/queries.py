@@ -979,6 +979,18 @@ def emb_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ann_pq_topk(emb, query_ids=list(range(10)), k=5)
 
 
+def emb_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN (operators/ann.ann_ivf_pq_topk): trained L2
+    coarse quantizer prunes the scan to nprobe/nlist inverted lists; PQ
+    codes + broadcast ADC tables score what remains. One row-local Arrow
+    encode pass, one broadcast equi-join on the list id — the FAISS-style
+    100 TB layout under the exact-parity gate."""
+    from .operators import ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.ann_ivf_pq_topk(emb, query_ids=list(range(10)), k=5)
+
+
 def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding clustering as a first-class operator
     (operators/ann.kmeans_assign): per-vector cluster id after 3
@@ -1177,6 +1189,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_ann_ivf": emb_ann_ivf,
     "emb_ann_ivf_trained": emb_ann_ivf_trained,
     "emb_ann_pq": emb_ann_pq,
+    "emb_ann_ivf_pq": emb_ann_ivf_pq,
     "emb_kmeans": emb_kmeans,
     "emb_cosine_neardup": emb_cosine_neardup,
 }

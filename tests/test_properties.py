@@ -252,3 +252,61 @@ def test_resolve_duplicates_keep_best(spark):
         ).collect()
     )
     assert best == [2, 4]
+
+
+def test_ivf_pq_degenerates_to_pq_when_probing_all(spark):
+    """IVF-PQ with nprobe = nlist scans every inverted list, so its
+    ranking must equal plain PQ/ADC with the same codebooks — the IVF
+    stage only PRUNES, it never re-scores."""
+    from gmall_flink_20_spark.io import load_table
+    from gmall_flink_20_spark.operators import ann
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qids = [0, 1, 2]
+    full = ann.ann_ivf_pq_topk(
+        emb, qids, k=5, nlist=4, nprobe=4, coarse_iters=1
+    ).collect()
+    pq = ann.ann_pq_topk(emb, qids, k=5).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted((r.query_id, r.rank, r.neighbor_id) for r in full) == sorted(
+        (r.query_id, r.rank, r.neighbor_id) for r in pq
+    )
+
+
+def test_ivf_pq_probes_prune_candidates(spark):
+    """With nprobe < nlist each query's candidate set is a strict subset
+    of the corpus: every returned neighbor must live in one of the
+    query's probed cells."""
+    from gmall_flink_20_spark.io import load_table
+    from gmall_flink_20_spark.operators import ann
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = ann.kmeans_centroids_local(
+        emb.select("vec_id", "embedding"), nlist=8, iters=1
+    )
+    assigned = {
+        r.vec_id: r.cid
+        for r in emb.select(
+            "vec_id", ann._assign_udf(cents)("embedding").alias("cid")
+        ).collect()
+    }
+    out = ann.ann_ivf_pq_topk(
+        emb, [0, 1], k=5, nlist=8, nprobe=2, coarse_iters=1
+    ).collect()
+    # recompute each query's probe set with the same sequential fold
+    qvecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.filter("vec_id in (0, 1)").collect()
+    }
+    for qid, qv in qvecs.items():
+        cd = []
+        for cid, cv in cents:
+            s = 0.0
+            for i in range(len(cv)):
+                d = qv[i] - cv[i]
+                s = s + d * d
+            cd.append((s, cid))
+        probed = {cid for _, cid in sorted(cd)[:2]}
+        for r in out:
+            if r.query_id == qid:
+                assert assigned[r.neighbor_id] in probed
