@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "docs_stratified_sample",
     "docs_weighted_sample",
     "docs_token_quantiles",
+    "events_cms_counts",
     "docs_tfidf_topk",
     "docs_decontaminate",
     "docs_pack_sequences",

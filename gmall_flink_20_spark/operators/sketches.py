@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["approx_quantiles_checked"]
+__all__ = ["approx_quantiles_checked", "cms_counts"]
 
 
 def approx_quantiles_checked(
@@ -83,3 +83,69 @@ def approx_quantiles_checked(
         for i, p in enumerate(probs)
     ]
     return checked.groupBy(group_col, "n_rows").agg(*flags)
+
+
+def cms_counts(
+    df: DataFrame,
+    item_col: str,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Count-min sketch frequencies with the exact counts alongside.
+
+    Unlike the quantile/HLL estimators, a CMS with FIXED hash functions
+    is fully deterministic, so the whole thing sits under the exact
+    value gate: both engines build the identical d×w sketch (md5-derived
+    row hashes) and read back identical estimates. Emits per distinct
+    item: the CMS estimate, the exact count, and the overcount — whose
+    non-negativity is the sketch's one-sided guarantee (est ≥ exact,
+    always; collisions only ever inflate).
+
+    Plan shape for 100 TB: the sketch build is ONE explode(d) +
+    map-side-combined count — shuffle volume is ≤ d·w cells however
+    large the input; the readback joins the distinct items against the
+    BROADCAST sketch (d·w rows, ~32 KB here) and takes a min over d.
+    The exact side is the same one-shuffle count any exact top-k needs;
+    in production you'd drop it and keep only the sketch — it's emitted
+    here because the gate proves the estimator against it.
+    """
+    items = df.select(F.col(item_col).cast("long").alias("item"))
+    rows = items.select(
+        "item",
+        F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("row_id"),
+    ).select(
+        "item",
+        "row_id",
+        F.expr(
+            "CAST(conv(substr(md5(concat(CAST(row_id AS STRING), ':', "
+            "CAST(item AS STRING))), 1, 15), 16, 10) AS BIGINT) "
+            f"% {w}"
+        ).alias("bucket"),
+    )
+    sketch = rows.groupBy("row_id", "bucket").agg(F.count(F.lit(1)).alias("cell"))
+    exact = items.groupBy("item").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    probes = exact.select(
+        "item",
+        "exact_cnt",
+        F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("row_id"),
+    ).select(
+        "item",
+        "exact_cnt",
+        "row_id",
+        F.expr(
+            "CAST(conv(substr(md5(concat(CAST(row_id AS STRING), ':', "
+            "CAST(item AS STRING))), 1, 15), 16, 10) AS BIGINT) "
+            f"% {w}"
+        ).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row_id", "bucket"])
+        .groupBy("item", "exact_cnt")
+        .agg(F.min("cell").cast("long").alias("est_cnt"))
+        .select(
+            F.col("item").alias("item_id"),
+            "est_cnt",
+            F.col("exact_cnt").cast("long").alias("exact_cnt"),
+            (F.col("est_cnt") - F.col("exact_cnt")).cast("long").alias("overcount"),
+        )
+    )

@@ -1702,3 +1702,35 @@ SELECT query_id, neighbor_id, rank FROM (
 
 
 ORACLES["emb_ann_ivf_pq"] = _ivf_pq_sql()
+
+ORACLES["events_cms_counts"] = """
+WITH items AS (
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+    FROM events WHERE event_type = 'click'
+),
+hashed AS (
+    SELECT item, g.i AS row_id,
+           CAST(concat('0x', substr(md5(concat(CAST(g.i AS VARCHAR), ':',
+                CAST(item AS VARCHAR))), 1, 15)) AS BIGINT) % 1024 AS bucket
+    FROM items, generate_series(0, 3) AS g(i)
+),
+sketch AS (
+    SELECT row_id, bucket, CAST(count(*) AS BIGINT) AS cell
+    FROM hashed GROUP BY 1, 2
+),
+exact AS (
+    SELECT item, CAST(count(*) AS BIGINT) AS exact_cnt FROM items GROUP BY item
+),
+probes AS (
+    SELECT e.item, e.exact_cnt, g.i AS row_id,
+           CAST(concat('0x', substr(md5(concat(CAST(g.i AS VARCHAR), ':',
+                CAST(e.item AS VARCHAR))), 1, 15)) AS BIGINT) % 1024 AS bucket
+    FROM exact e, generate_series(0, 3) AS g(i)
+)
+SELECT p.item AS item_id,
+       CAST(min(s.cell) AS BIGINT) AS est_cnt,
+       p.exact_cnt,
+       CAST(min(s.cell) - p.exact_cnt AS BIGINT) AS overcount
+FROM probes p JOIN sketch s ON p.row_id = s.row_id AND p.bucket = s.bucket
+GROUP BY p.item, p.exact_cnt
+"""

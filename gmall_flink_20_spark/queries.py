@@ -914,6 +914,20 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(media, fake_decode=True)
 
 
+def events_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch item frequencies under the EXACT value gate
+    (operators/sketches.cms_counts): fixed md5 hash rows make the d x w
+    sketch deterministic, so both engines build the identical sketch and
+    read identical estimates; the emitted overcount column is the
+    sketch's one-sided guarantee (>= 0 on every item, by construction)."""
+    from .operators import sketches
+
+    clicks = _events(spark, sf_dir).filter(F.col("event_type") == "click").select(
+        _item_id()
+    )
+    return sketches.cms_counts(clicks, "item_id", d=4, w=1024)
+
+
 def emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ann_bruteforce_topk(emb, list(range(10)), 5).select(
@@ -1175,6 +1189,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_stratified_sample": docs_stratified_sample,
     "docs_weighted_sample": docs_weighted_sample,
     "docs_token_quantiles": docs_token_quantiles,
+    "events_cms_counts": events_cms_counts,
     "docs_tfidf_topk": docs_tfidf_topk,
     "docs_decontaminate": docs_decontaminate,
     "docs_pack_sequences": docs_pack_sequences,

@@ -120,3 +120,21 @@ def test_rate_anomaly_planted_spike(spark):
     assert spike.cnt == 100 and spike.is_anomaly and spike.zscore > 3
     # a normal bucket is not anomalous
     assert not got[26 * 3600].is_anomaly
+
+
+def test_cms_counts_one_sided_and_tight_when_wide(spark):
+    from gmall_flink_20_spark.operators.sketches import cms_counts
+
+    rows = [(i % 10,) for i in range(200)]  # items 0..9, 20 each
+    df = spark.createDataFrame(rows, "item_id long")
+    # wide sketch: no collisions possible among 10 items spread over 512
+    # buckets x 4 rows is overwhelmingly likely to give exact estimates
+    wide = {r.item_id: r for r in cms_counts(df, "item_id", d=4, w=512).collect()}
+    assert set(wide) == set(range(10))
+    assert all(r.exact_cnt == 20 for r in wide.values())
+    assert all(r.overcount >= 0 for r in wide.values())  # one-sided, always
+    # tiny sketch: 10 items into 4 buckets/row MUST collide somewhere
+    tiny = cms_counts(df, "item_id", d=2, w=4).collect()
+    assert all(r.overcount >= 0 for r in tiny)
+    assert any(r.overcount > 0 for r in tiny)
+    assert all(r.est_cnt >= r.exact_cnt for r in tiny)
