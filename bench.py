@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "events_funnel",
     "events_retention",
     "events_rate_anomaly",
+    "events_transition_matrix",
     "channel_behavior_pivot",
     "tpch_q1",
     "tpch_q2",

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "funnel", "retention_cohorts", "pivot_counts", "rate_anomaly"]
+__all__ = ["asof_join", "funnel", "retention_cohorts", "pivot_counts", "rate_anomaly", "transition_matrix"]
 
 
 def asof_join(
@@ -282,5 +282,53 @@ def rate_anomaly(
             F.round(mean, 6).alias("mean_trailing"),
             z.alias("zscore"),
             (F.abs(z) > F.lit(3.0)).alias("is_anomaly"),
+        )
+    )
+
+
+def transition_matrix(
+    events: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition estimates over per-key event
+    sequences: for every ordered state pair, how often ``to_state``
+    immediately follows ``from_state`` within a key's (ts, tiebreak)
+    ordered stream, and the row-normalized transition probability.
+
+    Probabilities are double divisions of exact counts, so the oracle is
+    bit-identical.
+
+    Plan shape for 100 TB: one window (lead) partitioned by the key —
+    a single exchange; the pair aggregate then collapses to
+    |states|² rows before the tiny row-total broadcast join. No
+    self-join of the event stream.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        events.select(
+            F.col(key_col),
+            F.col(state_col).alias("from_state"),
+            F.col(ts_col),
+            F.col(tiebreak_col),
+        )
+        .withColumn("to_state", F.lead("from_state").over(w))
+        .filter(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = pairs.groupBy("from_state").agg(F.sum("cnt").alias("row_total"))
+    return (
+        pairs.join(F.broadcast(totals), "from_state")
+        .select(
+            "from_state",
+            "to_state",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("row_total").cast("long").alias("row_total"),
+            (F.col("cnt").cast("double") / F.col("row_total").cast("double")).alias(
+                "prob"
+            ),
         )
     )

@@ -1734,3 +1734,23 @@ SELECT p.item AS item_id,
 FROM probes p JOIN sketch s ON p.row_id = s.row_id AND p.bucket = s.bucket
 GROUP BY p.item, p.exact_cnt
 """
+
+ORACLES["events_transition_matrix"] = """
+WITH seq AS (
+    SELECT event_type AS from_state,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS to_state
+    FROM events
+),
+pairs AS (
+    SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS cnt
+    FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2
+),
+totals AS (
+    SELECT from_state, CAST(sum(cnt) AS BIGINT) AS row_total
+    FROM pairs GROUP BY from_state
+)
+SELECT p.from_state, p.to_state, p.cnt, t.row_total,
+       CAST(p.cnt AS DOUBLE) / CAST(t.row_total AS DOUBLE) AS prob
+FROM pairs p JOIN totals t USING (from_state)
+"""

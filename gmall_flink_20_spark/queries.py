@@ -914,6 +914,18 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(media, fake_decode=True)
 
 
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov next-event transition matrix over per-user
+    (ts, event_id)-ordered streams (operators/analytics.
+    transition_matrix): one lead window per user, exact pair counts,
+    row-normalized probabilities as exact-integer double divisions."""
+    from .operators import analytics
+
+    return analytics.transition_matrix(
+        _events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    )
+
+
 def events_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch item frequencies under the EXACT value gate
     (operators/sketches.cms_counts): fixed md5 hash rows make the d x w
@@ -1146,6 +1158,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "channel_behavior_pivot": channel_behavior_pivot,
     "events_rate_anomaly": events_rate_anomaly,
     "events_rate_anomaly_streaming": events_rate_anomaly_streaming,
+    "events_transition_matrix": events_transition_matrix,
     # scale/bench plans (all 22 TPC-H shapes, adapted to the reduced schema)
     "tpch_q1": tpch.q1_pricing_summary,
     "tpch_q2": tpch.q2_min_cost_supplier,
