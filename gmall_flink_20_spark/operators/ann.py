@@ -286,38 +286,30 @@ def ann_ivf_topk(
             )
         )
     else:
-        cents = emb.filter(F.col(id_col) < nlist).select(
-            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+        # untrained = the nlist lowest-id RAW vectors as centroids; collect
+        # them (one tiny job, nlist rows) and assign ROW-LOCALLY — the
+        # min(struct) groupBy formulation computes the same argmin but
+        # shuffles the whole corpus through its (id, vec) exchange, which
+        # is exactly the cost IVF exists to avoid at 100 TB
+        init = emb.filter(F.col(id_col) < nlist).select(
+            F.col(id_col), F.col(vec_col)
+        ).collect()
+        cents_local = sorted(
+            (int(r[id_col]), [float(x) for x in r[vec_col]]) for r in init
         )
-        paired = emb.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(cents))
-        # lexicographic min(struct) == argmin with deterministic id tiebreak
-        assigned = (
-            paired.withColumn("d2", _l2sq(F.col(vec_col), F.col("cv")))
-            .groupBy(id_col, vec_col)
-            .agg(F.min(F.struct("d2", "cid")).alias("best"))
-            .select(
-                F.col(id_col).alias("neighbor_id"),
-                F.col(vec_col).alias("nv"),
-                norm(F.col(vec_col)).alias("nn"),
-                F.col("best.cid").alias("list_id"),
-            )
+        assigned = emb.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("nv"),
+            norm(F.col(vec_col)).alias("nn"),
+            _assign_udf(cents_local)(F.col(vec_col)).alias("list_id"),
         )
-        probes = (
-            paired.filter(F.col(id_col).isin(query_ids))
-            .withColumn("d2", _l2sq(F.col(vec_col), F.col("cv")))
-            .withColumn(
-                "pr",
-                F.row_number().over(
-                    Window.partitionBy(id_col).orderBy(F.asc("d2"), F.asc("cid"))
-                ),
-            )
-            .filter(F.col("pr") <= nprobe)
-            .select(
-                F.col(id_col).alias("query_id"),
-                F.col(vec_col).alias("qv"),
-                norm(F.col(vec_col)).alias("qn"),
-                F.col("cid").alias("list_id"),
-            )
+        probes = emb.filter(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            norm(F.col(vec_col)).alias("qn"),
+            F.explode(_probe_udf(cents_local, nprobe)(F.col(vec_col))).alias(
+                "list_id"
+            ),
         )
     scored = (
         F.broadcast(probes)

@@ -194,3 +194,11 @@ def test_rate_anomaly_aggregates_before_window(spark, sf_dir):
     agg_pos = plan.find("HashAggregate")
     win_pos = plan.find("Window")
     assert agg_pos != -1 and win_pos != -1
+
+
+def test_ivf_assignment_does_not_shuffle_corpus(spark, sf_dir):
+    # cell assignment must be row-local (broadcast probe join); the only
+    # hash exchange allowed is the per-query rank on the candidate set
+    plan = plan_of(QUERIES["emb_ann_ivf"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
