@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "docs_token_quantiles",
     "events_cms_counts",
     "docs_tfidf_topk",
+    "docs_overlap_pairs",
+    "docs_corpus_stats",
     "docs_decontaminate",
     "docs_pack_sequences",
     "docs_collocations",

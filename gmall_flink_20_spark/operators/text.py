@@ -27,6 +27,8 @@ __all__ = [
     "tfidf_topk",
     "collocations_topk",
     "vocabulary",
+    "overlap_pairs",
+    "corpus_stats",
     "LANG_MARKERS",
 ]
 
@@ -426,3 +428,81 @@ def vocabulary(
         .withColumn("vocab_id", F.row_number().over(w).cast("long"))
         .select("term", F.col("cnt").cast("long").alias("cnt"), "vocab_id")
     )
+
+
+def overlap_pairs(
+    df: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document-overlap pairs by shared winnowing fingerprints — the
+    MOSS-style plagiarism/containment detector that exact-span dedup
+    pipelines run where near-dup (whole-doc) similarity is too coarse.
+
+    Fingerprints appearing in more than ``max_fp_df`` documents are
+    dropped before pairing (stop-fingerprints — boilerplate every doc
+    shares). That is both the standard precision move AND the scale
+    bound: per-fingerprint pair fan-out is capped at max_fp_df²/2, so
+    no boilerplate fingerprint can quadratically concentrate a task —
+    the same cap discipline as operators/blocking.py, enforced by
+    frequency instead of sub-salting because dropped fingerprints
+    carry no signal anyway.
+
+    One shuffle builds fingerprints' doc lists, one self-join keyed on
+    the fingerprint generates bounded pairs, one count aggregates
+    ``shared_fps``.
+    """
+    fps = winnowing_fingerprints(df, k=k, window=window, text_col=text_col, id_col=id_col)
+    fp_df = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+    kept = fps.join(fp_df.filter(F.col("_df") <= max_fp_df), "fp").select(id_col, "fp")
+    a = kept.select(F.col("fp"), F.col(id_col).alias("doc_a"))
+    b = kept.select(F.col("fp"), F.col(id_col).alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
+def corpus_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-(source, lang) corpus report: doc count, token totals, mean
+    doc length, and the exact median token count (rank ⌈n/2⌉ under a
+    deterministic (n_tokens, doc_id) order — no percentile estimator,
+    so the oracle matches bit-for-bit).
+
+    One row-local token count, one shuffle to (source, lang) for both
+    the aggregate and the median rank — Catalyst shares the exchange.
+    """
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col("source"),
+        F.col("lang"),
+        F.col(id_col),
+        F.size(F.split(F.trim(F.col(text_col)), _WS)).cast("long").alias("n_tokens"),
+    )
+    w = W.partitionBy("source", "lang").orderBy(F.asc("n_tokens"), F.asc(id_col))
+    ranked = base.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(W.partitionBy("source", "lang"))
+    )
+    med = ranked.filter(F.col("_rn") == F.ceil(F.col("_n") / 2)).select(
+        "source", "lang", F.col("n_tokens").alias("median_tokens")
+    )
+    agg = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "mean_tokens"
+        ),
+    )
+    return agg.join(med, ["source", "lang"])

@@ -1754,3 +1754,58 @@ SELECT p.from_state, p.to_state, p.cnt, t.row_total,
        CAST(p.cnt AS DOUBLE) / CAST(t.row_total AS DOUBLE) AS prob
 FROM pairs p JOIN totals t USING (from_state)
 """
+
+ORACLES["docs_overlap_pairs"] = r"""
+WITH base AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    WHERE len(string_split_regex(trim(text), '\s+')) >= 8
+),
+grams AS (
+    SELECT doc_id, i, md5(array_to_string(t[i + 1 : i + 5], ' ')) AS h
+    FROM (SELECT doc_id, t, unnest(range(0, len(t) - 4)) AS i FROM base)
+),
+winmin AS (
+    SELECT doc_id, i,
+           min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+           count(*) OVER (PARTITION BY doc_id) AS n_grams
+    FROM grams
+),
+fps AS (SELECT DISTINCT doc_id, wmin AS fp FROM winmin WHERE i <= n_grams - 4),
+kept AS (
+    SELECT doc_id, fp FROM fps
+    WHERE fp IN (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS shared_fps
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+ORACLES["docs_corpus_stats"] = r"""
+WITH base AS (
+    SELECT source, lang, doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+ranked AS (
+    SELECT source, lang, n_tokens,
+           row_number() OVER (PARTITION BY source, lang
+                              ORDER BY n_tokens ASC, doc_id ASC) AS rn,
+           count(*) OVER (PARTITION BY source, lang) AS n
+    FROM base
+),
+med AS (
+    SELECT source, lang, n_tokens AS median_tokens
+    FROM ranked WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+),
+agg AS (
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_tokens
+    FROM base GROUP BY source, lang
+)
+SELECT agg.source, agg.lang, n_docs, total_tokens, mean_tokens, median_tokens
+FROM agg JOIN med USING (source, lang)
+"""

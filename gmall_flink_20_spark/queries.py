@@ -899,6 +899,21 @@ def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_topk(load_table(spark, sf_dir, "documents"), k=3)
 
 
+def docs_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style document overlap pairs (operators/text.overlap_pairs):
+    shared winnowing fingerprints, stop-fingerprints (df > 50) dropped
+    before the pair join so no boilerplate hash can quadratically
+    concentrate a task."""
+    return text.overlap_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def docs_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus report with an EXACT deterministic
+    median (rank ceil(n/2) under (n_tokens, doc_id) order) instead of a
+    percentile estimator (operators/text.corpus_stats)."""
+    return text.corpus_stats(load_table(spark, sf_dir, "documents"))
+
+
 def docs_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship curation composition: single-scan language + quality +
     exact-dedup-keeper selection (operators/curation.py)."""
@@ -1204,6 +1219,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_token_quantiles": docs_token_quantiles,
     "events_cms_counts": events_cms_counts,
     "docs_tfidf_topk": docs_tfidf_topk,
+    "docs_overlap_pairs": docs_overlap_pairs,
+    "docs_corpus_stats": docs_corpus_stats,
     "docs_decontaminate": docs_decontaminate,
     "docs_pack_sequences": docs_pack_sequences,
     "docs_collocations": docs_collocations,

@@ -138,3 +138,41 @@ def test_cms_counts_one_sided_and_tight_when_wide(spark):
     assert all(r.overcount >= 0 for r in tiny)
     assert any(r.overcount > 0 for r in tiny)
     assert all(r.est_cnt >= r.exact_cnt for r in tiny)
+
+
+def test_overlap_pairs_planted_overlap(spark):
+    from gmall_flink_20_spark.operators.text import overlap_pairs
+
+    shared = (
+        "one two three four five six seven eight nine ten eleven twelve "
+        "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " alpha beta gamma delta epsilon"),
+            (2, shared + " zeta eta theta iota kappa"),
+            (3, "completely different words with no common spans here at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_a, r.doc_b): r.shared_fps for r in overlap_pairs(docs).collect()}
+    assert (1, 2) in out and out[(1, 2)] >= 2  # the shared prefix span
+    assert not any(3 in p for p in out)
+
+
+def test_corpus_stats_exact_median(spark):
+    from gmall_flink_20_spark.operators.text import corpus_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "web", "en", "a"),
+            (2, "web", "en", "a b b"),
+            (3, "web", "en", "a b c d e"),
+            (4, "web", "en", "a b c d e f g"),
+        ],
+        "doc_id long, source string, lang string, text string",
+    )
+    r = corpus_stats(docs).collect()[0]
+    assert (r.n_docs, r.total_tokens) == (4, 16)
+    assert r.median_tokens == 3  # rank ceil(4/2)=2 of [1,3,5,7]
+    assert abs(r.mean_tokens - 4.0) < 1e-12
