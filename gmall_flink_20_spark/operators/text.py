@@ -456,9 +456,18 @@ def overlap_pairs(
     the fingerprint generates bounded pairs, one count aggregates
     ``shared_fps``.
     """
-    fps = winnowing_fingerprints(df, k=k, window=window, text_col=text_col, id_col=id_col)
+    from ._cache import eager_persist
+
+    # the fingerprint set feeds the frequency count AND both self-join
+    # sides — persist it once or the whole winnowing lineage (explode +
+    # window min) recomputes per consumer
+    fps = eager_persist(
+        winnowing_fingerprints(df, k=k, window=window, text_col=text_col, id_col=id_col)
+    )
     fp_df = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
-    kept = fps.join(fp_df.filter(F.col("_df") <= max_fp_df), "fp").select(id_col, "fp")
+    kept = eager_persist(
+        fps.join(fp_df.filter(F.col("_df") <= max_fp_df), "fp").select(id_col, "fp")
+    )
     a = kept.select(F.col("fp"), F.col(id_col).alias("doc_a"))
     b = kept.select(F.col("fp"), F.col(id_col).alias("doc_b"))
     return (
