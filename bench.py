@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "docs_corpus_stats",
     "docs_decontaminate",
     "docs_pack_sequences",
+    "docs_chunk",
     "docs_collocations",
     "docs_vocabulary",
     "docs_neardup_verified",

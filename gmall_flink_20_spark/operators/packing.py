@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pack_sequences"]
+__all__ = ["pack_sequences", "chunk_documents"]
 
 
 def pack_sequences(
@@ -57,4 +57,54 @@ def pack_sequences(
         (F.col("tok_end") - F.col("n_tokens")).alias("tok_start"),
         F.expr(f"CAST((tok_end - n_tokens) DIV {seq_len} AS BIGINT)").alias("seq_first"),
         F.expr(f"CAST((tok_end - 1) DIV {seq_len} AS BIGINT)").alias("seq_last"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping fixed-size token windows per document — the chunking
+    step feeding embedding/indexing pipelines (stride < chunk_tokens
+    gives the standard sliding overlap; the final chunk is short rather
+    than padded).
+
+    Chunk starts are multiples of ``stride`` below the token count, so
+    every token is covered and chunk_id is stable under re-runs. Output
+    carries the chunk's md5 (content-addressable id for downstream
+    dedup/indexing) instead of the text itself.
+
+    Purely row-local: one explode, no shuffle at all — scales with input
+    splits.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("toks")).filter(F.size("toks") >= 1)
+    n = F.size("toks").cast("long")
+    exploded = base.select(
+        F.col(id_col),
+        F.col("toks"),
+        n.alias("n_tokens"),
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.expr(f"CAST((size(toks) - 1) DIV {stride} AS BIGINT)"),
+            )
+        ).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * stride
+    chunk_len = F.least(F.lit(chunk_tokens).cast("long"), F.col("n_tokens") - start)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        chunk_len.alias("chunk_len"),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), (start + 1).cast("int"), chunk_len.cast("int"))
+            ).cast("binary")
+        ).alias("chunk_md5"),
     )

@@ -1809,3 +1809,22 @@ agg AS (
 SELECT agg.source, agg.lang, n_docs, total_tokens, mean_tokens, median_tokens
 FROM agg JOIN med USING (source, lang)
 """
+
+ORACLES["docs_chunk"] = r"""
+WITH base AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+    FROM documents WHERE len(string_split_regex(trim(text), '\s+')) >= 1
+),
+chunks AS (
+    SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens,
+           unnest(range(0, (len(t) - 1) // 48 + 1)) AS chunk_id
+    FROM base
+)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(least(64, n_tokens - chunk_id * 48) AS BIGINT) AS chunk_len,
+       md5(array_to_string(
+           t[chunk_id * 48 + 1 : chunk_id * 48 + least(64, n_tokens - chunk_id * 48)],
+           ' ')) AS chunk_md5
+FROM chunks
+"""

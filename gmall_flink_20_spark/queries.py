@@ -1101,6 +1101,18 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators/packing.
+    chunk_documents): 64-token chunks at stride 48, emitting
+    content-addressable chunk md5s — the embedding/indexing prep step.
+    Purely row-local (one explode, zero shuffle)."""
+    from .operators import packing
+
+    return packing.chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=64, stride=48
+    )
+
+
 def docs_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 corpus collocations by PMI (operators/text.
     collocations_topk): two map-side-combined gram counts, min-count
@@ -1223,6 +1235,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_corpus_stats": docs_corpus_stats,
     "docs_decontaminate": docs_decontaminate,
     "docs_pack_sequences": docs_pack_sequences,
+    "docs_chunk": docs_chunk,
     "docs_collocations": docs_collocations,
     "docs_vocabulary": docs_vocabulary,
     "media_features": media_features,

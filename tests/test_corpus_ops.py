@@ -176,3 +176,20 @@ def test_corpus_stats_exact_median(spark):
     assert (r.n_docs, r.total_tokens) == (4, 16)
     assert r.median_tokens == 3  # rank ceil(4/2)=2 of [1,3,5,7]
     assert abs(r.mean_tokens - 4.0) < 1e-12
+
+
+def test_chunk_documents_windows(spark):
+    import hashlib
+
+    from gmall_flink_20_spark.operators.packing import chunk_documents
+
+    words = ["w%d" % i for i in range(11)]
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    out = sorted(
+        chunk_documents(docs, chunk_tokens=5, stride=4).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    # 11 tokens, stride 4 → starts 0, 4, 8 → lens 5, 5, 3
+    assert [(r.chunk_id, r.chunk_len) for r in out] == [(0, 5), (1, 5), (2, 3)]
+    assert out[0].chunk_md5 == hashlib.md5(" ".join(words[0:5]).encode()).hexdigest()
+    assert out[2].chunk_md5 == hashlib.md5(" ".join(words[8:11]).encode()).hexdigest()
