@@ -1,6 +1,9 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric", "value", "unit", "queries", "sf"}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints the
+full per-query JSON first, then a compact FINAL line
+{"metric", "value", "unit", "queries": <5 slowest>, "n_queries", "sf"}
+that stays parseable under tail capture; the complete per-query dict is
+also written to BENCH_DETAIL.json.
 
 Each query is materialized (collect) so timings include the full plan —
 scan, shuffles, result encode. Times are wall-clock seconds per query;
@@ -182,15 +185,37 @@ def main() -> None:
             # cached blocks/broadcasts don't pressure later measurements
             spark.catalog.clearCache()
 
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    total = round(sum(timings.values()), 3)
+    # Full per-query detail goes to a file (and an early stdout line for
+    # humans); the FINAL stdout line is a compact summary that survives
+    # tail-capture truncation — r2's 85-query single line outgrew the
+    # driver's capture window and the round's bench was recorded as
+    # parsed:null (VERDICT.md r2 "What's wrong" item 1).
+    detail = {
+        "metric": "total_query_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs": runs,
+        "sf": sf_val,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(json.dumps(detail))
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     print(
         json.dumps(
             {
                 "metric": "total_query_runtime",
-                "value": round(sum(timings.values()), 3),
+                "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
+                "n_queries": len(timings),
                 "runs": runs,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

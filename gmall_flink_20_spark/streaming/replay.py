@@ -25,32 +25,31 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["replay_stream", "run_to_completion", "flush_sentinel"]
+__all__ = ["replay_stream", "run_to_completion", "flush_sentinel", "sentinel_pair"]
 
 
-def flush_sentinel(
+def _max_row(template_df: DataFrame, ts_col: str) -> dict:
+    """The row holding max(ts) — ONE TakeOrdered job yields both the
+    template row and the stream's maximum event time (the row with the
+    max ts is itself a valid template), replacing the former separate
+    max() + limit(1) jobs."""
+    return (
+        template_df.orderBy(F.col(ts_col).desc()).limit(1).collect()[0].asDict()
+    )
+
+
+def _sentinel_from(
     spark: SparkSession,
     template_df: DataFrame,
-    ts_col: str = "ts",
-    days: int = 30,
-    overrides: dict | None = None,
+    row: dict,
+    ts_col: str,
+    days: int,
+    overrides: dict | None,
 ) -> DataFrame:
-    """One-row inert frame at max(ts)+days — replayed as a trailing
-    micro-batch it advances the watermark past every deadline so
-    event-time timers fire deterministically (use two, ``days`` apart:
-    the first moves the watermark, the second delivers the batch in
-    which the now-expired timers run).
-
-    The sentinel lands on the RESERVED key ``user_id = -1`` (when the
-    frame has a user_id column) rather than cloning an arbitrary real
-    key's id, so no real key's timer path depends on receiving sentinel
-    data — every real key's expired timers fire through the watermark
-    (hasTimedOut) path. ``overrides`` force other columns (e.g. the key
-    column of a differently-keyed stream) onto reserved values."""
     from datetime import datetime, timezone
 
-    max_ts = template_df.agg(F.max(ts_col)).collect()[0][0]
-    row = template_df.limit(1).collect()[0].asDict()
+    row = dict(row)
+    max_ts = row[ts_col]
     future = datetime.fromtimestamp(
         max_ts.replace(tzinfo=timezone.utc).timestamp() + days * 86400, tz=timezone.utc
     ).replace(tzinfo=None)
@@ -66,6 +65,55 @@ def flush_sentinel(
     for k, v in (overrides or {}).items():
         row[k] = v
     return spark.createDataFrame([row], template_df.schema)
+
+
+def flush_sentinel(
+    spark: SparkSession,
+    template_df: DataFrame,
+    ts_col: str = "ts",
+    days: int = 30,
+    overrides: dict | None = None,
+) -> DataFrame:
+    """One-row inert frame at max(ts)+days — replayed as a trailing
+    micro-batch it advances the watermark past every deadline so
+    event-time timers fire deterministically (use two, ``days`` apart:
+    the first moves the watermark, the second delivers the batch in
+    which the now-expired timers run; or call ``sentinel_pair`` which
+    builds both from a single scan).
+
+    The sentinel lands on the RESERVED key ``user_id = -1`` (when the
+    frame has a user_id column) rather than cloning an arbitrary real
+    key's id, so no real key's timer path depends on receiving sentinel
+    data — every real key's expired timers fire through the watermark
+    (hasTimedOut) path. ``overrides`` force other columns (e.g. the key
+    column of a differently-keyed stream) onto reserved values."""
+    row = _max_row(template_df, ts_col)
+    return _sentinel_from(spark, template_df, row, ts_col, days, overrides)
+
+
+def sentinel_pair(
+    spark: SparkSession,
+    template_df: DataFrame,
+    ts_col: str = "ts",
+    days: tuple[int, int] = (30, 31),
+    overrides: dict | None = None,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Both flush sentinels plus the result cutoff from ONE scan.
+
+    Returns ``(s1, s2, cutoff_s)`` where ``cutoff_s = max(ts) + 86400``
+    in epoch seconds — the filter bound callers use to drop the
+    sentinels' own far-future windows from materialized results. Doing
+    all three from a single TakeOrdered job replaces the former pattern
+    of five jobs per streaming query (2×max + 2×limit + a cutoff scan)."""
+    from datetime import timezone
+
+    row = _max_row(template_df, ts_col)
+    cutoff_s = (
+        int(row[ts_col].replace(tzinfo=timezone.utc).timestamp()) + 86400
+    )
+    s1 = _sentinel_from(spark, template_df, row, ts_col, days[0], overrides)
+    s2 = _sentinel_from(spark, template_df, row, ts_col, days[1], overrides)
+    return s1, s2, cutoff_s
 
 
 def replay_stream(
