@@ -90,6 +90,10 @@ SELECT (CAST(floor(epoch(ts)/3600) AS BIGINT) + 1) * 3600 AS window_end_s,
 FROM events GROUP BY 1
 """
 
+# the streaming form's final per-window estimate must satisfy the same
+# error bound, so it shares the batch oracle's shape verbatim
+ORACLES["unique_visitors_approx_streaming"] = ORACLES["unique_visitors_approx"]
+
 ORACLES["channel_stats"] = _sliding(
     base="SELECT 'ch' || CAST(user_id % 4 AS VARCHAR) AS channel, event_type AS behavior, ts FROM events",
     size=3600,

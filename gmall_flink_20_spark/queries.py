@@ -425,6 +425,57 @@ def unique_visitors_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unique_visitors_approx_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WA6 as ACTUAL Structured Streaming (UniqueVisitorApp2.java:93-168
+    is inherently a streaming approximate-distinct: a Redis-bitmap Bloom
+    filter probed per element with a FIRE_AND_PURGE trigger). Spark-first
+    form: the HLL++ sketch IS the streaming aggregation state — the
+    windowed ``approx_count_distinct`` runs in UPDATE output mode, each
+    micro-batch re-emits the estimate for every window it touched (the
+    per-element re-fire semantics), and the per-(window) rows upsert into
+    the distributed parquet append-log store; last-write-wins gives each
+    window's final estimate over all its rows.
+
+    Gated by the same error-bound oracle as the batch form: the final
+    streaming estimate per window must land within max(3, 3·rsd·uv) of
+    the exact batch UV, so a hash match proves the bound held for every
+    window (operators/distinct.approx_unique_count_checked docstring).
+    Excluded from bench (it measures the replay harness)."""
+    import tempfile
+
+    from .streaming import replay
+    from .streaming import topn as stopn
+
+    rsd = 0.05
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    stream = replay.replay_stream(spark, ev, "ts", num_chunks=8)
+    est = (
+        stream.withWatermark("ts", "2 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.approx_count_distinct("user_id", rsd).alias("uv_hll"))
+        .select(
+            F.col("w.end").cast("long").alias("window_end_s"),
+            "uv_hll",
+            F.lit(0).alias("k"),
+        )
+    )
+    store = stopn.ParquetUpsertStore(
+        tempfile.mkdtemp(prefix="uv_hll_store_") + "/log", "window_end_s", "k"
+    )
+    q = stopn.topn_upsert_sink(est, store).trigger(availableNow=True).start()
+    q.awaitTermination()
+    snap = store.snapshot(spark).drop("k")
+    exact = distinct.unique_count(_events(spark, sf_dir), "ts", "1 hour", "user_id")
+    return snap.join(exact, "window_end_s").select(
+        "window_end_s",
+        "uv",
+        (
+            F.abs(F.col("uv_hll") - F.col("uv"))
+            <= F.greatest(F.lit(3.0), F.lit(3 * rsd) * F.col("uv"))
+        ).alias("hll_within_bound"),
+    )
+
+
 def pay_receipt_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 (PayReceiptWithJoinApp.java:50-70): purchases interval-joined to
     clicks (receipts) within ±30 min on the user key."""
@@ -1173,6 +1224,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_ann_ivf_pq": emb_ann_ivf_pq,
     "emb_kmeans": emb_kmeans,
     # (2) round-3-new queries (inserted here as they land)
+    "unique_visitors_approx_streaming": unique_visitors_approx_streaming,
     # (3) flagship already-proven reference entries (fill to ~50)
     "hot_items_topn": hot_items_topn,
     "hot_urls_topn": hot_urls_topn,
