@@ -101,11 +101,16 @@ def login_fail_pairs_stream(
                 t, i, fl = part.split(",")
                 items.append((int(t), int(i), fl == "1"))
         if not state.hasTimedOut:
+            # column-wise extraction (no per-row Series construction); the
+            # decision scan below is inherently sequential and stays a loop
             for pdf in pdfs:
-                for _, row in pdf.iterrows():
-                    items.append(
-                        (int(row["ts_s"]), int(row["event_id"]), row["event_type"] == fail_type)
+                items.extend(
+                    zip(
+                        pdf["ts_s"].astype("int64").tolist(),
+                        pdf["event_id"].astype("int64").tolist(),
+                        (pdf["event_type"] == fail_type).tolist(),
                     )
+                )
         wm_ms = state.getCurrentWatermarkMs()
         items.sort()
         out_first: list[int] = []
@@ -196,11 +201,16 @@ def order_timeout_stream(events: DataFrame, horizon_s: int) -> DataFrame:
         else:
             for pdf in pdfs:
                 pdf = pdf.sort_values(["ts_s", "event_id"])
-                for _, row in pdf.iterrows():
-                    ts = int(row["ts_s"])
-                    if row["event_type"] == "view":
-                        pending.append((int(row["event_id"]), ts))
-                    elif row["event_type"] == "purchase":
+                # column-wise extraction; the pending-set resolution is
+                # sequential by nature (each purchase consumes state)
+                for ts, eid, etype in zip(
+                    pdf["ts_s"].astype("int64").tolist(),
+                    pdf["event_id"].astype("int64").tolist(),
+                    pdf["event_type"].tolist(),
+                ):
+                    if etype == "view":
+                        pending.append((eid, ts))
+                    elif etype == "purchase":
                         still = []
                         for cid, cts in pending:
                             if cts < ts <= cts + horizon_s:
@@ -264,28 +274,46 @@ def blacklist_stream(events: DataFrame, threshold: int) -> DataFrame:
     def fn(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         (user_id,) = key
         day, cnt = (state.get if state.exists else (None, 0))
-        out: list[tuple[int, str, str]] = []
+        frames: list[pd.DataFrame] = []
         for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
             pdf = pdf.sort_values(["ts_s", "event_id"])
-            for _, row in pdf.iterrows():
-                if row["day_str"] != day:
-                    day, cnt = row["day_str"], 0
-                cnt += 1
-                if cnt <= threshold:
-                    out.append((int(row["event_id"]), day, "kept"))
-                elif cnt == threshold + 1:
-                    out.append((int(row["event_id"]), day, "warning"))
+            days = pdf["day_str"]
+            # vectorized per-day running count: contiguous same-day
+            # segments (days are nondecreasing after the sort) numbered by
+            # a change-point cumsum; cumcount within segment + 1, with the
+            # carried state count seeding the first segment when it
+            # continues the state's day
+            seg = days.ne(days.shift()).cumsum()
+            cum = pdf.groupby(seg).cumcount().to_numpy() + 1
+            if cnt and days.iloc[0] == day:
+                cum = cum + np.where(seg.to_numpy() == 1, int(cnt), 0)
+            kept = cum <= threshold
+            warn = cum == threshold + 1
+            mask = kept | warn
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "user_id": user_id,
+                        "event_id": pdf["event_id"].astype("int64").to_numpy()[mask],
+                        "day_str": days.to_numpy()[mask],
+                        "out_type": np.where(kept, "kept", "warning")[mask],
+                    }
+                )
+            )
+            day, cnt = days.iloc[-1], int(cum[-1])
         state.update((day, cnt))
-        yield pd.DataFrame(
-            {
-                "user_id": user_id,
-                "event_id": [r[0] for r in out],
-                "day_str": [r[1] for r in out],
-                "out_type": [r[2] for r in out],
-            }
-        )
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+        else:
+            yield pd.DataFrame(
+                {"user_id": [], "event_id": [], "day_str": [], "out_type": []}
+            )
 
     return events.groupBy("user_id").applyInPandasWithState(
         fn, _BL_OUT, _BL_STATE, "append", GroupStateTimeout.NoTimeout
