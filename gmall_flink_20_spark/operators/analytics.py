@@ -301,12 +301,21 @@ def transition_matrix(
     Probabilities are double divisions of exact counts, so the oracle is
     bit-identical.
 
+    Ordering contract: the sequence is ordered by an EXPLICIT epoch-µs
+    long (unix_micros) plus the tiebreak, not by the raw timestamp.
+    Spark truncates parquet timestamps to µs while other engines (the
+    DuckDB oracle) may keep ns — ordering both engines on the same
+    µs-floored long makes lead() pairing deterministic even if a
+    generator ever emits sub-µs precision.
+
     Plan shape for 100 TB: one window (lead) partitioned by the key —
     a single exchange; the pair aggregate then collapses to
     |states|² rows before the tiny row-total broadcast join. No
     self-join of the event stream.
     """
-    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    w = Window.partitionBy(key_col).orderBy(
+        F.unix_micros(F.col(ts_col)), F.col(tiebreak_col)
+    )
     pairs = (
         events.select(
             F.col(key_col),

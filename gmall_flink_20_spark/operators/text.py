@@ -468,6 +468,13 @@ def overlap_pairs(
     kept = eager_persist(
         fps.join(fp_df.filter(F.col("_df") <= max_fp_df), "fp").select(id_col, "fp")
     )
+    # kept is materialized above, so the raw fingerprint cache is no
+    # longer referenced — release it now rather than accumulating cached
+    # partitions across repeated registry/bench invocations. `kept`
+    # itself must stay cached until the returned (lazy) pair frame is
+    # consumed: callers own that lifecycle, same contract as the other
+    # banded-pair operators here.
+    fps.unpersist()
     a = kept.select(F.col("fp"), F.col(id_col).alias("doc_a"))
     b = kept.select(F.col("fp"), F.col(id_col).alias("doc_b"))
     return (

@@ -1742,8 +1742,11 @@ GROUP BY p.item, p.exact_cnt
 ORACLES["events_transition_matrix"] = """
 WITH seq AS (
     SELECT event_type AS from_state,
+           -- explicit epoch-µs ordering: matches Spark's unix_micros()
+           -- window key so lead() pairing is engine-independent even on
+           -- sub-µs timestamps
            lead(event_type) OVER (PARTITION BY user_id
-                                  ORDER BY ts, event_id) AS to_state
+                                  ORDER BY epoch_us(ts), event_id) AS to_state
     FROM events
 ),
 pairs AS (

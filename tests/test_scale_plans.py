@@ -194,6 +194,10 @@ def test_rate_anomaly_aggregates_before_window(spark, sf_dir):
     agg_pos = plan.find("HashAggregate")
     win_pos = plan.find("Window")
     assert agg_pos != -1 and win_pos != -1
+    # downstream operators print FIRST in explain output, so the window
+    # (which must consume bucket rows, not raw events) has to appear
+    # before the aggregate in the text
+    assert win_pos < agg_pos
 
 
 def test_ivf_assignment_does_not_shuffle_corpus(spark, sf_dir):
