@@ -15,7 +15,6 @@ docstring).
 
 from __future__ import annotations
 
-import math
 import os
 import shutil
 import tempfile
@@ -138,46 +137,66 @@ def replay_stream(
     event_id) offset in [-disorder_s, +disorder_s), so later chunks carry
     earlier event times — a live stream with bounded disorder. The event
     time regression between arrivals is < 2·disorder_s; consumers must
-    watermark with at least that delay or Spark drops the late rows."""
+    watermark with at least that delay or Spark drops the late rows.
+
+    Chunking is EXECUTOR-SIDE: a ``repartitionByRange`` on the replay
+    position writes one parquet file per range partition, so the harness
+    never collects the input to the driver and replays frames larger
+    than driver memory. Range partitioning guarantees every row in chunk
+    j replays no later than any row in chunk j+1 (the property the
+    watermark progression needs); within-chunk order is irrelevant —
+    rows inside one micro-batch are a set, and the watermark only
+    advances between batches. Chunk sizes are range-sampled rather than
+    exactly equal-count; micro-batch COUNT, not size balance, is the
+    contract."""
     base = Path(workdir or tempfile.mkdtemp(prefix="replay_"))
     src = base / f"src_{uuid.uuid4().hex[:8]}"
     src.mkdir(parents=True)
+    schema = batch_df.schema
 
     if disorder_s:
-        import hashlib
-        from datetime import timedelta
-
-        def _replay_key(row):
-            eid = row["event_id"] if "event_id" in row.__fields__ else 0
-            h = int(hashlib.md5(str(eid).encode()).hexdigest()[:8], 16)
-            off = h % (2 * disorder_s) - disorder_s
-            return row[ts_col] + timedelta(seconds=off)
-
-        rows = sorted(batch_df.collect(), key=_replay_key)
+        # same offset formula as the documented contract above: md5 of
+        # the stringified event id, first 8 hex chars, mod 2d shifted to
+        # [-d, +d) — computed in the JVM, never on the driver
+        eid = (
+            F.col("event_id").cast("string")
+            if "event_id" in batch_df.columns
+            else F.lit("0")
+        )
+        h = F.conv(F.substring(F.md5(eid), 1, 8), 16, 10).cast("long")
+        off = (h % F.lit(2 * disorder_s) - F.lit(disorder_s)).cast("int")
+        rpos = F.timestamp_add("SECOND", off, F.col(ts_col))
     else:
-        rows = batch_df.orderBy(ts_col).collect()
-    n = max(1, math.ceil(len(rows) / num_chunks))
-    schema = batch_df.schema
-    chunks = [
-        spark.createDataFrame(rows[i : i + n], schema) for i in range(0, len(rows), n)
-    ]
-    chunks += [c.select(*schema.fieldNames()) for c in (extra_chunks or [])]
-    for j, chunk in enumerate(chunks):
-        # one parquet file per chunk → one micro-batch per trigger
-        chunk.coalesce(1).write.mode("overwrite").parquet(str(src / f"chunk_{j:05d}"))
+        rpos = F.col(ts_col)
+
+    data_dir = src / "data"
+    (
+        batch_df.withColumn("_rpos", rpos)
+        .repartitionByRange(num_chunks, "_rpos")
+        .drop("_rpos")  # narrow projection: partitioning survives
+        .write.mode("overwrite")
+        .parquet(str(data_dir))
+    )
 
     flat = src / "flat"
     flat.mkdir()
     base_mtime = 1_000_000_000  # fixed epoch; only relative order matters
-    for j, p in enumerate(sorted(src.glob("chunk_*"))):
-        for f in Path(p).glob("*.parquet"):
-            dst = flat / f"{j:05d}.parquet"
-            shutil.copy(f, dst)
-            # FileStreamSource orders by modification time with unstable
-            # ties; stamp strictly increasing mtimes so micro-batch order
-            # is exactly chunk order (otherwise a later-sorted data chunk
-            # can arrive after a flush sentinel and be late vs watermark).
-            os.utime(dst, (base_mtime + j, base_mtime + j))
+    # part-00000..part-N are emitted in range-partition order (empty
+    # ranges emit no file), so filename sort == replay-position order
+    data_files = sorted(data_dir.glob("part-*"))
+    for j, extra in enumerate(extra_chunks or []):
+        extra.select(*schema.fieldNames()).coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"extra_{j:05d}")
+        )
+        data_files += sorted((src / f"extra_{j:05d}").glob("part-*"))
+    for j, f in enumerate(data_files):
+        dst = flat / f"{j:05d}.parquet"
+        shutil.copy(f, dst)
+        # FileStreamSource orders by modification time with unstable
+        # ties; stamp strictly increasing mtimes so micro-batch order
+        # is exactly chunk order (otherwise a later-sorted data chunk
+        # can arrive after a flush sentinel and be late vs watermark).
+        os.utime(dst, (base_mtime + j, base_mtime + j))
 
     return (
         spark.readStream.schema(schema)
