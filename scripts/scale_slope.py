@@ -1,0 +1,121 @@
+"""Scale-slope measurement for the heaviest pipeline operators.
+
+Times the five most expensive bench queries at sf0.01, sf0.1, and a
+synthetically DOUBLED sf0.1 corpus, then reports per-step growth
+exponents (t ~ n^e): e = log(t_big/t_small) / log(n_big/n_small).
+Near-linear exponents are the direct evidence that LSH banding,
+triangle-partitioned blocking, and IVF list pruning keep the candidate
+space O(n) rather than O(n²).
+
+The doubled corpus is 2× DISTINCT rows, not verbatim duplication:
+the copy's text is token-reversed (different shingles → no artificial
+near-dup relation to the original) and its embeddings are negated
+(cosine −1 to the original, same norms) — verbatim doubling would make
+every row a perfect duplicate and measure a pathological 100%-dup
+corpus instead of scale growth.
+
+Usage: python scripts/scale_slope.py [runs_per_point]
+Writes a markdown table to stdout (paste into BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import math
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, "/root/repo")
+
+from gmall_flink_20_spark.queries import QUERIES
+from gmall_flink_20_spark.session import get_spark
+
+HEAVY = [
+    "docs_neardup_clusters",
+    "docs_ngram_jaccard",
+    "docs_dedup_resolved",
+    "emb_ann_ivf_pq",
+    "emb_cosine_neardup",
+]
+
+
+def build_doubled(spark, src: str, dst: str) -> None:
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    max_doc = docs.agg(F.max("doc_id")).first()[0] + 1
+    copy_docs = docs.select(
+        (F.col("doc_id") + max_doc).alias("doc_id"),
+        F.array_join(F.reverse(F.split(F.col("text"), " ")), " ").alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    docs.unionByName(copy_docs).write.mode("overwrite").parquet(
+        f"{dst}/documents.parquet"
+    )
+
+    emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    max_vec = emb.agg(F.max("vec_id")).first()[0] + 1
+    copy_emb = emb.select(
+        (F.col("vec_id") + max_vec).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: -x).alias("embedding"),
+        "label",
+    )
+    emb.unionByName(copy_emb).write.mode("overwrite").parquet(
+        f"{dst}/embeddings.parquet"
+    )
+    # remaining tables: link through so loaders resolve them
+    for t in Path(src).glob("*.parquet"):
+        if t.name not in ("documents.parquet", "embeddings.parquet"):
+            target = Path(dst) / t.name
+            if not target.exists():
+                shutil.copytree(t, target) if t.is_dir() else shutil.copy(t, target)
+
+
+def time_query(spark, name: str, sf_dir: str, runs: int) -> float:
+    best = math.inf
+    for _ in range(runs):
+        spark.catalog.clearCache()
+        t0 = time.monotonic()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.monotonic() - t0)
+    return best
+
+
+def main() -> None:
+    runs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    spark = get_spark()
+    dbl = tempfile.mkdtemp(prefix="sf_double_")
+    print("building doubled corpus at", dbl, file=sys.stderr)
+    build_doubled(spark, "/root/testdata/sf0.1", dbl)
+
+    points = [
+        ("sf0.01", "/root/testdata/sf0.01", 1.0),
+        ("sf0.1", "/root/testdata/sf0.1", 10.0),
+        ("sf0.1×2", dbl, 20.0),
+    ]
+    results: dict[str, dict[str, float]] = {}
+    for name in HEAVY:
+        results[name] = {}
+        for label, d, _ in points:
+            results[name][label] = time_query(spark, name, d, runs)
+            print(f"{name} @ {label}: {results[name][label]:.2f}s", file=sys.stderr)
+
+    print("| query | sf0.01 s | sf0.1 s | sf0.1×2 s | e(0.01→0.1) | e(0.1→×2) |")
+    print("|---|---|---|---|---|---|")
+    for name in HEAVY:
+        r = results[name]
+        e1 = math.log(r["sf0.1"] / r["sf0.01"]) / math.log(10)
+        e2 = math.log(r["sf0.1×2"] / r["sf0.1"]) / math.log(2)
+        print(
+            f"| `{name}` | {r['sf0.01']:.2f} | {r['sf0.1']:.2f} "
+            f"| {r['sf0.1×2']:.2f} | {e1:.2f} | {e2:.2f} |"
+        )
+    shutil.rmtree(dbl, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
