@@ -113,6 +113,10 @@ BENCH_QUERIES = [
     "emb_ann_ivf_pq",
     "emb_kmeans",
     "emb_cosine_neardup",
+    "docs_domain_cap",
+    "docs_gopher_filter",
+    "emb_semantic_dedup",
+    "emb_ann_recall",
 ]
 
 

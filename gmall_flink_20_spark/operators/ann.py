@@ -37,6 +37,8 @@ __all__ = [
     "pq_train_local",
     "ann_pq_topk",
     "ann_ivf_pq_topk",
+    "semantic_dedup",
+    "ann_recall",
 ]
 
 
@@ -735,4 +737,98 @@ def ann_ivf_pq_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+# ------------------------------------------------------- semantic dedup
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.25,
+    nlist: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    block_cap_rows: int = 2000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the corpus with the trained k-means quantizer, then drop every vector
+    that has a LOWER-id same-cluster neighbor with cosine ≥ ``threshold``
+    — one canonical representative survives per near-duplicate chain.
+    Emits (id, cluster_id, kept 0/1) for every input vector.
+
+    Scale shape: clustering bounds the candidate space the same way IVF
+    bounds ANN — cosine pairs are only evaluated WITHIN a cluster, via
+    the triangle-partitioned ``bounded_block_pairs`` so no dominant
+    cluster concentrates a quadratic task. The corpus never shuffles for
+    assignment (centroids are literals, row-local Arrow argmin); the
+    pair stage is the one keyed shuffle.
+
+    Deterministic: k-means follows the round(mean,6) training contract,
+    the drop rule depends only on (cluster, id order, the double-fold
+    cosine), so the oracle reproduces the kept set bit-for-bit.
+    """
+    assign = kmeans_assign(emb, nlist, iters, id_col, vec_col, dim)
+    rows = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .join(assign, id_col)
+        .select(
+            F.col("cluster_id").alias("blk"),
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("v"),
+            norm(F.col(vec_col)).alias("nrm"),
+        )
+    )
+    rows = eager_persist(rows)
+    pairs = blocking.bounded_block_pairs(rows, ["blk"], "vid", cap_rows=block_cap_rows)
+    dropped = (
+        pairs.withColumn(
+            "score", dot(F.col("v_a"), F.col("v_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+        )
+        .filter(F.col("score") >= threshold)
+        .select(F.col("vid_b").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    out = (
+        rows.select(F.col("vid").alias(id_col), F.col("blk").cast("long").alias("cluster_id"))
+        .join(dropped, id_col, "left")
+        .select(
+            F.col(id_col),
+            "cluster_id",
+            F.when(F.col("_dropped").isNotNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("kept"),
+        )
+    )
+    return out
+
+
+def ann_recall(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """Recall@k of an approximate ANN result against the exact top-k —
+    the standing evaluation every ANN deployment runs when tuning
+    nlist/nprobe/planes. Both inputs are (query_id, neighbor_id[, rank])
+    frames; emits (query_id, n_hits, recall) for EVERY exact-side query
+    (zero-hit queries included, not silently dropped).
+
+    Scale shape: one equi-join on (query_id, neighbor_id) — both sides
+    are k rows per query, so the join input is tiny relative to the
+    corpus that produced it; the per-query count is a map-side-combined
+    aggregate."""
+    q = exact.select("query_id").distinct()
+    hits = (
+        approx.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return q.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(float(k))).alias(
+            "recall"
+        ),
     )

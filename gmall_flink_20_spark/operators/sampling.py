@@ -25,6 +25,7 @@ __all__ = [
     "hash_sample",
     "stratified_sample",
     "weighted_sample",
+    "per_group_cap",
 ]
 
 HASH_SPACE = 1 << 60  # 15 hex chars of md5
@@ -100,4 +101,45 @@ def weighted_sample(
         .orderBy(F.col("_pri").desc(), F.col(key_col).asc())
         .limit(k)
         .drop("_pri")
+    )
+
+
+def per_group_cap(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "cap",
+    fanout: int = 64,
+) -> DataFrame:
+    """Keep at most ``k`` rows per group, chosen by deterministic salted-
+    hash priority — the domain-rebalancing cap every web-scale corpus
+    applies ("no domain contributes more than N documents").
+
+    Exact and reproducible: the kept set is the k smallest (priority,
+    key) rows of each group, independent of partitioning and retries.
+
+    Skew is the scale hazard: a plain row_number over the group key puts
+    a monster domain's every row in ONE task. This runs TWO-LEVEL exact
+    top-k instead: rows first rank within (group, key-hash sub-bucket) —
+    ``fanout`` parallel tasks per group — and only each sub-bucket's top
+    k (≤ fanout·k rows per group, independent of group size) reach the
+    final per-group rank. Any global top-k row is necessarily top-k in
+    its sub-bucket, so the two-phase result is exactly the one-phase
+    result with the heavy window input bounded.
+    """
+    from pyspark.sql import Window
+
+    pri = sample_hash(key_col, salt)
+    sub = F.pmod(F.xxhash64(F.col(key_col), F.lit(salt)), F.lit(fanout))
+    w1 = Window.partitionBy(group_col, "_sub").orderBy("_pri", key_col)
+    w2 = Window.partitionBy(group_col).orderBy("_pri", key_col)
+    return (
+        df.withColumn("_pri", pri)
+        .withColumn("_sub", sub)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= k)
+        .drop("_pri", "_sub", "_r1", "_r2")
     )

@@ -30,6 +30,8 @@ __all__ = [
     "overlap_pairs",
     "corpus_stats",
     "LANG_MARKERS",
+    "gopher_filter",
+    "GOPHER_STOPWORDS",
 ]
 
 _WS = r"\s+"
@@ -522,3 +524,58 @@ def corpus_stats(
         ),
     )
     return agg.join(med, ["source", "lang"])
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with", "a", "in")
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 40,
+    max_words: int = 200,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021, table A1
+    subset): word-count bounds, mean-word-length bounds, minimum fraction
+    of words containing an alphabetic character, and a minimum stopword
+    hit count. Emits the rule features plus kept 0/1 so downstream can
+    audit WHICH rule fired, not just the verdict.
+
+    All features are pure codegen expressions over one tokenization —
+    zero shuffle, scan-parallel, no UDF. Ratio rules are double
+    divisions of exact integers (both engines compute the identical
+    double, so threshold compares can't flip cross-engine).
+    """
+    toks = tokens(text_col)
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_words = F.size(toks).cast("long")
+    total_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_len = total_chars.cast("double") / n_words.cast("double")
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))).cast("long")
+    alpha_ratio = alpha.cast("double") / n_words.cast("double")
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
+        "long"
+    )
+    base = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_hits.alias("n_stop_hits"),
+    )
+    kept = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_len)
+        & (F.col("mean_word_len") <= max_mean_len)
+        & (F.col("alpha_ratio") >= min_alpha_ratio)
+        & (F.col("n_stop_hits") >= min_stop_hits)
+    )
+    return base.withColumn("kept", F.when(kept, F.lit(1)).otherwise(F.lit(0)).cast("long"))

@@ -1835,3 +1835,85 @@ SELECT doc_id,
            ' ')) AS chunk_md5
 FROM chunks
 """
+
+
+# ------------------------------------------------- round-3 new operators
+
+ORACLES["docs_domain_cap"] = """
+SELECT doc_id, source FROM (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source ORDER BY pri ASC, doc_id ASC) AS rn
+    FROM (SELECT doc_id, source,
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':cap'), 1, 15)) AS BIGINT) AS pri
+          FROM documents)
+) WHERE rn <= 10
+"""
+
+# Gopher rule gate: identical tokenization, integer-exact double ratios
+ORACLES["docs_gopher_filter"] = r"""
+WITH base AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+feat AS (
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+             / CAST(len(t) AS DOUBLE) AS mean_word_len,
+           CAST(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+             / CAST(len(t) AS DOUBLE) AS alpha_ratio,
+           CAST(len(list_filter(t, x -> list_contains(
+               ['the','be','to','of','and','that','have','with','a','in'], x))) AS BIGINT) AS n_stop_hits
+    FROM base
+)
+SELECT doc_id, n_words, mean_word_len, alpha_ratio, n_stop_hits,
+       CAST(CASE WHEN n_words BETWEEN 40 AND 200
+                  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                  AND alpha_ratio >= 0.8
+                  AND n_stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM feat
+"""
+
+
+def _semantic_dedup_sql(
+    threshold: float = 0.25, nlist: int = 8, iters: int = 3, dim: int = 64
+) -> str:
+    """SemDeDup oracle: unrolled-Lloyd assignment (same CTE chain as
+    emb_kmeans), then the within-cluster lower-id cosine drop rule on
+    the RAW embeddings with the double-fold cosine."""
+    ctes, dl2 = _kmeans_ctes(nlist, iters, dim)
+    final = f"""asg AS (
+    SELECT vec_id, cid FROM (
+        SELECT u.vec_id, c.cid,
+               row_number() OVER (PARTITION BY u.vec_id ORDER BY {dl2} ASC, c.cid ASC) AS rn
+        FROM u, cents{iters} c) WHERE rn = 1
+),
+rows_ AS (SELECT e.vec_id, e.embedding, a.cid FROM embeddings e JOIN asg a USING (vec_id)),
+dropped AS (
+    SELECT DISTINCT b.vec_id FROM rows_ a JOIN rows_ b
+      ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE {_DCOS.format(a='a.embedding', b='b.embedding')} >= {threshold!r}
+)
+SELECT r.vec_id, CAST(r.cid AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM rows_ r LEFT JOIN dropped d ON r.vec_id = d.vec_id"""
+    return "WITH " + ",\n".join(ctes) + ",\n" + final
+
+
+ORACLES["emb_semantic_dedup"] = _semantic_dedup_sql()
+
+# recall@5 of the multiprobe-LSH result against brute-force exact top-5;
+# both component oracles are reused verbatim as nested-WITH subqueries so
+# the evaluation can never drift from the gated operators themselves
+ORACLES["emb_ann_recall"] = f"""
+WITH approx AS ({ORACLES["emb_ann_lsh_multiprobe"]}),
+exact AS ({ORACLES["emb_ann_topk"]}),
+hits AS (
+    SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM approx a JOIN exact e USING (query_id, neighbor_id)
+    GROUP BY a.query_id
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall
+FROM (SELECT DISTINCT query_id FROM exact) q LEFT JOIN hits h USING (query_id)
+"""

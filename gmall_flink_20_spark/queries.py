@@ -1183,6 +1183,47 @@ def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (operators/sampling.per_group_cap): keep
+    the 10 deterministically-lowest-priority docs of every source — the
+    domain-rebalancing cap web-scale corpora apply so no domain
+    dominates. Two-level exact top-k bounds the heavy window's input to
+    fanout·k rows per group regardless of domain skew."""
+    from .operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.per_group_cap(docs.select("doc_id", "source"), k=10)
+
+
+def docs_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (operators/text.
+    gopher_filter): word-count bounds, mean-word-length bounds, alpha-
+    word ratio, stopword hits — emitted per rule plus the kept verdict,
+    all as codegen expressions over one tokenization (no UDF, no
+    shuffle)."""
+    return text.gopher_filter(load_table(spark, sf_dir, "documents"))
+
+
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/ann.semantic_dedup):
+    k-means clusters bound the cosine candidate space; each vector with
+    a lower-id same-cluster neighbor at cosine >= 0.25 is dropped, one
+    canonical representative per near-dup chain. Kept flags for every
+    vector, oracle-checked against the unrolled-Lloyd SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.semantic_dedup(emb, threshold=0.25)
+
+
+def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of multi-probe LSH ANN against exact brute-force top-5
+    (operators/ann.ann_recall) — the tuning evaluation every ANN
+    deployment runs; zero-hit queries included."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    approx = ann.ann_lsh_topk(emb, list(range(10)), 5, n_planes=8, seed=42, n_probes=4)
+    exact = similarity.ann_bruteforce_topk(emb, list(range(10)), 5)
+    return ann.ann_recall(approx, exact, 5)
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1225,6 +1266,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_kmeans": emb_kmeans,
     # (2) round-3-new queries (inserted here as they land)
     "unique_visitors_approx_streaming": unique_visitors_approx_streaming,
+    # (2b) round-3 NEW operators — in-window on first appearance
+    "docs_domain_cap": docs_domain_cap,
+    "docs_gopher_filter": docs_gopher_filter,
+    "emb_semantic_dedup": emb_semantic_dedup,
+    "emb_ann_recall": emb_ann_recall,
     # (3) flagship already-proven reference entries (fill to ~50)
     "hot_items_topn": hot_items_topn,
     "hot_urls_topn": hot_urls_topn,

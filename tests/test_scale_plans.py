@@ -206,3 +206,35 @@ def test_ivf_assignment_does_not_shuffle_corpus(spark, sf_dir):
     plan = plan_of(QUERIES["emb_ann_ivf"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_gopher_filter_no_udf_single_scan(spark, sf_dir):
+    # pure codegen rule gate: one scan, no Python, no exchange
+    plan = plan_of(QUERIES["docs_gopher_filter"](spark, sf_dir))
+    assert "PythonUDF" not in plan
+    assert "Exchange" not in plan
+
+
+def test_per_group_cap_bounded_windows(spark, sf_dir):
+    # two-level top-k: exactly two Window operators (sub-bucket rank then
+    # group rank), no join, no cartesian
+    import re
+
+    plan = plan_of(QUERIES["docs_domain_cap"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Window\n", plan)) == 2
+    # the rn<=k filters lower to WindowGroupLimit — per-partition top-k
+    # pruning BEFORE the full window sort (partial+final per level)
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    assert "PythonUDF" not in plan
+
+
+def test_semantic_dedup_corpus_not_shuffled_for_assignment(spark, sf_dir):
+    # the pair stage is the only data-sized hash exchange family; the
+    # assignment itself is a row-local Arrow argmin against literal
+    # centroids (no join of the corpus against a centroid table)
+    plan = plan_of(QUERIES["emb_semantic_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # kept verdict join is on the id — broadcast or shuffled-hash both
+    # acceptable; what must NOT appear is a nested-loop over the corpus
+    assert "BroadcastNestedLoopJoin" not in plan
