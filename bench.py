@@ -117,6 +117,8 @@ BENCH_QUERIES = [
     "docs_gopher_filter",
     "emb_semantic_dedup",
     "emb_ann_recall",
+    "docs_curation_pipeline",
+    "emb_cluster_sample",
 ]
 
 

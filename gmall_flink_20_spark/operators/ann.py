@@ -39,6 +39,7 @@ __all__ = [
     "ann_ivf_pq_topk",
     "semantic_dedup",
     "ann_recall",
+    "cluster_balanced_sample",
 ]
 
 
@@ -831,4 +832,31 @@ def ann_recall(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
         (F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(float(k))).alias(
             "recall"
         ),
+    )
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    k_per_cluster: int = 20,
+    nlist: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Diversity-balanced corpus sampling: cluster with the trained
+    quantizer, then keep at most ``k_per_cluster`` vectors per cluster by
+    deterministic salted-hash priority — equal representation across the
+    embedding space's regions instead of density-proportional sampling
+    (the complement of SemDeDup: dedup removes redundancy, this bounds
+    dominance).
+
+    Assignment is row-local (literal centroids); the cap is the
+    skew-bounded two-level top-k, so a dominant cluster cannot
+    concentrate the rank work in one task. Emits (id, cluster_id)."""
+    from .sampling import per_group_cap
+
+    assign = kmeans_assign(emb, nlist, iters, id_col, vec_col, dim)
+    return per_group_cap(
+        assign, k_per_cluster, group_col="cluster_id", key_col=id_col
     )

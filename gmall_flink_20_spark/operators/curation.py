@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from .text import LANG_MARKERS, tokens
 
-__all__ = ["corpus_select", "decontaminate"]
+__all__ = ["corpus_select", "decontaminate", "curation_pipeline"]
 
 
 def corpus_select(
@@ -147,3 +147,49 @@ def decontaminate(
             ),
         )
     )
+
+
+def curation_pipeline(
+    df: DataFrame,
+    cap_per_source: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """The end-to-end curation pass as ONE declarative plan: Gopher rule
+    gate → exact-dedup (keep the lowest-id copy of each content group) →
+    per-domain cap. A corpus team runs exactly this chain before
+    training; composing it as a single DataFrame lets Catalyst pipeline
+    the stages — the rule gate folds into the scan's filter, the dedup
+    window and the cap windows are the only exchanges.
+
+    Emits (id, group, n_words) for the surviving documents.
+
+    Scale shape: rules are row-local codegen (no pre-filter shuffle of
+    dropped rows — they die at the scan), dedup shuffles once on the
+    content hash, the cap runs the skew-bounded two-level top-k from
+    ``sampling.per_group_cap``.
+    """
+    from pyspark.sql import Window
+
+    from .sampling import per_group_cap
+    from .text import gopher_feature_cols, gopher_kept_expr
+
+    feats = gopher_feature_cols(text_col)
+    gated = (
+        df.select(
+            F.col(id_col),
+            F.col(group_col),
+            F.md5(F.col(text_col).cast("binary")).alias("_fp"),
+            *[c.alias(n) for n, c in feats.items()],
+        )
+        .filter(gopher_kept_expr())
+        .select(F.col(id_col), F.col(group_col), "_fp", "n_words")
+    )
+    w = Window.partitionBy("_fp")
+    deduped = (
+        gated.withColumn("_keeper", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_keeper"))
+        .select(F.col(id_col), F.col(group_col), "n_words")
+    )
+    return per_group_cap(deduped, cap_per_source, group_col=group_col, key_col=id_col)

@@ -31,6 +31,8 @@ __all__ = [
     "corpus_stats",
     "LANG_MARKERS",
     "gopher_filter",
+    "gopher_feature_cols",
+    "gopher_kept_expr",
     "GOPHER_STOPWORDS",
 ]
 
@@ -529,6 +531,48 @@ def corpus_stats(
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with", "a", "in")
 
 
+def gopher_feature_cols(text_col: str = "text") -> dict[str, Column]:
+    """The Gopher rule features as raw Columns, so callers (the filter
+    below, composed pipelines) can inline them into any projection
+    without a join — they stay row-local codegen expressions."""
+    toks = tokens(text_col)
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_words = F.size(toks).cast("long")
+    total_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": total_chars.cast("double") / n_words.cast("double"),
+        "alpha_ratio": F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+        .cast("long")
+        .cast("double")
+        / n_words.cast("double"),
+        "n_stop_hits": F.size(
+            F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+        ).cast("long"),
+    }
+
+
+def gopher_kept_expr(
+    min_words: int = 40,
+    max_words: int = 200,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> Column:
+    """The keep verdict over already-projected feature columns."""
+    return (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_len)
+        & (F.col("mean_word_len") <= max_mean_len)
+        & (F.col("alpha_ratio") >= min_alpha_ratio)
+        & (F.col("n_stop_hits") >= min_stop_hits)
+    )
+
+
 def gopher_filter(
     df: DataFrame,
     text_col: str = "text",
@@ -551,31 +595,9 @@ def gopher_filter(
     divisions of exact integers (both engines compute the identical
     double, so threshold compares can't flip cross-engine).
     """
-    toks = tokens(text_col)
-    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
-    n_words = F.size(toks).cast("long")
-    total_chars = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
-    )
-    mean_len = total_chars.cast("double") / n_words.cast("double")
-    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))).cast("long")
-    alpha_ratio = alpha.cast("double") / n_words.cast("double")
-    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
-        "long"
-    )
-    base = df.select(
-        F.col(id_col),
-        n_words.alias("n_words"),
-        mean_len.alias("mean_word_len"),
-        alpha_ratio.alias("alpha_ratio"),
-        stop_hits.alias("n_stop_hits"),
-    )
-    kept = (
-        (F.col("n_words") >= min_words)
-        & (F.col("n_words") <= max_words)
-        & (F.col("mean_word_len") >= min_mean_len)
-        & (F.col("mean_word_len") <= max_mean_len)
-        & (F.col("alpha_ratio") >= min_alpha_ratio)
-        & (F.col("n_stop_hits") >= min_stop_hits)
+    feats = gopher_feature_cols(text_col)
+    base = df.select(F.col(id_col), *[c.alias(n) for n, c in feats.items()])
+    kept = gopher_kept_expr(
+        min_words, max_words, min_mean_len, max_mean_len, min_alpha_ratio, min_stop_hits
     )
     return base.withColumn("kept", F.when(kept, F.lit(1)).otherwise(F.lit(0)).cast("long"))

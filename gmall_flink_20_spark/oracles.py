@@ -1917,3 +1917,66 @@ SELECT q.query_id,
        CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall
 FROM (SELECT DISTINCT query_id FROM exact) q LEFT JOIN hits h USING (query_id)
 """
+
+
+ORACLES["docs_curation_pipeline"] = r"""
+WITH f AS (
+    SELECT doc_id, source, md5(text) AS fp, string_split_regex(trim(text), '\s+') AS t
+    FROM documents
+),
+feat AS (
+    SELECT doc_id, source, fp,
+           CAST(len(t) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+             / CAST(len(t) AS DOUBLE) AS mean_word_len,
+           CAST(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+             / CAST(len(t) AS DOUBLE) AS alpha_ratio,
+           CAST(len(list_filter(t, x -> list_contains(
+               ['the','be','to','of','and','that','have','with','a','in'], x))) AS BIGINT) AS n_stop_hits
+    FROM f
+),
+gated AS (
+    SELECT doc_id, source, fp, n_words FROM feat
+    WHERE n_words BETWEEN 40 AND 200
+      AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+      AND alpha_ratio >= 0.8
+      AND n_stop_hits >= 2
+),
+ded AS (
+    SELECT doc_id, source, n_words FROM (
+        SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM gated
+    ) WHERE doc_id = keeper
+)
+SELECT doc_id, source, n_words FROM (
+    SELECT doc_id, source, n_words,
+           row_number() OVER (PARTITION BY source ORDER BY
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':cap'), 1, 15)) AS BIGINT) ASC,
+               doc_id ASC) AS rn
+    FROM ded
+) WHERE rn <= 10
+"""
+
+
+def _cluster_sample_sql(
+    k_per_cluster: int = 20, nlist: int = 8, iters: int = 3, dim: int = 64
+) -> str:
+    """Diversity sample oracle: unrolled-Lloyd assignment + the salted
+    per-cluster cap (same hash idiom as per_group_cap)."""
+    ctes, dl2 = _kmeans_ctes(nlist, iters, dim)
+    final = f"""asg AS (
+    SELECT vec_id, cid FROM (
+        SELECT u.vec_id, c.cid,
+               row_number() OVER (PARTITION BY u.vec_id ORDER BY {dl2} ASC, c.cid ASC) AS rn
+        FROM u, cents{iters} c) WHERE rn = 1
+)
+SELECT vec_id, cluster_id FROM (
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id,
+           row_number() OVER (PARTITION BY cid ORDER BY
+               CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR) || ':cap'), 1, 15)) AS BIGINT) ASC,
+               vec_id ASC) AS rn
+    FROM asg
+) WHERE rn <= {k_per_cluster}"""
+    return "WITH " + ",\n".join(ctes) + ",\n" + final
+
+
+ORACLES["emb_cluster_sample"] = _cluster_sample_sql()

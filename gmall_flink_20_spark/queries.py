@@ -1214,6 +1214,26 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.semantic_dedup(emb, threshold=0.25)
 
 
+def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation as ONE declarative plan (operators/curation.
+    curation_pipeline): Gopher rule gate folded into the scan filter →
+    exact-dedup keep-min window on the content hash → skew-bounded
+    per-domain cap. The composition a corpus team runs before training,
+    with Catalyst pipelining the stages."""
+    from .operators import curation
+
+    return curation.curation_pipeline(load_table(spark, sf_dir, "documents"))
+
+
+def emb_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-balanced sampling (operators/ann.
+    cluster_balanced_sample): trained k-means clusters, then at most 20
+    vectors per cluster by salted-hash priority — equal representation
+    across embedding-space regions (the complement of SemDeDup)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.cluster_balanced_sample(emb, k_per_cluster=20)
+
+
 def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of multi-probe LSH ANN against exact brute-force top-5
     (operators/ann.ann_recall) — the tuning evaluation every ANN
@@ -1271,6 +1291,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_gopher_filter": docs_gopher_filter,
     "emb_semantic_dedup": emb_semantic_dedup,
     "emb_ann_recall": emb_ann_recall,
+    "docs_curation_pipeline": docs_curation_pipeline,
+    "emb_cluster_sample": emb_cluster_sample,
     # (3) flagship already-proven reference entries (fill to ~50)
     "hot_items_topn": hot_items_topn,
     "hot_urls_topn": hot_urls_topn,

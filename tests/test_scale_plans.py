@@ -238,3 +238,14 @@ def test_semantic_dedup_corpus_not_shuffled_for_assignment(spark, sf_dir):
     # kept verdict join is on the id — broadcast or shuffled-hash both
     # acceptable; what must NOT appear is a nested-loop over the corpus
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_curation_pipeline_single_scan_filter_at_source(spark, sf_dir):
+    # gate folds into the scan (dropped rows never shuffle); ONE read of
+    # documents.parquet; dedup window + the two cap windows only
+    import re
+
+    plan = plan_of(QUERIES["docs_curation_pipeline"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "PythonUDF" not in plan
+    assert len(re.findall(r"\(\d+\) Window\n", plan)) == 3  # dedup + 2-level cap
