@@ -860,3 +860,66 @@ def cluster_balanced_sample(
     return per_group_cap(
         assign, k_per_cluster, group_col="cluster_id", key_col=id_col
     )
+
+
+def knn_graph(
+    emb: DataFrame,
+    k: int = 3,
+    n_planes: int = 6,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """All-corpus k-NN graph over LSH buckets — the building block for
+    embedding-space clustering, SemDeDup-style chains, and diversity
+    analysis, where EVERY vector (not a small query set) needs its
+    nearest neighbors.
+
+    Brute force is |corpus|² and dead at scale; this signatures the
+    corpus once (row-local hyperplane sign bits, identical literals to
+    ``ann_lsh_topk``) and self-joins ON THE BUCKET, so candidate pairs
+    exist only within buckets — expected cost Σ|bucket|², bounded by the
+    bucket granularity (``n_planes`` tunes the bucket count; fewer
+    planes ⇒ denser graph, more candidates). The only shuffle is the
+    bucket equi-join; ranking is a per-vector window over its own
+    candidates. Cosine ordering uses the same sequential-fold kernel as
+    every ANN operator (bit-identical to the SQL oracle).
+
+    Emits (vec_id, neighbor_id, rank ≤ k) — vectors alone in their
+    bucket have no rows, exactly as an LSH graph behaves.
+    """
+    planes = hyperplanes(n_planes, dim, seed)
+    sig = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("_n"),
+        lsh_bucket_expr(vec_col, planes).alias("bucket"),
+    )
+    a = sig.select(
+        F.col(id_col).alias("src"),
+        F.col(vec_col).alias("av"),
+        F.col("_n").alias("an"),
+        "bucket",
+    )
+    b = sig.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("bv"),
+        F.col("_n").alias("bn"),
+        "bucket",
+    )
+    scored = (
+        a.join(b, "bucket")
+        .filter(F.col("src") != F.col("neighbor_id"))
+        .withColumn("score", dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("src").alias(id_col),
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

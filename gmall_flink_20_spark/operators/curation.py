@@ -22,7 +22,12 @@ from pyspark.sql import functions as F
 
 from .text import LANG_MARKERS, tokens
 
-__all__ = ["corpus_select", "decontaminate", "curation_pipeline"]
+__all__ = [
+    "corpus_select",
+    "decontaminate",
+    "curation_pipeline",
+    "mixture_weights",
+]
 
 
 def corpus_select(
@@ -193,3 +198,54 @@ def curation_pipeline(
         .select(F.col(id_col), F.col(group_col), "n_words")
     )
     return per_group_cap(deduped, cap_per_source, group_col=group_col, key_col=id_col)
+
+
+def mixture_weights(
+    df: DataFrame,
+    budget_frac: float = 0.25,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain sampling weights to hit a global token budget — the
+    mixture-planning step before a training run ("sample each domain so
+    the total is B tokens, no domain above its equal share").
+
+    The budget is ``budget_frac`` of the corpus's total tokens, split
+    equally across domains; each domain's weight is
+    ``min(1, per_domain_budget / domain_tokens)`` — undersized domains
+    keep everything (weight 1), oversized ones are down-sampled
+    proportionally. Emits per domain: document count, token count, the
+    sampling weight, and the expected token yield.
+
+    Scale shape: one map-side-combined aggregate over (domain) — token
+    counting is a row-local ``size(split(...))`` — then a one-row total
+    broadcast back via crossJoin. Output is |domains| rows; the weights
+    feed ``hash_sample``-style filters downstream, so planning never
+    touches the corpus twice. All arithmetic is a fixed-order chain of
+    double operations on exact longs (bit-identical across engines).
+    """
+    per = (
+        df.select(F.col(group_col), F.size(tokens(text_col)).cast("long").alias("_nt"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("long").alias("_total"),
+        F.count(F.lit(1)).cast("long").alias("_nsrc"),
+    )
+    weight = F.least(
+        F.lit(1.0),
+        F.col("_total").cast("double")
+        * F.lit(float(budget_frac))
+        / F.col("_nsrc").cast("double")
+        / F.col("n_tokens").cast("double"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("weight", weight)
+        .withColumn("expected_tokens", F.col("weight") * F.col("n_tokens").cast("double"))
+        .drop("_total", "_nsrc")
+    )

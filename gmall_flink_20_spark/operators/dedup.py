@@ -474,3 +474,126 @@ def jaccard_verify(
     return out.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", "inter_sz", "union_sz", "jaccard"
     )
+
+
+def containment_verify(
+    pairs: DataFrame, shingle_df: DataFrame, threshold: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact CONTAINMENT on candidate pairs: |A∩B|/|A| and |A∩B|/|B|.
+
+    Jaccard misses near-subset relationships — a paragraph quoted inside
+    a much longer page has tiny Jaccard but containment ≈ 1. Containment
+    is the score cross-document quote/boilerplate detection thresholds
+    (Broder's original resemblance/containment pair).
+
+    Same scale shape as ``jaccard_verify``: shingle sets travel as
+    arrays, the intersection is row-local ``array_intersect`` after the
+    pair join — no shingle-level shuffle. Keeps pairs whose LARGER
+    containment clears ``threshold``; both directions are emitted as
+    exact integer/double ratios.
+    """
+    arr = (
+        shingle_df
+        if "shingles" in shingle_df.columns
+        else shingle_df.groupBy(id_col).agg(F.collect_set("shingle").alias("shingles"))
+    )
+    za = arr.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
+    zb = arr.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
+    out = (
+        pairs.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .withColumn("inter_sz", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
+        .filter(F.col("inter_sz") > 0)
+        .withColumn("sz_a", F.size("sh_a").cast("long"))
+        .withColumn("sz_b", F.size("sh_b").cast("long"))
+        .withColumn(
+            "containment_a", F.col("inter_sz").cast("double") / F.col("sz_a").cast("double")
+        )
+        .withColumn(
+            "containment_b", F.col("inter_sz").cast("double") / F.col("sz_b").cast("double")
+        )
+    )
+    return out.filter(
+        F.greatest(F.col("containment_a"), F.col("containment_b")) >= threshold
+    ).select(
+        "doc_a", "doc_b", "inter_sz", "sz_a", "sz_b", "containment_a", "containment_b"
+    )
+
+
+def neardup_containment(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """LSH-bounded containment detection: minhash → band candidates →
+    exact containment ≥ threshold. The near-subset complement of
+    ``neardup_verified`` with the identical two-phase scale shape (the
+    probabilistic phase bounds candidates; the exact phase touches only
+    candidate shingle arrays)."""
+    sig = minhash_signature_permuted(df, n, num_hashes, text_col, id_col, parallelism)
+    pairs = lsh_candidate_pairs(sig, bands, rows_per_band, id_col, from_array=True)
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("toks")).filter(F.size("toks") >= n)
+    rows = base.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.size("toks") - n)).alias("i"),
+        F.col("toks"),
+    ).select(
+        F.col(id_col),
+        F.expr(
+            "CAST(conv(substr(md5(concat_ws(' ', "
+            + ", ".join(f"element_at(toks, i + {j + 1})" for j in range(n))
+            + ")), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    )
+    arr = rows.groupBy(id_col).agg(F.collect_set("h").alias("shingles"))
+    return containment_verify(pairs, arr, threshold, id_col)
+
+
+def dedup_incremental(
+    df: DataFrame,
+    num_shards: int = 4,
+    new_shard: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "incr",
+) -> DataFrame:
+    """Incremental exact dedup: dedup a NEW ingest shard against the
+    already-curated BASE corpus without re-deduplicating the base — the
+    shape every continuously-crawled corpus runs (the base's content
+    hashes are an index you keep; each new crawl deduplicates against it
+    plus itself).
+
+    The shard split here is a deterministic salted hash of the doc id
+    (shard ``new_shard`` of ``num_shards`` plays the "new crawl"), so
+    both engines carve identical shards out of the same table. Survivors
+    are new-shard docs that (a) match no base-corpus content hash
+    (LEFT ANTI join — at scale this is a hash-partitioned probe of the
+    stored fingerprint index, never a scan of base text) and (b) are the
+    lowest-id copy of their hash within the new shard (one window on the
+    uniform content hash).
+
+    Emits (doc_id, content_hash) for surviving new-shard docs.
+    """
+    from pyspark.sql import Window
+
+    from .sampling import sample_hash
+
+    shard = F.pmod(sample_hash(id_col, salt), F.lit(num_shards))
+    fp = F.md5(F.col(text_col).cast("binary"))
+    hashed = df.select(F.col(id_col), fp.alias("content_hash"), shard.alias("_shard"))
+    base = hashed.filter(F.col("_shard") != new_shard).select("content_hash").distinct()
+    new = hashed.filter(F.col("_shard") == new_shard).drop("_shard")
+    survivors = new.join(base, "content_hash", "left_anti")
+    w = Window.partitionBy("content_hash").orderBy(id_col)
+    return (
+        survivors.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "content_hash")
+    )

@@ -1,0 +1,189 @@
+"""Unigram language-model scoring and model-based quality gates.
+
+CCNet-style corpus curation (Wenzek et al., "CCNet: Extracting High
+Quality Monolingual Datasets from Web Crawl Data") scores every document
+under a language model trained on the corpus itself and buckets the
+corpus into head/middle/tail quality terciles. At 100 TB nobody runs a
+neural LM over every document first — the standard proxy is a corpus
+unigram model: one token-frequency aggregation over the corpus, joined
+back per document.
+
+Determinism contract (same as operators/text.py): every emitted score is
+exact integer arithmetic or a fixed-order chain of IEEE-754 double
+divisions on exact integers, so the DuckDB oracle computes bit-identical
+values — no transcendental functions (``ln`` differs in ULPs across
+libm implementations), no floating-point summation trees.
+
+Scale notes per operator are in the docstrings; the common shape is
+map-side-combined token aggregation (one shuffle on token, one on
+doc_id) with the vocabulary table — orders of magnitude smaller than
+the corpus — on the build side of the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+__all__ = [
+    "unigram_lm",
+    "ccnet_buckets",
+    "quality_classifier",
+    "CLASSIFIER_WEIGHTS",
+]
+
+
+def unigram_lm(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document corpus-unigram likelihood statistics — the CCNet
+    perplexity proxy.
+
+    Emits per document: ``n_tokens``, ``sum_tf`` (summed corpus
+    frequency over the document's token occurrences), ``min_tf`` (the
+    rarest token's corpus count — an OOV/typo signal), and ``lm_score``
+    = mean corpus frequency of the document's tokens normalized by the
+    corpus size: ``sum_tf / n_tokens / total_tokens``. High score ⇒ the
+    document is made of common, in-distribution tokens; low score ⇒
+    rare-token soup (boilerplate, codes, OCR noise).
+
+    Scale shape: the corpus token stream is collapsed to (doc, token,
+    count) FIRST (map-side combine on the dominant duplicate tokens), so
+    the token-frequency join moves per-document vocabularies, not raw
+    occurrences. The vocabulary table is corpus-global but tiny relative
+    to the corpus (Heaps' law); AQE broadcasts it when it fits, else the
+    join hash-partitions on token — never on the full text. The corpus
+    total is a one-row aggregate broadcast via crossJoin (the TPC-H
+    scalar idiom, plans/tpch.py).
+
+    All divisions are a fixed left-associative chain on exact longs —
+    bit-identical in both engines; no ``n_tokens * total`` product that
+    would overflow int64 at 100 TB.
+    """
+    dt = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tf = dt.groupBy("tok").agg(F.sum("c").cast("long").alias("tf"))
+    total = tf.agg(F.sum("tf").cast("long").alias("total"))
+    return (
+        dt.join(tf, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("tf")).cast("long").alias("sum_tf"),
+            F.min("tf").cast("long").alias("min_tf"),
+        )
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "lm_score",
+            F.col("sum_tf").cast("double")
+            / F.col("n_tokens").cast("double")
+            / F.col("total").cast("double"),
+        )
+        .drop("total")
+    )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet head/middle/tail terciles per language.
+
+    Documents rank within their language by ``lm_score`` (descending,
+    doc-id tiebreak) and split into three equal ``ntile`` buckets:
+    ``head`` = most in-distribution third, ``tail`` = the third a
+    curation run drops or down-weights. Both engines implement ntile
+    with the same spec (earlier buckets take the remainder rows), so the
+    assignment is deterministic.
+
+    Scale note: the per-language window is the honest declarative form,
+    but a window partitioned by language puts each language's (doc_id,
+    score) pairs — narrow rows, but 10^9+ of them for English at 100 TB —
+    through one task. The scale-out variant swaps the exact ntile for
+    per-language ``approx_percentile(lm_score, [1/3, 2/3])`` cutoffs
+    (two tiny aggregates broadcast back, zero windows); the exact form
+    is kept here because the correctness gate requires bit-stable
+    bucket assignment.
+    """
+    lm = unigram_lm(df, text_col, id_col)
+    langs = df.select(F.col(id_col), F.col(lang_col))
+    w = Window.partitionBy(lang_col).orderBy(F.desc("lm_score"), F.asc(id_col))
+    return (
+        lm.join(langs, id_col)
+        .withColumn("_t", F.ntile(3).over(w))
+        .select(
+            F.col(id_col),
+            F.col(lang_col),
+            F.col("lm_score"),
+            F.when(F.col("_t") == 1, F.lit("head"))
+            .when(F.col("_t") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+
+
+# Fixed linear-model weights (a trained fastText/logistic quality
+# classifier distilled to literals — the deployment shape: training
+# happens offline, scoring is a pure column expression). Order matters:
+# the score is the exact left-associative sum below, mirrored in SQL.
+CLASSIFIER_WEIGHTS: dict[str, float] = {
+    "bias": -1.0,
+    "stopword_ratio": 8.0,
+    "mean_token_len": 0.25,
+    "digit_ratio": -6.0,
+    "n_tokens": 0.001,
+}
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+
+def quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Model-based quality gate: a linear classifier over engineered
+    features with literal weights, scored entirely in whole-stage
+    codegen — zero shuffle, zero UDF, scales with input splits.
+
+    The score is the linear margin w·x (the sigmoid is monotone, so
+    thresholding the margin is the same decision and avoids ``exp``,
+    which is not bit-stable across engines). Features are exact ratios:
+    stopword ratio, mean token length, digit-character ratio, token
+    count. ``kept`` = margin >= threshold.
+    """
+    toks = tokens(text_col)
+    t = F.col(text_col)
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length(t).cast("long")
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS))).cast("long")
+    n_digit = F.length(F.regexp_replace(t, "[^0-9]", "")).cast("long")
+    stopword_ratio = n_stop.cast("double") / n_tokens.cast("double")
+    mean_token_len = n_chars.cast("double") / n_tokens.cast("double")
+    digit_ratio = n_digit.cast("double") / n_chars.cast("double")
+    w = CLASSIFIER_WEIGHTS
+    score = (
+        F.lit(float(w["bias"]))
+        + F.lit(float(w["stopword_ratio"])) * stopword_ratio
+        + F.lit(float(w["mean_token_len"])) * mean_token_len
+        + F.lit(float(w["digit_ratio"])) * digit_ratio
+        + F.lit(float(w["n_tokens"])) * n_tokens.cast("double")
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        stopword_ratio.alias("stopword_ratio"),
+        mean_token_len.alias("mean_token_len"),
+        digit_ratio.alias("digit_ratio"),
+        score.alias("clf_score"),
+        (score >= F.lit(float(threshold))).cast("long").alias("kept"),
+    )

@@ -26,6 +26,7 @@ __all__ = [
     "stratified_sample",
     "weighted_sample",
     "per_group_cap",
+    "lang_balance",
 ]
 
 HASH_SPACE = 1 << 60  # 15 hex chars of md5
@@ -142,4 +143,49 @@ def per_group_cap(
         .withColumn("_r2", F.row_number().over(w2))
         .filter(F.col("_r2") <= k)
         .drop("_pri", "_sub", "_r1", "_r2")
+    )
+
+
+def lang_balance(
+    df: DataFrame,
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "balance",
+    fanout: int = 64,
+) -> DataFrame:
+    """Balance the corpus language mixture: cap every language at the
+    SMALLEST language's document count, chosen by salted-hash priority —
+    the uniform-mixture resampling multilingual corpora apply so one
+    dominant language (English at ~half of web text) doesn't drown the
+    rest during training.
+
+    Unlike ``per_group_cap`` the cap is DATA-DERIVED: one tiny
+    per-language count aggregate reduces to a single min row, broadcast
+    back via crossJoin (the scalar-broadcast idiom), so the plan stays
+    fully declarative — no driver-side collect of the cap.
+
+    Skew bound (same two-level argument as per_group_cap): rows rank
+    first inside ``fanout`` hash sub-buckets per language, and only each
+    sub-bucket's top-cap rows reach the per-language rank, so the heavy
+    window's input is ≤ fanout·cap rows per language regardless of how
+    large the dominant language is. Any global top-cap row is top-cap in
+    its sub-bucket, so the result is exactly the one-phase result.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    cap = counts.agg(F.min("_n").cast("long").alias("_cap"))
+    from pyspark.sql import Window
+
+    pri = sample_hash(key_col, salt)
+    sub = F.pmod(F.xxhash64(F.col(key_col), F.lit(salt)), F.lit(fanout))
+    w1 = Window.partitionBy(group_col, "_sub").orderBy("_pri", key_col)
+    w2 = Window.partitionBy(group_col).orderBy("_pri", key_col)
+    return (
+        df.crossJoin(F.broadcast(cap))
+        .withColumn("_pri", pri)
+        .withColumn("_sub", sub)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= F.col("_cap"))
+        .withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= F.col("_cap"))
+        .drop("_pri", "_sub", "_r1", "_r2", "_cap")
     )

@@ -1980,3 +1980,182 @@ SELECT vec_id, cluster_id FROM (
 
 
 ORACLES["emb_cluster_sample"] = _cluster_sample_sql()
+
+# ------------------------------------------- round-3 pipeline operators
+
+# corpus unigram LM: (doc, tok, count) → token frequencies → per-doc
+# likelihood stats. Shared CTE fragment so the buckets oracle reuses it.
+_UNIGRAM_CTES = r"""tokd AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+    FROM documents
+),
+dt AS (SELECT doc_id, tok, count(*) AS c FROM tokd GROUP BY 1, 2),
+tf AS (SELECT tok, CAST(sum(c) AS BIGINT) AS tf FROM dt GROUP BY 1),
+tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM tf),
+lmx AS (
+    SELECT d.doc_id,
+           CAST(sum(d.c) AS BIGINT) AS n_tokens,
+           CAST(sum(d.c * t.tf) AS BIGINT) AS sum_tf,
+           CAST(min(t.tf) AS BIGINT) AS min_tf,
+           CAST(sum(d.c * t.tf) AS DOUBLE) / CAST(sum(d.c) AS DOUBLE)
+               / (SELECT CAST(total AS DOUBLE) FROM tot) AS lm_score
+    FROM dt d JOIN tf t USING (tok)
+    GROUP BY d.doc_id
+)"""
+
+ORACLES["docs_unigram_lm"] = f"""
+WITH {_UNIGRAM_CTES}
+SELECT doc_id, n_tokens, sum_tf, min_tf, lm_score FROM lmx
+"""
+
+ORACLES["docs_ccnet_buckets"] = f"""
+WITH {_UNIGRAM_CTES}
+SELECT doc_id, lang, lm_score,
+       CASE WHEN nt = 1 THEN 'head' WHEN nt = 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM (
+    SELECT l.doc_id, d.lang, l.lm_score,
+           ntile(3) OVER (PARTITION BY d.lang
+                          ORDER BY l.lm_score DESC, l.doc_id ASC) AS nt
+    FROM lmx l JOIN documents d USING (doc_id)
+)
+"""
+
+# linear quality classifier: weights generated from the SAME dict the
+# Spark operator inlines (operators/lm.CLASSIFIER_WEIGHTS), summed in
+# the identical left-associative order
+from .operators.lm import CLASSIFIER_WEIGHTS as _CLF_W  # noqa: E402
+
+ORACLES["docs_quality_classifier"] = rf"""
+WITH base AS (
+    SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+feat AS (
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(t, x -> x IN ('the','a','and','of','to','in'))) AS BIGINT) AS n_stop,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit
+    FROM base
+),
+scored AS (
+    SELECT doc_id, n_tokens,
+           CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+           CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_token_len,
+           CAST(n_digit AS DOUBLE) / CAST(n_chars AS DOUBLE) AS digit_ratio
+    FROM feat
+)
+SELECT doc_id, n_tokens, stopword_ratio, mean_token_len, digit_ratio,
+       CAST({_CLF_W["bias"]!r} AS DOUBLE)
+         + CAST({_CLF_W["stopword_ratio"]!r} AS DOUBLE) * stopword_ratio
+         + CAST({_CLF_W["mean_token_len"]!r} AS DOUBLE) * mean_token_len
+         + CAST({_CLF_W["digit_ratio"]!r} AS DOUBLE) * digit_ratio
+         + CAST({_CLF_W["n_tokens"]!r} AS DOUBLE) * CAST(n_tokens AS DOUBLE) AS clf_score,
+       CAST(CASE WHEN CAST({_CLF_W["bias"]!r} AS DOUBLE)
+         + CAST({_CLF_W["stopword_ratio"]!r} AS DOUBLE) * stopword_ratio
+         + CAST({_CLF_W["mean_token_len"]!r} AS DOUBLE) * mean_token_len
+         + CAST({_CLF_W["digit_ratio"]!r} AS DOUBLE) * digit_ratio
+         + CAST({_CLF_W["n_tokens"]!r} AS DOUBLE) * CAST(n_tokens AS DOUBLE) >= 0.0
+         THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM scored
+"""
+
+# language balance: cap = min per-language count (scalar), rank by the
+# same salted 60-bit md5 priority as the Spark operator (sub-bucket
+# pre-rank is a pruning detail — final membership is the global rank)
+ORACLES["docs_lang_balance"] = """
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+cap AS (SELECT CAST(min(n) AS BIGINT) AS cap FROM counts)
+SELECT doc_id, lang FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY lang ORDER BY pri ASC, doc_id ASC) AS rn
+    FROM (SELECT doc_id, lang,
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':balance'), 1, 15)) AS BIGINT) AS pri
+          FROM documents)
+), cap WHERE rn <= cap
+"""
+
+ORACLES["docs_mixture_weights"] = r"""
+WITH per AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS nsrc FROM per)
+SELECT source, n_docs, n_tokens,
+       least(CAST(1.0 AS DOUBLE),
+             CAST(total AS DOUBLE) * CAST(0.25 AS DOUBLE)
+               / CAST(nsrc AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS weight,
+       least(CAST(1.0 AS DOUBLE),
+             CAST(total AS DOUBLE) * CAST(0.25 AS DOUBLE)
+               / CAST(nsrc AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+         * CAST(n_tokens AS DOUBLE) AS expected_tokens
+FROM per, tot
+"""
+
+# incremental dedup: shard 0 ("new crawl") anti-joined against the other
+# shards' content-hash index, then within-shard lowest-id keeper
+ORACLES["docs_dedup_incremental"] = """
+WITH hashed AS (
+    SELECT doc_id, md5(text) AS content_hash,
+           CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':incr'), 1, 15)) AS BIGINT) % 4 AS shard
+    FROM documents
+),
+base AS (SELECT DISTINCT content_hash FROM hashed WHERE shard <> 0),
+new_ AS (SELECT doc_id, content_hash FROM hashed WHERE shard = 0)
+SELECT doc_id, content_hash FROM (
+    SELECT n.doc_id, n.content_hash,
+           row_number() OVER (PARTITION BY n.content_hash ORDER BY n.doc_id ASC) AS rn
+    FROM new_ n LEFT JOIN base b USING (content_hash)
+    WHERE b.content_hash IS NULL
+) WHERE rn = 1
+"""
+
+# containment on LSH candidates: same candidate CTEs as neardup_verified,
+# exact |A∩B|/|A| and /|B|, keep pairs whose larger side clears 0.5
+ORACLES["docs_containment_pairs"] = f"""
+WITH sh AS ({_SHINGLES}),
+{_MINHASH_CTES},
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM band a JOIN band b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+arr AS ({_HASHED_SETS}),
+sized AS (
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(x.hsh, y.hsh)) AS BIGINT) AS inter_sz,
+           CAST(len(x.hsh) AS BIGINT) AS sz_a,
+           CAST(len(y.hsh) AS BIGINT) AS sz_b
+    FROM cand c
+    JOIN arr x ON x.doc_id = c.doc_a
+    JOIN arr y ON y.doc_id = c.doc_b
+),
+scored AS (
+    SELECT doc_a, doc_b, inter_sz, sz_a, sz_b,
+           CAST(inter_sz AS DOUBLE) / CAST(sz_a AS DOUBLE) AS containment_a,
+           CAST(inter_sz AS DOUBLE) / CAST(sz_b AS DOUBLE) AS containment_b
+    FROM sized WHERE inter_sz > 0
+)
+SELECT * FROM scored
+WHERE greatest(containment_a, containment_b) >= 0.5
+"""
+
+# all-corpus kNN graph: 6-plane/seed-7 buckets (denser graph than the
+# 8-plane query-ANN), self-join on bucket, cosine rank <= 3
+ORACLES["emb_knn_graph"] = f"""
+WITH sig AS (
+    SELECT vec_id, embedding,
+           {_lsh_bucket_sql('embedding', n_planes=6, seed=7)} AS bucket
+    FROM embeddings
+)
+SELECT vec_id, neighbor_id, rank FROM (
+    SELECT a.vec_id, b.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY {_DCOS.format(a='a.embedding', b='b.embedding')} DESC,
+                        b.vec_id ASC) AS rank
+    FROM sig a JOIN sig b USING (bucket)
+    WHERE a.vec_id <> b.vec_id
+) WHERE rank <= 3
+"""

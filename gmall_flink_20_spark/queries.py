@@ -26,6 +26,7 @@ from .operators import (
     components,
     curation,
     dedup,
+    lm,
     multimodal,
     distinct,
     joins,
@@ -1244,6 +1245,74 @@ def emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ann_recall(approx, exact, 5)
 
 
+def docs_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity proxy (operators/lm.unigram_lm): corpus
+    unigram frequencies aggregated once, joined back per document —
+    n_tokens, summed/min corpus token frequency, and the normalized
+    likelihood score a curation run thresholds instead of a neural-LM
+    perplexity at 100 TB."""
+    return lm.unigram_lm(load_table(spark, sf_dir, "documents"))
+
+
+def docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail terciles per language (operators/lm.
+    ccnet_buckets): every document ranked by its unigram-LM score within
+    its language and ntile(3)-bucketed — the quality split CCNet keeps,
+    down-weights, and drops respectively."""
+    return lm.ccnet_buckets(load_table(spark, sf_dir, "documents"))
+
+
+def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate (operators/lm.quality_classifier): a
+    linear classifier with literal weights over engineered features,
+    scored entirely in whole-stage codegen — the deployment shape of a
+    trained fastText/logistic quality model."""
+    return lm.quality_classifier(load_table(spark, sf_dir, "documents"))
+
+
+def docs_lang_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform language-mixture resampling (operators/sampling.
+    lang_balance): cap every language at the smallest language's count
+    by salted-hash priority; the cap is data-derived via a broadcast
+    scalar, the rank is the skew-bounded two-level top-k."""
+    from .operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.lang_balance(docs.select("doc_id", "lang"))
+
+
+def docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planning (operators/curation.
+    mixture_weights): per-domain token counts reduced in one pass, then
+    each domain's sampling weight to hit an equal share of a 25% global
+    token budget — the plan a training run feeds into hash_sample."""
+    return curation.mixture_weights(load_table(spark, sf_dir, "documents"))
+
+
+def docs_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup of a new ingest shard against the curated
+    base corpus (operators/dedup.dedup_incremental): anti-join on the
+    base's content-hash index plus a within-shard keeper window — the
+    continuous-crawl dedup shape (base never re-deduplicated)."""
+    return dedup.dedup_incremental(load_table(spark, sf_dir, "documents"))
+
+
+def docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-subset detection (operators/dedup.neardup_containment):
+    minhash/LSH candidates verified by exact CONTAINMENT |A∩B|/|A| —
+    catches quoted/boilerplate-wrapped copies whose Jaccard is tiny;
+    same candidate-bounded two-phase scale shape as neardup_verified."""
+    return dedup.neardup_containment(load_table(spark, sf_dir, "documents"))
+
+
+def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-corpus k-NN graph (operators/ann.knn_graph): LSH-bucketed
+    self-join so every vector gets its top-3 cosine neighbors without
+    the |corpus|² scan — the substrate for embedding clustering and
+    SemDeDup chains."""
+    return ann.knn_graph(load_table(spark, sf_dir, "embeddings"), k=3)
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1293,6 +1362,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_ann_recall": emb_ann_recall,
     "docs_curation_pipeline": docs_curation_pipeline,
     "emb_cluster_sample": emb_cluster_sample,
+    "docs_unigram_lm": docs_unigram_lm,
+    "docs_ccnet_buckets": docs_ccnet_buckets,
+    "docs_quality_classifier": docs_quality_classifier,
+    "docs_lang_balance": docs_lang_balance,
+    "docs_mixture_weights": docs_mixture_weights,
+    "docs_dedup_incremental": docs_dedup_incremental,
+    "docs_containment_pairs": docs_containment_pairs,
+    "emb_knn_graph": emb_knn_graph,
     # (3) flagship already-proven reference entries (fill to ~50)
     "hot_items_topn": hot_items_topn,
     "hot_urls_topn": hot_urls_topn,

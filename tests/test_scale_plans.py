@@ -249,3 +249,60 @@ def test_curation_pipeline_single_scan_filter_at_source(spark, sf_dir):
     assert plan.count("Location: InMemoryFileIndex") == 1
     assert "PythonUDF" not in plan
     assert len(re.findall(r"\(\d+\) Window\n", plan)) == 3  # dedup + 2-level cap
+
+
+def test_quality_classifier_pure_codegen(spark, sf_dir):
+    # the trained-model scoring path: one scan, zero exchange, zero UDF —
+    # the whole classifier is a codegen column expression
+    plan = plan_of(QUERIES["docs_quality_classifier"](spark, sf_dir))
+    assert "PythonUDF" not in plan
+    assert "Exchange" not in plan
+    # single scan → project; the higher-order stopword filter keeps the
+    # project itself out of whole-stage codegen (same as docs_quality),
+    # but nothing heavier than a Project sits above the scan
+    assert "Location: InMemoryFileIndex" in plan and plan.count("Location:") == 1
+
+
+def test_unigram_lm_no_udf_no_cartesian(spark, sf_dir):
+    # token stream collapses to (doc, tok, c) BEFORE the frequency join;
+    # corpus total is a broadcast scalar, not a data-sized cross product
+    plan = plan_of(QUERIES["docs_unigram_lm"](spark, sf_dir))
+    assert "PythonUDF" not in plan
+    assert "CartesianProduct" not in plan
+    # partial aggregation (map-side combine) on the exploded token stream
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_lang_balance_bounded_windows_and_broadcast_cap(spark, sf_dir):
+    import re
+
+    plan = plan_of(QUERIES["docs_lang_balance"](spark, sf_dir))
+    # data-derived cap arrives as a broadcast scalar (1-row build side)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # two-level top-k: sub-bucket rank then per-language rank
+    assert len(re.findall(r"\(\d+\) Window\n", plan)) == 2
+    assert "PythonUDF" not in plan
+
+
+def test_dedup_incremental_anti_join_on_hash(spark, sf_dir):
+    plan = plan_of(QUERIES["docs_dedup_incremental"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan
+
+
+def test_knn_graph_bucket_equijoin_no_cartesian(spark, sf_dir):
+    # the self-join must be an equi-join on the LSH bucket — an all-pairs
+    # nested loop here is the exact scale failure the operator avoids
+    plan = plan_of(QUERIES["emb_knn_graph"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bucket" in plan
+
+
+def test_containment_candidates_bound_the_exact_phase(spark, sf_dir):
+    # two-phase: LSH candidates (equi-join on band key) then row-local
+    # array_intersect — no shingle-level join, no cartesian
+    plan = plan_of(QUERIES["docs_containment_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "array_intersect" in plan
