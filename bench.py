@@ -119,6 +119,14 @@ BENCH_QUERIES = [
     "emb_ann_recall",
     "docs_curation_pipeline",
     "emb_cluster_sample",
+    "docs_unigram_lm",
+    "docs_ccnet_buckets",
+    "docs_quality_classifier",
+    "docs_lang_balance",
+    "docs_mixture_weights",
+    "docs_dedup_incremental",
+    "docs_containment_pairs",
+    "emb_knn_graph",
 ]
 
 

@@ -2095,12 +2095,19 @@ FROM per, tot
 """
 
 # incremental dedup: shard 0 ("new crawl") anti-joined against the other
-# shards' content-hash index, then within-shard lowest-id keeper
+# shards' content-hash index, then within-shard lowest-id keeper. The
+# corpus has no natural exact dups, so both engines inject a copy of
+# every 5th document under a shifted id (queries.docs_dedup_incremental)
 ORACLES["docs_dedup_incremental"] = """
-WITH hashed AS (
+WITH aug AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+),
+hashed AS (
     SELECT doc_id, md5(text) AS content_hash,
            CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':incr'), 1, 15)) AS BIGINT) % 4 AS shard
-    FROM documents
+    FROM aug
 ),
 base AS (SELECT DISTINCT content_hash FROM hashed WHERE shard <> 0),
 new_ AS (SELECT doc_id, content_hash FROM hashed WHERE shard = 0)
@@ -2110,6 +2117,27 @@ SELECT doc_id, content_hash FROM (
     FROM new_ n LEFT JOIN base b USING (content_hash)
     WHERE b.content_hash IS NULL
 ) WHERE rn = 1
+"""
+
+# streaming incremental dedup: the stream-static anti-join against an
+# index augmented with copies of every 5th new-shard doc; texts are
+# unique so the within-stream dedup passes everything through and the
+# batch equivalent is a plain anti-join
+ORACLES["docs_dedup_incremental_streaming"] = """
+WITH hashed AS (
+    SELECT doc_id, md5(text) AS content_hash,
+           CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':incr'), 1, 15)) AS BIGINT) % 4 AS shard
+    FROM documents
+),
+idx AS (
+    SELECT content_hash FROM hashed WHERE shard <> 0
+    UNION ALL
+    SELECT content_hash FROM hashed WHERE shard = 0 AND doc_id % 5 = 0
+),
+base AS (SELECT DISTINCT content_hash FROM idx)
+SELECT n.doc_id, n.content_hash
+FROM hashed n LEFT JOIN base b USING (content_hash)
+WHERE n.shard = 0 AND b.content_hash IS NULL
 """
 
 # containment on LSH candidates: same candidate CTEs as neardup_verified,

@@ -31,6 +31,7 @@ from .operators import (
     distinct,
     joins,
     patterns,
+    sampling,
     similarity,
     simhash,
     text,
@@ -1293,8 +1294,63 @@ def docs_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental exact dedup of a new ingest shard against the curated
     base corpus (operators/dedup.dedup_incremental): anti-join on the
     base's content-hash index plus a within-shard keeper window — the
-    continuous-crawl dedup shape (base never re-deduplicated)."""
-    return dedup.dedup_incremental(load_table(spark, sf_dir, "documents"))
+    continuous-crawl dedup shape (base never re-deduplicated).
+
+    The synthetic corpus has zero exact duplicates, so the query injects
+    a copy of every 5th document under a shifted id (same text) in BOTH
+    engines — copies scatter across the hash shards, so the run
+    exercises both paths: copies whose original landed in the base shard
+    die in the anti-join; copies sharing the new shard with their
+    original die in the keeper window."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(100000)
+    )
+    return dedup.dedup_incremental(docs.unionAll(copies))
+
+
+def docs_dedup_incremental_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental dedup as a LIVE INGEST stream — the shape a
+    continuous crawler actually runs: new documents arrive as a stream,
+    the curated base corpus's content-hash index is a STATIC table, and
+    survivors are the stream rows that probe nothing in the index.
+
+    Demonstrates the stream-STATIC left-anti join (previous streaming
+    joins here are stream-stream) composed with bounded-state
+    within-stream dedup (``dropDuplicatesWithinWatermark``). The static
+    index is augmented with copies of every 5th new-shard document, so
+    the anti-join does real work; stream arrival order is doc-id order
+    (replay position = epoch + doc_id seconds). Oracle: the same
+    augmented-index anti-join in batch SQL. Excluded from bench."""
+    from .streaming import replay
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shard = F.pmod(sampling.sample_hash("doc_id", "incr"), F.lit(4))
+    fp = F.md5(F.col("text").cast("binary"))
+    hashed = docs.select(F.col("doc_id"), fp.alias("content_hash"), shard.alias("_shard"))
+    new = hashed.filter(F.col("_shard") == 0).select(
+        "doc_id",
+        "content_hash",
+        F.timestamp_seconds(F.lit(1_600_000_000) + F.col("doc_id")).alias("ts"),
+    )
+    base_idx = (
+        hashed.filter(F.col("_shard") != 0)
+        .select("content_hash")
+        .unionAll(
+            hashed.filter((F.col("_shard") == 0) & (F.col("doc_id") % 5 == 0)).select(
+                "content_hash"
+            )
+        )
+        .distinct()
+    )
+    stream = replay.replay_stream(spark, new, "ts", num_chunks=6)
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
+    out = deduped.join(base_idx, "content_hash", "left_anti").select(
+        "doc_id", "content_hash"
+    )
+    return replay.run_to_completion(out)
 
 
 def docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1322,7 +1378,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # that were never inside the window (VERDICT.md r2 item 1), then any
     # round-3-new queries, then a flagship sample of the already-proven
     # reference set. Everything below the window stays pytest-parity
-    # covered by tests/test_queries_parity.py (full 101-query sweep).
+    # covered by tests/test_queries_parity.py (full 116-query sweep).
     #
     # (1) the 28 never-driver-checked entries
     "tpch_q12": tpch.q12_late_lines_priority,
@@ -1368,6 +1424,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_lang_balance": docs_lang_balance,
     "docs_mixture_weights": docs_mixture_weights,
     "docs_dedup_incremental": docs_dedup_incremental,
+    "docs_dedup_incremental_streaming": docs_dedup_incremental_streaming,
     "docs_containment_pairs": docs_containment_pairs,
     "emb_knn_graph": emb_knn_graph,
     # (3) flagship already-proven reference entries (fill to ~50)
