@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "docs_mixture_weights",
     "docs_dedup_incremental",
     "docs_containment_pairs",
+    "docs_neardup_incremental",
     "emb_knn_graph",
 ]
 

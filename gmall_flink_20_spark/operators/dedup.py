@@ -597,3 +597,99 @@ def dedup_incremental(
         .filter(F.col("_rn") == 1)
         .select(id_col, "content_hash")
     )
+
+
+def neardup_incremental(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    threshold: float = 0.3,
+    num_shards: int = 4,
+    new_shard: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "incr",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Incremental NEAR-dup dedup: fuzzy-deduplicate a new ingest shard
+    against the already-curated base corpus — the fuzzy complement of
+    ``dedup_incremental`` (exact hashes catch byte-identical recrawls;
+    this catches the re-rendered/boilerplate-shifted copies).
+
+    A new-shard document is dropped iff it has a verified Jaccard ≥
+    ``threshold`` neighbor that is either (a) any base-corpus document
+    or (b) a lower-id new-shard document (first-copy-wins within the
+    ingest, matching the exact variant's keeper rule). Base documents
+    are never re-deduplicated against each other.
+
+    Scale shape: identical two-phase LSH bound as ``neardup_verified`` —
+    the band self-join is the one shuffle, and candidate pairs are
+    FILTERED to those touching the new shard before the exact-Jaccard
+    phase, so verification cost tracks the ingest size, not the corpus.
+    In production the base side's signatures/band keys come from the
+    stored index built when the base was curated (signatures are
+    row-local expressions here, so recomputing them in the test harness
+    exercises the same plan).
+
+    Emits (doc_id, kept 0/1) for every new-shard document.
+    """
+    from .sampling import sample_hash
+
+    shards = df.select(
+        F.col(id_col),
+        F.pmod(sample_hash(id_col, salt), F.lit(num_shards)).alias("_shard"),
+    )
+    sig = minhash_signature_permuted(df, n, num_hashes, text_col, id_col, parallelism)
+    pairs = lsh_candidate_pairs(sig, bands, rows_per_band, id_col, from_array=True)
+    sa = shards.select(F.col(id_col).alias("doc_a"), F.col("_shard").alias("sh_a"))
+    sb = shards.select(F.col(id_col).alias("doc_b"), F.col("_shard").alias("sh_b"))
+    cand = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter((F.col("sh_a") == new_shard) | (F.col("sh_b") == new_shard))
+        .select("doc_a", "doc_b")
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col), toks.alias("toks")).filter(F.size("toks") >= n)
+    rows = base.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.size("toks") - n)).alias("i"),
+        F.col("toks"),
+    ).select(
+        F.col(id_col),
+        F.expr(
+            "CAST(conv(substr(md5(concat_ws(' ', "
+            + ", ".join(f"element_at(toks, i + {j + 1})" for j in range(n))
+            + ")), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    )
+    arr = rows.groupBy(id_col).agg(F.collect_set("h").alias("shingles"))
+    verified = jaccard_verify(cand, arr, threshold, id_col)
+    v = verified.join(sa, "doc_a").join(sb, "doc_b")
+    # pair convention: doc_a < doc_b. b drops when new (a is base or the
+    # lower-id new keeper); a drops only against a base-side b.
+    dropped = (
+        v.filter(F.col("sh_b") == new_shard)
+        .select(F.col("doc_b").alias(id_col))
+        .unionAll(
+            v.filter(
+                (F.col("sh_a") == new_shard) & (F.col("sh_b") != new_shard)
+            ).select(F.col("doc_a").alias(id_col))
+        )
+        .distinct()
+        .withColumn("_d", F.lit(1))
+    )
+    return (
+        shards.filter(F.col("_shard") == new_shard)
+        .select(F.col(id_col))
+        .join(dropped, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("_d").isNotNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("kept"),
+        )
+    )

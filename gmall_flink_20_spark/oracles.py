@@ -2187,3 +2187,49 @@ SELECT vec_id, neighbor_id, rank FROM (
     WHERE a.vec_id <> b.vec_id
 ) WHERE rank <= 3
 """
+
+# incremental NEAR-dup: LSH candidates touching the new shard, exact
+# Jaccard >= 0.3; a new doc drops vs any base match or a lower-id new
+# match (pair convention doc_a < doc_b mirrors the Spark operator)
+ORACLES["docs_neardup_incremental"] = f"""
+WITH sh AS ({_SHINGLES}),
+{_MINHASH_CTES},
+shard AS (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':incr'), 1, 15)) AS BIGINT) % 4 AS shard
+    FROM documents
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM band a JOIN band b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+scand AS (
+    SELECT c.doc_a, c.doc_b, x.shard AS sh_a, y.shard AS sh_b
+    FROM cand c
+    JOIN shard x ON x.doc_id = c.doc_a
+    JOIN shard y ON y.doc_id = c.doc_b
+    WHERE x.shard = 0 OR y.shard = 0
+),
+arr AS ({_HASHED_SETS}),
+verified AS (
+    SELECT s.doc_a, s.doc_b, s.sh_a, s.sh_b
+    FROM scand s
+    JOIN arr x ON x.doc_id = s.doc_a
+    JOIN arr y ON y.doc_id = s.doc_b
+    WHERE len(list_intersect(x.hsh, y.hsh)) > 0
+      AND CAST(len(list_intersect(x.hsh, y.hsh)) AS DOUBLE)
+          / CAST(len(x.hsh) + len(y.hsh) - len(list_intersect(x.hsh, y.hsh)) AS DOUBLE) >= 0.3
+),
+dropped AS (
+    SELECT DISTINCT doc_id FROM (
+        SELECT doc_b AS doc_id FROM verified WHERE sh_b = 0
+        UNION ALL
+        SELECT doc_a AS doc_id FROM verified WHERE sh_a = 0 AND sh_b <> 0
+    )
+)
+SELECT s.doc_id,
+       CAST(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM shard s LEFT JOIN dropped d ON s.doc_id = d.doc_id
+WHERE s.shard = 0
+"""

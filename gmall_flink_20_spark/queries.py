@@ -1353,6 +1353,16 @@ def docs_dedup_incremental_streaming(spark: SparkSession, sf_dir: str) -> DataFr
     return replay.run_to_completion(out)
 
 
+def docs_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy incremental dedup (operators/dedup.neardup_incremental):
+    the new-crawl shard LSH-banded against the whole corpus, candidates
+    filtered to those touching the new shard, exact Jaccard >= 0.3
+    verification — a new doc drops against any base near-dup or a
+    lower-id new near-dup. The fuzzy complement of
+    docs_dedup_incremental."""
+    return dedup.neardup_incremental(load_table(spark, sf_dir, "documents"))
+
+
 def docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-subset detection (operators/dedup.neardup_containment):
     minhash/LSH candidates verified by exact CONTAINMENT |A∩B|/|A| —
@@ -1425,6 +1435,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_mixture_weights": docs_mixture_weights,
     "docs_dedup_incremental": docs_dedup_incremental,
     "docs_dedup_incremental_streaming": docs_dedup_incremental_streaming,
+    "docs_neardup_incremental": docs_neardup_incremental,
     "docs_containment_pairs": docs_containment_pairs,
     "emb_knn_graph": emb_knn_graph,
     # (3) flagship already-proven reference entries (fill to ~50)

@@ -306,3 +306,13 @@ def test_containment_candidates_bound_the_exact_phase(spark, sf_dir):
     plan = plan_of(QUERIES["docs_containment_pairs"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "array_intersect" in plan
+
+
+def test_neardup_incremental_filters_candidates_before_verify(spark, sf_dir):
+    # the shard filter must bound the exact-Jaccard phase to pairs
+    # touching the new shard; no cartesian anywhere in the pipeline
+    plan = plan_of(QUERIES["docs_neardup_incremental"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "array_intersect" in plan
+    # the new-shard predicate appears as a filter, not post-verification
+    assert "_shard" in plan or "sh_a" in plan
