@@ -1388,7 +1388,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # that were never inside the window (VERDICT.md r2 item 1), then any
     # round-3-new queries, then a flagship sample of the already-proven
     # reference set. Everything below the window stays pytest-parity
-    # covered by tests/test_queries_parity.py (full 116-query sweep).
+    # covered by tests/test_queries_parity.py (full 118-query sweep).
     #
     # (1) the 28 never-driver-checked entries
     "tpch_q12": tpch.q12_late_lines_priority,
