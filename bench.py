@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "docs_containment_pairs",
     "docs_neardup_incremental",
     "emb_knn_graph",
+    "emb_lang_outliers",
 ]
 
 

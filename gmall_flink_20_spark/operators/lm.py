@@ -30,6 +30,7 @@ from .text import tokens
 __all__ = [
     "unigram_lm",
     "ccnet_buckets",
+    "ccnet_buckets_approx",
     "quality_classifier",
     "CLASSIFIER_WEIGHTS",
 ]
@@ -186,4 +187,47 @@ def quality_classifier(
         digit_ratio.alias("digit_ratio"),
         score.alias("clf_score"),
         (score >= F.lit(float(threshold))).cast("long").alias("kept"),
+    )
+
+
+def ccnet_buckets_approx(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """The 100 TB form of ``ccnet_buckets``: per-language tercile CUTOFFS
+    from ``approx_percentile`` (a mergeable GK sketch — one map-side-
+    combined aggregate, |langs| rows out, broadcast back) instead of the
+    exact per-language ntile window. No window operator anywhere, so no
+    per-language single-task sort; the corpus is scanned, scored, and
+    bucketed by comparing against two broadcast literals per language.
+
+    Bucket boundaries can differ from the exact ntile at sketch
+    resolution (ties and ±1/accuracy rank error) — that is the accepted
+    trade at scale; `tests/test_lm_ops.py` pins the agreement rate
+    against the exact form. Not registry-gated (a sketch cutoff is not
+    bit-reproducible across engines); the exact form remains the oracle-
+    gated entry.
+    """
+    lm = unigram_lm(df, text_col, id_col)
+    langs = df.select(F.col(id_col), F.col(lang_col))
+    scored = lm.join(langs, id_col)
+    cuts = scored.groupBy(lang_col).agg(
+        F.percentile_approx(
+            "lm_score", [2.0 / 3.0, 1.0 / 3.0], accuracy
+        ).alias("_cuts")
+    )
+    return (
+        scored.join(F.broadcast(cuts), lang_col)
+        .select(
+            F.col(id_col),
+            F.col(lang_col),
+            F.col("lm_score"),
+            F.when(F.col("lm_score") >= F.col("_cuts")[0], F.lit("head"))
+            .when(F.col("lm_score") >= F.col("_cuts")[1], F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
     )

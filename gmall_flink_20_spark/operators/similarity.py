@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine", "ann_bruteforce_topk"]
+__all__ = ["cosine", "ann_bruteforce_topk", "lang_centroid_outliers"]
 
 
 def dot(x: Column, y: Column) -> Column:
@@ -82,4 +82,60 @@ def ann_bruteforce_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def lang_centroid_outliers(
+    docs: DataFrame,
+    emb: DataFrame,
+    threshold: float = 0.0,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    lang_col: str = "lang",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-based label-outlier detection: score every document's
+    cosine against its LANGUAGE's embedding centroid and flag the ones
+    below ``threshold`` — the cross-modal QC pass that catches
+    mislabeled language tags (and, with any categorical label, corrupted
+    class assignments) before training.
+
+    Scale shape: the doc↔embedding equi-join hash-partitions on the id
+    (at 100 TB both sides are id-bucketed, so this co-locates); the
+    per-language centroid is ONE map-side-combined posexplode aggregate
+    reduced to |langs|·dim rows, reassembled into |langs| array rows and
+    BROADCAST back — the corpus is never shuffled for scoring, and the
+    cosine is the row-local sequential-fold kernel.
+
+    Determinism contract: centroid dims are round(avg, 6) — the same
+    cross-engine float-summation guard as the k-means training contract
+    (operators/ann.kmeans_centroids_local); the cosine then folds exact
+    literals in a fixed order on both engines.
+    """
+    joined = docs.select(
+        F.col(doc_id_col), F.col(lang_col)
+    ).join(
+        emb.select(F.col(vec_id_col).alias(doc_id_col), F.col(vec_col)),
+        doc_id_col,
+    )
+    cents = (
+        joined.select(F.col(lang_col), F.posexplode(F.col(vec_col)).alias("_pos", "_x"))
+        .groupBy(lang_col, "_pos")
+        .agg(F.round(F.avg(F.col("_x").cast("double")), 6).alias("_m"))
+        .groupBy(lang_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_m"))), lambda s: s["_m"]
+            ).alias("_cv")
+        )
+    )
+    scored = joined.join(F.broadcast(cents), lang_col).withColumn(
+        "centroid_cos",
+        dot(F.col(vec_col), F.col("_cv")) / (norm(F.col(vec_col)) * norm(F.col("_cv"))),
+    )
+    return scored.select(
+        F.col(doc_id_col),
+        F.col(lang_col),
+        "centroid_cos",
+        (F.col("centroid_cos") < F.lit(float(threshold))).cast("long").alias("is_outlier"),
     )

@@ -2233,3 +2233,25 @@ SELECT s.doc_id,
 FROM shard s LEFT JOIN dropped d ON s.doc_id = d.doc_id
 WHERE s.shard = 0
 """
+
+# language-centroid outliers: round-6 per-dim means (k-means summation
+# contract), sequential-fold cosine, threshold 0.0
+ORACLES["emb_lang_outliers"] = f"""
+WITH j AS (
+    SELECT d.doc_id, d.lang, e.embedding
+    FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+),
+cd AS (
+    SELECT lang, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+    FROM j, range(1, 65) AS t(i)
+    GROUP BY lang, i
+),
+cv AS (SELECT lang, list(m ORDER BY i) AS cv FROM cd GROUP BY lang)
+SELECT doc_id, lang, centroid_cos,
+       CAST(CASE WHEN centroid_cos < 0.0 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+FROM (
+    SELECT j.doc_id, j.lang,
+           {_DCOS.format(a='j.embedding', b='c.cv')} AS centroid_cos
+    FROM j JOIN cv c USING (lang)
+)
+"""

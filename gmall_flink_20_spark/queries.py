@@ -1371,6 +1371,17 @@ def docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.neardup_containment(load_table(spark, sf_dir, "documents"))
 
 
+def emb_lang_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal label QC (operators/similarity.lang_centroid_outliers):
+    each document's embedding scored against its language's centroid
+    (round-6 mean per the k-means determinism contract); cosine < 0 flags
+    a probable mislabel. Corpus never shuffles for scoring — centroids
+    reduce to |langs| rows and broadcast back."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lang_centroid_outliers(docs, emb, threshold=0.0)
+
+
 def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-corpus k-NN graph (operators/ann.knn_graph): LSH-bucketed
     self-join so every vector gets its top-3 cosine neighbors without
@@ -1388,7 +1399,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # that were never inside the window (VERDICT.md r2 item 1), then any
     # round-3-new queries, then a flagship sample of the already-proven
     # reference set. Everything below the window stays pytest-parity
-    # covered by tests/test_queries_parity.py (full 118-query sweep).
+    # covered by tests/test_queries_parity.py (full 119-query sweep).
     #
     # (1) the 28 never-driver-checked entries
     "tpch_q12": tpch.q12_late_lines_priority,
@@ -1438,6 +1449,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_neardup_incremental": docs_neardup_incremental,
     "docs_containment_pairs": docs_containment_pairs,
     "emb_knn_graph": emb_knn_graph,
+    "emb_lang_outliers": emb_lang_outliers,
     # (3) flagship already-proven reference entries (fill to ~50)
     "hot_items_topn": hot_items_topn,
     "hot_urls_topn": hot_urls_topn,

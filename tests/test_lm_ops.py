@@ -87,3 +87,44 @@ def test_knn_graph_ranks_and_no_self_edges(spark, sf_dir):
     per = got.groupby("vec_id")["rank"].agg(["min", "max", "count"])
     assert (per["min"] == 1).all()
     assert (per["max"] == per["count"]).all()
+
+
+def test_ccnet_buckets_approx_agrees_with_exact(spark, sf_dir):
+    """The scale-path sketch-cutoff form must land ≥90% of documents in
+    the same tercile as the exact ntile form (sketch rank error and tie
+    handling account for the rest)."""
+    from gmall_flink_20_spark.io import load_table
+    from gmall_flink_20_spark.operators.lm import ccnet_buckets_approx
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = QUERIES["docs_ccnet_buckets"](spark, sf_dir).toPandas()
+    approx = ccnet_buckets_approx(docs).toPandas()
+    merged = exact.merge(approx, on="doc_id", suffixes=("_e", "_a"))
+    assert len(merged) == len(exact)
+    agreement = (merged["bucket_e"] == merged["bucket_a"]).mean()
+    assert agreement >= 0.90, f"agreement {agreement:.3f}"
+
+
+def test_ccnet_buckets_approx_has_no_window(spark, sf_dir):
+    # the point of the approx form: zero Window operators (no per-language
+    # single-task sort) — cutoffs arrive via a broadcast join
+    from tests.test_scale_plans import plan_of
+
+    from gmall_flink_20_spark.io import load_table
+    from gmall_flink_20_spark.operators.lm import ccnet_buckets_approx
+
+    plan = plan_of(ccnet_buckets_approx(load_table(spark, sf_dir, "documents")))
+    import re
+
+    assert not re.findall(r"\(\d+\) Window\n", plan)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lang_outliers_centroid_broadcast(spark, sf_dir):
+    from tests.test_scale_plans import plan_of
+
+    plan = plan_of(QUERIES["emb_lang_outliers"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    got = QUERIES["emb_lang_outliers"](spark, sf_dir).toPandas()
+    assert ((got["is_outlier"] == 1) == (got["centroid_cos"] < 0.0)).all()
