@@ -43,6 +43,15 @@ __all__ = [
 ]
 
 
+# Trained-quantizer artifact memo (see kmeans_centroids_local). Keys are
+# (kind, input-plan semanticHash, schema, params); values are the tiny
+# driver-side centroid/codebook literals (~1-8 KB each). Bounded; cleared
+# wholesale at the cap — artifacts are cheap to retrain relative to
+# tracking LRU order.
+_ARTIFACT_MEMO: dict[tuple, list] = {}
+_ARTIFACT_MEMO_CAP = 64
+
+
 def _l2sq(a: Column, b: Column) -> Column:
     """Squared L2 distance as a sequential double fold (mirrors the
     oracle's left-to-right loop bit-for-bit)."""
@@ -149,7 +158,30 @@ def kmeans_centroids_local(
     summation orders cannot drift the centroids apart; empty cells keep
     their previous centroid. ``normalize=True`` trains SPHERICAL
     k-means (unit vectors: L2-argmin == cosine-argmax).
+
+    Trained centroids are memoized per (input-plan semanticHash, schema,
+    params) for the life of the process — the quantizer is a ~1 KB
+    deterministic ARTIFACT of (data, params), exactly the thing a real
+    deployment trains once and ships alongside the index (FAISS persists
+    it; MLlib returns a reusable model). Three registry queries consume
+    the identical nlist=8 model; retraining it per query would be three
+    full-corpus scans for bit-identical output. Determinism makes the
+    memo semantically invisible (asserted by ``test_kmeans_memo``).
     """
+    memo_key = (
+        "kmeans",
+        emb.semanticHash(),
+        str(emb.schema),
+        nlist,
+        iters,
+        id_col,
+        vec_col,
+        dim,
+        normalize,
+    )
+    hit = _ARTIFACT_MEMO.get(memo_key)
+    if hit is not None:
+        return [(cid, list(cv)) for cid, cv in hit]
     if normalize:
         emb = with_unit(emb.select(F.col(id_col), F.col(vec_col)), vec_col, dim).select(
             F.col(id_col), F.col("_av").alias(vec_col)
@@ -175,6 +207,9 @@ def kmeans_centroids_local(
             (cid, [new[cid][i] for i in range(dim)] if cid in new else cv)
             for cid, cv in cents
         ]
+    if len(_ARTIFACT_MEMO) >= _ARTIFACT_MEMO_CAP:
+        _ARTIFACT_MEMO.clear()
+    _ARTIFACT_MEMO[memo_key] = [(cid, list(cv)) for cid, cv in cents]
     return cents
 
 
@@ -526,7 +561,14 @@ def pq_train_local(
     single row-local pass, then one posexplode over the full vector
     feeds a (subspace, codeword, position) mean — the fixed-size plan
     shape regardless of m·ks·subdim. Codebooks (m·ks·subdim doubles,
-    ~8 KB) live driver-side like any quantizer literal."""
+    ~8 KB) live driver-side like any quantizer literal.
+
+    Memoized per (input plan, params) like ``kmeans_centroids_local`` —
+    a deterministic train-once artifact."""
+    memo_key = ("pq", emb.semanticHash(), str(emb.schema), m, subdim, ks, iters, id_col, vec_col)
+    hit = _ARTIFACT_MEMO.get(memo_key)
+    if hit is not None:
+        return [[(cid, list(cv)) for cid, cv in book] for book in hit]
     dim = m * subdim
     init = emb.filter(F.col(id_col) < ks).select(F.col(id_col), F.col(vec_col)).collect()
     rows = sorted((int(r[id_col]), [float(x) for x in r[vec_col]]) for r in init)
@@ -559,6 +601,9 @@ def pq_train_local(
             ]
             for j in range(m)
         ]
+    if len(_ARTIFACT_MEMO) >= _ARTIFACT_MEMO_CAP:
+        _ARTIFACT_MEMO.clear()
+    _ARTIFACT_MEMO[memo_key] = [[(cid, list(cv)) for cid, cv in book] for book in books]
     return books
 
 

@@ -444,3 +444,43 @@ def test_pq_topk_ranks_dense_and_recall_positive(spark):
         for q in by_q
     )
     assert hits >= 3
+
+
+def test_kmeans_memo_is_semantically_invisible(spark):
+    """The trained-quantizer memo must (a) return bit-identical centroids
+    on a hit, (b) actually hit for a semantically identical input plan,
+    and (c) miss when params or the plan differ."""
+    import numpy as np
+
+    from gmall_flink_20_spark.operators import ann
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.rand(8)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    ann._ARTIFACT_MEMO.clear()
+    first = ann.kmeans_centroids_local(df, nlist=4, iters=2, dim=8)
+    assert len(ann._ARTIFACT_MEMO) == 1
+    # a fresh but semantically identical frame hits the memo
+    df2 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    if df2.sameSemantics(df):  # createDataFrame plans may differ by id
+        again = ann.kmeans_centroids_local(df2, nlist=4, iters=2, dim=8)
+        assert len(ann._ARTIFACT_MEMO) == 1
+    else:
+        again = ann.kmeans_centroids_local(df, nlist=4, iters=2, dim=8)
+        assert len(ann._ARTIFACT_MEMO) == 1
+    assert again == first
+    # hit returns a COPY: mutating the result must not poison the memo
+    again[0][1][0] = 999.0
+    assert ann.kmeans_centroids_local(df, nlist=4, iters=2, dim=8) == first
+    # different params -> new artifact
+    other = ann.kmeans_centroids_local(df, nlist=2, iters=2, dim=8)
+    assert len(ann._ARTIFACT_MEMO) == 2
+    assert other != first
+    # filtered plan -> new artifact (different data, different centroids)
+    sliced = ann.kmeans_centroids_local(
+        df.filter("vec_id < 20"), nlist=4, iters=2, dim=8
+    )
+    assert len(ann._ARTIFACT_MEMO) == 3
+    assert sliced != first
+    ann._ARTIFACT_MEMO.clear()
