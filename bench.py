@@ -129,6 +129,11 @@ BENCH_QUERIES = [
     "docs_neardup_incremental",
     "emb_knn_graph",
     "emb_lang_outliers",
+    "events_rfm",
+    "docs_dup_spans",
+    "emb_ann_ivf_pq_rerank",
+    "emb_covariance",
+    "events_zorder_layout",
 ]
 
 

@@ -18,6 +18,8 @@ from pyspark.sql.streaming import DataStreamWriter
 __all__ = [
     "write_partitioned",
     "write_bucketed",
+    "write_zordered",
+    "compact_small_files",
     "console_sink",
     "parquet_sink",
     "side_output_fanout",
@@ -46,6 +48,81 @@ def write_bucketed(
     if sort_by:
         w = w.sortBy(*sort_by)
     w.saveAsTable(table)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    n_files: int = 16,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet (the Delta/Iceberg ``OPTIMIZE ZORDER BY``
+    write, here as a first-class sink): Morton-interleave the two key
+    columns, ``repartitionByRange`` on the z-value so each output file
+    owns a contiguous z-range — a small bounding box in BOTH dimensions
+    — then sort within each file so row groups are tight too. Parquet
+    footer min/max stats on either column then prune a two-predicate
+    scan without any manual partitioning.
+
+    The range partitioner samples the z distribution, so the sort is
+    distributed (no global single-task sort); the z column itself is
+    dropped from the output — it's a layout key, not data.
+    """
+    from .operators.layout import zvalue
+    from pyspark.sql import functions as F
+
+    z = zvalue(F.col(x_col), F.col(y_col), bits).alias("_z")
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def compact_small_files(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    mode: str = "overwrite",
+    n_files: int | None = None,
+) -> int:
+    """Small-file compaction — the maintenance pass every long-running
+    ingest needs: streaming/micro-batch writers leave thousands of tiny
+    files whose per-file open/footer overhead dominates rescans and
+    whose listing stalls the driver. Reads the source directory, sizes
+    the output file count from the ACTUAL on-disk bytes (not row counts,
+    which mispredict after compression), and rewrites coalesced.
+
+    Returns the output file count. Uses ``coalesce`` (narrow — no
+    shuffle: input splits are concatenated into fewer write tasks);
+    callers that also want clustering should use ``write_zordered``
+    instead, which pays the shuffle for layout. On a filesystem where
+    the size probe isn't local (object stores), pass ``n_files``
+    explicitly — sizing policy belongs to the caller there.
+    """
+    import os
+
+    df = spark.read.parquet(src_path)
+    if n_files is None:
+        # on-disk bytes via the file index Spark already built for the scan
+        total = 0
+        for f in df.inputFiles():
+            local = f[len("file:"):] if f.startswith("file:") else f
+            if not os.path.exists(local):
+                raise ValueError(
+                    "compact_small_files: non-local input; pass n_files explicitly"
+                )
+            total += os.path.getsize(local)
+        n_files = max(1, -(-total // int(target_file_bytes)))  # ceil div
+    df.coalesce(n_files).write.mode(mode).parquet(dst_path)
+    return n_files
 
 
 def console_sink(stream: DataFrame, mode: str = "append") -> DataStreamWriter:

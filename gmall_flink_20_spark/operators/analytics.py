@@ -341,3 +341,78 @@ def transition_matrix(
             ),
         )
     )
+
+
+def rfm_segments(
+    events: DataFrame,
+    action: str = "purchase",
+    quantiles: int = 4,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    value_col: str = "value",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """RFM segmentation — the classic marketing-analytics operator:
+    per user, Recency (days since last ``action`` relative to the
+    corpus's latest action), Frequency (action count) and Monetary
+    (action value total), each scored into ``quantiles`` equal-rank
+    buckets (1 = best), concatenated into a segment label.
+
+    Determinism contract: monetary is summed in integer CENTS (value is
+    2-decimal), so no float summation order can flip a rank; every
+    ntile orders with a ``user_col`` tiebreak, so bucket boundaries are
+    engine-independent.
+
+    Plan: one groupBy(user) over the filtered action stream (map-side
+    combined), the reference timestamp is a broadcast single-row
+    aggregate, then three ntile windows over the PER-USER frame — the
+    |users|-row aggregate, not the event stream. This is the exact
+    form; at 100 TB swap the global ntiles for approx_percentile
+    cutoffs broadcast back (the ``lm.ccnet_buckets_approx`` shape) and
+    the plan loses its only global sorts.
+    """
+    filt = events.filter(F.col(type_col) == F.lit(action)).select(
+        F.col(user_col),
+        F.col(time_col).cast("long").alias("_ts"),
+        F.round(F.col(value_col) * 100, 0).cast("long").alias("_cents"),
+    )
+    ref = filt.agg(F.max("_ts").alias("_ref_ts"))
+    per_user = (
+        filt.groupBy(user_col)
+        .agg(
+            F.max("_ts").alias("_last"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum("_cents").cast("long").alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            F.col(user_col),
+            F.floor((F.col("_ref_ts") - F.col("_last")) / F.lit(86400.0))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    q = int(quantiles)
+    r_w = Window.orderBy(F.col("recency_days").asc(), F.col(user_col).asc())
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col(user_col).asc())
+    m_w = Window.orderBy(F.col("monetary_cents").desc(), F.col(user_col).asc())
+    scored = per_user.select(
+        F.col(user_col),
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(q).over(r_w).cast("long").alias("r_score"),
+        F.ntile(q).over(f_w).cast("long").alias("f_score"),
+        F.ntile(q).over(m_w).cast("long").alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat_ws(
+            "-",
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )

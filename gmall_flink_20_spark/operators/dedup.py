@@ -693,3 +693,58 @@ def neardup_incremental(
             .alias("kept"),
         )
     )
+
+
+def dup_span_stats(
+    df: DataFrame, n: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-substring duplication audit (the distributed form of Lee et
+    al. 2022's ExactSubstr dedup): fingerprint EVERY n-token sliding
+    window (positional, non-distinct — unlike shingles) and mark windows
+    whose fingerprint occurs ≥2 times anywhere in the corpus, including
+    elsewhere in the same document. Emits per doc: total windows,
+    duplicated windows, duplicated fraction — the signal ExactSubstr
+    cuts on (a true suffix-array span cut needs an order-preserving
+    rewrite; the window census is the shuffle-friendly audit form).
+
+    Plan: window fingerprints are row-local md5s (codegen, no UDF); one
+    map-side-combined count per fingerprint; the exploded stream joins
+    the counts on the SAME key so the exchange is reused, then one
+    groupBy(doc) folds the flags. No all-pairs stage anywhere —
+    linear in total tokens at any corpus size.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = (
+        df.filter(F.size(toks) >= n)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(split(trim({text_col}), '\\\\s+')) - {n}), "
+                    f"i -> md5(array_join(slice(split(trim({text_col}), '\\\\s+'), i + 1, {n}), ' ')))"
+                )
+            ).alias("fp"),
+        )
+    )
+    grams = eager_persist(grams)
+    counts = grams.groupBy("fp").agg(F.count(F.lit(1)).alias("_total"))
+    out = (
+        grams.join(counts, "fp")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("_total") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+        )
+        .select(
+            F.col(id_col),
+            "n_windows",
+            "n_dup_windows",
+            F.round(
+                F.col("n_dup_windows").cast("double") / F.col("n_windows").cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+    return out

@@ -17,7 +17,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine", "ann_bruteforce_topk", "lang_centroid_outliers"]
+__all__ = [
+    "cosine",
+    "ann_bruteforce_topk",
+    "lang_centroid_outliers",
+    "covariance_matrix",
+]
 
 
 def dot(x: Column, y: Column) -> Column:
@@ -138,4 +143,84 @@ def lang_centroid_outliers(
         F.col(lang_col),
         "centroid_cos",
         (F.col("centroid_cos") < F.lit(float(threshold))).cast("long").alias("is_outlier"),
+    )
+
+
+def covariance_matrix(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Corpus covariance of an embedding column — the Gramian pass every
+    whitening / PCA / drift-monitoring pipeline runs first. Emits one row
+    per upper-triangle cell: (i, j, n, sxy, cov) where sxy is the raw
+    second moment Σ x_i·x_j and cov the centered covariance.
+
+    Scale shape (MLlib RowMatrix.computeGramian): each partition folds
+    its rows into ONE dim×dim BLAS outer-product accumulator inside an
+    Arrow-batched ``mapInPandas`` — dim² work per row, not dim² ROWS per
+    row (the declarative double-explode would shuffle |corpus|·dim²
+    rows; this shuffles dim² rows PER PARTITION). Per-dim sums ride the
+    same pass as j = -1 marker rows; one tiny groupBy folds partials.
+
+    Float contract: products accumulate in float64; partial-sum order
+    differs from the oracle's row order, so both engines round the
+    moments to 4 decimals (absolute sums are O(corpus), double error is
+    ~1e-12 relative — the same argument every summed-double gate here
+    relies on) and derive cov from the ROUNDED moments with an identical
+    expression tree.
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = int(dim)
+
+    def _gram(batches):
+        acc = np.zeros((d, d), dtype=np.float64)
+        sums = np.zeros(d, dtype=np.float64)
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            acc += x.T @ x
+            sums += x.sum(axis=0)
+            n += len(pdf)
+        if n == 0:
+            return
+        iu, ju = np.triu_indices(d)
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate([iu, np.arange(d)]).astype("int32"),
+                "j": np.concatenate([ju, np.full(d, -1)]).astype("int32"),
+                "sxy": np.concatenate([acc[iu, ju], sums]),
+                "n": np.full(iu.size + d, n, dtype="int64"),
+            }
+        )
+
+    parts = (
+        emb.select(F.col(vec_col).cast("array<double>").alias("_v"))
+        .mapInPandas(_gram, schema="i int, j int, sxy double, n long")
+        .groupBy("i", "j")
+        .agg(F.round(F.sum("sxy"), 4).alias("sxy"), F.sum("n").cast("long").alias("n"))
+    )
+    moments = parts.filter(F.col("j") >= 0)
+    sums = parts.filter(F.col("j") == -1).select(
+        F.col("i").alias("_si_dim"), F.col("sxy").alias("_s")
+    )
+    si = sums.select(F.col("_si_dim").alias("i"), F.col("_s").alias("_si"))
+    sj = sums.select(F.col("_si_dim").alias("j"), F.col("_s").alias("_sj"))
+    nd = F.col("n").cast("double")
+    return (
+        moments.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            F.col("n"),
+            F.col("sxy"),
+            F.round(
+                F.col("sxy") / nd - (F.col("_si") / nd) * (F.col("_sj") / nd), 6
+            ).alias("cov"),
+        )
     )

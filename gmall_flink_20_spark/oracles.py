@@ -1328,6 +1328,107 @@ UNION ALL
 SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(s2) AS BIGINT) FROM u
 """
 
+# corpus covariance Gramian (similarity.covariance_matrix): rounded
+# second moments + identical cov expression tree over the rounded sums
+ORACLES["emb_covariance"] = """
+WITH v AS (
+    SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings
+),
+cells AS (
+    SELECT gi.i AS i, gj.j AS j,
+           round(sum(vv[gi.i + 1] * vv[gj.j + 1]), 4) AS sxy,
+           CAST(count(*) AS BIGINT) AS n
+    FROM v, generate_series(0, 63) gi(i), generate_series(0, 63) gj(j)
+    WHERE gi.i <= gj.j
+    GROUP BY gi.i, gj.j
+),
+s AS (
+    SELECT g.i AS d, round(sum(vv[g.i + 1]), 4) AS sd
+    FROM v, generate_series(0, 63) g(i) GROUP BY g.i
+)
+SELECT CAST(c.i AS BIGINT) AS i, CAST(c.j AS BIGINT) AS j, n, sxy,
+       round(sxy / n - (si.sd / n) * (sj.sd / n), 6) AS cov
+FROM cells c JOIN s si ON si.d = c.i JOIN s sj ON sj.d = c.j
+"""
+
+# exact-substring duplication audit (dedup.dup_span_stats): positional
+# 8-token window md5s, global multiplicity >= 2 flags a duplicated span
+ORACLES["docs_dup_spans"] = r"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+g AS (
+    SELECT doc_id, md5(array_to_string(t[i + 1 : i + 8], ' ')) AS fp
+    FROM (
+        SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS i
+        FROM toks WHERE len(t) >= 8
+    )
+),
+c AS (SELECT fp, count(*) AS total FROM g GROUP BY fp)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(count(*) FILTER (total >= 2) AS BIGINT) AS n_dup_windows,
+       round(count(*) FILTER (total >= 2) * 1.0 / count(*), 6) AS dup_frac
+FROM g JOIN c USING (fp)
+GROUP BY doc_id
+"""
+
+# Z-order layout audit (layout.zorder_file_stats): identical Morton
+# bit-interleave expression, ntile file cut with event_id tiebreak
+_ZBITS = " + ".join(
+    f"(((user_id >> {b}) & 1) << {2 * b}) + (((item_id >> {b}) & 1) << {2 * b + 1})"
+    for b in range(16)
+)
+ORACLES["events_zorder_layout"] = f"""
+WITH e AS (
+    SELECT event_id, user_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+z AS (
+    SELECT user_id AS x, item_id AS y, event_id, {_ZBITS} AS zv FROM e
+),
+f AS (
+    SELECT x, y, CAST(ntile(16) OVER (ORDER BY zv ASC, event_id ASC) AS BIGINT) AS file_id
+    FROM z
+)
+SELECT file_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+       CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y,
+       CAST((max(x) - min(x) + 1) * (max(y) - min(y) + 1) AS BIGINT) AS box_area
+FROM f GROUP BY file_id
+"""
+
+# RFM segmentation (analytics.rfm_segments): integer-cents monetary,
+# user_id tiebreak in every ntile — identical bucket boundaries
+ORACLES["events_rfm"] = f"""
+WITH p AS (
+    SELECT user_id, {_TS} AS ts_s,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+),
+ref AS (SELECT max(ts_s) AS ref_ts FROM p),
+u AS (
+    SELECT user_id,
+           CAST(floor((ref.ref_ts - max(ts_s)) / 86400.0) AS BIGINT) AS recency_days,
+           CAST(count(*) AS BIGINT) AS frequency,
+           CAST(sum(cents) AS BIGINT) AS monetary_cents
+    FROM p, ref GROUP BY user_id, ref.ref_ts
+),
+s AS (
+    SELECT user_id, recency_days, frequency, monetary_cents,
+           CAST(ntile(4) OVER (ORDER BY recency_days ASC, user_id ASC) AS BIGINT) AS r_score,
+           CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id ASC) AS BIGINT) AS f_score,
+           CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, user_id ASC) AS BIGINT) AS m_score
+    FROM u
+)
+SELECT *, CAST(r_score AS VARCHAR) || '-' || CAST(f_score AS VARCHAR)
+          || '-' || CAST(m_score AS VARCHAR) AS segment
+FROM s
+"""
+
 # retention cohorts (analytics.retention_cohorts)
 ORACLES["events_retention"] = """
 WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
@@ -1597,11 +1698,15 @@ def _ivf_pq_sql(
     pq_iters: int = 2,
     dim: int = 64,
     k: int = 5,
+    rerank: int = 0,
 ) -> str:
     """IVF-PQ oracle (mirrors ann.ann_ivf_pq_topk): a raw-vector L2
     Lloyd CTE chain (the coarse quantizer), the _pq_sql codebook/code/
     distance-table machinery (by_residual=False), and an ADC scan
-    restricted to each query's nprobe nearest inverted lists."""
+    restricted to each query's nprobe nearest inverted lists.
+    ``rerank`` > 0 appends the exact-L2 refine stage
+    (ann.ann_ivf_pq_rerank_topk): ADC nominates ``rerank`` candidates,
+    true distance on the raw double-cast vectors orders the final k."""
     # ---- coarse quantizer: plain L2 Lloyd on the raw (double-cast) vectors
     cdl2 = (
         f"list_sum(list_transform(range(1, {dim + 1}), "
@@ -1702,10 +1807,47 @@ SELECT query_id, neighbor_id, rank FROM (
                               ORDER BY dist ASC, neighbor_id ASC) AS rank
     FROM scored
 ) WHERE rank <= {k}"""
+    if rerank > 0:
+        exl2 = (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            "i -> (qv.vv[i] - nv.vv[i]) * (qv.vv[i] - nv.vv[i])))"
+        )
+        final += f""",
+cand AS (SELECT query_id, neighbor_id FROM adc_ranked WHERE rank <= {rerank}),
+refined AS (
+    SELECT c.query_id, c.neighbor_id, {exl2} AS dist
+    FROM cand c
+    JOIN v qv ON qv.vec_id = c.query_id
+    JOIN v nv ON nv.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dist ASC, neighbor_id ASC) AS rank
+    FROM refined
+) WHERE rank <= {k}"""
+        # the ADC ranking becomes a CTE the refine stage selects from
+        final = final.replace(
+            f"""SELECT query_id, neighbor_id, rank FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dist ASC, neighbor_id ASC) AS rank
+    FROM scored
+) WHERE rank <= {k}""",
+            """,
+adc_ranked AS (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dist ASC, neighbor_id ASC) AS rank
+    FROM scored
+)""",
+            1,
+        )
     return "WITH " + ",\n".join(ctes) + ",\n" + final
 
 
 ORACLES["emb_ann_ivf_pq"] = _ivf_pq_sql()
+ORACLES["emb_ann_ivf_pq_rerank"] = _ivf_pq_sql(rerank=25)
 
 ORACLES["events_cms_counts"] = """
 WITH items AS (

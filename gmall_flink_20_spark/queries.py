@@ -901,6 +901,44 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication audit (operators/dedup.dup_span_stats,
+    Lee et al. 2022 ExactSubstr): positional 8-token window fingerprints,
+    globally-repeated windows flagged, per-doc duplicated fraction.
+    Linear in total tokens — fingerprint count + key-reused join."""
+    from .operators import dedup as dd
+
+    return dd.dup_span_stats(load_table(spark, sf_dir, "documents"), n=8)
+
+
+def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit (operators/layout.zorder_file_stats): Morton-
+    interleave (user_id, item_id), cut into 16 files, report each file's
+    bounding box + area — the min/max-skipping quantity a two-predicate
+    scan prunes on. Exact-form global sort; the production write is
+    io_sinks.write_zordered (repartitionByRange on the same z-value)."""
+    from .operators import layout
+
+    ev = (
+        _events(spark, sf_dir)
+        .select("event_id", "user_id", _item_id())
+        .filter(F.col("item_id").isNotNull())
+    )
+    return layout.zorder_file_stats(
+        ev, "user_id", "item_id", n_files=16, bits=16, tiebreak_col="event_id"
+    )
+
+
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation over the purchase stream (operators/analytics.
+    rfm_segments): quartile recency/frequency/monetary scores per user,
+    integer-cents monetary so no float sum can flip a rank. Scoring
+    windows run on the per-user aggregate, not the event stream."""
+    from .operators import analytics
+
+    return analytics.rfm_segments(_events(spark, sf_dir))
+
+
 def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention triangle: users cohorted by first active day, distinct
     actives per (cohort_day, day_offset) (operators/analytics.
@@ -1075,6 +1113,28 @@ def emb_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ann.ann_ivf_pq_topk(emb, query_ids=list(range(10)), k=5)
+
+
+def emb_ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + exact re-rank (operators/ann.ann_ivf_pq_rerank_topk,
+    FAISS IndexRefineFlat): ADC nominates 25 candidates per query, true
+    L2 on the raw vectors refines to top-5. The raw corpus is never
+    shuffled — the candidate set broadcasts against it."""
+    from .operators import ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.ann_ivf_pq_rerank_topk(emb, query_ids=list(range(10)), k=5, rerank=25)
+
+
+def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus covariance Gramian (operators/similarity.covariance_matrix):
+    per-partition BLAS outer-product accumulation over mapInPandas — dim²
+    work per row, dim² shuffle rows per PARTITION (the MLlib
+    computeGramian shape), rounded-moment float contract."""
+    from .operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.covariance_matrix(emb, dim=64)
 
 
 def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1450,6 +1510,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_containment_pairs": docs_containment_pairs,
     "emb_knn_graph": emb_knn_graph,
     "emb_lang_outliers": emb_lang_outliers,
+    "events_rfm": events_rfm,
+    "docs_dup_spans": docs_dup_spans,
+    "emb_ann_ivf_pq_rerank": emb_ann_ivf_pq_rerank,
+    "emb_covariance": emb_covariance,
+    "events_zorder_layout": events_zorder_layout,
     # (3) flagship already-proven reference entries (fill to ~50)
     "hot_items_topn": hot_items_topn,
     "hot_urls_topn": hot_urls_topn,

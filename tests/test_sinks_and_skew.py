@@ -73,3 +73,69 @@ def test_side_output_fanout(spark, sf_dir):
     assert got["kept"] + got["warning"] <= total
     # warnings are one-shot per (user, day) crossing the threshold
     assert got["warning"] >= 0
+
+
+def test_zvalue_interleaves_bits(spark):
+    from gmall_flink_20_spark.operators.layout import zvalue
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (255, 255)], "x long, y long"
+    )
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select("x", "y", zvalue(F.col("x"), F.col("y"), 16).alias("z")).collect()
+    }
+
+    def ref(x, y):
+        return sum(
+            (((x >> b) & 1) << (2 * b)) + (((y >> b) & 1) << (2 * b + 1))
+            for b in range(16)
+        )
+
+    assert got == {(x, y): ref(x, y) for (x, y) in got}
+
+
+def test_write_zordered_tightens_boxes(spark):
+    """A z-ordered write must give per-file bounding boxes whose summed
+    area is far below a single-column sort's on the second dimension."""
+    import itertools
+
+    from gmall_flink_20_spark import io_sinks
+
+    rows = [(x, y) for x, y in itertools.product(range(64), range(64))]
+    df = spark.createDataFrame(rows, "x long, y long").repartition(8)
+    out = tempfile.mkdtemp(prefix="zw_")
+    io_sinks.write_zordered(df, out, "x", "y", n_files=16, bits=6)
+    files = [p for p in Path(out).glob("*.parquet")]
+    assert len(files) >= 4  # range partitioner may merge a few empties
+    # per-FILE bounding boxes, read back individually
+    areas = []
+    total = 0
+    for p in files:
+        part = spark.read.parquet(str(p))
+        r = part.agg(
+            F.min("x"), F.max("x"), F.min("y"), F.max("y"), F.count(F.lit(1))
+        ).collect()[0]
+        if r[4] == 0:
+            continue
+        total += r[4]
+        areas.append((r[1] - r[0] + 1) * (r[3] - r[2] + 1))
+    assert total == 64 * 64  # lossless
+    # x-sorted layout with the same file count gives full-range y boxes:
+    # every file's area is 64 * (64/nfiles) = 256 at best... z-order must
+    # beat the x-sort total (nfiles * 64 * ceil(64/nfiles) = 4096+) clearly
+    assert sum(areas) < 16 * 64 * 4 * 2  # within 2x of the ideal 4-cell split
+
+
+def test_compact_small_files(spark):
+    from gmall_flink_20_spark import io_sinks
+
+    src = tempfile.mkdtemp(prefix="cs_src_")
+    spark.range(10_000).repartition(40).write.mode("overwrite").parquet(src)
+    n_in = len(list(Path(src).glob("*.parquet")))
+    assert n_in == 40
+    dst = tempfile.mkdtemp(prefix="cs_dst_")
+    n_out = io_sinks.compact_small_files(spark, src, dst, target_file_bytes=1 << 20)
+    files_out = list(Path(dst).glob("*.parquet"))
+    assert len(files_out) == n_out < n_in
+    assert spark.read.parquet(dst).count() == 10_000
