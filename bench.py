@@ -134,6 +134,9 @@ BENCH_QUERIES = [
     "emb_ann_ivf_pq_rerank",
     "emb_covariance",
     "events_zorder_layout",
+    "events_item_cooccurrence",
+    "events_latest_state",
+    "docs_bm25_topk",
 ]
 
 

@@ -416,3 +416,90 @@ def rfm_segments(
             F.col("m_score").cast("string"),
         ),
     )
+
+
+def item_cooccurrence(
+    events: DataFrame,
+    k: int = 10,
+    cap: int = 50,
+    min_support: int = 2,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+) -> DataFrame:
+    """Item-item co-occurrence — the "users who interacted with A also
+    interacted with B" kernel behind item-based collaborative filtering
+    and related-item widgets. Counts, per ordered pair, how many users
+    interacted with both items, then keeps each item's top ``k``
+    neighbors by that count.
+
+    Scale guard: the pair stage is quadratic in DISTINCT ITEMS PER USER,
+    so each user's item set is first capped to their ``cap`` most-
+    frequent items (ties on item id) — per-user pair fan-out is bounded
+    by cap² regardless of activity, the same candidate-bounding move the
+    LSH dedup family makes. The per-user rank is a keyed window (item
+    variety per user is catalog-bounded, not activity-bounded); the pair
+    count is one map-side-combined aggregate; the final top-k is a keyed
+    window over item_a.
+
+    Deterministic: every rank ties on item id; counts are integers.
+    """
+    ui = events.groupBy(F.col(user_col), F.col(item_col)).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    w_cap = Window.partitionBy(user_col).orderBy(
+        F.col("_cnt").desc(), F.col(item_col).asc()
+    )
+    capped = (
+        ui.withColumn("_r", F.row_number().over(w_cap))
+        .filter(F.col("_r") <= cap)
+        .select(F.col(user_col).alias("_u"), F.col(item_col).alias("_i"))
+    )
+    a = capped.select(F.col("_u"), F.col("_i").alias("item_a"))
+    b = capped.select(F.col("_u"), F.col("_i").alias("item_b"))
+    pairs = (
+        a.join(b, "_u")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .filter(F.col("n_users") >= min_support)
+    )
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("item_b").alias("item_a"),
+            F.col("item_a").alias("item_b"),
+            "n_users",
+        )
+    )
+    w_k = Window.partitionBy("item_a").orderBy(
+        F.col("n_users").desc(), F.col("item_b").asc()
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w_k))
+        .filter(F.col("rank") <= k)
+        .select("item_a", "item_b", "n_users", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def latest_state(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """CDC-style upsert compaction: collapse an append-only change
+    stream to one row per key — the LATEST by (event time, tiebreak).
+    This is the materialization every changelog-backed dim table needs
+    before it can broadcast-join a fact stream.
+
+    One keyed window (row_number desc over the key's changes) — a
+    single exchange on the key, no self-join against a max-ts subquery.
+    Ties break on ``tiebreak_col`` so replays and engines agree.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).cast("long").desc(), F.col(tiebreak_col).desc()
+    )
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -25,6 +25,7 @@ __all__ = [
     "winnowing_fingerprints",
     "repetition_features",
     "tfidf_topk",
+    "bm25_topk",
     "collocations_topk",
     "vocabulary",
     "overlap_pairs",
@@ -601,3 +602,82 @@ def gopher_filter(
         min_words, max_words, min_mean_len, max_mean_len, min_alpha_ratio, min_stop_hits
     )
     return base.withColumn("kept", F.when(kept, F.lit(1)).otherwise(F.lit(0)).cast("long"))
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.5,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 document ranking for a fixed query-term set — the retrieval
+    scorer tf-idf feeds into (Robertson-Spärck Jones):
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1) (the Lucene non-negative
+    form). Emits each matching doc's score and rank, top ``k`` only.
+
+    Plan shape: the query terms are a tiny literal filter pushed into
+    the term explode (only matching term rows survive the first
+    aggregate); df and N and avgdl are broadcast one-row/`|q|`-row
+    aggregates; the final top-k is a rank over the scored-docs frame.
+    Determinism: avgdl derives from an exact integer token-count sum;
+    per-term scores round to 6 decimals AFTER the (3-term) sum; ranks
+    tie on doc id. ln parity follows the tfidf_topk precedent (both
+    engines' libm agree well inside the rounding).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda t: t != ""
+    )
+    base = df.select(F.col(id_col), toks.alias("_toks")).select(
+        F.col(id_col), "_toks", F.size("_toks").cast("long").alias("_dl")
+    )
+    base = base.filter(F.col("_dl") > 0)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        (F.sum("_dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("_avgdl"),
+    )
+    qlits = [str(t) for t in query_terms]
+    terms = base.select(
+        F.col(id_col), F.col("_dl"), F.explode("_toks").alias("term")
+    ).filter(F.col("term").isin(qlits))
+    tf = terms.groupBy(id_col, "_dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(
+                (F.col("_n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+                / (F.col("df").cast("double") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
+        .withColumn(
+            "_tscore",
+            F.col("_idf")
+            * (F.col("tf").cast("double") * F.lit(float(k1) + 1.0))
+            / (
+                F.col("tf").cast("double")
+                + F.lit(float(k1))
+                * (
+                    F.lit(1.0 - float(b))
+                    + F.lit(float(b)) * F.col("_dl").cast("double") / F.col("_avgdl")
+                )
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum("_tscore"), 6).alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col(id_col), "score", "n_terms_hit", F.col("rank").cast("long").alias("rank"))
+    )

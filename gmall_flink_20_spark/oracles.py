@@ -1373,6 +1373,94 @@ FROM g JOIN c USING (fp)
 GROUP BY doc_id
 """
 
+# item-item co-occurrence (analytics.item_cooccurrence): per-user cap
+# before the pair stage, every rank ties on item id
+ORACLES["events_item_cooccurrence"] = """
+WITH ui AS (
+    SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id,
+           count(*) AS cnt
+    FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+capped AS (
+    SELECT user_id, item_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY cnt DESC, item_id ASC) AS r
+        FROM ui
+    ) WHERE r <= 50
+),
+pairs AS (
+    SELECT a.item_id AS item_a, b.item_id AS item_b,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM capped a JOIN capped b
+      ON a.user_id = b.user_id AND a.item_id < b.item_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+),
+sym AS (
+    SELECT item_a, item_b, n_users FROM pairs
+    UNION ALL
+    SELECT item_b, item_a, n_users FROM pairs
+)
+SELECT item_a, item_b, n_users, CAST(rank AS BIGINT) AS rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY item_a
+                                 ORDER BY n_users DESC, item_b ASC) AS rank
+    FROM sym
+) WHERE rank <= 10
+"""
+
+# CDC upsert compaction (analytics.latest_state): latest row per key by
+# (second, event_id), value in integer cents
+ORACLES["events_latest_state"] = f"""
+SELECT user_id, ts_s AS last_ts_s, event_type AS last_event_type,
+       cents AS last_value_cents
+FROM (
+    SELECT user_id, {_TS} AS ts_s, event_type,
+           CAST(round(value * 100) AS BIGINT) AS cents,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY {_TS} DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1
+"""
+
+# BM25 ranking (text.bm25_topk): identical expression tree, ln parity
+# per the tfidf precedent, round-6 after the per-doc term sum
+ORACLES["docs_bm25_topk"] = r"""
+WITH base AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                       t -> t <> '') AS toks
+    FROM documents
+),
+b2 AS (
+    SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl
+    FROM base WHERE len(toks) > 0
+),
+stats AS (
+    SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+    FROM b2
+),
+tf AS (
+    SELECT doc_id, dl, term, count(*) AS tf FROM (
+        SELECT doc_id, dl, unnest(toks) AS term FROM b2
+    ) WHERE term IN ('data', 'join', 'filter') GROUP BY 1, 2, 3
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+    SELECT doc_id,
+           round(sum(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+               * (tf * 2.5)
+               / (tf + 1.5 * (0.25 + 0.75 * dl / avgdl))
+           ), 6) AS score,
+           CAST(count(*) AS BIGINT) AS n_terms_hit
+    FROM tf JOIN dfreq USING (term), stats
+    GROUP BY doc_id
+)
+SELECT doc_id, score, n_terms_hit, CAST(rank AS BIGINT) AS rank FROM (
+    SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scored
+) WHERE rank <= 20
+"""
+
 # Z-order layout audit (layout.zorder_file_stats): identical Morton
 # bit-interleave expression, ntile file cut with event_id tiebreak
 _ZBITS = " + ".join(

@@ -911,6 +911,43 @@ def docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dup_span_stats(load_table(spark, sf_dir, "documents"), n=8)
 
 
+def events_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence top-10 (operators/analytics.
+    item_cooccurrence): the item-CF "also interacted with" kernel.
+    Per-user item sets capped at 50 before the pair stage, so pair
+    fan-out is bounded by cap² regardless of user activity."""
+    from .operators import analytics
+
+    ev = _clicks(spark, sf_dir).select("user_id", _item_id())
+    return analytics.item_cooccurrence(ev, k=10, cap=50, min_support=2)
+
+
+def events_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert compaction (operators/analytics.latest_state): one row
+    per user — the latest event by (second, event_id). The changelog →
+    current-state materialization every broadcastable dim needs."""
+    from .operators import analytics
+
+    ev = _events(spark, sf_dir)
+    return analytics.latest_state(ev).select(
+        "user_id",
+        F.col("ts").cast("long").alias("last_ts_s"),
+        F.col("event_type").alias("last_event_type"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("last_value_cents"),
+    )
+
+
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval ranking (operators/text.bm25_topk) for the fixed
+    query {data, join, filter}: Lucene-form idf, length-normalized tf,
+    top-20 docs. Query-term filter pushed into the explode; df/N/avgdl
+    are broadcast scalars."""
+    from .operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.bm25_topk(docs, ["data", "join", "filter"], k=20)
+
+
 def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout audit (operators/layout.zorder_file_stats): Morton-
     interleave (user_id, item_id), cut into 16 files, report each file's
@@ -1515,6 +1552,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_ann_ivf_pq_rerank": emb_ann_ivf_pq_rerank,
     "emb_covariance": emb_covariance,
     "events_zorder_layout": events_zorder_layout,
+    "events_item_cooccurrence": events_item_cooccurrence,
+    "events_latest_state": events_latest_state,
+    "docs_bm25_topk": docs_bm25_topk,
     # (3) flagship already-proven reference entries (fill to ~50)
     "hot_items_topn": hot_items_topn,
     "hot_urls_topn": hot_urls_topn,

@@ -316,3 +316,73 @@ def test_neardup_incremental_filters_candidates_before_verify(spark, sf_dir):
     assert "array_intersect" in plan
     # the new-shard predicate appears as a filter, not post-verification
     assert "_shard" in plan or "sh_a" in plan
+
+
+# ---- round-3 second batch: new-operator plan contracts
+
+
+def test_ivf_pq_rerank_broadcasts_candidates(spark, sf_dir):
+    # the refine stage must broadcast the tiny candidate set against the
+    # raw corpus — never shuffle the corpus for the re-rank join
+    plan = plan_of(QUERIES["emb_ann_ivf_pq_rerank"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_pushes_term_filter_before_aggregate(spark, sf_dir):
+    # the query-term IN-filter must run under the first aggregate, so
+    # only matching term rows reach the tf shuffle
+    plan = plan_of(QUERIES["docs_bm25_topk"](spark, sf_dir))
+    assert "data" in plan and "HashAggregate" in plan
+    filt_pos = plan.find("Filter")
+    assert filt_pos != -1
+    # formatted plans print operators leaves-last; the term filter node
+    # must appear, and no Python UDF anywhere in the pipeline
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cooccurrence_has_no_python_udf_and_bounded_pairs(spark, sf_dir):
+    from gmall_flink_20_spark.operators import analytics
+    from pyspark.sql import functions as F
+
+    plan = plan_of(QUERIES["events_item_cooccurrence"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    # semantic bound: a user with unbounded activity still contributes at
+    # most cap items to the pair stage
+    rows = [(1, i % 3, None) for i in range(300)] + [(2, 7, None)]
+    ev = spark.createDataFrame(
+        [(u, it) for u, it, _ in rows], "user_id long, item_id long"
+    )
+    out = analytics.item_cooccurrence(ev, k=10, cap=2, min_support=1)
+    pairs = {(r.item_a, r.item_b) for r in out.collect()}
+    # cap=2 keeps items {0, 1} for user 1 (highest counts, tie on id) ->
+    # only the (0,1) pair (both directions) can appear
+    assert pairs == {(0, 1), (1, 0)}
+
+
+def test_latest_state_single_exchange(spark, sf_dir):
+    import re
+
+    plan = plan_of(QUERIES["events_latest_state"](spark, sf_dir))
+    # one keyed exchange for the window; no join, no extra shuffle (each
+    # operator appears twice in a formatted plan: tree line + detail)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Join" not in plan
+    # Spark's top-1 rewrite must kick in: partial WindowGroupLimit runs
+    # map-side, so only each partition's per-user best crosses the wire
+    assert "WindowGroupLimit" in plan
+
+
+def test_covariance_shuffles_cells_not_rows(spark, sf_dir):
+    plan = plan_of(QUERIES["emb_covariance"](spark, sf_dir))
+    # the Gramian pass is Arrow-batched Python (deliberate); the shuffle
+    # carries (i, j) partials, and the per-dim sums join via broadcast
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dup_spans_reuses_fingerprint_exchange(spark, sf_dir):
+    plan = plan_of(QUERIES["docs_dup_spans"](spark, sf_dir))
+    # count agg and count-join shuffle on the same fp key; the cached
+    # gram frame appears as InMemoryTableScan on both sides
+    assert "InMemoryTableScan" in plan
+    assert "BatchEvalPython" not in plan
