@@ -137,6 +137,8 @@ BENCH_QUERIES = [
     "events_item_cooccurrence",
     "events_latest_state",
     "docs_bm25_topk",
+    "items_pagerank",
+    "events_profile",
 ]
 
 

@@ -1,0 +1,89 @@
+"""Iterative graph algorithms as DataFrame plans (no GraphX dependency).
+
+PageRank here is the Pregel iteration shape done Spark-first: each
+superstep is one join (ranks → out-edges) plus one aggregation
+(contributions → new ranks). The edge frame is the loop invariant — at
+scale, repartition it ONCE on src and every iteration's join reuses that
+partitioning instead of re-shuffling the (much larger) edge set against
+the (small) rank frame.
+
+Determinism contract (mirrored by the SQL oracle's unrolled-CTE chain,
+the same pattern the Lloyd/k-means oracles use): fixed iteration count,
+ranks rounded to 8 decimals each superstep so float summation order
+cannot drift the two engines apart, damping terms combined with an
+identical expression tree.
+
+No reference parity: the reference (Flink demo suite) has no graph
+operators; this extends the analytics surface (build brief).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    decimals: int = 8,
+) -> DataFrame:
+    """Weighted PageRank over an edge list, ``iters`` supersteps:
+    pr⁰ = 1/N;  prᵗ⁺¹(v) = (1−d)/N + d · Σ_{(u,v)∈E} prᵗ(u)·w(u,v)/out_w(u).
+
+    Nodes are every id appearing as src or dst; dangling nodes (no
+    out-edges) keep their teleport share (their mass is not
+    redistributed — the simple variant, stated so the oracle matches).
+
+    Plan per superstep: one broadcast of the rank frame (|nodes| rows ≪
+    |edges|) against the edge frame, one map-side-combined sum per dst.
+    The edge frame with its precomputed out-weights is built once and
+    persisted — the loop never recomputes or reshuffles it.
+    """
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.lit(1.0)
+    )
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"), w.alias("_w")
+    )
+    from ._cache import eager_persist
+
+    out_w = e.groupBy("_src").agg(F.sum("_w").alias("_out_w"))
+    e = eager_persist(e.join(out_w, "_src"))
+    nodes = eager_persist(
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()  # tiny frame, already materialized
+    init = F.round(F.lit(1.0) / F.lit(float(n_nodes)), decimals)
+    pr = nodes.select("node", init.alias("pr"))
+    teleport = F.lit(1.0 - float(damping)) / F.lit(float(n_nodes))
+    for _ in range(int(iters)):
+        contrib = (
+            e.join(
+                F.broadcast(pr.select(F.col("node").alias("_src"), "pr")), "_src"
+            )
+            .select(
+                F.col("_dst").alias("node"),
+                (F.col("pr") * F.col("_w") / F.col("_out_w")).alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        pr = nodes.join(contrib, "node", "left").select(
+            "node",
+            F.round(
+                teleport + F.lit(float(damping)) * F.coalesce(F.col("_in"), F.lit(0.0)),
+                decimals,
+            ).alias("pr"),
+        )
+    return pr

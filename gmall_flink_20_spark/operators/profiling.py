@@ -1,0 +1,67 @@
+"""Data-quality profiling — the Deequ/GreatExpectations-style audit pass
+a pipeline runs before trusting a new drop of data.
+
+One scan produces per-column row/null/distinct counts and numeric
+ranges. The distinct counts are EXACT here (the oracle gate needs
+engine-equal numbers); Spark lowers multiple count-distincts to one
+Expand-based aggregate, so it is still a single pass over the data. At
+100 TB swap ``exact_distinct=False`` to ``approx_count_distinct`` —
+same single-agg plan without the k-fold Expand blow-up (approximate, so
+no cross-engine gate; the profile consumer tolerates ±2%).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+__all__ = ["profile_table"]
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Per-column profile: (column, dtype, n, n_null, n_distinct,
+    min_num, max_num) — numeric ranges are NULL for non-numeric columns.
+
+    Single aggregation over one scan; the long-format reshape is a
+    zero-shuffle stack of the 1-row aggregate.
+    """
+    cols = columns or df.columns
+    aggs = []
+    numeric = {}
+    for c in cols:
+        numeric[c] = isinstance(df.schema[c].dataType, NumericType)
+        aggs.append(F.count(F.lit(1)).alias(f"_n_{c}"))
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_nn_{c}"))
+        if exact_distinct:
+            aggs.append(F.countDistinct(F.col(c)).alias(f"_nd_{c}"))
+        else:
+            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"_nd_{c}"))
+        if numeric[c]:
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"_mn_{c}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"_mx_{c}"))
+    one = df.agg(*aggs)
+    parts = []
+    for c in cols:
+        dtype = df.schema[c].dataType.simpleString()
+        mn = f"_mn_{c}" if numeric[c] else "CAST(NULL AS DOUBLE)"
+        mx = f"_mx_{c}" if numeric[c] else "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"('{c}', '{dtype}', _n_{c}, _nn_{c}, _nd_{c}, {mn}, {mx})"
+        )
+    stack = f"stack({len(cols)}, " + ", ".join(
+        p[1:-1] for p in parts
+    ) + ") AS (column, dtype, n, n_null, n_distinct, min_num, max_num)"
+    return one.select(F.expr(stack)).select(
+        "column",
+        "dtype",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_num",
+        "max_num",
+    )

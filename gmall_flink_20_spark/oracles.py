@@ -1407,6 +1407,112 @@ SELECT item_a, item_b, n_users, CAST(rank AS BIGINT) AS rank FROM (
 ) WHERE rank <= 10
 """
 
+# per-column profile (profiling.profile_table): exact distincts, numeric
+# ranges as doubles, NULL ranges for string columns
+def _profile_sql() -> str:
+    cols = [
+        ("event_id", "bigint", True),
+        ("ts_s", "bigint", True),
+        ("user_id", "bigint", True),
+        ("event_type", "string", False),
+        ("value_cents", "bigint", True),
+        ("props", "string", False),
+    ]
+    parts = []
+    for c, dtype, num in cols:
+        mn = f"CAST(min({c}) AS DOUBLE)" if num else "CAST(NULL AS DOUBLE)"
+        mx = f"CAST(max({c}) AS DOUBLE)" if num else "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"""SELECT '{c}' AS "column", '{dtype}' AS dtype,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       {mn} AS min_num, {mx} AS max_num
+FROM e"""
+        )
+    return (
+        f"""WITH e AS (
+    SELECT event_id, {_TS} AS ts_s, user_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS value_cents, props
+    FROM events
+)
+"""
+        + "\nUNION ALL\n".join(parts)
+    )
+
+
+ORACLES["events_profile"] = _profile_sql()
+
+# PageRank over the co-occurrence graph (graph.pagerank): 3 unrolled
+# supersteps (the Lloyd-chain oracle pattern), round-8 each step
+_PR_EDGES = """
+ui AS (
+    SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id,
+           count(*) AS cnt
+    FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+capped AS (
+    SELECT user_id, item_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY cnt DESC, item_id ASC) AS r
+        FROM ui
+    ) WHERE r <= 50
+),
+cpairs AS (
+    SELECT a.item_id AS item_a, b.item_id AS item_b,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM capped a JOIN capped b
+      ON a.user_id = b.user_id AND a.item_id < b.item_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+),
+csym AS (
+    SELECT item_a, item_b, n_users FROM cpairs
+    UNION ALL
+    SELECT item_b, item_a, n_users FROM cpairs
+),
+ed AS (
+    SELECT item_a AS src, item_b AS dst, CAST(n_users AS DOUBLE) AS w FROM (
+        SELECT *, row_number() OVER (PARTITION BY item_a
+                                     ORDER BY n_users DESC, item_b ASC) AS rank
+        FROM csym
+    ) WHERE rank <= 10
+)
+"""
+
+
+def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
+    tele = 1.0 - damping
+    ctes = [
+        _PR_EDGES.strip(),
+        "ow AS (SELECT src, sum(w) AS out_w FROM ed GROUP BY src)",
+        "e2 AS (SELECT ed.src, ed.dst, ed.w, ow.out_w FROM ed JOIN ow USING (src))",
+        "nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "pr0 AS (SELECT node, round(1.0 / n, 8) AS pr FROM nodes CROSS JOIN nn)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""c{t} AS (
+    SELECT e2.dst AS node, sum(p.pr * e2.w / e2.out_w) AS cin
+    FROM e2 JOIN pr{t - 1} p ON p.node = e2.src GROUP BY e2.dst
+)"""
+        )
+        ctes.append(
+            f"""pr{t} AS (
+    SELECT nodes.node,
+           round({tele!r} / nn.n + {damping!r} * COALESCE(c{t}.cin, 0.0), 8) AS pr
+    FROM nodes CROSS JOIN nn LEFT JOIN c{t} ON c{t}.node = nodes.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node AS item_id, pr FROM pr{iters}"
+    )
+
+
+ORACLES["items_pagerank"] = _pagerank_sql()
+
 # CDC upsert compaction (analytics.latest_state): latest row per key by
 # (second, event_id), value in integer cents
 ORACLES["events_latest_state"] = f"""

@@ -922,6 +922,43 @@ def events_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.item_cooccurrence(ev, k=10, cap=50, min_support=2)
 
 
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style per-column data-quality profile (operators/profiling.
+    profile_table): row/null/exact-distinct counts + numeric ranges in
+    one scan (timestamps pre-cast to epoch seconds so the range is
+    numeric and engine-comparable)."""
+    from .operators import profiling
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("ts").cast("long").alias("ts_s"),
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"),
+        "props",
+    )
+    return profiling.profile_table(ev)
+
+
+def items_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (operators/graph.pagerank, 3 supersteps) over
+    the item-similarity graph events_item_cooccurrence emits — the
+    composition that turns pair counts into global item importance.
+    Each superstep: broadcast rank frame → edge join → map-side-combined
+    contribution sum; the edge frame is built and persisted once."""
+    from .operators import analytics, graph
+
+    ev = _clicks(spark, sf_dir).select("user_id", _item_id())
+    edges = analytics.item_cooccurrence(ev, k=10, cap=50, min_support=2).select(
+        F.col("item_a").alias("src"),
+        F.col("item_b").alias("dst"),
+        F.col("n_users").alias("w"),
+    )
+    return graph.pagerank(edges, iters=3, weight_col="w").select(
+        F.col("node").alias("item_id"), "pr"
+    )
+
+
 def events_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC upsert compaction (operators/analytics.latest_state): one row
     per user — the latest event by (second, event_id). The changelog →
@@ -1555,6 +1592,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_item_cooccurrence": events_item_cooccurrence,
     "events_latest_state": events_latest_state,
     "docs_bm25_topk": docs_bm25_topk,
+    "items_pagerank": items_pagerank,
+    "events_profile": events_profile,
     # (3) flagship already-proven reference entries (fill to ~50)
     "hot_items_topn": hot_items_topn,
     "hot_urls_topn": hot_urls_topn,

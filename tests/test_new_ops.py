@@ -484,3 +484,48 @@ def test_kmeans_memo_is_semantically_invisible(spark):
     assert len(ann._ARTIFACT_MEMO) == 3
     assert sliced != first
     ann._ARTIFACT_MEMO.clear()
+
+
+def test_pagerank_star_and_mass_conservation(spark):
+    from gmall_flink_20_spark.operators import graph
+
+    # undirected star a-b, a-c (symmetric directed edges): the hub must
+    # out-rank the leaves, leaves tie by symmetry
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 0, 1.0), (0, 2, 1.0), (2, 0, 1.0)],
+        "src long, dst long, w double",
+    )
+    pr = {r.node: r.pr for r in graph.pagerank(edges, iters=5, weight_col="w").collect()}
+    assert pr[0] > pr[1] == pr[2]
+    # every node has out-edges here, so mass is conserved (round-8 slack)
+    assert abs(sum(pr.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_broadcasts_ranks_per_superstep(spark):
+    from gmall_flink_20_spark.operators import graph
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 20, 1.0) for i in range(20)], "src long, dst long, w double"
+    )
+    df = graph.pagerank(edges, iters=3, weight_col="w")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    # each superstep joins the (tiny) rank frame by broadcast — the edge
+    # frame must never be re-shuffled for the join
+    import re
+
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 3
+
+
+def test_profile_table_counts(spark):
+    from gmall_flink_20_spark.operators import profiling
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (2, None, 4.0), (3, "a", None), (4, "b", 4.0)],
+        "id long, s string, v double",
+    )
+    out = {r["column"]: r for r in profiling.profile_table(df).collect()}
+    assert out["id"].n == 4 and out["id"].n_null == 0 and out["id"].n_distinct == 4
+    assert out["s"].n_null == 1 and out["s"].n_distinct == 2
+    assert out["s"].min_num is None and out["s"].max_num is None
+    assert out["v"].n_null == 1 and out["v"].min_num == 2.0 and out["v"].max_num == 4.0
