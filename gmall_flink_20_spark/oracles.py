@@ -1526,6 +1526,7 @@ FROM (
     FROM events
 ) WHERE rn = 1
 """
+ORACLES["events_latest_state_streaming"] = ORACLES["events_latest_state"]
 
 # BM25 ranking (text.bm25_topk): identical expression tree, ln parity
 # per the tfidf precedent, round-6 after the per-doc term sum

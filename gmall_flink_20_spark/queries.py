@@ -974,6 +974,64 @@ def events_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_latest_state_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC upsert compaction as a LIVE changelog stream — the 16th
+    Structured-Streaming run: per-key latest-state is a streaming
+    aggregation whose state is ONE struct per key (``max`` over a
+    (ts, tiebreak, payload) struct = lexicographic latest), emitted in
+    update mode and upserted into the distributed parquet append-log
+    store; last-write-wins per key gives the final materialized table.
+
+    This is exactly what a streaming dim-table materializer does: no
+    watermark (the compaction table IS unbounded keyed state — a
+    production deployment bounds it with key TTL when keys churn).
+    Gated by the batch oracle: the snapshot must equal the batch
+    latest-state compaction row-for-row. Excluded from bench (it
+    measures the replay harness)."""
+    import tempfile
+
+    from .streaming import replay
+    from .streaming import topn as stopn
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    stream = replay.replay_stream(spark, ev, "ts", num_chunks=8)
+    latest = (
+        stream.withColumn("ts_s", F.col("ts").cast("long"))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("ts_s"),
+                    F.col("event_id"),
+                    F.col("event_type"),
+                    F.col("cents"),
+                )
+            ).alias("_latest")
+        )
+        .select(
+            "user_id",
+            F.col("_latest.ts_s").alias("last_ts_s"),
+            F.col("_latest.event_type").alias("last_event_type"),
+            F.col("_latest.cents").alias("last_value_cents"),
+            F.lit(0).alias("k"),
+        )
+    )
+    store = stopn.ParquetUpsertStore(
+        tempfile.mkdtemp(prefix="cdc_store_") + "/log", "user_id", "k"
+    )
+    q = stopn.topn_upsert_sink(latest, store).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return store.snapshot(spark).drop("k").select(
+        "user_id", "last_ts_s", "last_event_type", "last_value_cents"
+    )
+
+
 def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 retrieval ranking (operators/text.bm25_topk) for the fixed
     query {data, join, filter}: Lucene-form idf, length-normalized tf,
@@ -1591,6 +1649,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_zorder_layout": events_zorder_layout,
     "events_item_cooccurrence": events_item_cooccurrence,
     "events_latest_state": events_latest_state,
+    "events_latest_state_streaming": events_latest_state_streaming,
     "docs_bm25_topk": docs_bm25_topk,
     "items_pagerank": items_pagerank,
     "events_profile": events_profile,
