@@ -139,3 +139,34 @@ def test_compact_small_files(spark):
     files_out = list(Path(dst).glob("*.parquet"))
     assert len(files_out) == n_out < n_in
     assert spark.read.parquet(dst).count() == 10_000
+
+
+def test_bucketed_tables_join_without_exchange(spark):
+    """The co-located-join contract write_bucketed exists for: two tables
+    bucketed on the join key must sort-merge join with ZERO Exchange —
+    at 100 TB this is the difference between a free join and shuffling
+    both fact tables."""
+    import re
+
+    from gmall_flink_20_spark import io_sinks
+
+    a = spark.range(10_000).withColumn("va", F.col("id") * 2)
+    b = spark.range(10_000).withColumn("vb", F.col("id") * 3)
+    spark.sql("DROP TABLE IF EXISTS bj_a")
+    spark.sql("DROP TABLE IF EXISTS bj_b")
+    io_sinks.write_bucketed(a, "bj_a", ["id"], 8, sort_by=["id"])
+    io_sinks.write_bucketed(b, "bj_b", ["id"], 8, sort_by=["id"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bj_a").join(spark.table("bj_b"), "id")
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" in plan
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bj_a")
+        spark.sql("DROP TABLE IF EXISTS bj_b")
