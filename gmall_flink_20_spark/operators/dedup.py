@@ -715,13 +715,17 @@ def dup_span_stats(
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     grams = (
-        df.filter(F.size(toks) >= n)
+        # materialize the token array ONCE per row before the window
+        # transform — a split inside the lambda would re-tokenize the
+        # document at every window position (O(tokens²) per doc)
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .filter(F.size(F.col("_toks")) >= n)
         .select(
             F.col(id_col),
             F.explode(
                 F.expr(
-                    f"transform(sequence(0, size(split(trim({text_col}), '\\\\s+')) - {n}), "
-                    f"i -> md5(array_join(slice(split(trim({text_col}), '\\\\s+'), i + 1, {n}), ' ')))"
+                    f"transform(sequence(0, size(_toks) - {n}), "
+                    f"i -> md5(array_join(slice(_toks, i + 1, {n}), ' ')))"
                 )
             ).alias("fp"),
         )
