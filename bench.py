@@ -139,6 +139,8 @@ BENCH_QUERIES = [
     "docs_bm25_topk",
     "items_pagerank",
     "events_profile",
+    "events_value_histogram",
+    "emb_correlation",
 ]
 
 

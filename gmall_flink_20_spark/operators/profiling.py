@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
-__all__ = ["profile_table"]
+__all__ = ["profile_table", "equiwidth_histogram"]
 
 
 def profile_table(
@@ -64,4 +64,50 @@ def profile_table(
         F.col("n_distinct").cast("long").alias("n_distinct"),
         "min_num",
         "max_num",
+    )
+
+
+def equiwidth_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Equi-width histogram of an INTEGER column (optionally per group):
+    bucket edges derive from the global min/max, so the whole histogram
+    is two passes — one tiny min/max aggregate broadcast back, one
+    map-side-combined bucket count. Integer bucket arithmetic
+    (floor((v - lo) * n / (hi - lo + 1))) keeps the edges exact and
+    engine-independent — no float boundary can misplace a value.
+
+    Emits (group?, bucket, lo, hi, cnt) with bucket ∈ [0, n_buckets).
+    """
+    gcols = [group_col] if group_col else []
+    bounds = df.agg(
+        F.min(value_col).cast("long").alias("_lo"),
+        F.max(value_col).cast("long").alias("_hi"),
+    )
+    span = F.col("_hi") - F.col("_lo") + 1
+    bucket = F.floor(
+        (F.col(value_col).cast("long") - F.col("_lo")) * n_buckets / span
+    ).cast("long")
+    out = (
+        df.crossJoin(F.broadcast(bounds))
+        .select(*gcols, bucket.alias("bucket"), "_lo", "_hi")
+        .groupBy(*gcols, "bucket", "_lo", "_hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    # explicit floor before the long cast: Spark's double→long cast
+    # truncates but DuckDB's rounds, so a bare cast would diverge on
+    # non-integer edge arithmetic
+    return out.select(
+        *gcols,
+        "bucket",
+        (F.col("_lo") + F.floor(F.col("bucket") * span / n_buckets))
+        .cast("long")
+        .alias("lo"),
+        (F.col("_lo") + F.floor((F.col("bucket") + 1) * span / n_buckets) - 1)
+        .cast("long")
+        .alias("hi"),
+        "cnt",
     )

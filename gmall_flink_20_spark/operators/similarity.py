@@ -22,6 +22,7 @@ __all__ = [
     "ann_bruteforce_topk",
     "lang_centroid_outliers",
     "covariance_matrix",
+    "correlation_matrix",
 ]
 
 
@@ -222,5 +223,43 @@ def covariance_matrix(
             F.round(
                 F.col("sxy") / nd - (F.col("_si") / nd) * (F.col("_sj") / nd), 6
             ).alias("cov"),
+        )
+    )
+
+
+def correlation_matrix(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Pearson correlation of embedding dimensions, derived from the
+    Gramian pass: corr(i,j) = cov(i,j)/√(var(i)·var(j)). The covariance
+    frame is computed ONCE (persisted — it feeds the main triangle and
+    both diagonal lookups) and the diagonal broadcasts, so the whole
+    operator adds two tiny joins to the single Gramian scan.
+
+    Zero-variance dimensions yield NULL correlation (explicit guard, not
+    a NaN leak). Determinism: corr derives from the already-rounded
+    covariances with an identical expression tree in both engines.
+    """
+    from ._cache import eager_persist
+
+    cov = eager_persist(covariance_matrix(emb, vec_col=vec_col, dim=dim))
+    diag = cov.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("_d"), F.col("cov").alias("_var")
+    )
+    vi = diag.select(F.col("_d").alias("i"), F.col("_var").alias("_vi"))
+    vj = diag.select(F.col("_d").alias("j"), F.col("_var").alias("_vj"))
+    return (
+        cov.join(F.broadcast(vi), "i")
+        .join(F.broadcast(vj), "j")
+        .select(
+            "i",
+            "j",
+            "cov",
+            F.when(
+                (F.col("_vi") > 0) & (F.col("_vj") > 0),
+                F.round(F.col("cov") / F.sqrt(F.col("_vi") * F.col("_vj")), 6),
+            ).alias("corr"),
         )
     )

@@ -1351,6 +1351,20 @@ SELECT CAST(c.i AS BIGINT) AS i, CAST(c.j AS BIGINT) AS j, n, sxy,
 FROM cells c JOIN s si ON si.d = c.i JOIN s sj ON sj.d = c.j
 """
 
+# correlation from the rounded covariances (similarity.correlation_matrix)
+ORACLES["emb_correlation"] = (
+    "WITH covq AS (\n"
+    + ORACLES["emb_covariance"]
+    + """)
+SELECT c.i, c.j, c.cov,
+       CASE WHEN vi.cov > 0 AND vj.cov > 0
+            THEN round(c.cov / sqrt(vi.cov * vj.cov), 6) END AS corr
+FROM covq c
+JOIN covq vi ON vi.i = c.i AND vi.j = c.i
+JOIN covq vj ON vj.i = c.j AND vj.j = c.j
+"""
+)
+
 # exact-substring duplication audit (dedup.dup_span_stats): positional
 # 8-token window md5s, global multiplicity >= 2 flags a duplicated span
 ORACLES["docs_dup_spans"] = r"""
@@ -1405,6 +1419,27 @@ SELECT item_a, item_b, n_users, CAST(rank AS BIGINT) AS rank FROM (
                                  ORDER BY n_users DESC, item_b ASC) AS rank
     FROM sym
 ) WHERE rank <= 10
+"""
+
+# equi-width histogram (profiling.equiwidth_histogram): exact integer
+# bucket arithmetic, explicit floor before every BIGINT cast (Spark
+# truncates double→long, DuckDB rounds — floor makes them agree)
+ORACLES["events_value_histogram"] = """
+WITH e AS (
+    SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+),
+b AS (SELECT CAST(min(cents) AS BIGINT) AS glo, CAST(max(cents) AS BIGINT) AS ghi FROM e),
+x AS (
+    SELECT event_type,
+           CAST(floor((cents - b.glo) * 10 / (b.ghi - b.glo + 1)) AS BIGINT) AS bucket,
+           b.glo, b.ghi - b.glo + 1 AS span
+    FROM e, b
+)
+SELECT event_type, bucket,
+       CAST(glo + floor(bucket * span / 10) AS BIGINT) AS lo,
+       CAST(glo + floor((bucket + 1) * span / 10) - 1 AS BIGINT) AS hi,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM x GROUP BY event_type, bucket, glo, span
 """
 
 # per-column profile (profiling.profile_table): exact distincts, numeric

@@ -940,6 +940,19 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profiling.profile_table(ev)
 
 
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type equi-width histogram of the value column in cents
+    (operators/profiling.equiwidth_histogram): global min/max broadcast
+    back, exact integer bucket arithmetic, one map-side-combined count —
+    the distribution panel of the profiling family."""
+    from .operators import profiling
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("cents")
+    )
+    return profiling.equiwidth_histogram(ev, "cents", group_col="event_type")
+
+
 def items_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank (operators/graph.pagerank, 3 supersteps) over
     the item-similarity graph events_item_cooccurrence emits — the
@@ -1267,6 +1280,16 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.covariance_matrix(emb, dim=64)
+
+
+def emb_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension correlation matrix (operators/similarity.
+    correlation_matrix): corr = cov/√(var_i·var_j) derived from the
+    single persisted Gramian pass; diagonal broadcasts back."""
+    from .operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.correlation_matrix(emb, dim=64)
 
 
 def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1653,6 +1676,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_bm25_topk": docs_bm25_topk,
     "items_pagerank": items_pagerank,
     "events_profile": events_profile,
+    "events_value_histogram": events_value_histogram,
+    "emb_correlation": emb_correlation,
     # (3) flagship already-proven reference entries (fill to ~50)
     "hot_items_topn": hot_items_topn,
     "hot_urls_topn": hot_urls_topn,
