@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "events_profile",
     "events_value_histogram",
     "emb_correlation",
+    "events_mg_heavy_hitters",
 ]
 
 

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["approx_quantiles_checked", "cms_counts"]
+__all__ = ["approx_quantiles_checked", "cms_counts", "mg_heavy_hitters_checked"]
 
 
 def approx_quantiles_checked(
@@ -148,4 +148,78 @@ def cms_counts(
             F.col("exact_cnt").cast("long").alias("exact_cnt"),
             (F.col("est_cnt") - F.col("exact_cnt")).cast("long").alias("overcount"),
         )
+    )
+
+
+def mg_heavy_hitters_checked(
+    df: DataFrame, key_col: str, k: int = 32
+) -> DataFrame:
+    """Misra-Gries heavy hitters under the error-bound gate (the WA6
+    pattern): every key whose true count exceeds n/(k+1) must survive
+    the distributed sketch with its estimate in [true − n/(k+1), true].
+
+    Distributed shape (Agarwal et al., "Mergeable Summaries"): each
+    partition runs a capacity-k MG sketch over its rows inside
+    ``mapInPandas`` (k counters, ~k·16 bytes — the whole summary is
+    smaller than one parquet footer), and merging is a plain SUM of the
+    per-partition counters: each partition's error is ≤ n_p/(k+1), so
+    the summed error is ≤ n/(k+1) — the published bound without any
+    cross-partition truncation step. The exact counts (needed for the
+    gate anyway) come from one map-side-combined aggregate.
+
+    The estimates themselves are partitioning-dependent (no
+    engine-independent oracle exists), so — like the HLL gate — the
+    OUTPUT is (key, exact count, bound-held boolean) for the provably
+    heavy keys, and the SQL oracle emits the exact counts with literal
+    TRUE: a hash match proves both coverage and the bound.
+    """
+    import pandas as pd
+
+    kk = int(k)
+
+    def _mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf["_k"].tolist():
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < kk:
+                    counters[v] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        if counters:
+            yield pd.DataFrame(
+                {"item": list(counters.keys()), "est": list(counters.values())}
+            )
+
+    keyed = df.select(F.col(key_col).cast("long").alias("_k"))
+    summary = (
+        keyed.mapInPandas(_mg, schema="item long, est long")
+        .groupBy("item")
+        .agg(F.sum("est").cast("long").alias("est"))
+    )
+    exact = keyed.groupBy(F.col("_k").alias("item")).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    )
+    total = keyed.agg(F.count(F.lit(1)).alias("_total"))
+    thresh = F.col("_total") / F.lit(float(kk + 1))
+    heavy = (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("exact_cnt") > thresh)
+        .join(summary, "item", "left")
+    )
+    return heavy.select(
+        F.col("item").alias("item_id"),
+        "exact_cnt",
+        (
+            F.col("est").isNotNull()
+            & (F.col("est") <= F.col("exact_cnt"))
+            & ((F.col("exact_cnt") - F.col("est")) <= F.col("_total") / F.lit(float(kk + 1)))
+        ).alias("mg_within_bound"),
     )

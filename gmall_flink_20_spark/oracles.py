@@ -1421,6 +1421,23 @@ SELECT item_a, item_b, n_users, CAST(rank AS BIGINT) AS rank FROM (
 ) WHERE rank <= 10
 """
 
+# Misra-Gries heavy hitters (sketches.mg_heavy_hitters_checked): the
+# error-bound gate emits exact counts + literal TRUE for provably-heavy
+# keys (> n/(k+1)); a hash match proves coverage and the bound
+ORACLES["events_mg_heavy_hitters"] = """
+WITH items AS (
+    SELECT CASE WHEN item < 50 THEN item % 4 ELSE item END AS item FROM (
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        FROM events WHERE event_type = 'click'
+    )
+),
+n AS (SELECT count(*) AS total FROM items),
+exact AS (SELECT item, count(*) AS cnt FROM items GROUP BY item)
+SELECT item AS item_id, CAST(cnt AS BIGINT) AS exact_cnt,
+       TRUE AS mg_within_bound
+FROM exact, n WHERE cnt > total / 17.0
+"""
+
 # equi-width histogram (profiling.equiwidth_histogram): exact integer
 # bucket arithmetic, explicit floor before every BIGINT cast (Spark
 # truncates double→long, DuckDB rounds — floor makes them agree)

@@ -940,6 +940,30 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profiling.profile_table(ev)
 
 
+def events_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters (operators/sketches.
+    mg_heavy_hitters_checked): per-partition capacity-16 sketches merged
+    by plain counter sum (mergeable-summaries bound n/(k+1)); output is
+    the provably-heavy keys' exact counts + bound-held boolean, gated
+    like the HLL estimator.
+
+    The synthetic item stream is uniform (no key crosses any sketch
+    threshold), so — like the dedup queries' duplicate injection — the
+    key is folded into a documented head/tail skew: items < 50 collapse
+    to 4 head keys (~12.5% each), the rest stay singleton tail. k=16
+    puts the threshold at ~5.9% with ~54 distinct keys fighting 16
+    counters: real eviction pressure, 4 provably-heavy survivors."""
+    from .operators import sketches
+
+    ev = _clicks(spark, sf_dir).select(_item_id())
+    skewed = ev.select(
+        F.when(F.col("item_id") < 50, F.col("item_id") % 4)
+        .otherwise(F.col("item_id"))
+        .alias("skew_key")
+    )
+    return sketches.mg_heavy_hitters_checked(skewed, "skew_key", k=16)
+
+
 def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type equi-width histogram of the value column in cents
     (operators/profiling.equiwidth_histogram): global min/max broadcast
@@ -1678,6 +1702,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_profile": events_profile,
     "events_value_histogram": events_value_histogram,
     "emb_correlation": emb_correlation,
+    "events_mg_heavy_hitters": events_mg_heavy_hitters,
     # (3) flagship already-proven reference entries (fill to ~50)
     "hot_items_topn": hot_items_topn,
     "hot_urls_topn": hot_urls_topn,

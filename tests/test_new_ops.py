@@ -529,3 +529,16 @@ def test_profile_table_counts(spark):
     assert out["s"].n_null == 1 and out["s"].n_distinct == 2
     assert out["s"].min_num is None and out["s"].max_num is None
     assert out["v"].n_null == 1 and out["v"].min_num == 2.0 and out["v"].max_num == 4.0
+
+
+def test_mg_heavy_hitters_bound_and_coverage(spark):
+    from gmall_flink_20_spark.operators import sketches
+
+    # adversarial: one dominant key + a churn of singletons that force
+    # constant eviction in the per-partition sketches
+    rows = [(0,)] * 500 + [(i,) for i in range(1, 401)]
+    df = spark.createDataFrame(rows, "k long").repartition(8)
+    out = sketches.mg_heavy_hitters_checked(df, "k", k=8).collect()
+    # only key 0 (500/900 = 55%) exceeds n/(k+1) = 100
+    assert [r.item_id for r in out] == [0]
+    assert out[0].exact_cnt == 500 and out[0].mg_within_bound
