@@ -142,6 +142,8 @@ BENCH_QUERIES = [
     "events_value_histogram",
     "emb_correlation",
     "events_mg_heavy_hitters",
+    "docs_split_assign",
+    "docs_negative_samples",
 ]
 
 

@@ -27,6 +27,8 @@ __all__ = [
     "weighted_sample",
     "per_group_cap",
     "lang_balance",
+    "split_assign",
+    "negative_samples",
 ]
 
 HASH_SPACE = 1 << 60  # 15 hex chars of md5
@@ -188,4 +190,75 @@ def lang_balance(
         .withColumn("_r2", F.row_number().over(w2))
         .filter(F.col("_r2") <= F.col("_cap"))
         .drop("_pri", "_sub", "_r1", "_r2", "_cap")
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: each row lands in
+    exactly one named split by its salted hash coordinate against
+    cumulative integer thresholds — reproducible across engines, retries
+    and partitionings, and STABLE under corpus growth (a row's split
+    never changes when other rows are added, unlike ntile/ratio splits).
+
+    Row-local (zero shuffle, pushable); fractions must sum to 1.
+    Emits the input plus a ``split`` column.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    h = sample_hash(key_col, salt)
+    cum = 0.0
+    expr = None
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = h < F.lit(threshold(cum))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", expr)
+
+
+def negative_samples(
+    df: DataFrame,
+    k: int = 3,
+    key_col: str = "doc_id",
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor row draws ``k`` pseudo-random negative keys from the corpus
+    id space by salted hash — reproducible (no RNG state), row-local
+    generation, one broadcast of the single-row id-bound aggregate. A
+    draw that hits the anchor itself steps to the next slot (documented,
+    mirrored by the oracle), so negatives are always ≠ anchor.
+
+    Emits (anchor key, slot, neg id). Assumes keys are dense-ish
+    [0, max]; at 100 TB with sparse ids, join slot hashes against a
+    precomputed id index instead (same plan plus one equi-join).
+    """
+    bounds = df.agg((F.max(F.col(key_col)).cast("long") + 1).alias("_n_ids"))
+    slots = df.select(F.col(key_col)).crossJoin(F.broadcast(bounds)).select(
+        F.col(key_col),
+        F.explode(F.array(*[F.lit(i) for i in range(int(k))])).alias("slot"),
+        F.col("_n_ids"),
+    )
+    draw = F.pmod(
+        F.expr(
+            "CAST(conv(substr(md5(CAST("
+            f"{key_col} AS STRING) || ':' || CAST(slot AS STRING) || ':{salt}'"
+            "), 1, 15), 16, 10) AS BIGINT)"
+        ),
+        F.col("_n_ids"),
+    )
+    return slots.select(
+        F.col(key_col),
+        F.col("slot").cast("long").alias("slot"),
+        F.when(draw == F.col(key_col), F.pmod(draw + 1, F.col("_n_ids")))
+        .otherwise(draw)
+        .cast("long")
+        .alias("neg_id"),
     )

@@ -1421,6 +1421,43 @@ SELECT item_a, item_b, n_users, CAST(rank AS BIGINT) AS rank FROM (
 ) WHERE rank <= 10
 """
 
+# deterministic split assignment (sampling.split_assign): identical
+# integer thresholds computed by the same python accumulation
+from .operators.sampling import threshold as _split_threshold  # noqa: E402
+
+_SPLIT_T1 = _split_threshold(0.98)
+_SPLIT_T2 = _split_threshold(0.98 + 0.01)
+ORACLES["docs_split_assign"] = f"""
+SELECT doc_id, lang,
+       CASE WHEN h < {_SPLIT_T1} THEN 'train'
+            WHEN h < {_SPLIT_T2} THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+    SELECT doc_id, lang,
+           CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 15)) AS BIGINT) AS h
+    FROM documents
+)
+"""
+
+# deterministic negative sampling (sampling.negative_samples): salted
+# per-slot hash mod id-space, self-hit steps to the next slot
+ORACLES["docs_negative_samples"] = """
+WITH b AS (SELECT CAST(max(doc_id) AS BIGINT) + 1 AS n_ids FROM documents),
+s AS (
+    SELECT doc_id, g.i AS slot, n_ids
+    FROM documents, b, generate_series(0, 2) AS g(i)
+),
+d AS (
+    SELECT doc_id, slot, n_ids,
+           CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                CAST(slot AS VARCHAR) || ':neg'), 1, 15)) AS BIGINT) % n_ids AS draw
+    FROM s
+)
+SELECT doc_id, CAST(slot AS BIGINT) AS slot,
+       CAST(CASE WHEN draw = doc_id THEN (draw + 1) % n_ids ELSE draw END AS BIGINT) AS neg_id
+FROM d
+"""
+
 # Misra-Gries heavy hitters (sketches.mg_heavy_hitters_checked): the
 # error-bound gate emits exact counts + literal TRUE for provably-heavy
 # keys (> n/(k+1)); a hash match proves coverage and the bound

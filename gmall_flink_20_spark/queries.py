@@ -940,6 +940,30 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profiling.profile_table(ev)
 
 
+def docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 98/1/1 train/val/test split (operators/sampling.
+    split_assign): salted-hash coordinate vs cumulative integer
+    thresholds — row-local, growth-stable (adding docs never moves an
+    existing doc's split)."""
+    from .operators import sampling as smp
+
+    docs = load_table(spark, sf_dir, "documents")
+    return smp.split_assign(
+        docs, {"train": 0.98, "val": 0.01, "test": 0.01}
+    ).select("doc_id", "lang", "split")
+
+
+def docs_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling (operators/sampling.
+    negative_samples): 3 pseudo-random negatives per anchor from the id
+    space by salted hash, self-hits step to the next slot. Row-local
+    generation + one broadcast id-bound scalar."""
+    from .operators import sampling as smp
+
+    docs = load_table(spark, sf_dir, "documents")
+    return smp.negative_samples(docs, k=3)
+
+
 def events_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries heavy hitters (operators/sketches.
     mg_heavy_hitters_checked): per-partition capacity-16 sketches merged
@@ -1703,6 +1727,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_value_histogram": events_value_histogram,
     "emb_correlation": emb_correlation,
     "events_mg_heavy_hitters": events_mg_heavy_hitters,
+    "docs_split_assign": docs_split_assign,
+    "docs_negative_samples": docs_negative_samples,
     # (3) flagship already-proven reference entries (fill to ~50)
     "hot_items_topn": hot_items_topn,
     "hot_urls_topn": hot_urls_topn,

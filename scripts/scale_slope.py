@@ -38,6 +38,11 @@ HEAVY = [
     "docs_dedup_resolved",
     "emb_ann_ivf_pq",
     "emb_cosine_neardup",
+    # round-3 fourth-batch additions over the doubled tables
+    "docs_dup_spans",
+    "docs_containment_pairs",
+    "emb_knn_graph",
+    "emb_semantic_dedup",
 ]
 
 
