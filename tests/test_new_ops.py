@@ -542,3 +542,31 @@ def test_mg_heavy_hitters_bound_and_coverage(spark):
     # only key 0 (500/900 = 55%) exceeds n/(k+1) = 100
     assert [r.item_id for r in out] == [0]
     assert out[0].exact_cnt == 500 and out[0].mg_within_bound
+
+
+def test_split_assign_stable_under_growth(spark):
+    """The docstring's core claim: a row's split NEVER changes when the
+    corpus grows (hash-threshold splits are per-row, unlike ntile)."""
+    from gmall_flink_20_spark.operators import sampling
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    small = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    big = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    s_small = {r.doc_id: r.split for r in sampling.split_assign(small, fr).collect()}
+    s_big = {r.doc_id: r.split for r in sampling.split_assign(big, fr).collect()}
+    assert all(s_big[k] == v for k, v in s_small.items())
+    # partition exactly: every row in exactly one split, fractions sane
+    from collections import Counter
+
+    c = Counter(s_big.values())
+    assert sum(c.values()) == 1000 and c["train"] > 700 and c["val"] > 30
+
+
+def test_negative_samples_never_self(spark):
+    from gmall_flink_20_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    out = sampling.negative_samples(df, k=4).collect()
+    assert len(out) == 200
+    assert all(r.neg_id != r.doc_id for r in out)
+    assert all(0 <= r.neg_id < 50 for r in out)
