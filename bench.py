@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "events_mg_heavy_hitters",
     "docs_split_assign",
     "docs_negative_samples",
+    "docs_token_entropy",
 ]
 
 

@@ -26,6 +26,7 @@ __all__ = [
     "repetition_features",
     "tfidf_topk",
     "bm25_topk",
+    "token_entropy",
     "collocations_topk",
     "vocabulary",
     "overlap_pairs",
@@ -680,4 +681,45 @@ def bm25_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(F.col(id_col), "score", "n_terms_hit", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def token_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (nats) —
+    the repetition/quality signal that separates natural prose (high
+    entropy) from boilerplate and keyword stuffing (low): 
+    H = −Σ_t (tf_t/dl)·ln(tf_t/dl). Emits (id, dl, n_unique, entropy).
+
+    One explode → one (doc, term) count → one per-doc fold; all
+    map-side-combined keyed aggregates, no joins. ln parity follows the
+    tfidf/BM25 precedent; the entropy sum rounds to 6 after the fold.
+    """
+    terms = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("dl"),
+            F.count(F.lit(1)).cast("long").alias("n_unique"),
+            F.sum(F.col("tf").cast("double") * F.log(F.col("tf").cast("double"))).alias("_tlnt"),
+        )
+        .select(
+            F.col(id_col),
+            "dl",
+            "n_unique",
+            # H = ln(dl) - (Σ tf·ln tf)/dl  (algebraically identical to
+            # -Σ p ln p, but one fold over the tf rows and an exact
+            # expression both engines reproduce)
+            F.round(
+                F.log(F.col("dl").cast("double")) - F.col("_tlnt") / F.col("dl").cast("double"),
+                6,
+            ).alias("entropy"),
+        )
     )

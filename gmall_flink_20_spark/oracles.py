@@ -1421,6 +1421,23 @@ SELECT item_a, item_b, n_users, CAST(rank AS BIGINT) AS rank FROM (
 ) WHERE rank <= 10
 """
 
+# token entropy (text.token_entropy): H = ln(dl) - (sum tf*ln tf)/dl,
+# identical expression tree, round-6 after the fold
+ORACLES["docs_token_entropy"] = r"""
+WITH tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+        FROM documents
+    ) WHERE term <> '' GROUP BY doc_id, term
+)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl,
+       CAST(count(*) AS BIGINT) AS n_unique,
+       round(ln(CAST(sum(tf) AS DOUBLE)) -
+             sum(CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE))) / CAST(sum(tf) AS DOUBLE),
+             6) AS entropy
+FROM tf GROUP BY doc_id
+"""
+
 # deterministic split assignment (sampling.split_assign): identical
 # integer thresholds computed by the same python accumulation
 from .operators.sampling import threshold as _split_threshold  # noqa: E402

@@ -940,6 +940,15 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profiling.profile_table(ev)
 
 
+def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy of the token distribution (operators/
+    text.token_entropy): H = ln(dl) − (Σ tf·ln tf)/dl — one explode, two
+    map-side-combined keyed aggregates, no joins."""
+    from .operators import text as text_ops
+
+    return text_ops.token_entropy(load_table(spark, sf_dir, "documents"))
+
+
 def docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 98/1/1 train/val/test split (operators/sampling.
     split_assign): salted-hash coordinate vs cumulative integer
@@ -1729,6 +1738,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_mg_heavy_hitters": events_mg_heavy_hitters,
     "docs_split_assign": docs_split_assign,
     "docs_negative_samples": docs_negative_samples,
+    "docs_token_entropy": docs_token_entropy,
     # (3) flagship already-proven reference entries (fill to ~50)
     "hot_items_topn": hot_items_topn,
     "hot_urls_topn": hot_urls_topn,
