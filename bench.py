@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "docs_split_assign",
     "docs_negative_samples",
     "docs_token_entropy",
+    "events_robust_outliers",
 ]
 
 

@@ -503,3 +503,68 @@ def latest_state(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def robust_outliers(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    z: float = 3.0,
+) -> DataFrame:
+    """Median/MAD robust outlier report per key — the outlier rule that
+    survives the outliers themselves (mean/stddev get dragged by the
+    very points being tested; the median absolute deviation does not).
+    Flags values with |v − median| > z·MAD and reports per key:
+    (n, median, MAD, outlier count).
+
+    Exactness contract: values are integer cents, and both medians are
+    the EXACT rank-⌈n/2⌉ element under a deterministic (value, tiebreak)
+    order — the corpus_stats median pattern, no percentile estimator —
+    so the oracle reproduces every number bit-for-bit.
+
+    Plan: two keyed windows (the second reuses the first's partitioning)
+    plus two broadcast joins of |keys|-row medians; one final aggregate.
+    At 100 TB swap the exact rank for approx_percentile per key (same
+    plan minus the windows) when the gate isn't needed.
+    """
+    from pyspark.sql import Window as W
+
+    base = events.select(
+        F.col(key_col),
+        F.col(tiebreak_col),
+        F.round(F.col(value_col) * 100, 0).cast("long").alias("_cents"),
+    )
+    w1 = W.partitionBy(key_col).orderBy(F.asc("_cents"), F.asc(tiebreak_col))
+    ranked = base.withColumn("_rn", F.row_number().over(w1)).withColumn(
+        "_n", F.count(F.lit(1)).over(W.partitionBy(key_col))
+    )
+    med = ranked.filter(F.col("_rn") == F.ceil(F.col("_n") / 2)).select(
+        F.col(key_col), F.col("_cents").alias("_med")
+    )
+    dev = base.join(F.broadcast(med), key_col).withColumn(
+        "_dev", F.abs(F.col("_cents") - F.col("_med"))
+    )
+    w2 = W.partitionBy(key_col).orderBy(F.asc("_dev"), F.asc(tiebreak_col))
+    dranked = dev.withColumn("_rn", F.row_number().over(w2)).withColumn(
+        "_n", F.count(F.lit(1)).over(W.partitionBy(key_col))
+    )
+    mad = dranked.filter(F.col("_rn") == F.ceil(F.col("_n") / 2)).select(
+        F.col(key_col), F.col("_dev").alias("_mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), key_col)
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("_med").cast("long").alias("median_cents"),
+            F.min("_mad").cast("long").alias("mad_cents"),
+            F.sum(
+                (
+                    F.col("_dev").cast("double") > F.lit(float(z)) * F.col("_mad").cast("double")
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

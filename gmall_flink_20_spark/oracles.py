@@ -1421,6 +1421,43 @@ SELECT item_a, item_b, n_users, CAST(rank AS BIGINT) AS rank FROM (
 ) WHERE rank <= 10
 """
 
+# median/MAD robust outliers (analytics.robust_outliers): exact
+# rank-ceil(n/2) medians under (value, event_id) order, integer cents
+ORACLES["events_robust_outliers"] = """
+WITH base AS (
+    SELECT event_type, event_id,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+r1 AS (
+    SELECT *, row_number() OVER (PARTITION BY event_type
+                                 ORDER BY cents ASC, event_id ASC) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM base
+),
+med AS (SELECT event_type, cents AS med FROM r1 WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)),
+dev AS (
+    SELECT b.event_type, b.event_id, b.cents, m.med,
+           abs(b.cents - m.med) AS dev
+    FROM base b JOIN med m USING (event_type)
+),
+r2 AS (
+    SELECT *, row_number() OVER (PARTITION BY event_type
+                                 ORDER BY dev ASC, event_id ASC) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM dev
+),
+mad AS (SELECT event_type, dev AS mad FROM r2 WHERE rn = CAST(ceil(n / 2.0) AS BIGINT))
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(d.med) AS BIGINT) AS median_cents,
+       CAST(min(t.mad) AS BIGINT) AS mad_cents,
+       CAST(sum(CASE WHEN CAST(d.dev AS DOUBLE) > 3.0 * CAST(t.mad AS DOUBLE)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad t USING (event_type)
+GROUP BY d.event_type
+"""
+
 # token entropy (text.token_entropy): H = ln(dl) - (sum tf*ln tf)/dl,
 # identical expression tree, round-6 after the fold
 ORACLES["docs_token_entropy"] = r"""

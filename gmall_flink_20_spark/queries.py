@@ -940,6 +940,16 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profiling.profile_table(ev)
 
 
+def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier report per event type (operators/
+    analytics.robust_outliers): exact rank-⌈n/2⌉ medians on integer
+    cents, |v − med| > 3·MAD rule — two keyed windows + broadcast
+    medians, deterministic to the bit."""
+    from .operators import analytics
+
+    return analytics.robust_outliers(_events(spark, sf_dir))
+
+
 def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc Shannon entropy of the token distribution (operators/
     text.token_entropy): H = ln(dl) − (Σ tf·ln tf)/dl — one explode, two
@@ -1739,6 +1749,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_split_assign": docs_split_assign,
     "docs_negative_samples": docs_negative_samples,
     "docs_token_entropy": docs_token_entropy,
+    "events_robust_outliers": events_robust_outliers,
     # (3) flagship already-proven reference entries (fill to ~50)
     "hot_items_topn": hot_items_topn,
     "hot_urls_topn": hot_urls_topn,
