@@ -310,3 +310,75 @@ def test_ivf_pq_probes_prune_candidates(spark):
         for r in out:
             if r.query_id == qid:
                 assert assigned[r.neighbor_id] in probed
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_zvalue_preserves_per_dimension_order(spark, pts):
+    """Morton order property: fixing one coordinate, z is monotone in
+    the other (the reason range-cutting z bounds both dimensions)."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_20_spark.operators.layout import zvalue
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = df.select("x", "y", zvalue(F.col("x"), F.col("y"), 8).alias("z")).collect()
+    by_x = {}
+    for r in got:
+        by_x.setdefault(r.x, []).append((r.y, r.z))
+    for _, ys in by_x.items():
+        ys.sort()
+        zs = [z for _, z in ys]
+        assert zs == sorted(zs)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(0, 5), min_size=5, max_size=200),
+    st.integers(2, 8),
+)
+def test_mg_heavy_hitters_model(spark, keys, k):
+    """Every emitted key must be genuinely heavy (> n/(k+1)), the bound
+    boolean must hold, and NO heavy key may be missed."""
+    from collections import Counter
+
+    from gmall_flink_20_spark.operators import sketches
+
+    df = spark.createDataFrame([(v,) for v in keys], "k long").repartition(4)
+    out = {r.item_id: r for r in sketches.mg_heavy_hitters_checked(df, "k", k=k).collect()}
+    exact = Counter(keys)
+    n = len(keys)
+    heavy = {key for key, c in exact.items() if c > n / (k + 1)}
+    assert set(out) == heavy
+    for key in heavy:
+        assert out[key].exact_cnt == exact[key]
+        assert out[key].mg_within_bound
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=40,
+    ).filter(lambda es: any(a != b for a, b in es))
+)
+def test_pagerank_is_a_distribution_when_no_dangling(spark, raw_edges):
+    """With symmetric edges every node has out-edges, so PageRank mass
+    is conserved: Σ pr = 1 (within round-8 slack per node)."""
+    from gmall_flink_20_spark.operators import graph
+
+    sym = {(a, b) for a, b in raw_edges if a != b}
+    sym |= {(b, a) for a, b in sym}
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in sorted(sym)], "src long, dst long, w double"
+    )
+    pr = graph.pagerank(df, iters=2, weight_col="w").collect()
+    assert all(r.pr > 0 for r in pr)
+    assert abs(sum(r.pr for r in pr) - 1.0) < 1e-6 * max(1, len(pr))
