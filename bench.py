@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "docs_negative_samples",
     "docs_token_entropy",
     "events_robust_outliers",
+    "docs_corpus_build",
 ]
 
 

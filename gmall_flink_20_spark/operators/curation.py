@@ -26,6 +26,7 @@ __all__ = [
     "corpus_select",
     "decontaminate",
     "curation_pipeline",
+    "corpus_build",
     "mixture_weights",
 ]
 
@@ -249,3 +250,86 @@ def mixture_weights(
         .withColumn("expected_tokens", F.col("weight") * F.col("n_tokens").cast("double"))
         .drop("_total", "_nsrc")
     )
+
+
+def corpus_build(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    cap_per_source: int = 10,
+    ngram: int = 5,
+    fractions: dict[str, float] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """The full corpus-build capstone as ONE declarative plan:
+    Gopher gate → exact dedup → benchmark DECONTAMINATION (anti-join on
+    the broadcast benchmark-gram set, so removed leaks are backfilled by
+    the later cap) → per-domain cap → train/val/test split assignment.
+    Emits (id, group, n_words, split) for the documents that would ship
+    to training.
+
+    Stage order is the one a corpus team wants: decontamination runs
+    BEFORE the cap so a leaked document never consumes a domain slot,
+    and the split is assigned last so every surviving doc gets exactly
+    one split. Catalyst pipelines the stages: the rules fold into the
+    scan filter, the dedup window and the cap's two-level rank are the
+    keyed exchanges, the benchmark grams and the split thresholds are
+    broadcast/literal. The gated+deduped survivors are PERSISTED before
+    the decontamination stage — they feed both anti-join sides (the doc
+    rows and their gram probe), and without the cache each branch would
+    re-scan and re-gate the corpus (house ``eager_persist`` contract:
+    the caller owns cache lifetime until the result materializes).
+    """
+    from pyspark.sql import Window
+
+    from ._cache import eager_persist
+    from .sampling import per_group_cap, split_assign
+    from .text import gopher_feature_cols, gopher_kept_expr
+
+    feats = gopher_feature_cols(text_col)
+    gated = (
+        corpus.select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col(text_col),
+            F.md5(F.col(text_col).cast("binary")).alias("_fp"),
+            *[c.alias(n) for n, c in feats.items()],
+        )
+        .filter(gopher_kept_expr())
+        .select(F.col(id_col), F.col(group_col), F.col(text_col), "_fp", "n_words")
+    )
+    w = Window.partitionBy("_fp")
+    deduped = eager_persist(
+        gated.withColumn("_keeper", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_keeper"))
+        .select(F.col(id_col), F.col(group_col), F.col(text_col), "n_words")
+    )
+    # contaminated ids: any shared n-gram with the broadcast benchmark set
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    def _grams(df: DataFrame) -> DataFrame:
+        base = df.select(F.col(id_col), toks.alias("toks")).filter(
+            F.size("toks") >= ngram
+        )
+        return base.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {ngram}), "
+                    f"i -> md5(cast(array_join(slice(toks, i + 1, {ngram}), ' ') as binary)))"
+                )
+            ).alias("h"),
+        ).distinct()
+
+    bench_grams = _grams(benchmark).select("h").distinct()
+    clean = deduped.join(
+        _grams(deduped).join(F.broadcast(bench_grams), "h").select(id_col).distinct(),
+        id_col,
+        "left_anti",
+    ).select(F.col(id_col), F.col(group_col), "n_words")
+    capped = per_group_cap(
+        clean, cap_per_source, group_col=group_col, key_col=id_col
+    )
+    fr = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    return split_assign(capped, fr, key_col=id_col)

@@ -2437,6 +2437,77 @@ SELECT doc_id, source, n_words FROM (
 """
 
 
+# corpus-build capstone (curation.corpus_build): gate → dedup →
+# decontaminate (pre-cap) → per-source cap → split assignment; reuses
+# the curation_pipeline fragments, the decontaminate gram probe, and
+# the split thresholds verbatim
+ORACLES["docs_corpus_build"] = r"""
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 20 <> 0),
+bench AS (SELECT * FROM documents WHERE doc_id % 20 = 0),
+f AS (
+    SELECT doc_id, source, md5(text) AS fp, string_split_regex(trim(text), '\s+') AS t
+    FROM corpus
+),
+feat AS (
+    SELECT doc_id, source, fp, t,
+           CAST(len(t) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+             / CAST(len(t) AS DOUBLE) AS mean_word_len,
+           CAST(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+             / CAST(len(t) AS DOUBLE) AS alpha_ratio,
+           CAST(len(list_filter(t, x -> list_contains(
+               ['the','be','to','of','and','that','have','with','a','in'], x))) AS BIGINT) AS n_stop_hits
+    FROM f
+),
+gated AS (
+    SELECT doc_id, source, fp, t, n_words FROM feat
+    WHERE n_words BETWEEN 40 AND 200
+      AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+      AND alpha_ratio >= 0.8
+      AND n_stop_hits >= 2
+),
+ded AS (
+    SELECT doc_id, source, t, n_words FROM (
+        SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM gated
+    ) WHERE doc_id = keeper
+),
+cg AS (
+    SELECT DISTINCT doc_id, md5(array_to_string(t[i + 1 : i + 5], ' ')) AS h
+    FROM (SELECT doc_id, t, unnest(range(0, len(t) - 4)) AS i FROM ded WHERE len(t) >= 5)
+),
+bg AS (
+    SELECT DISTINCT md5(array_to_string(t[i + 1 : i + 5], ' ')) AS h
+    FROM (
+        SELECT t, unnest(range(0, len(t) - 4)) AS i FROM (
+            SELECT string_split_regex(trim(text), '\s+') AS t FROM bench
+        ) WHERE len(t) >= 5
+    )
+),
+contam AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (h)),
+clean AS (
+    SELECT doc_id, source, n_words FROM ded
+    WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+),
+capped AS (
+    SELECT doc_id, source, n_words FROM (
+        SELECT doc_id, source, n_words,
+               row_number() OVER (PARTITION BY source ORDER BY
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':cap'), 1, 15)) AS BIGINT) ASC,
+                   doc_id ASC) AS rn
+        FROM clean
+    ) WHERE rn <= 10
+)
+SELECT doc_id, source, n_words,
+       CASE WHEN h < {T1} THEN 'train'
+            WHEN h < {T2} THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+    SELECT *, CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 15)) AS BIGINT) AS h
+    FROM capped
+)
+""".replace("{T1}", str(_SPLIT_T1)).replace("{T2}", str(_SPLIT_T2))
+
+
 def _cluster_sample_sql(
     k_per_cluster: int = 20, nlist: int = 8, iters: int = 3, dim: int = 64
 ) -> str:

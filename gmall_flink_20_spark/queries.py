@@ -1509,6 +1509,21 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.curation_pipeline(load_table(spark, sf_dir, "documents"))
 
 
+def docs_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-build capstone (operators/curation.corpus_build):
+    Gopher gate → exact dedup → benchmark decontamination (broadcast
+    gram set, anti-join BEFORE the cap so leaks never consume a domain
+    slot) → skew-bounded per-domain cap → growth-stable split
+    assignment — one declarative plan, corpus read once. Docs with
+    doc_id % 20 == 0 play the held-out benchmark, as in
+    docs_decontaminate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.corpus_build(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+    )
+
+
 def emb_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity-balanced sampling (operators/ann.
     cluster_balanced_sample): trained k-means clusters, then at most 20
@@ -1750,6 +1765,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_negative_samples": docs_negative_samples,
     "docs_token_entropy": docs_token_entropy,
     "events_robust_outliers": events_robust_outliers,
+    "docs_corpus_build": docs_corpus_build,
     # (3) flagship already-proven reference entries (fill to ~50)
     "hot_items_topn": hot_items_topn,
     "hot_urls_topn": hot_urls_topn,

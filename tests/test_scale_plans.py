@@ -386,3 +386,14 @@ def test_dup_spans_reuses_fingerprint_exchange(spark, sf_dir):
     # gram frame appears as InMemoryTableScan on both sides
     assert "InMemoryTableScan" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_corpus_build_scans_each_input_once(spark, sf_dir):
+    import re
+
+    plan = plan_of(QUERIES["docs_corpus_build"](spark, sf_dir))
+    # one parquet scan for the gated corpus branch (cached survivors feed
+    # both decontamination join sides) + one for the benchmark grams
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    assert "InMemoryTableScan" in plan
+    assert "BatchEvalPython" not in plan
