@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "docs_token_entropy",
     "events_robust_outliers",
     "docs_corpus_build",
+    "emb_ann_topk_arrow",
 ]
 
 

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "cosine",
     "ann_bruteforce_topk",
+    "ann_bruteforce_topk_arrow",
     "lang_centroid_outliers",
     "covariance_matrix",
     "correlation_matrix",
@@ -262,4 +263,72 @@ def correlation_matrix(
                 F.round(F.col("cov") / F.sqrt(F.col("_vi") * F.col("_vj")), 6),
             ).alias("corr"),
         )
+    )
+
+
+def ann_bruteforce_topk_arrow(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The Arrow-batched sibling of ``ann_bruteforce_topk`` — the kernel
+    the module docstring reserves for WIDE vectors: the query matrix is
+    closed over as a numpy literal (tiny), each executor batch scores
+    ALL queries against its corpus rows with one BLAS matmul inside
+    ``mapInPandas``, and only the per-batch rows survive to the same
+    final per-query rank. Higher-order-fold scoring is interpreted
+    per-element; the matmul is O(1) Python overhead per BATCH — the
+    crossover lands well under dim 64 × thousands of rows.
+
+    Same contract as the fold kernel (ties on neighbor id, self
+    excluded); ``emb_ann_topk_arrow`` pins rank-identical output under
+    the same oracle, and a test asserts kernel equivalence directly.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = sorted(
+        (int(r[id_col]), [float(x) for x in r[vec_col]])
+        for r in emb.filter(F.col(id_col).isin([int(q) for q in query_ids]))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    if not q_rows:
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank long"
+        )
+    q_ids = np.array([i for i, _ in q_rows], dtype=np.int64)
+    qm = np.array([v for _, v in q_rows], dtype=np.float64)
+    qn = np.sqrt((qm * qm).sum(axis=1))
+
+    def _score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            nn = np.sqrt((x * x).sum(axis=1))
+            cos = (x @ qm.T) / np.outer(nn, qn)  # rows × queries
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(q_ids, n),
+                    "neighbor_id": np.repeat(pdf["_id"].to_numpy(), q_ids.size),
+                    "score": cos.ravel(),
+                }
+            )
+
+    scored = (
+        emb.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+        )
+        .mapInPandas(_score, schema="query_id long, neighbor_id long, score double")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
     )

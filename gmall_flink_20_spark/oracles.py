@@ -995,6 +995,8 @@ SELECT query_id, neighbor_id, rank FROM (
     FROM scored
 ) WHERE rank <= 5
 """
+# the Arrow/BLAS kernel must produce the identical ranking
+ORACLES["emb_ann_topk_arrow"] = ORACLES["emb_ann_topk"]
 
 # ------------------------------------------- simhash / embedding near-dup
 

@@ -1257,6 +1257,15 @@ def emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_ann_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BLAS-batched brute-force kernel (operators/similarity.
+    ann_bruteforce_topk_arrow): one matmul per Arrow batch scores every
+    query — the wide-vector alternative to the codegen fold, pinned
+    rank-identical under the same oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_bruteforce_topk_arrow(emb, list(range(10)), 5)
+
+
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
@@ -1766,6 +1775,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_token_entropy": docs_token_entropy,
     "events_robust_outliers": events_robust_outliers,
     "docs_corpus_build": docs_corpus_build,
+    "emb_ann_topk_arrow": emb_ann_topk_arrow,
     # (3) flagship already-proven reference entries (fill to ~50)
     "hot_items_topn": hot_items_topn,
     "hot_urls_topn": hot_urls_topn,

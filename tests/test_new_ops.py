@@ -570,3 +570,19 @@ def test_negative_samples_never_self(spark):
     assert len(out) == 200
     assert all(r.neg_id != r.doc_id for r in out)
     assert all(0 <= r.neg_id < 50 for r in out)
+
+
+def test_arrow_and_fold_bruteforce_kernels_agree(spark, sf_dir):
+    from gmall_flink_20_spark.io import load_table
+    from gmall_flink_20_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fold = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in similarity.ann_bruteforce_topk(emb, list(range(8)), 5).collect()
+    }
+    arrow = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in similarity.ann_bruteforce_topk_arrow(emb, list(range(8)), 5).collect()
+    }
+    assert fold == arrow
