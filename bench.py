@@ -148,6 +148,8 @@ BENCH_QUERIES = [
     "events_robust_outliers",
     "docs_corpus_build",
     "emb_ann_topk_arrow",
+    "emb_top_eigvec",
+    "emb_pca_project",
 ]
 
 

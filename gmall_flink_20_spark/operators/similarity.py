@@ -24,6 +24,8 @@ __all__ = [
     "lang_centroid_outliers",
     "covariance_matrix",
     "correlation_matrix",
+    "top_eigvec_local",
+    "pca_project",
 ]
 
 
@@ -332,3 +334,86 @@ def ann_bruteforce_topk_arrow(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def top_eigvec_local(
+    emb: DataFrame,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    decimals: int = 6,
+) -> list[float]:
+    """Leading eigenvector of the corpus covariance by deterministic
+    power iteration — the MLlib PCA split: the Gramian is DISTRIBUTED
+    (``covariance_matrix``, one corpus scan), the eigen-solve runs on
+    the driver over the collected dim×dim cell frame (~16 KB — the same
+    artifact-sized state as the k-means centroids).
+
+    Determinism contract (mirrored by the oracle's unrolled CTE chain):
+    init is the uniform unit vector (1/√dim rounded), each step rounds
+    the normalized vector to ``decimals`` so float summation order can
+    never drift the engines apart; C is PSD and v₀ positive, so there
+    is no sign ambiguity.
+
+    Memoized per (input plan, params) through the shared quantizer
+    artifact cache — the eigenvector is a train-once artifact exactly
+    like centroids/codebooks (both PCA queries reuse it instead of
+    re-running the Gramian).
+    """
+    import numpy as np
+
+    from .ann import _ARTIFACT_MEMO, _ARTIFACT_MEMO_CAP
+
+    memo_key = (
+        "eigvec",
+        emb.semanticHash(),
+        str(emb.schema),
+        int(iters),
+        vec_col,
+        int(dim),
+        int(decimals),
+    )
+    hit = _ARTIFACT_MEMO.get(memo_key)
+    if hit is not None:
+        return list(hit)
+
+    d = int(dim)
+    cells = covariance_matrix(emb, vec_col=vec_col, dim=d).collect()
+    c = np.zeros((d, d), dtype=np.float64)
+    for r in cells:
+        c[r.i, r.j] = r.cov
+        c[r.j, r.i] = r.cov
+    v = np.full(d, round(1.0 / float(np.sqrt(d)), decimals), dtype=np.float64)
+    for _ in range(int(iters)):
+        w = c @ v
+        nrm = float(np.sqrt((w * w).sum()))
+        v = np.round(w / nrm, decimals)
+    out = [float(x) for x in v]
+    if len(_ARTIFACT_MEMO) >= _ARTIFACT_MEMO_CAP:
+        _ARTIFACT_MEMO.clear()
+    _ARTIFACT_MEMO[memo_key] = list(out)
+    return out
+
+
+def pca_project(
+    emb: DataFrame,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """PCA-1 projection: every vector's coordinate along the leading
+    covariance eigenvector — the 1-D corpus layout used for drift
+    monitoring, ordering-by-content, and coarse bucketing. The
+    eigenvector is a driver-side literal (see ``top_eigvec_local``), so
+    the projection pass is ROW-LOCAL: one sequential fold per row, zero
+    shuffle, the corpus is scanned once beyond the Gramian pass.
+    """
+    v = top_eigvec_local(emb, iters=iters, vec_col=vec_col, dim=dim)
+    varr = F.array(*[F.lit(float(x)) for x in v])
+    proj = F.aggregate(
+        F.zip_with(F.col(vec_col), varr, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(F.col(id_col), F.round(proj, 6).alias("pc1"))

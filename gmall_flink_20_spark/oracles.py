@@ -1367,6 +1367,42 @@ JOIN covq vj ON vj.i = c.j AND vj.j = c.j
 """
 )
 
+# PCA power iteration (similarity.top_eigvec_local / pca_project):
+# unrolled CTE chain over the covariance cells, round-6 per superstep
+def _pca_ctes(iters: int = 3) -> str:
+    ctes = [
+        "covq AS (" + ORACLES["emb_covariance"] + ")",
+        "cfull AS (SELECT i, j, cov FROM covq UNION ALL "
+        "SELECT j, i, cov FROM covq WHERE i <> j)",
+        "dims AS (SELECT DISTINCT i AS d FROM cfull)",
+        "v0 AS (SELECT d, 0.125 AS v FROM dims)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"w{t} AS (SELECT c.i AS d, sum(c.cov * v.v) AS w "
+            f"FROM cfull c JOIN v{t - 1} v ON v.d = c.j GROUP BY c.i)"
+        )
+        ctes.append(f"n{t} AS (SELECT sqrt(sum(w * w)) AS nrm FROM w{t})")
+        ctes.append(
+            f"v{t} AS (SELECT d, round(w / nrm, 6) AS v FROM w{t}, n{t})"
+        )
+    return "WITH " + ",\n".join(ctes)
+
+
+ORACLES["emb_top_eigvec"] = (
+    _pca_ctes(3) + "\nSELECT CAST(d AS BIGINT) AS i, v FROM v3"
+)
+ORACLES["emb_pca_project"] = (
+    _pca_ctes(3)
+    + """,
+vl AS (SELECT list(v ORDER BY d) AS vl FROM v3)
+SELECT vec_id,
+       round(list_sum(list_transform(range(1, 65),
+             k -> CAST(embedding[k] AS DOUBLE) * vl[k])), 6) AS pc1
+FROM embeddings, vl
+"""
+)
+
 # exact-substring duplication audit (dedup.dup_span_stats): positional
 # 8-token window md5s, global multiplicity >= 2 flags a duplicated span
 ORACLES["docs_dup_spans"] = r"""

@@ -1257,6 +1257,28 @@ def emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading covariance eigenvector (operators/similarity.
+    top_eigvec_local): distributed Gramian, driver-side deterministic
+    power iteration over the ~16 KB cell artifact (the MLlib PCA
+    split), round-6 per superstep."""
+    from .operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = similarity.top_eigvec_local(emb, iters=3)
+    return spark.createDataFrame(list(enumerate(v)), "i long, v double")
+
+
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-1 projection (operators/similarity.pca_project): every
+    vector's coordinate along the leading eigenvector — eigvec is a
+    broadcast literal, projection is a row-local fold, zero shuffle."""
+    from .operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pca_project(emb, iters=3)
+
+
 def emb_ann_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BLAS-batched brute-force kernel (operators/similarity.
     ann_bruteforce_topk_arrow): one matmul per Arrow batch scores every
@@ -1776,6 +1798,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_robust_outliers": events_robust_outliers,
     "docs_corpus_build": docs_corpus_build,
     "emb_ann_topk_arrow": emb_ann_topk_arrow,
+    "emb_top_eigvec": emb_top_eigvec,
+    "emb_pca_project": emb_pca_project,
     # (3) flagship already-proven reference entries (fill to ~50)
     "hot_items_topn": hot_items_topn,
     "hot_urls_topn": hot_urls_topn,
