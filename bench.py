@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "emb_ann_topk_arrow",
     "emb_top_eigvec",
     "emb_pca_project",
+    "docs_neardup_edit_verified",
 ]
 
 

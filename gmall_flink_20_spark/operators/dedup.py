@@ -57,6 +57,7 @@ __all__ = [
     "jaccard_verify",
     "jaccard_blocked",
     "neardup_verified",
+    "neardup_edit_verified",
 ]
 
 
@@ -752,3 +753,50 @@ def dup_span_stats(
         )
     )
     return out
+
+
+def neardup_edit_verified(
+    df: DataFrame,
+    prefix: int = 200,
+    rel_threshold: float = 0.4,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Edit-distance verification of LSH candidates — the fuzzy-match
+    verifier for SHORT-RANGE corruption (typos, OCR noise, small edits)
+    that set-based Jaccard under-weights: same two-phase shape as
+    ``neardup_verified``, but the exact phase scores Levenshtein on a
+    bounded text prefix (edit distance is O(len²) per pair — the prefix
+    cap keeps the verify stage constant-cost per candidate).
+
+    Emits every candidate pair with (edit_dist, rel_edit, is_dup) —
+    flagging rather than filtering, so the audit sees the full candidate
+    set. Candidate pairs broadcast against the prefix table twice; the
+    corpus never self-joins.
+    """
+    sig = minhash_signature_permuted(df, n, num_hashes, text_col, id_col)
+    pairs = lsh_candidate_pairs(sig, bands, rows_per_band, id_col, from_array=True)
+    texts = df.select(
+        F.col(id_col), F.substring(F.col(text_col), 1, int(prefix)).alias("_pfx")
+    )
+    ta = texts.select(F.col(id_col).alias("doc_a"), F.col("_pfx").alias("_pa"))
+    tb = texts.select(F.col(id_col).alias("doc_b"), F.col("_pfx").alias("_pb"))
+    ed = F.levenshtein(F.col("_pa"), F.col("_pb"))
+    maxlen = F.greatest(F.length("_pa"), F.length("_pb"))
+    rel = F.round(ed.cast("double") / maxlen.cast("double"), 6)
+    return (
+        F.broadcast(pairs)
+        .join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            ed.cast("long").alias("edit_dist"),
+            rel.alias("rel_edit"),
+            (rel <= F.lit(float(rel_threshold))).alias("is_dup"),
+        )
+    )

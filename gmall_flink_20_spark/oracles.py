@@ -736,6 +736,28 @@ FROM band a JOIN band b
   ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 """
 
+# edit-distance verification of the same LSH candidates (dedup.
+# neardup_edit_verified): Levenshtein on a 200-char prefix
+ORACLES["docs_neardup_edit_verified"] = f"""
+WITH sh AS ({_SHINGLES}),
+{_MINHASH_CTES},
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM band a JOIN band b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+t AS (SELECT doc_id, substr(text, 1, 200) AS pfx FROM documents)
+SELECT c.doc_a, c.doc_b,
+       CAST(levenshtein(ta.pfx, tb.pfx) AS BIGINT) AS edit_dist,
+       round(CAST(levenshtein(ta.pfx, tb.pfx) AS DOUBLE)
+             / CAST(greatest(len(ta.pfx), len(tb.pfx)) AS DOUBLE), 6) AS rel_edit,
+       round(CAST(levenshtein(ta.pfx, tb.pfx) AS DOUBLE)
+             / CAST(greatest(len(ta.pfx), len(tb.pfx)) AS DOUBLE), 6) <= 0.4 AS is_dup
+FROM cand c
+JOIN t ta ON ta.doc_id = c.doc_a
+JOIN t tb ON tb.doc_id = c.doc_b
+"""
+
 _HASHED_SETS = r"""
     SELECT doc_id,
            list_distinct(list_transform(range(0, len(t) - 2),

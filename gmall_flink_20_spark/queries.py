@@ -1540,6 +1540,16 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.curation_pipeline(load_table(spark, sf_dir, "documents"))
 
 
+def docs_neardup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of LSH candidates (operators/dedup.
+    neardup_edit_verified): Levenshtein on a 200-char prefix flags
+    short-range corruption Jaccard under-weights. Candidates broadcast
+    against the prefix table; the corpus never self-joins."""
+    from .operators import dedup as dd
+
+    return dd.neardup_edit_verified(load_table(spark, sf_dir, "documents"))
+
+
 def docs_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-build capstone (operators/curation.corpus_build):
     Gopher gate → exact dedup → benchmark decontamination (broadcast
@@ -1797,6 +1807,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_token_entropy": docs_token_entropy,
     "events_robust_outliers": events_robust_outliers,
     "docs_corpus_build": docs_corpus_build,
+    "docs_neardup_edit_verified": docs_neardup_edit_verified,
     "emb_ann_topk_arrow": emb_ann_topk_arrow,
     "emb_top_eigvec": emb_top_eigvec,
     "emb_pca_project": emb_pca_project,
