@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "emb_top_eigvec",
     "emb_pca_project",
     "docs_neardup_edit_verified",
+    "events_quality_checks",
 ]
 
 

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
-__all__ = ["profile_table", "equiwidth_histogram"]
+__all__ = ["profile_table", "equiwidth_histogram", "check_constraints"]
 
 
 def profile_table(
@@ -110,4 +110,35 @@ def equiwidth_histogram(
         .cast("long")
         .alias("hi"),
         "cnt",
+    )
+
+
+def check_constraints(
+    df: DataFrame,
+    checks: dict[str, "F.Column"],
+) -> DataFrame:
+    """Deequ-style constraint verification: each named check is a boolean
+    Column; the report counts violations per rule in ONE scan (all
+    checks fold into a single aggregate projection — adding a rule adds
+    a column, not a pass). Emits (rule, n_rows, n_violations, passed).
+
+    Uniqueness-style checks need an aggregate, not a row predicate —
+    express them as a row predicate over a window (see the query
+    wrapper) or check n_distinct from ``profile_table`` instead.
+    """
+    names = list(checks)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for name in names:
+        aggs.append(
+            F.sum(F.when(~checks[name], 1).otherwise(0)).alias(f"_v_{name}")
+        )
+    one = df.agg(*aggs)
+    stack = f"stack({len(names)}, " + ", ".join(
+        f"'{n}', _v_{n}" for n in names
+    ) + ") AS (rule, n_violations)"
+    return one.select(F.col("_n"), F.expr(stack)).select(
+        "rule",
+        F.col("_n").cast("long").alias("n_rows"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+        (F.col("n_violations") == 0).alias("passed"),
     )

@@ -1589,6 +1589,37 @@ SELECT item AS item_id, CAST(cnt AS BIGINT) AS exact_cnt,
 FROM exact, n WHERE cnt > total / 17.0
 """
 
+# Deequ-style checks (profiling.check_constraints): one scan, stacked
+def _quality_checks_sql() -> str:
+    rules = [
+        ("event_id_unique", "idc = 1"),
+        ("user_id_non_negative", "user_id >= 0"),
+        ("value_non_negative", "value >= 0"),
+        (
+            "event_type_in_domain",
+            "event_type IN ('click','view','purchase','signup','error')",
+        ),
+        ("ts_in_2024", "CAST(year(ts) AS BIGINT) = 2024"),
+    ]
+    vsel = ", ".join(
+        f"CAST(sum(CASE WHEN NOT ({cond}) THEN 1 ELSE 0 END) AS BIGINT) AS v_{n}"
+        for n, cond in rules
+    )
+    parts = "\nUNION ALL\n".join(
+        f"SELECT '{n}' AS rule, n AS n_rows, v_{n} AS n_violations, v_{n} = 0 AS passed FROM agg"
+        for n, _ in rules
+    )
+    return f"""
+WITH e AS (
+    SELECT *, count(*) OVER (PARTITION BY event_id) AS idc FROM events
+),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n, {vsel} FROM e)
+{parts}
+"""
+
+
+ORACLES["events_quality_checks"] = _quality_checks_sql()
+
 # equi-width histogram (profiling.equiwidth_histogram): exact integer
 # bucket arithmetic, explicit floor before every BIGINT cast (Spark
 # truncates double→long, DuckDB rounds — floor makes them agree)

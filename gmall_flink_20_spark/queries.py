@@ -1007,6 +1007,29 @@ def events_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.mg_heavy_hitters_checked(skewed, "skew_key", k=16)
 
 
+def events_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint verification (operators/profiling.
+    check_constraints): five named rules — domain membership, ranges,
+    uniqueness via a keyed-window predicate — counted in one scan."""
+    from pyspark.sql import Window as W
+
+    from .operators import profiling
+
+    ev = _events(spark, sf_dir).withColumn(
+        "_idc", F.count(F.lit(1)).over(W.partitionBy("event_id"))
+    )
+    checks = {
+        "event_id_unique": F.col("_idc") == 1,
+        "user_id_non_negative": F.col("user_id") >= 0,
+        "value_non_negative": F.col("value") >= 0,
+        "event_type_in_domain": F.col("event_type").isin(
+            "click", "view", "purchase", "signup", "error"
+        ),
+        "ts_in_2024": F.year("ts") == 2024,
+    }
+    return profiling.check_constraints(ev, checks)
+
+
 def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type equi-width histogram of the value column in cents
     (operators/profiling.equiwidth_histogram): global min/max broadcast
@@ -1800,6 +1823,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "items_pagerank": items_pagerank,
     "events_profile": events_profile,
     "events_value_histogram": events_value_histogram,
+    "events_quality_checks": events_quality_checks,
     "emb_correlation": emb_correlation,
     "events_mg_heavy_hitters": events_mg_heavy_hitters,
     "docs_split_assign": docs_split_assign,
