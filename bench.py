@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "emb_pca_project",
     "docs_neardup_edit_verified",
     "events_quality_checks",
+    "events_engagement",
 ]
 
 

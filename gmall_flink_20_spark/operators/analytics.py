@@ -568,3 +568,66 @@ def robust_outliers(
             .alias("n_outliers"),
         )
     )
+
+
+def engagement_rollup(
+    events: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    wau_days: int = 7,
+    mau_days: int = 30,
+) -> DataFrame:
+    """DAU/WAU/MAU per calendar day — the standing engagement report:
+    for every day with activity, the distinct users active that day, in
+    the trailing ``wau_days``, and in the trailing ``mau_days``.
+
+    Shape: each (user, day) pair fans out to the ``mau_days`` report
+    days it contributes to (one explode — sliding distinct-over-window
+    has no narrower exact form), then ONE aggregate computes all three
+    horizons as conditional distincts. The fan-out factor is bounded by
+    ``mau_days``, and the pre-explode distinct collapses each user's
+    day to one row first — per-user event volume never multiplies. At
+    100 TB swap the exact distinct for per-day HLL sketches merged over
+    the window (same report, mergeable state, no fan-out).
+
+    Report days are restricted to the observed activity range (no
+    trailing ghost days after the last event).
+    """
+    ud = (
+        events.select(F.col(user_col), F.to_date(F.col(time_col)).alias("_day"))
+        .distinct()
+    )
+    bounds = ud.agg(F.max("_day").alias("_max_day"))
+    fanned = (
+        ud.crossJoin(F.broadcast(bounds))
+        .select(
+            F.col(user_col),
+            F.explode(
+                F.sequence(
+                    F.col("_day"),
+                    F.least(
+                        F.date_add(F.col("_day"), int(mau_days) - 1),
+                        F.col("_max_day"),
+                    ),
+                )
+            ).alias("day"),
+            F.col("_day").alias("_active_day"),
+        )
+        .withColumn("_off", F.datediff(F.col("day"), F.col("_active_day")))
+    )
+    return (
+        fanned.groupBy("day")
+        .agg(
+            F.countDistinct(F.when(F.col("_off") == 0, F.col(user_col))).alias("dau"),
+            F.countDistinct(
+                F.when(F.col("_off") < int(wau_days), F.col(user_col))
+            ).alias("wau"),
+            F.countDistinct(F.col(user_col)).alias("mau"),
+        )
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.col("mau").cast("long").alias("mau"),
+        )
+    )

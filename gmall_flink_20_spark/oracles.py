@@ -1589,6 +1589,23 @@ SELECT item AS item_id, CAST(cnt AS BIGINT) AS exact_cnt,
 FROM exact, n WHERE cnt > total / 17.0
 """
 
+# DAU/WAU/MAU (analytics.engagement_rollup): (user, day) pairs fan out
+# to their <=30 report days; conditional distincts per horizon
+ORACLES["events_engagement"] = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS aday FROM events),
+b AS (SELECT max(aday) AS maxd FROM ud),
+f AS (
+    SELECT user_id, aday + CAST(g.i AS INTEGER) AS day, g.i AS off
+    FROM ud, b, generate_series(0, 29) AS g(i)
+    WHERE aday + CAST(g.i AS INTEGER) <= b.maxd
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(count(DISTINCT CASE WHEN off = 0 THEN user_id END) AS BIGINT) AS dau,
+       CAST(count(DISTINCT CASE WHEN off < 7 THEN user_id END) AS BIGINT) AS wau,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+FROM f GROUP BY day
+"""
+
 # Deequ-style checks (profiling.check_constraints): one scan, stacked
 def _quality_checks_sql() -> str:
     rules = [

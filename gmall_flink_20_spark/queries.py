@@ -1007,6 +1007,15 @@ def events_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.mg_heavy_hitters_checked(skewed, "skew_key", k=16)
 
 
+def events_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU per day (operators/analytics.engagement_rollup):
+    (user, day) distinct pairs fan out to their ≤30 report days, one
+    aggregate computes all three horizons as conditional distincts."""
+    from .operators import analytics
+
+    return analytics.engagement_rollup(_events(spark, sf_dir))
+
+
 def events_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style constraint verification (operators/profiling.
     check_constraints): five named rules — domain membership, ranges,
@@ -1824,6 +1833,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_profile": events_profile,
     "events_value_histogram": events_value_histogram,
     "events_quality_checks": events_quality_checks,
+    "events_engagement": events_engagement,
     "emb_correlation": emb_correlation,
     "events_mg_heavy_hitters": events_mg_heavy_hitters,
     "docs_split_assign": docs_split_assign,
