@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "docs_neardup_edit_verified",
     "events_quality_checks",
     "events_engagement",
+    "docs_lang_confusion",
 ]
 
 

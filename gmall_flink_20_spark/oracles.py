@@ -646,6 +646,23 @@ SELECT doc_id,
 FROM (SELECT *, greatest(score_en, score_fr, score_es, score_de, score_zh) AS m FROM scored)
 """
 
+# lang-id confusion matrix (text.lang_id x analytics.pivot_counts)
+ORACLES["docs_lang_confusion"] = (
+    "WITH g AS ("
+    + ORACLES["docs_lang_id"]
+    + """)
+SELECT d.lang,
+       CAST(count(*) FILTER (g.lang_guess = 'en') AS BIGINT) AS en,
+       CAST(count(*) FILTER (g.lang_guess = 'fr') AS BIGINT) AS fr,
+       CAST(count(*) FILTER (g.lang_guess = 'es') AS BIGINT) AS es,
+       CAST(count(*) FILTER (g.lang_guess = 'de') AS BIGINT) AS de,
+       CAST(count(*) FILTER (g.lang_guess = 'zh') AS BIGINT) AS zh,
+       CAST(count(*) FILTER (g.lang_guess = 'und') AS BIGINT) AS und
+FROM documents d JOIN g USING (doc_id)
+GROUP BY d.lang
+"""
+)
+
 # multimodal stub parity: payload = unhex(sha256(id)), feature_hash =
 # first 8 payload bytes as SIGNED big-endian int64 (HUGEINT two's-
 # complement fold mirrors Python's int.from_bytes(signed=True))

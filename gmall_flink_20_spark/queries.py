@@ -1007,6 +1007,25 @@ def events_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.mg_heavy_hitters_checked(skewed, "skew_key", k=16)
 
 
+def docs_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-word language classifier against
+    the labeled lang column (operators/text.lang_id × analytics.
+    pivot_counts) — the QA view that tells you which languages the
+    heuristic confuses. One scan + one pivot aggregate."""
+    from .operators import analytics, text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    guessed = docs.join(
+        text_ops.lang_id(docs).select("doc_id", "lang_guess"), "doc_id"
+    )
+    return analytics.pivot_counts(
+        guessed.select("lang", "lang_guess"),
+        "lang",
+        "lang_guess",
+        ["en", "fr", "es", "de", "zh", "und"],
+    )
+
+
 def events_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU/WAU/MAU per day (operators/analytics.engagement_rollup):
     (user, day) distinct pairs fan out to their ≤30 report days, one
@@ -1834,6 +1853,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_value_histogram": events_value_histogram,
     "events_quality_checks": events_quality_checks,
     "events_engagement": events_engagement,
+    "docs_lang_confusion": docs_lang_confusion,
     "emb_correlation": emb_correlation,
     "events_mg_heavy_hitters": events_mg_heavy_hitters,
     "docs_split_assign": docs_split_assign,
