@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "events_quality_checks",
     "events_engagement",
     "docs_lang_confusion",
+    "docs_health_report",
 ]
 
 

@@ -27,6 +27,7 @@ __all__ = [
     "decontaminate",
     "curation_pipeline",
     "corpus_build",
+    "corpus_health_report",
     "mixture_weights",
 ]
 
@@ -333,3 +334,76 @@ def corpus_build(
     )
     fr = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
     return split_assign(capped, fr, key_col=id_col)
+
+
+def corpus_health_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    ngram: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The one-row corpus health dashboard a data team reads before a
+    training run: total docs, exact-duplicate rate, Gopher-gate pass
+    rate, benchmark-contamination rate, and mean doc length — each an
+    integer count over the same single corpus projection (rates derive
+    from the counts with an identical expression tree in the oracle).
+
+    Plan: ONE pass computes the row-local signals (content hash, Gopher
+    verdict, token count); the duplicate count needs one keyed window
+    on the hash, the contamination flag one broadcast gram probe; the
+    final report is a single global aggregate.
+    """
+    from pyspark.sql import Window
+
+    from ._cache import eager_persist
+    from .text import gopher_feature_cols, gopher_kept_expr
+
+    feats = gopher_feature_cols(text_col)
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = eager_persist(
+        corpus.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.md5(F.col(text_col).cast("binary")).alias("_fp"),
+            *[c.alias(n) for n, c in feats.items()],
+        ).withColumn("_kept", gopher_kept_expr())
+    )
+    w = Window.partitionBy("_fp")
+    flagged = base.withColumn("_is_dup", (F.count(F.lit(1)).over(w) > 1))
+
+    def _grams(df: DataFrame) -> DataFrame:
+        b = df.select(F.col(id_col), toks.alias("toks")).filter(
+            F.size("toks") >= ngram
+        )
+        return b.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {ngram}), "
+                    f"i -> md5(cast(array_join(slice(toks, i + 1, {ngram}), ' ') as binary)))"
+                )
+            ).alias("h"),
+        ).distinct()
+
+    bench_grams = _grams(benchmark).select("h").distinct()
+    contam_ids = (
+        _grams(base)
+        .join(F.broadcast(bench_grams), "h")
+        .select(id_col)
+        .distinct()
+        .withColumn("_contam", F.lit(True))
+    )
+    full = flagged.join(contam_ids, id_col, "left")
+    n = F.count(F.lit(1))
+    return full.agg(
+        n.cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("_is_dup"), 1).otherwise(0)).cast("long").alias("n_dup_docs"),
+        F.sum(F.when(F.col("_kept"), 1).otherwise(0)).cast("long").alias("n_gate_pass"),
+        F.sum(F.when(F.col("_contam").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_contaminated"),
+        F.round(
+            F.sum(F.col("n_words").cast("double")) / n.cast("double"), 6
+        ).alias("mean_words"),
+    )

@@ -2633,6 +2633,55 @@ FROM (
 """.replace("{T1}", str(_SPLIT_T1)).replace("{T2}", str(_SPLIT_T2))
 
 
+# corpus health dashboard (curation.corpus_health_report)
+ORACLES["docs_health_report"] = r"""
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 20 <> 0),
+bench AS (SELECT * FROM documents WHERE doc_id % 20 = 0),
+f AS (
+    SELECT doc_id, md5(text) AS fp, string_split_regex(trim(text), '\s+') AS t
+    FROM corpus
+),
+feat AS (
+    SELECT doc_id, fp, t,
+           CAST(len(t) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+             / CAST(len(t) AS DOUBLE) AS mean_word_len,
+           CAST(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+             / CAST(len(t) AS DOUBLE) AS alpha_ratio,
+           CAST(len(list_filter(t, x -> list_contains(
+               ['the','be','to','of','and','that','have','with','a','in'], x))) AS BIGINT) AS n_stop_hits
+    FROM f
+),
+flg AS (
+    SELECT *,
+           count(*) OVER (PARTITION BY fp) > 1 AS is_dup,
+           (n_words BETWEEN 40 AND 200
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND alpha_ratio >= 0.8 AND n_stop_hits >= 2) AS kept
+    FROM feat
+),
+cg AS (
+    SELECT DISTINCT doc_id, md5(array_to_string(t[i + 1 : i + 5], ' ')) AS h
+    FROM (SELECT doc_id, t, unnest(range(0, len(t) - 4)) AS i FROM feat WHERE len(t) >= 5)
+),
+bg AS (
+    SELECT DISTINCT md5(array_to_string(t[i + 1 : i + 5], ' ')) AS h
+    FROM (
+        SELECT t, unnest(range(0, len(t) - 4)) AS i FROM (
+            SELECT string_split_regex(trim(text), '\s+') AS t FROM bench
+        ) WHERE len(t) >= 5
+    )
+),
+contam AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (h))
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_gate_pass,
+       CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM contam) THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       round(sum(CAST(n_words AS DOUBLE)) / count(*), 6) AS mean_words
+FROM flg
+"""
+
+
 def _cluster_sample_sql(
     k_per_cluster: int = 20, nlist: int = 8, iters: int = 3, dim: int = 64
 ) -> str:

@@ -1591,6 +1591,19 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.curation_pipeline(load_table(spark, sf_dir, "documents"))
 
 
+def docs_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus health dashboard (operators/curation.
+    corpus_health_report): doc count, exact-dup count, Gopher pass
+    count, benchmark-contamination count, mean length — the pre-training
+    go/no-go view, one corpus projection + one window + one broadcast
+    gram probe."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.corpus_health_report(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+    )
+
+
 def docs_neardup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance verification of LSH candidates (operators/dedup.
     neardup_edit_verified): Levenshtein on a 200-char prefix flags
@@ -1854,6 +1867,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_quality_checks": events_quality_checks,
     "events_engagement": events_engagement,
     "docs_lang_confusion": docs_lang_confusion,
+    "docs_health_report": docs_health_report,
     "emb_correlation": emb_correlation,
     "events_mg_heavy_hitters": events_mg_heavy_hitters,
     "docs_split_assign": docs_split_assign,
