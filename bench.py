@@ -155,6 +155,8 @@ BENCH_QUERIES = [
     "events_engagement",
     "docs_lang_confusion",
     "docs_health_report",
+    "events_key_skew",
+    "events_value_trend",
 ]
 
 

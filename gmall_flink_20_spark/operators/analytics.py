@@ -631,3 +631,94 @@ def engagement_rollup(
             F.col("mau").cast("long").alias("mau"),
         )
     )
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Join/aggregation-key skew diagnostic — the report that decides
+    whether a key needs salting BEFORE the job that would discover it by
+    dying: per top-``top_k`` key, its row count, share of all rows, and
+    the skew factor (count / mean-per-key). A factor ≫ 1 on the head
+    key means one reducer owns that multiple of the average load.
+
+    One map-side-combined count per key, one broadcast of the two-value
+    total/distinct aggregate, one TakeOrdered for the head — no global
+    sort of the key space.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    totals = counts.agg(
+        F.sum("cnt").cast("long").alias("_total"),
+        F.count(F.lit(1)).cast("long").alias("_n_keys"),
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("key").cast("string").alias("key"),
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("_total").cast("double"), 6).alias(
+                "share"
+            ),
+            F.round(
+                F.col("cnt").cast("double")
+                / (F.col("_total").cast("double") / F.col("_n_keys").cast("double")),
+                6,
+            ).alias("skew_factor"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def group_trend(
+    events: DataFrame,
+    key_col: str = "event_type",
+    time_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-group least-squares trend of value over time — drift/trend
+    detection as one aggregate: slope (per day) and intercept from the
+    moment sums, x measured in days since the corpus start so the
+    moments stay small and the normal-equation cancellation is benign.
+
+    Float contract: the slope derives from VARIANCE-scale moments
+    (Sxy/n − x̄·ȳ over Sxx/n − x̄²) with an identical expression tree in
+    both engines, rounded to 6 — the same summed-double argument as the
+    covariance gate. Values are integer cents; x is an exact integer
+    second count scaled by a constant.
+    """
+    base = events.select(
+        F.col(key_col),
+        F.col(time_col).cast("long").alias("_ts"),
+        F.round(F.col(value_col) * 100, 0).cast("long").alias("_cents"),
+    )
+    t0 = base.agg(F.min("_ts").alias("_t0"))
+    xy = base.crossJoin(F.broadcast(t0)).select(
+        F.col(key_col),
+        ((F.col("_ts") - F.col("_t0")).cast("double") / F.lit(86400.0)).alias("_x"),
+        F.col("_cents").cast("double").alias("_y"),
+    )
+    agg = xy.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    mx = F.col("_sx") / F.col("_n")
+    my = F.col("_sy") / F.col("_n")
+    cov = F.col("_sxy") / F.col("_n") - mx * my
+    var = F.col("_sxx") / F.col("_n") - mx * mx
+    slope = cov / var
+    return agg.select(
+        F.col(key_col),
+        F.col("_n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope_cents_per_day"),
+        F.round(my - slope * mx, 6).alias("intercept_cents"),
+    )

@@ -646,6 +646,50 @@ SELECT doc_id,
 FROM (SELECT *, greatest(score_en, score_fr, score_es, score_de, score_zh) AS m FROM scored)
 """
 
+# join-key skew diagnostic (analytics.key_skew_report)
+ORACLES["events_key_skew"] = """
+WITH c AS (
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS key,
+           count(*) AS cnt
+    FROM events WHERE event_type = 'click' GROUP BY 1
+),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_keys FROM c)
+SELECT CAST(key AS VARCHAR) AS key, CAST(cnt AS BIGINT) AS cnt,
+       round(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+       round(CAST(cnt AS DOUBLE) / (CAST(total AS DOUBLE) / CAST(n_keys AS DOUBLE)), 6) AS skew_factor,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT c.*, t.total, t.n_keys,
+           row_number() OVER (ORDER BY cnt DESC, key ASC) AS rank
+    FROM c, t
+) WHERE rank <= 10
+"""
+
+# per-group least-squares trend (analytics.group_trend): variance-scale
+# moments, identical expression tree, round-6
+ORACLES["events_value_trend"] = f"""
+WITH t0 AS (SELECT min({_TS}) AS t0 FROM events),
+xy AS (
+    SELECT event_type,
+           CAST({_TS} - t0.t0 AS DOUBLE) / 86400.0 AS x,
+           CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS y
+    FROM events, t0
+),
+agg AS (
+    SELECT event_type,
+           CAST(count(*) AS DOUBLE) AS n,
+           sum(x) AS sx, sum(y) AS sy,
+           sum(x * y) AS sxy, sum(x * x) AS sxx
+    FROM xy GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round((sxy / n - (sx / n) * (sy / n)) / (sxx / n - (sx / n) * (sx / n)), 6)
+           AS slope_cents_per_day,
+       round(sy / n - ((sxy / n - (sx / n) * (sy / n)) / (sxx / n - (sx / n) * (sx / n))) * (sx / n), 6)
+           AS intercept_cents
+FROM agg
+"""
+
 # lang-id confusion matrix (text.lang_id x analytics.pivot_counts)
 ORACLES["docs_lang_confusion"] = (
     "WITH g AS ("

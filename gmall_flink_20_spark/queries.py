@@ -1007,6 +1007,25 @@ def events_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.mg_heavy_hitters_checked(skewed, "skew_key", k=16)
 
 
+def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic on the clicked-item key (operators/
+    analytics.key_skew_report): head-key shares and skew factors — the
+    report that decides salting before a job discovers skew by dying."""
+    from .operators import analytics
+
+    ev = _clicks(spark, sf_dir).select(_item_id())
+    return analytics.key_skew_report(ev, "item_id", top_k=10)
+
+
+def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type least-squares value trend (operators/analytics.
+    group_trend): slope in cents/day from variance-scale moments, one
+    aggregate per group."""
+    from .operators import analytics
+
+    return analytics.group_trend(_events(spark, sf_dir))
+
+
 def docs_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix of the marker-word language classifier against
     the labeled lang column (operators/text.lang_id × analytics.
@@ -1868,6 +1887,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_engagement": events_engagement,
     "docs_lang_confusion": docs_lang_confusion,
     "docs_health_report": docs_health_report,
+    "events_key_skew": events_key_skew,
+    "events_value_trend": events_value_trend,
     "emb_correlation": emb_correlation,
     "events_mg_heavy_hitters": events_mg_heavy_hitters,
     "docs_split_assign": docs_split_assign,
