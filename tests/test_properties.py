@@ -382,3 +382,72 @@ def test_pagerank_is_a_distribution_when_no_dangling(spark, raw_edges):
     pr = graph.pagerank(df, iters=2, weight_col="w").collect()
     assert all(r.pr > 0 for r in pr)
     assert abs(sum(r.pr for r in pr) - 1.0) < 1e-6 * max(1, len(pr))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=12),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_dup_span_stats_matches_model(spark, docs):
+    """Window census vs a brute-force python model: positional n-gram
+    multiset, global multiplicity >= 2 flags."""
+    from collections import Counter
+
+    from gmall_flink_20_spark.operators import dedup
+
+    n = 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup.dup_span_stats(df, n=n).collect()}
+
+    grams = {}
+    for i, toks in enumerate(docs):
+        grams[i] = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+    global_counts = Counter(g for gs in grams.values() for g in gs)
+    for i, toks in enumerate(docs):
+        if len(toks) < n:
+            assert i not in got
+            continue
+        dup = sum(1 for g in grams[i] if global_counts[g] >= 2)
+        assert got[i].n_windows == len(grams[i])
+        assert got[i].n_dup_windows == dup
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 9),  # user
+            st.integers(0, 86400 * 20),  # ts offset
+            st.integers(0, 20000),  # cents
+        ),
+        min_size=4,
+        max_size=60,
+    )
+)
+def test_rfm_scores_are_monotone_in_metrics(spark, purchases):
+    """Quartile scores must be monotone: a user with strictly better
+    recency/frequency/monetary than another can never score worse."""
+    from gmall_flink_20_spark.operators import analytics
+
+    rows = [
+        (u, ts(t), "purchase", c / 100.0, i)
+        for i, (u, t, c) in enumerate(purchases)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double, event_id long"
+    )
+    out = {r.user_id: r for r in analytics.rfm_segments(df).collect()}
+    users = list(out.values())
+    for a in users:
+        for b in users:
+            if a.recency_days < b.recency_days:
+                assert a.r_score <= b.r_score
+            if a.frequency > b.frequency:
+                assert a.f_score <= b.f_score
+            if a.monetary_cents > b.monetary_cents:
+                assert a.m_score <= b.m_score
