@@ -170,3 +170,44 @@ def test_bucketed_tables_join_without_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bj_a")
         spark.sql("DROP TABLE IF EXISTS bj_b")
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """Spark's runtime Bloom-filter join pruning — the 100 TB feature
+    that pre-filters the fact-table scan with a sketch of the selective
+    dim side before the shuffle join. The applicationSideScanSizeThreshold
+    (default 10 GB) exists precisely because the filter only pays off on
+    big scans; zeroing it here makes the optimizer inject the filter on
+    test-sized data so the plan shape is pinned."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = tempfile.mkdtemp(prefix="bf_big_")
+        small = tempfile.mkdtemp(prefix="bf_small_")
+        spark.range(200_000).withColumn("v", F.col("id") % 1000).write.mode(
+            "overwrite"
+        ).parquet(big)
+        spark.range(100).withColumn("k", F.col("id") * 17).write.mode(
+            "overwrite"
+        ).parquet(small)
+        b = spark.read.parquet(big)
+        s = spark.read.parquet(small)
+        j = b.join(s.filter("k % 3 = 0"), b["id"] == s["k"])
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "bloom_filter_agg" in plan  # sketch built on the dim side
+        assert "might_contain" in plan  # probe pushed into the fact scan side
+        assert j.count() == s.filter("k % 3 = 0").filter("k < 200000").count()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
