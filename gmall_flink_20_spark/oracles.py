@@ -1937,6 +1937,9 @@ FROM s
 """
 
 # retention cohorts (analytics.retention_cohorts)
+# streaming funnel shares the batch oracle (identical counts contract)
+ORACLES["events_funnel_streaming"] = ORACLES["events_funnel"]
+
 ORACLES["events_retention"] = """
 WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
 c AS (SELECT *, min(day) OVER (PARTITION BY user_id) AS cohort FROM d)

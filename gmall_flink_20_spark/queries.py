@@ -1221,6 +1221,44 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.rfm_segments(_events(spark, sf_dir))
 
 
+def events_funnel_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel as ACTUAL stateful streaming (streaming/stateful.
+    funnel_stream) on a ±5 min disordered replay: per-user chained
+    minima in GroupState, decided chunk-wide below the watermark,
+    emitted exactly once when the horizon deadline passes (event-time
+    timer), tombstoned after. The per-user emissions aggregate to the
+    same (step, step_name, users) counts as the batch window plan —
+    gated by the identical SQL oracle. Excluded from bench."""
+    from .streaming import replay, stateful
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_id", F.col("ts").cast("long").alias("ts_s"), "event_type", "ts"
+    )
+    sa, sb, _ = replay.sentinel_pair(spark, ev)
+    stream = replay.replay_stream(
+        spark, ev, "ts", num_chunks=8, disorder_s=300, extra_chunks=[sa, sb]
+    )
+    out = stateful.funnel_stream(
+        stream.withWatermark("ts", "660 seconds"), horizon_s=86400
+    )
+    per_user = replay.run_to_completion(out)
+    counts = per_user.agg(
+        F.count("s0_s").alias("_n0"),
+        F.count("s1_s").alias("_n1"),
+        F.count("s2_s").alias("_n2"),
+    )
+    return counts.select(
+        F.expr(
+            "stack(3, 1, 'view', _n0, 2, 'click', _n1, 3, 'purchase', _n2) "
+            "AS (step, step_name, users)"
+        )
+    ).select(
+        F.col("step").cast("long"),
+        "step_name",
+        F.col("users").cast("long").alias("users"),
+    )
+
+
 def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention triangle: users cohorted by first active day, distinct
     actives per (cohort_day, day_offset) (operators/analytics.
@@ -1889,6 +1927,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_health_report": docs_health_report,
     "events_key_skew": events_key_skew,
     "events_value_trend": events_value_trend,
+    "events_funnel_streaming": events_funnel_streaming,
     "emb_correlation": emb_correlation,
     "events_mg_heavy_hitters": events_mg_heavy_hitters,
     "docs_split_assign": docs_split_assign,

@@ -46,6 +46,7 @@ __all__ = [
     "order_timeout_stream",
     "blacklist_stream",
     "rate_anomaly_stream",
+    "funnel_stream",
 ]
 
 # ---------------------------------------------------------------- C2 login
@@ -437,4 +438,133 @@ def rate_anomaly_stream(
 
     return events.groupBy("event_type").applyInPandasWithState(
         fn, _RATE_OUT, _RATE_STATE, "append", GroupStateTimeout.EventTimeTimeout
+    )
+
+
+# ------------------------------------------------------------ funnel
+
+
+_FUNNEL_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("s0_s", LongType()),
+        StructField("s1_s", LongType()),
+        StructField("s2_s", LongType()),
+    ]
+)
+# chained step minima + undecided buffer; s0 = -1 is the emitted
+# tombstone (a key whose funnel is decided must never emit twice)
+_FUNNEL_STATE = StructType(
+    [
+        StructField("s0", LongType()),
+        StructField("s1", LongType()),
+        StructField("s2", LongType()),
+        StructField("buf", StringType()),  # "ts,step_idx;..." undecided rows
+    ]
+)
+
+
+def funnel_stream(
+    events: DataFrame,
+    horizon_s: int,
+    steps: tuple[str, str, str] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """The 3-step earliest-chain funnel as arbitrary stateful streaming —
+    per user, the chained minima s0 → s1 → s2 (each step at/after the
+    previous, all within ``horizon_s`` of s0), emitted EXACTLY ONCE per
+    user when the funnel becomes immutable.
+
+    Decidability logic (the buffer-until-watermark pattern of
+    ``login_fail_pairs_stream``): rows at/above the watermark wait in
+    GroupState; the decided prefix is folded CHUNK-WIDE with the batch
+    formula (min views → qualifying min clicks → qualifying min
+    purchases), which reproduces the batch window semantics exactly —
+    including same-timestamp ties, which per-row sequential processing
+    would break. A key's funnel is immutable once the watermark passes
+    s0 + horizon (every later row misses the window): an event-time
+    timer at that deadline triggers the single emission, after which a
+    tombstone (s0 = −1) absorbs any later arrivals. Keys that never see
+    step 0 retain no state and emit nothing — absent rows count zero in
+    the final aggregation, matching the batch oracle.
+    """
+    st0, st1, st2 = steps
+    idx = {st0: 0, st1: 1, st2: 2}
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        s0 = s1 = s2 = None
+        buf = ""
+        if state.exists:
+            s0, s1, s2, buf = state.get
+            s0 = None if s0 is None else int(s0)
+            s1 = None if s1 is None else int(s1)
+            s2 = None if s2 is None else int(s2)
+        empty = pd.DataFrame({"user_id": [], "s0_s": [], "s1_s": [], "s2_s": []}).astype(
+            {"user_id": "int64", "s0_s": "int64", "s1_s": "int64", "s2_s": "int64"}
+        )
+        if s0 == -1:  # tombstone: already emitted
+            if not state.hasTimedOut:
+                for _ in pdfs:
+                    pass
+            yield empty
+            return
+        items: list[tuple[int, int]] = []
+        if buf:
+            for part in buf.split(";"):
+                t, i = part.split(",")
+                items.append((int(t), int(i)))
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                mask = pdf["event_type"].isin(list(steps))
+                items.extend(
+                    zip(
+                        pdf.loc[mask, "ts_s"].astype("int64").tolist(),
+                        pdf.loc[mask, "event_type"].map(idx).astype("int64").tolist(),
+                    )
+                )
+        wm_ms = state.getCurrentWatermarkMs()
+        decided = [(t, i) for t, i in items if t * 1000 < wm_ms]
+        rest = [(t, i) for t, i in items if t * 1000 >= wm_ms]
+        if decided:
+            views = [t for t, i in decided if i == 0]
+            if views:
+                v = min(views)
+                s0 = v if s0 is None else min(s0, v)
+            if s0 is not None:
+                limit = s0 + horizon_s
+                clicks = [t for t, i in decided if i == 1 and s0 <= t <= limit]
+                if clicks:
+                    c = min(clicks)
+                    s1 = c if s1 is None else min(s1, c)
+                if s1 is not None:
+                    purch = [t for t, i in decided if i == 2 and s1 <= t <= limit]
+                    if purch:
+                        p = min(purch)
+                        s2 = p if s2 is None else min(s2, p)
+        if s0 is not None and wm_ms > (s0 + horizon_s) * 1000:
+            # immutable: every undecided row is beyond the horizon window
+            state.update((-1, None, None, ""))
+            yield pd.DataFrame(
+                {"user_id": [user_id], "s0_s": [s0], "s1_s": [s1], "s2_s": [s2]}
+            )
+            return
+        if not rest and s0 is None:
+            if state.exists:
+                state.remove()
+            yield empty
+            return
+        buf_s = ";".join(f"{t},{i}" for t, i in rest)
+        state.update((s0, s1, s2, buf_s))
+        cands = []
+        if rest:
+            cands.append(min(t for t, _ in rest) * 1000)
+        if s0 is not None:
+            cands.append((s0 + horizon_s) * 1000 + 1)
+        state.setTimeoutTimestamp(max(min(cands), wm_ms + 1))
+        yield empty
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, _FUNNEL_OUT, _FUNNEL_STATE, "append", GroupStateTimeout.EventTimeTimeout
     )
