@@ -209,3 +209,73 @@ def test_sentinel_pair_single_job_and_semantics(spark, small_events):
     assert t1 == max_s + 30 * 86400 and t2 == max_s + 31 * 86400
     assert r1["user_id"] == -1 and r2["user_id"] == -1  # reserved sentinel key
     assert r1["event_type"] == "noop"
+
+
+def test_funnel_stream_matches_batch_on_ties_and_disorder(spark):
+    """The chunk-wide decided-prefix fold must reproduce batch window
+    semantics exactly — including a click at the SAME second as the
+    first view (qualifies via ts >= s0, which per-row sequential
+    processing in (ts, event_id) order would miss when the click's
+    event_id sorts first)."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+
+    from gmall_flink_20_spark.operators import analytics
+    from gmall_flink_20_spark.streaming import replay, stateful
+
+    base = 1_700_000_000
+
+    def ts(s):
+        return datetime.fromtimestamp(base + s, tz=timezone.utc).replace(tzinfo=None)
+
+    rows = [
+        # user 1: click event_id BEFORE the same-second view -> tie case
+        (1, 10, ts(100), "click"),
+        (1, 11, ts(100), "view"),
+        (1, 12, ts(200), "purchase"),
+        # user 2: click before any view -> never qualifies
+        (2, 20, ts(50), "click"),
+        (2, 21, ts(60), "view"),
+        (2, 22, ts(70), "purchase"),  # purchase before any click
+        # user 3: full chain, purchase beyond horizon
+        (3, 30, ts(10), "view"),
+        (3, 31, ts(20), "click"),
+        (3, 32, ts(20 + 90_000), "purchase"),
+        # user 4: no view at all
+        (4, 40, ts(5), "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    ).withColumn("ts_s", F.col("ts").cast("long"))
+
+    batch = {
+        r.step: r.users
+        for r in analytics.funnel(
+            ev.select("user_id", F.col("ts_s"), "event_type"),
+            ["view", "click", "purchase"],
+            horizon_s=86400,
+            time_col="ts_s",
+        ).collect()
+    }
+
+    sa, sb, _ = replay.sentinel_pair(spark, ev)
+    stream = replay.replay_stream(
+        spark, ev, "ts", num_chunks=3, disorder_s=30, extra_chunks=[sa, sb]
+    )
+    out = stateful.funnel_stream(
+        stream.withWatermark("ts", "60 seconds"), horizon_s=86400
+    )
+    per_user = {r.user_id: r for r in replay.run_to_completion(out).collect()}
+    got = {
+        1: sum(1 for r in per_user.values() if r.s0_s is not None),
+        2: sum(1 for r in per_user.values() if r.s1_s is not None),
+        3: sum(1 for r in per_user.values() if r.s2_s is not None),
+    }
+    assert got == batch
+    # the tie user completed all three steps
+    assert per_user[1].s1_s == per_user[1].s0_s == base + 100
+    # beyond-horizon purchase stays unset
+    assert per_user[3].s2_s is None
+    # exactly one emission per user with a view
+    assert set(per_user) == {1, 2, 3}
