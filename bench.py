@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "docs_health_report",
     "events_key_skew",
     "events_value_trend",
+    "emb_pca2_project",
 ]
 
 

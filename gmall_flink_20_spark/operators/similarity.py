@@ -25,7 +25,9 @@ __all__ = [
     "covariance_matrix",
     "correlation_matrix",
     "top_eigvec_local",
+    "top_eigvecs_local",
     "pca_project",
+    "pca_project2",
 ]
 
 
@@ -417,3 +419,89 @@ def pca_project(
         lambda acc, x: acc + x,
     )
     return emb.select(F.col(id_col), F.round(proj, 6).alias("pc1"))
+
+
+def top_eigvecs_local(
+    emb: DataFrame,
+    n_components: int = 2,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    decimals: int = 6,
+) -> list[list[float]]:
+    """Leading ``n_components`` covariance eigenvectors by power
+    iteration + Hotelling deflation: after each component, C ←
+    C − λ·v·vᵀ with λ = vᵀCv, and the next component is power-iterated
+    on the deflated matrix. Same driver-side artifact shape and
+    determinism contract as ``top_eigvec_local`` (the Gramian is the one
+    distributed pass; each λ is rounded like the vector supersteps so
+    the deflated matrix is an exact expression over rounded inputs).
+    """
+    import numpy as np
+
+    from .ann import _ARTIFACT_MEMO, _ARTIFACT_MEMO_CAP
+
+    memo_key = (
+        "eigvecs",
+        emb.semanticHash(),
+        str(emb.schema),
+        int(n_components),
+        int(iters),
+        vec_col,
+        int(dim),
+        int(decimals),
+    )
+    hit = _ARTIFACT_MEMO.get(memo_key)
+    if hit is not None:
+        return [list(v) for v in hit]
+
+    d = int(dim)
+    cells = covariance_matrix(emb, vec_col=vec_col, dim=d).collect()
+    c = np.zeros((d, d), dtype=np.float64)
+    for r in cells:
+        c[r.i, r.j] = r.cov
+        c[r.j, r.i] = r.cov
+    out: list[list[float]] = []
+    for _ in range(int(n_components)):
+        v = np.full(d, round(1.0 / float(np.sqrt(d)), decimals), dtype=np.float64)
+        for _ in range(int(iters)):
+            w = c @ v
+            nrm = float(np.sqrt((w * w).sum()))
+            v = np.round(w / nrm, decimals)
+        out.append([float(x) for x in v])
+        lam = round(float(v @ c @ v), decimals)
+        # (lam*v_i)*v_j association matches the oracle's expression tree
+        c = c - np.outer(lam * v, v)
+    if len(_ARTIFACT_MEMO) >= _ARTIFACT_MEMO_CAP:
+        _ARTIFACT_MEMO.clear()
+    _ARTIFACT_MEMO[memo_key] = [list(v) for v in out]
+    return out
+
+
+def pca_project2(
+    emb: DataFrame,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """2-D PCA projection (pc1, pc2) — the corpus scatter-plot /
+    coarse-bucketing layout. Both eigenvectors are driver-side literals
+    (deflation, see ``top_eigvecs_local``); the projection stays one
+    row-local pass with two folds, zero shuffle.
+    """
+    v1, v2 = top_eigvecs_local(emb, n_components=2, iters=iters, vec_col=vec_col, dim=dim)
+
+    def fold(v: list[float]):
+        varr = F.array(*[F.lit(float(x)) for x in v])
+        return F.aggregate(
+            F.zip_with(F.col(vec_col), varr, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return emb.select(
+        F.col(id_col),
+        F.round(fold(v1), 6).alias("pc1"),
+        F.round(fold(v2), 6).alias("pc2"),
+    )

@@ -1454,8 +1454,8 @@ JOIN covq vj ON vj.i = c.j AND vj.j = c.j
 # unrolled CTE chain over the covariance cells, round-6 per superstep
 def _pca_ctes(iters: int = 3) -> str:
     ctes = [
-        "covq AS (" + ORACLES["emb_covariance"] + ")",
-        "cfull AS (SELECT i, j, cov FROM covq UNION ALL "
+        "covq AS MATERIALIZED (" + ORACLES["emb_covariance"] + ")",
+        "cfull AS MATERIALIZED (SELECT i, j, cov FROM covq UNION ALL "
         "SELECT j, i, cov FROM covq WHERE i <> j)",
         "dims AS (SELECT DISTINCT i AS d FROM cfull)",
         "v0 AS (SELECT d, 0.125 AS v FROM dims)",
@@ -1467,7 +1467,7 @@ def _pca_ctes(iters: int = 3) -> str:
         )
         ctes.append(f"n{t} AS (SELECT sqrt(sum(w * w)) AS nrm FROM w{t})")
         ctes.append(
-            f"v{t} AS (SELECT d, round(w / nrm, 6) AS v FROM w{t}, n{t})"
+            f"v{t} AS MATERIALIZED (SELECT d, round(w / nrm, 6) AS v FROM w{t}, n{t})"
         )
     return "WITH " + ",\n".join(ctes)
 
@@ -1475,6 +1475,44 @@ def _pca_ctes(iters: int = 3) -> str:
 ORACLES["emb_top_eigvec"] = (
     _pca_ctes(3) + "\nSELECT CAST(d AS BIGINT) AS i, v FROM v3"
 )
+def _pca2_ctes(iters: int = 3) -> str:
+    """First-eigvec chain + Hotelling deflation + second-eigvec chain."""
+    ctes = _pca_ctes(iters)
+    ctes += f""",
+lam AS (
+    SELECT round(sum(vi.v * c.cov * vj.v), 6) AS lam
+    FROM cfull c JOIN v{iters} vi ON vi.d = c.i JOIN v{iters} vj ON vj.d = c.j
+),
+c2 AS MATERIALIZED (
+    SELECT c.i, c.j, c.cov - lam.lam * vi.v * vj.v AS cov
+    FROM cfull c
+    JOIN v{iters} vi ON vi.d = c.i
+    JOIN v{iters} vj ON vj.d = c.j
+    CROSS JOIN lam
+),
+u0 AS (SELECT d, 0.125 AS v FROM dims)"""
+    for t in range(1, iters + 1):
+        ctes += f""",
+x{t} AS (SELECT c.i AS d, sum(c.cov * v.v) AS w FROM c2 c JOIN u{t - 1} v ON v.d = c.j GROUP BY c.i),
+m{t} AS (SELECT sqrt(sum(w * w)) AS nrm FROM x{t}),
+u{t} AS MATERIALIZED (SELECT d, round(w / nrm, 6) AS v FROM x{t}, m{t})"""
+    return ctes
+
+
+ORACLES["emb_pca2_project"] = (
+    _pca2_ctes(3)
+    + """,
+vl1 AS (SELECT list(v ORDER BY d) AS vl FROM v3),
+vl2 AS (SELECT list(v ORDER BY d) AS vl FROM u3)
+SELECT vec_id,
+       round(list_sum(list_transform(range(1, 65),
+             k -> CAST(embedding[k] AS DOUBLE) * vl1.vl[k])), 6) AS pc1,
+       round(list_sum(list_transform(range(1, 65),
+             k -> CAST(embedding[k] AS DOUBLE) * vl2.vl[k])), 6) AS pc2
+FROM embeddings, vl1, vl2
+"""
+)
+
 ORACLES["emb_pca_project"] = (
     _pca_ctes(3)
     + """,

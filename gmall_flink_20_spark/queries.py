@@ -1387,6 +1387,17 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pca_project(emb, iters=3)
 
 
+def emb_pca2_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D PCA projection (operators/similarity.pca_project2): second
+    component via Hotelling deflation (C − λ·v·vᵀ, λ rounded like the
+    supersteps), both eigenvectors broadcast literals, one row-local
+    two-fold pass."""
+    from .operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pca_project2(emb, iters=3)
+
+
 def emb_ann_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BLAS-batched brute-force kernel (operators/similarity.
     ann_bruteforce_topk_arrow): one matmul per Arrow batch scores every
@@ -1928,6 +1939,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_key_skew": events_key_skew,
     "events_value_trend": events_value_trend,
     "events_funnel_streaming": events_funnel_streaming,
+    "emb_pca2_project": emb_pca2_project,
     "emb_correlation": emb_correlation,
     "events_mg_heavy_hitters": events_mg_heavy_hitters,
     "docs_split_assign": docs_split_assign,
