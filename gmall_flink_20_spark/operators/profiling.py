@@ -125,6 +125,10 @@ def check_constraints(
     Uniqueness-style checks need an aggregate, not a row predicate —
     express them as a row predicate over a window (see the query
     wrapper) or check n_distinct from ``profile_table`` instead.
+
+    NULL semantics (SQL three-valued logic, same in the oracle): a rule
+    evaluating to NULL on a row counts as NOT violated — write
+    ``col.isNotNull() & predicate`` when unverifiable rows should fail.
     """
     names = list(checks)
     aggs = [F.count(F.lit(1)).alias("_n")]
