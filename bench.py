@@ -158,6 +158,8 @@ BENCH_QUERIES = [
     "events_key_skew",
     "events_value_trend",
     "emb_pca2_project",
+    "docs_novelty_rate",
+    "docs_source_diversity",
 ]
 
 

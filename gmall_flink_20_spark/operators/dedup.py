@@ -58,6 +58,7 @@ __all__ = [
     "jaccard_blocked",
     "neardup_verified",
     "neardup_edit_verified",
+    "novelty_rate",
 ]
 
 
@@ -798,5 +799,57 @@ def neardup_edit_verified(
             ed.cast("long").alias("edit_dist"),
             rel.alias("rel_edit"),
             (rel <= F.lit(float(rel_threshold))).alias("is_dup"),
+        )
+    )
+
+
+def novelty_rate(
+    df: DataFrame, n: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Incremental n-gram novelty: processing documents in id order, what
+    fraction of each document's windows has never been seen before? The
+    corpus-growth diagnostic behind dedup research (a healthy crawl adds
+    novel text; a saturating one re-crawls itself — novelty trending to
+    zero says stop ingesting).
+
+    Semantics: a window is NOVEL for the lowest doc_id containing its
+    fingerprint (ties inside one doc: all its occurrences count novel).
+    Plan: positional window fingerprints (row-local md5), one keyed
+    aggregate finds each fingerprint's first doc, one join back on the
+    SAME key reuses the exchange, one per-doc fold — linear in tokens,
+    no ordering dependence on partitioning.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .filter(F.size(F.col("_toks")) >= n)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(_toks) - {n}), "
+                    f"i -> md5(array_join(slice(_toks, i + 1, {n}), ' ')))"
+                )
+            ).alias("fp"),
+        )
+    )
+    grams = eager_persist(grams)
+    first = grams.groupBy("fp").agg(F.min(id_col).alias("_first_doc"))
+    return (
+        grams.join(first, "fp")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("_first_doc") == F.col(id_col), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            F.col(id_col),
+            "n_windows",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_windows").cast("double"), 6
+            ).alias("novelty"),
         )
     )

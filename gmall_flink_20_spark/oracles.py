@@ -2718,6 +2718,37 @@ FROM (
 """.replace("{T1}", str(_SPLIT_T1)).replace("{T2}", str(_SPLIT_T2))
 
 
+# incremental novelty (dedup.novelty_rate): window first seen at min doc
+ORACLES["docs_novelty_rate"] = r"""
+WITH g AS (
+    SELECT doc_id, md5(array_to_string(t[i + 1 : i + 5], ' ')) AS fp
+    FROM (
+        SELECT doc_id, t, unnest(range(0, len(t) - 4)) AS i
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)
+        WHERE len(t) >= 5
+    )
+),
+f AS (SELECT fp, min(doc_id) AS first_doc FROM g GROUP BY fp)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS novelty
+FROM g JOIN f USING (fp)
+GROUP BY doc_id
+"""
+
+# per-source language diversity (token_entropy identity on counts)
+ORACLES["docs_source_diversity"] = """
+WITH c AS (SELECT source, lang, count(*) AS cnt FROM documents GROUP BY 1, 2)
+SELECT source,
+       CAST(sum(cnt) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_langs,
+       round(ln(CAST(sum(cnt) AS DOUBLE))
+             - sum(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))) / CAST(sum(cnt) AS DOUBLE),
+             6) AS lang_entropy
+FROM c GROUP BY source
+"""
+
 # corpus health dashboard (curation.corpus_health_report)
 ORACLES["docs_health_report"] = r"""
 WITH corpus AS (SELECT * FROM documents WHERE doc_id % 20 <> 0),

@@ -1659,6 +1659,38 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.curation_pipeline(load_table(spark, sf_dir, "documents"))
 
 
+def docs_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental 5-gram novelty per doc (operators/dedup.novelty_rate):
+    fraction of windows first seen in this doc (by id order) — the
+    crawl-saturation diagnostic. Fingerprint count + exchange-reusing
+    join, linear in tokens."""
+    from .operators import dedup as dd
+
+    return dd.novelty_rate(load_table(spark, sf_dir, "documents"), n=5)
+
+
+def docs_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-diversity report per source: doc counts plus the Shannon
+    entropy of each source's language mix (H = ln n − (Σ c·ln c)/n, the
+    token_entropy identity on per-(source, lang) counts) — the balance
+    view a multilingual corpus tracks per provider."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        cnt.groupBy("source")
+        .agg(
+            F.sum("_c").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            F.round(
+                F.log(F.sum("_c").cast("double"))
+                - F.sum(F.col("_c").cast("double") * F.log(F.col("_c").cast("double")))
+                / F.sum("_c").cast("double"),
+                6,
+            ).alias("lang_entropy"),
+        )
+    )
+
+
 def docs_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus health dashboard (operators/curation.
     corpus_health_report): doc count, exact-dup count, Gopher pass
@@ -1940,6 +1972,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_value_trend": events_value_trend,
     "events_funnel_streaming": events_funnel_streaming,
     "emb_pca2_project": emb_pca2_project,
+    "docs_novelty_rate": docs_novelty_rate,
+    "docs_source_diversity": docs_source_diversity,
     "emb_correlation": emb_correlation,
     "events_mg_heavy_hitters": events_mg_heavy_hitters,
     "docs_split_assign": docs_split_assign,
