@@ -94,3 +94,85 @@ def test_blacklist_stream_recovers_from_checkpoint(spark, sf_dir):
         map(tuple, got[got["out_type"] == "warning"][["user_id", "day_str"]].values.tolist())
     )
     assert got_warn == warn_keys
+
+
+def test_funnel_stream_recovers_from_checkpoint(spark, sf_dir):
+    """Stop the stateful funnel mid-input, restart from the checkpoint,
+    and the per-user emissions must aggregate to the batch counts —
+    buffered GroupState (chained minima + undecided rows) survives the
+    restart, and the exactly-once emission contract holds across it."""
+    from datetime import datetime, timezone
+
+    from gmall_flink_20_spark.operators import analytics
+
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("user_id") < 20)
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts").cast("long").alias("ts_s"),
+            "event_type",
+            "ts",
+        )
+        .orderBy("ts_s")
+    )
+    rows = ev.collect()
+    half = len(rows) // 2
+    schema = ev.schema
+    max_ts = max(r.ts_s for r in rows)
+
+    def sentinel(days):
+        t = datetime.fromtimestamp(max_ts + days * 86400, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+        return (-1, 10**12 + days, max_ts + days * 86400, "noop", t)
+
+    base = Path(tempfile.mkdtemp(prefix="recov_funnel_"))
+    src = base / "src"
+    src.mkdir()
+    ckpt = str(base / "ckpt")
+    out_dir = str(base / "out")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            stateful.funnel_stream(
+                stream.withWatermark("ts", "60 seconds"), horizon_s=86400
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _write_chunk(spark.createDataFrame(rows[:half], schema), src, 0, 1_000_000_000)
+    run_once()
+    _write_chunk(spark.createDataFrame(rows[half:], schema), src, 1, 1_000_000_001)
+    _write_chunk(spark.createDataFrame([sentinel(30)], schema), src, 2, 1_000_000_002)
+    _write_chunk(spark.createDataFrame([sentinel(60)], schema), src, 3, 1_000_000_003)
+    run_once()
+
+    got = spark.read.parquet(out_dir).toPandas()
+    assert got["user_id"].is_unique  # exactly one emission per key
+    batch = {
+        r.step: r.users
+        for r in analytics.funnel(
+            spark.createDataFrame(rows, schema).select("user_id", "ts_s", "event_type"),
+            ["view", "click", "purchase"],
+            horizon_s=86400,
+            time_col="ts_s",
+        ).collect()
+    }
+    assert batch == {
+        1: int(got["s0_s"].notna().sum()),
+        2: int(got["s1_s"].notna().sum()),
+        3: int(got["s2_s"].notna().sum()),
+    }
