@@ -12,7 +12,12 @@ Layout
 - ``session``    SparkSession factory (AQE, shuffle partitions, UTC, ns-parquet)
 - ``io``         table loaders over the driver-generated parquet test data
 - ``operators``  windowed aggs, top-n, distinct, joins, patterns, blacklist,
-                 dedup, similarity, text analysis, multimodal plumbing
+                 dedup (exact/LSH/simhash/edit/incremental), similarity +
+                 ANN (LSH/IVF/PQ/rerank) + PCA, text analysis, curation,
+                 sampling/splits, sketches (GK/CMS/MG), profiling &
+                 quality checks, graph (CC, PageRank), analytics
+                 (funnel/retention/RFM/co-occurrence/engagement), layout
+                 (z-order), skew tools, multimodal plumbing
 - ``plans``      end-to-end analytic plans (TPC-H-style benchmark queries)
 - ``streaming``  Structured Streaming variants (watermarks, stateful ops)
 - ``queries``    the registry consumed by ``__spark_entry__.py``
