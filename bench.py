@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "emb_pca2_project",
     "docs_novelty_rate",
     "docs_source_diversity",
+    "customers_ltv",
 ]
 
 

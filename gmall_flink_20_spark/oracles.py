@@ -1946,6 +1946,19 @@ SELECT file_id,
 FROM f GROUP BY file_id
 """
 
+# customer LTV deciles (queries.customers_ltv): integer-cents spend
+ORACLES["customers_ltv"] = """
+WITH per AS (
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, n_orders, total_cents,
+       CAST(ntile(10) OVER (ORDER BY total_cents DESC, o_custkey ASC) AS BIGINT) AS ltv_decile
+FROM per
+"""
+
 # RFM segmentation (analytics.rfm_segments): integer-cents monetary,
 # user_id tiebreak in every ntile — identical bucket boundaries
 ORACLES["events_rfm"] = f"""

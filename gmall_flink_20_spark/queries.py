@@ -1211,6 +1211,31 @@ def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customers_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value deciles on the TPC-H side — the RFM
+    machinery generalized to the relational schema: per customer, order
+    count and total spend in integer cents (no float sum can flip a
+    rank), decile by (spend desc, custkey). The ntile runs on the
+    per-customer aggregate; approx_percentile cutoffs are the 100 TB
+    form (the ccnet_buckets_approx shape)."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("total_cents"),
+    )
+    w = W.orderBy(F.col("total_cents").desc(), F.col("o_custkey").asc())
+    return per.select(
+        "o_custkey",
+        "n_orders",
+        "total_cents",
+        F.ntile(10).over(w).cast("long").alias("ltv_decile"),
+    )
+
+
 def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation over the purchase stream (operators/analytics.
     rfm_segments): quartile recency/frequency/monetary scores per user,
@@ -1974,6 +1999,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_pca2_project": emb_pca2_project,
     "docs_novelty_rate": docs_novelty_rate,
     "docs_source_diversity": docs_source_diversity,
+    "customers_ltv": customers_ltv,
     "emb_correlation": emb_correlation,
     "events_mg_heavy_hitters": events_mg_heavy_hitters,
     "docs_split_assign": docs_split_assign,
