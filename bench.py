@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "docs_novelty_rate",
     "docs_source_diversity",
     "customers_ltv",
+    "docs_health_by_source",
 ]
 
 

@@ -2731,6 +2731,40 @@ FROM (
 """.replace("{T1}", str(_SPLIT_T1)).replace("{T2}", str(_SPLIT_T2))
 
 
+# per-source health drill-down (queries.docs_health_by_source)
+ORACLES["docs_health_by_source"] = r"""
+WITH f AS (
+    SELECT doc_id, source, md5(text) AS fp,
+           string_split_regex(trim(text), '\s+') AS t
+    FROM documents
+),
+feat AS (
+    SELECT doc_id, source, fp,
+           CAST(len(t) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+             / CAST(len(t) AS DOUBLE) AS mean_word_len,
+           CAST(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+             / CAST(len(t) AS DOUBLE) AS alpha_ratio,
+           CAST(len(list_filter(t, x -> list_contains(
+               ['the','be','to','of','and','that','have','with','a','in'], x))) AS BIGINT) AS n_stop_hits
+    FROM f
+),
+flg AS (
+    SELECT *,
+           count(*) OVER (PARTITION BY fp) > 1 AS is_dup,
+           (n_words BETWEEN 40 AND 200
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND alpha_ratio >= 0.8 AND n_stop_hits >= 2) AS kept
+    FROM feat
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_gate_pass,
+       round(sum(CAST(n_words AS DOUBLE)) / count(*), 6) AS mean_words
+FROM flg GROUP BY source
+"""
+
 # incremental novelty (dedup.novelty_rate): window first seen at min doc
 ORACLES["docs_novelty_rate"] = r"""
 WITH g AS (

@@ -1684,6 +1684,37 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.curation_pipeline(load_table(spark, sf_dir, "documents"))
 
 
+def docs_health_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The health dashboard sharded per source: doc count, exact-dup
+    count (corpus-wide hash groups attributed to each source's rows),
+    Gopher pass count, mean length — the provider-level drill-down of
+    docs_health_report. One projection + one content-hash window + one
+    aggregate."""
+    from pyspark.sql import Window as W
+
+    from .operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = text_ops.gopher_feature_cols("text")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text").cast("binary")).alias("_fp"),
+        *[c.alias(n) for n, c in feats.items()],
+    ).withColumn("_kept", text_ops.gopher_kept_expr())
+    flagged = base.withColumn(
+        "_is_dup", F.count(F.lit(1)).over(W.partitionBy("_fp")) > 1
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("_is_dup"), 1).otherwise(0)).cast("long").alias("n_dup_docs"),
+        F.sum(F.when(F.col("_kept"), 1).otherwise(0)).cast("long").alias("n_gate_pass"),
+        F.round(
+            F.sum(F.col("n_words").cast("double")) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean_words"),
+    )
+
+
 def docs_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental 5-gram novelty per doc (operators/dedup.novelty_rate):
     fraction of windows first seen in this doc (by id order) — the
@@ -2000,6 +2031,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_novelty_rate": docs_novelty_rate,
     "docs_source_diversity": docs_source_diversity,
     "customers_ltv": customers_ltv,
+    "docs_health_by_source": docs_health_by_source,
     "emb_correlation": emb_correlation,
     "events_mg_heavy_hitters": events_mg_heavy_hitters,
     "docs_split_assign": docs_split_assign,
