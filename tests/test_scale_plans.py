@@ -397,3 +397,19 @@ def test_corpus_build_scans_each_input_once(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
     assert "InMemoryTableScan" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_zorder_audit_is_pure_codegen_single_sort(spark, sf_dir):
+    plan = plan_of(QUERIES["events_zorder_layout"](spark, sf_dir))
+    # the Morton interleave is shift/mask expressions — no UDF anywhere
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" in plan  # the exact-form ntile cut
+
+
+def test_engagement_single_aggregate_no_join(spark, sf_dir):
+    plan = plan_of(QUERIES["events_engagement"](spark, sf_dir))
+    # day fan-out is an explode; all three horizons fold in ONE aggregate
+    # over it — no self-joins of the fanned frame
+    assert "Generate" in plan  # the explode
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
