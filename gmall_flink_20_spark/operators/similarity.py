@@ -208,7 +208,13 @@ def covariance_matrix(
         emb.select(F.col(vec_col).cast("array<double>").alias("_v"))
         .mapInPandas(_gram, schema="i int, j int, sxy double, n long")
         .groupBy("i", "j")
-        .agg(F.round(F.sum("sxy"), 4).alias("sxy"), F.sum("n").cast("long").alias("n"))
+        # + 0.0 normalizes IEEE signed zero (-0.0 + 0.0 = +0.0) so the
+        # bitwise-hash contract can't diverge when a moment rounds to zero
+        # from below in one engine and from above in the other.
+        .agg(
+            (F.round(F.sum("sxy"), 4) + F.lit(0.0)).alias("sxy"),
+            F.sum("n").cast("long").alias("n"),
+        )
     )
     moments = parts.filter(F.col("j") >= 0)
     sums = parts.filter(F.col("j") == -1).select(
@@ -225,8 +231,11 @@ def covariance_matrix(
             F.col("j").cast("long").alias("j"),
             F.col("n"),
             F.col("sxy"),
-            F.round(
-                F.col("sxy") / nd - (F.col("_si") / nd) * (F.col("_sj") / nd), 6
+            (
+                F.round(
+                    F.col("sxy") / nd - (F.col("_si") / nd) * (F.col("_sj") / nd), 6
+                )
+                + F.lit(0.0)  # signed-zero normalization (see sxy above)
             ).alias("cov"),
         )
     )
@@ -264,7 +273,8 @@ def correlation_matrix(
             "cov",
             F.when(
                 (F.col("_vi") > 0) & (F.col("_vj") > 0),
-                F.round(F.col("cov") / F.sqrt(F.col("_vi") * F.col("_vj")), 6),
+                F.round(F.col("cov") / F.sqrt(F.col("_vi") * F.col("_vj")), 6)
+                + F.lit(0.0),  # signed-zero normalization
             ).alias("corr"),
         )
     )
@@ -389,7 +399,7 @@ def top_eigvec_local(
     for _ in range(int(iters)):
         w = c @ v
         nrm = float(np.sqrt((w * w).sum()))
-        v = np.round(w / nrm, decimals)
+        v = np.round(w / nrm, decimals) + 0.0  # signed-zero normalization
     out = [float(x) for x in v]
     if len(_ARTIFACT_MEMO) >= _ARTIFACT_MEMO_CAP:
         _ARTIFACT_MEMO.clear()
@@ -418,7 +428,8 @@ def pca_project(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return emb.select(F.col(id_col), F.round(proj, 6).alias("pc1"))
+    # + 0.0: signed-zero normalization for the bitwise hash contract
+    return emb.select(F.col(id_col), (F.round(proj, 6) + F.lit(0.0)).alias("pc1"))
 
 
 def top_eigvecs_local(
@@ -467,7 +478,7 @@ def top_eigvecs_local(
         for _ in range(int(iters)):
             w = c @ v
             nrm = float(np.sqrt((w * w).sum()))
-            v = np.round(w / nrm, decimals)
+            v = np.round(w / nrm, decimals) + 0.0  # signed-zero normalization
         out.append([float(x) for x in v])
         lam = round(float(v @ c @ v), decimals)
         # (lam*v_i)*v_j association matches the oracle's expression tree
@@ -502,6 +513,6 @@ def pca_project2(
 
     return emb.select(
         F.col(id_col),
-        F.round(fold(v1), 6).alias("pc1"),
-        F.round(fold(v2), 6).alias("pc2"),
+        (F.round(fold(v1), 6) + F.lit(0.0)).alias("pc1"),
+        (F.round(fold(v2), 6) + F.lit(0.0)).alias("pc2"),
     )

@@ -1414,14 +1414,17 @@ SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(s2) AS BIGINT) FROM u
 """
 
 # corpus covariance Gramian (similarity.covariance_matrix): rounded
-# second moments + identical cov expression tree over the rounded sums
+# second moments + identical cov expression tree over the rounded sums.
+# `+ 0.0` after each rounded output normalizes IEEE signed zero
+# (-0.0 + 0.0 = +0.0) so the driver's bitwise value hash can't diverge
+# when one engine rounds to zero from below and the other from above.
 ORACLES["emb_covariance"] = """
 WITH v AS (
     SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings
 ),
 cells AS (
     SELECT gi.i AS i, gj.j AS j,
-           round(sum(vv[gi.i + 1] * vv[gj.j + 1]), 4) AS sxy,
+           round(sum(vv[gi.i + 1] * vv[gj.j + 1]), 4) + 0.0 AS sxy,
            CAST(count(*) AS BIGINT) AS n
     FROM v, generate_series(0, 63) gi(i), generate_series(0, 63) gj(j)
     WHERE gi.i <= gj.j
@@ -1432,7 +1435,7 @@ s AS (
     FROM v, generate_series(0, 63) g(i) GROUP BY g.i
 )
 SELECT CAST(c.i AS BIGINT) AS i, CAST(c.j AS BIGINT) AS j, n, sxy,
-       round(sxy / n - (si.sd / n) * (sj.sd / n), 6) AS cov
+       round(sxy / n - (si.sd / n) * (sj.sd / n), 6) + 0.0 AS cov
 FROM cells c JOIN s si ON si.d = c.i JOIN s sj ON sj.d = c.j
 """
 
@@ -1443,7 +1446,7 @@ ORACLES["emb_correlation"] = (
     + """)
 SELECT c.i, c.j, c.cov,
        CASE WHEN vi.cov > 0 AND vj.cov > 0
-            THEN round(c.cov / sqrt(vi.cov * vj.cov), 6) END AS corr
+            THEN round(c.cov / sqrt(vi.cov * vj.cov), 6) + 0.0 END AS corr
 FROM covq c
 JOIN covq vi ON vi.i = c.i AND vi.j = c.i
 JOIN covq vj ON vj.i = c.j AND vj.j = c.j
@@ -1467,7 +1470,8 @@ def _pca_ctes(iters: int = 3) -> str:
         )
         ctes.append(f"n{t} AS (SELECT sqrt(sum(w * w)) AS nrm FROM w{t})")
         ctes.append(
-            f"v{t} AS MATERIALIZED (SELECT d, round(w / nrm, 6) AS v FROM w{t}, n{t})"
+            # + 0.0: signed-zero normalization (matches top_eigvec_local)
+            f"v{t} AS MATERIALIZED (SELECT d, round(w / nrm, 6) + 0.0 AS v FROM w{t}, n{t})"
         )
     return "WITH " + ",\n".join(ctes)
 
@@ -1495,7 +1499,7 @@ u0 AS (SELECT d, 0.125 AS v FROM dims)"""
         ctes += f""",
 x{t} AS (SELECT c.i AS d, sum(c.cov * v.v) AS w FROM c2 c JOIN u{t - 1} v ON v.d = c.j GROUP BY c.i),
 m{t} AS (SELECT sqrt(sum(w * w)) AS nrm FROM x{t}),
-u{t} AS MATERIALIZED (SELECT d, round(w / nrm, 6) AS v FROM x{t}, m{t})"""
+u{t} AS MATERIALIZED (SELECT d, round(w / nrm, 6) + 0.0 AS v FROM x{t}, m{t})"""
     return ctes
 
 
@@ -1506,9 +1510,9 @@ vl1 AS (SELECT list(v ORDER BY d) AS vl FROM v3),
 vl2 AS (SELECT list(v ORDER BY d) AS vl FROM u3)
 SELECT vec_id,
        round(list_sum(list_transform(range(1, 65),
-             k -> CAST(embedding[k] AS DOUBLE) * vl1.vl[k])), 6) AS pc1,
+             k -> CAST(embedding[k] AS DOUBLE) * vl1.vl[k])), 6) + 0.0 AS pc1,
        round(list_sum(list_transform(range(1, 65),
-             k -> CAST(embedding[k] AS DOUBLE) * vl2.vl[k])), 6) AS pc2
+             k -> CAST(embedding[k] AS DOUBLE) * vl2.vl[k])), 6) + 0.0 AS pc2
 FROM embeddings, vl1, vl2
 """
 )
@@ -1519,7 +1523,7 @@ ORACLES["emb_pca_project"] = (
 vl AS (SELECT list(v ORDER BY d) AS vl FROM v3)
 SELECT vec_id,
        round(list_sum(list_transform(range(1, 65),
-             k -> CAST(embedding[k] AS DOUBLE) * vl[k])), 6) AS pc1
+             k -> CAST(embedding[k] AS DOUBLE) * vl[k])), 6) + 0.0 AS pc1
 FROM embeddings, vl
 """
 )

@@ -40,3 +40,23 @@ def assert_frames_match(got: pd.DataFrame, exp: pd.DataFrame, name: str = "") ->
             f"{name}: {int(bad.sum())}/{len(g)} rows differ\n"
             f"spark:\n{g[bad].head(5)}\noracle:\n{e[bad].head(5)}"
         )
+    # Bitwise float check: the driver hashes raw byte representations, so
+    # -0.0 vs 0.0 (which pandas equality treats as equal) must fail here
+    # too — this is the faithful replica of the driver's value-hash gate.
+    import numpy as np
+
+    for c in g.columns:
+        if str(g[c].dtype).startswith("float"):
+            ga = g[c].to_numpy(dtype="float64")
+            ea = e[c].to_numpy(dtype="float64")
+            diff = (ga.view("uint64") != ea.view("uint64")) & ~(
+                np.isnan(ga) & np.isnan(ea)
+            )
+            if diff.any():
+                k = int(np.argmax(diff))
+                raise AssertionError(
+                    f"{name}: column {c!r} differs bitwise at canon row {k}: "
+                    f"spark={ga[k]!r} ({ga.view('uint64')[k]:#x}) vs "
+                    f"oracle={ea[k]!r} ({ea.view('uint64')[k]:#x}) — "
+                    "likely signed zero or last-ulp drift"
+                )

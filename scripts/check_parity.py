@@ -14,22 +14,12 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 import duckdb
-import pandas as pd
 
 from gmall_flink_20_spark.io import TABLES
 from gmall_flink_20_spark.oracles import ORACLES
 from gmall_flink_20_spark.queries import NO_ORACLE, QUERIES
 from gmall_flink_20_spark.session import get_spark
-
-
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-        elif str(df[c].dtype).startswith("float"):
-            df[c] = df[c].round(9)
-    return df.sort_values(by=list(df.columns), ignore_index=True)
+from gmall_flink_20_spark.testing import assert_frames_match
 
 
 def main() -> int:
@@ -59,23 +49,16 @@ def main() -> int:
             print(f"FAIL  {name}: oracle error: {e}")
             failures.append(name)
             continue
-        g, e = canon(got), canon(exp)
-        if len(g) != len(e):
-            print(f"FAIL  {name}: rows spark={len(g)} oracle={len(e)}")
+        # shared helper includes the bitwise float check (signed zero /
+        # last-ulp drift) so this script faithfully replicates the
+        # driver's byte-level value hash — see testing.assert_frames_match
+        try:
+            assert_frames_match(got, exp, name)
+        except AssertionError as e:  # noqa: BLE001
+            print(f"FAIL  {e}")
             failures.append(name)
             continue
-        if list(g.columns) != list(e.columns):
-            print(f"FAIL  {name}: cols spark={list(g.columns)} oracle={list(e.columns)}")
-            failures.append(name)
-            continue
-        if not g.equals(e):
-            neq = (g != e) & ~(g.isna() & e.isna())
-            bad = neq.any(axis=1)
-            print(f"FAIL  {name}: {int(bad.sum())}/{len(g)} rows differ; first diffs:")
-            print(pd.concat([g[bad].head(3).add_suffix("_spark"), e[bad].head(3).add_suffix("_oracle")], axis=1))
-            failures.append(name)
-            continue
-        print(f"ok    {name}: rows={len(g)}")
+        print(f"ok    {name}: rows={len(got)}")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
