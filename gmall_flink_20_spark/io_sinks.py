@@ -121,6 +121,10 @@ def compact_small_files(
                 )
             total += os.path.getsize(local)
         n_files = max(1, -(-total // int(target_file_bytes)))  # ceil div
+    # coalesce can only REDUCE partition count: clamp so the returned
+    # count matches what is actually written when the source has fewer
+    # splits than the sizing formula asks for
+    n_files = min(n_files, max(1, df.rdd.getNumPartitions()))
     df.coalesce(n_files).write.mode(mode).parquet(dst_path)
     return n_files
 

@@ -715,10 +715,13 @@ def group_trend(
     my = F.col("_sy") / F.col("_n")
     cov = F.col("_sxy") / F.col("_n") - mx * my
     var = F.col("_sxx") / F.col("_n") - mx * mx
-    slope = cov / var
+    # zero x-variance (single event, or all events at one timestamp) has
+    # no defined trend: guard explicitly so both engines agree on NULL
+    # instead of Spark NULL vs DuckDB inf/NaN on the raw division
+    slope = F.when(var > 0, cov / var)
     return agg.select(
         F.col(key_col),
         F.col("_n").cast("long").alias("n"),
-        F.round(slope, 6).alias("slope_cents_per_day"),
-        F.round(my - slope * mx, 6).alias("intercept_cents"),
+        (F.round(slope, 6) + F.lit(0.0)).alias("slope_cents_per_day"),
+        (F.round(my - slope * mx, 6) + F.lit(0.0)).alias("intercept_cents"),
     )

@@ -44,12 +44,44 @@ __all__ = [
 
 
 # Trained-quantizer artifact memo (see kmeans_centroids_local). Keys are
-# (kind, input-plan semanticHash, schema, params); values are the tiny
-# driver-side centroid/codebook literals (~1-8 KB each). Bounded; cleared
-# wholesale at the cap — artifacts are cheap to retrain relative to
-# tracking LRU order.
+# (kind, input fingerprint, params); values are the tiny driver-side
+# centroid/codebook literals (~1-8 KB each). Bounded; cleared wholesale
+# at the cap — artifacts are cheap to retrain relative to tracking LRU
+# order. The fingerprint covers the logical plan (semanticHash + schema)
+# AND the source files' (size, mtime) stats, so rewriting data in place
+# at the same path invalidates the memo. Non-file inputs (createDataFrame,
+# views over memory) fall back to the plan hash alone — for those the
+# memo assumes IMMUTABLE inputs within a process; call
+# ``clear_artifact_memo()`` after mutating such an input.
 _ARTIFACT_MEMO: dict[tuple, list] = {}
 _ARTIFACT_MEMO_CAP = 64
+
+
+def clear_artifact_memo() -> None:
+    """Invalidation hook: drop every memoized trained artifact."""
+    _ARTIFACT_MEMO.clear()
+
+
+def _memo_fingerprint(df: DataFrame) -> tuple:
+    """Input identity for the artifact memo: (plan semanticHash, schema,
+    source-file stats). File stats are a driver-side listing only — no
+    job runs; capped at 64 files (a training input with more files than
+    that is fingerprinted by its first 64 plus the total count)."""
+    import os
+
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:  # noqa: BLE001 — e.g. streaming frames
+        files = []
+    stats: list[tuple] = [("n_files", len(files))]
+    for f in files[:64]:
+        p = f[5:] if f.startswith("file:") else f
+        try:
+            st = os.stat(p)
+            stats.append((f, st.st_size, st.st_mtime_ns))
+        except OSError:
+            stats.append((f, -1, -1))
+    return (df.semanticHash(), str(df.schema), tuple(stats))
 
 
 def _l2sq(a: Column, b: Column) -> Column:
@@ -159,8 +191,8 @@ def kmeans_centroids_local(
     their previous centroid. ``normalize=True`` trains SPHERICAL
     k-means (unit vectors: L2-argmin == cosine-argmax).
 
-    Trained centroids are memoized per (input-plan semanticHash, schema,
-    params) for the life of the process — the quantizer is a ~1 KB
+    Trained centroids are memoized per (input fingerprint — plan hash,
+    schema, source-file stats — and params) for the life of the process — the quantizer is a ~1 KB
     deterministic ARTIFACT of (data, params), exactly the thing a real
     deployment trains once and ships alongside the index (FAISS persists
     it; MLlib returns a reusable model). Three registry queries consume
@@ -170,8 +202,7 @@ def kmeans_centroids_local(
     """
     memo_key = (
         "kmeans",
-        emb.semanticHash(),
-        str(emb.schema),
+        _memo_fingerprint(emb),
         nlist,
         iters,
         id_col,
@@ -565,7 +596,7 @@ def pq_train_local(
 
     Memoized per (input plan, params) like ``kmeans_centroids_local`` —
     a deterministic train-once artifact."""
-    memo_key = ("pq", emb.semanticHash(), str(emb.schema), m, subdim, ks, iters, id_col, vec_col)
+    memo_key = ("pq", _memo_fingerprint(emb), m, subdim, ks, iters, id_col, vec_col)
     hit = _ARTIFACT_MEMO.get(memo_key)
     if hit is not None:
         return [[(cid, list(cv)) for cid, cv in book] for book in hit]

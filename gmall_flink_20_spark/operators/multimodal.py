@@ -6,6 +6,9 @@ shape through ``mapInPandas`` — is real and tested; the actual media
 decode is STUBBED (this container has no image/audio libs): pass
 ``fake_decode=True`` for a deterministic fake, otherwise the decode step
 raises ``NotImplementedError`` where a real libjpeg/ffmpeg call belongs.
+(Checked round 4: no PIL/Pillow wheel is available offline and installs
+are disallowed, so the real branch stays gated; wiring it is a one-line
+swap of the fake block for ``PIL.Image.open(io.BytesIO(b))`` etc.)
 
 Scale notes: mapInPandas streams Arrow batches, so per-executor memory is
 bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` regardless of
@@ -156,18 +159,24 @@ def sample_frames(
     exploding row contract are real."""
 
     def _sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             pdf = pdf[pdf["kind"] == "video"]
             if not fake_decode:
                 raise NotImplementedError("frame sampling requires ffmpeg, not in this container")
-            ids, idxs, frames = [], [], []
-            for _, row in pdf.iterrows():
-                payload = row["payload"] or b""
-                for i in range(max_frames):
-                    off = (i * every_n) % max(1, len(payload))
-                    ids.append(row["media_id"])
-                    idxs.append(i)
-                    frames.append(payload[off : off + 8])
+            # vectorized 1:N fan-out: repeat ids, tile frame indices
+            # (same repeat/tile shape as the resize path — no iterrows)
+            n = len(pdf)
+            payloads = pdf["payload"].map(lambda b: b or b"")
+            ids = np.repeat(pdf["media_id"].to_numpy(), max_frames)
+            idxs = np.tile(np.arange(max_frames, dtype="int64"), n)
+            lens = np.maximum(payloads.map(len).to_numpy(dtype="int64"), 1)
+            offs = (idxs * every_n) % np.repeat(lens, max_frames)
+            frames = [
+                p[off : off + 8]
+                for p, off in zip(np.repeat(payloads.to_numpy(), max_frames), offs)
+            ]
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return media.mapInPandas(_sample_batch, schema=FRAME_SCHEMA)

@@ -374,12 +374,11 @@ def top_eigvec_local(
     """
     import numpy as np
 
-    from .ann import _ARTIFACT_MEMO, _ARTIFACT_MEMO_CAP
+    from .ann import _ARTIFACT_MEMO, _ARTIFACT_MEMO_CAP, _memo_fingerprint
 
     memo_key = (
         "eigvec",
-        emb.semanticHash(),
-        str(emb.schema),
+        _memo_fingerprint(emb),
         int(iters),
         vec_col,
         int(dim),
@@ -450,12 +449,11 @@ def top_eigvecs_local(
     """
     import numpy as np
 
-    from .ann import _ARTIFACT_MEMO, _ARTIFACT_MEMO_CAP
+    from .ann import _ARTIFACT_MEMO, _ARTIFACT_MEMO_CAP, _memo_fingerprint
 
     memo_key = (
         "eigvecs",
-        emb.semanticHash(),
-        str(emb.schema),
+        _memo_fingerprint(emb),
         int(n_components),
         int(iters),
         vec_col,

@@ -683,10 +683,12 @@ agg AS (
     FROM xy GROUP BY event_type
 )
 SELECT event_type, CAST(n AS BIGINT) AS n,
-       round((sxy / n - (sx / n) * (sy / n)) / (sxx / n - (sx / n) * (sx / n)), 6)
-           AS slope_cents_per_day,
-       round(sy / n - ((sxy / n - (sx / n) * (sy / n)) / (sxx / n - (sx / n) * (sx / n))) * (sx / n), 6)
-           AS intercept_cents
+       CASE WHEN (sxx / n - (sx / n) * (sx / n)) > 0 THEN
+           round((sxy / n - (sx / n) * (sy / n)) / (sxx / n - (sx / n) * (sx / n)), 6) + 0.0
+       END AS slope_cents_per_day,
+       CASE WHEN (sxx / n - (sx / n) * (sx / n)) > 0 THEN
+           round(sy / n - ((sxy / n - (sx / n) * (sy / n)) / (sxx / n - (sx / n) * (sx / n))) * (sx / n), 6) + 0.0
+       END AS intercept_cents
 FROM agg
 """
 

@@ -468,6 +468,7 @@ def funnel_stream(
     events: DataFrame,
     horizon_s: int,
     steps: tuple[str, str, str] = ("view", "click", "purchase"),
+    tombstone_ttl_s: int | None = None,
 ) -> DataFrame:
     """The 3-step earliest-chain funnel as arbitrary stateful streaming —
     per user, the chained minima s0 → s1 → s2 (each step at/after the
@@ -486,6 +487,15 @@ def funnel_stream(
     tombstone (s0 = −1) absorbs any later arrivals. Keys that never see
     step 0 retain no state and emit nothing — absent rows count zero in
     the final aggregation, matching the batch oracle.
+
+    State TTL: the tombstone is what guarantees exactly-once per user —
+    dropping it lets a user who reappears much later start a second
+    funnel. On an unbounded stream that is still O(users) state, so
+    ``tombstone_ttl_s`` arms one final event-time timer that far past
+    the emission watermark and ``state.remove()``s when it fires
+    (re-armed if stray rows keep arriving). The default ``None`` keeps
+    tombstones forever: exact semantics, with the same external
+    compaction requirement the CDC latest-state docstring documents.
     """
     st0, st1, st2 = steps
     idx = {st0: 0, st1: 1, st2: 2}
@@ -505,9 +515,18 @@ def funnel_stream(
             {"user_id": "int64", "s0_s": "int64", "s1_s": "int64", "s2_s": "int64"}
         )
         if s0 == -1:  # tombstone: already emitted
-            if not state.hasTimedOut:
-                for _ in pdfs:
-                    pass
+            if state.hasTimedOut:
+                # TTL timer fired with no new rows: retire the tombstone
+                state.remove()
+                yield empty
+                return
+            for _ in pdfs:
+                pass
+            if tombstone_ttl_s is not None:
+                # timers reset on every invocation — re-arm the TTL
+                state.setTimeoutTimestamp(
+                    state.getCurrentWatermarkMs() + tombstone_ttl_s * 1000
+                )
             yield empty
             return
         items: list[tuple[int, int]] = []
@@ -546,6 +565,8 @@ def funnel_stream(
         if s0 is not None and wm_ms > (s0 + horizon_s) * 1000:
             # immutable: every undecided row is beyond the horizon window
             state.update((-1, None, None, ""))
+            if tombstone_ttl_s is not None:
+                state.setTimeoutTimestamp(wm_ms + tombstone_ttl_s * 1000)
             yield pd.DataFrame(
                 {"user_id": [user_id], "s0_s": [s0], "s1_s": [s1], "s2_s": [s2]}
             )

@@ -209,3 +209,31 @@ def test_tfidf_no_python_udf(spark, sf_dir):
 
     plan = _plan(text.tfidf_topk(load_table(spark, sf_dir, "documents"), k=3))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ------------------------------------------------------------ group trend
+
+
+def test_group_trend_zero_variance_yields_null(spark):
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        # group "a": two points one day apart, slope = 100 cents/day
+        Row(event_type="a", ts=t, value=1.0),
+        Row(event_type="a", ts=t + dt.timedelta(days=1), value=2.0),
+        # group "b": single event → zero x-variance
+        Row(event_type="b", ts=t, value=5.0),
+        # group "c": all events at one timestamp → zero x-variance
+        Row(event_type="c", ts=t, value=1.0),
+        Row(event_type="c", ts=t, value=9.0),
+    ]
+    out = {
+        r.event_type: r
+        for r in analytics.group_trend(spark.createDataFrame(rows)).collect()
+    }
+    assert abs(out["a"].slope_cents_per_day - 100.0) < 1e-6
+    assert out["b"].slope_cents_per_day is None
+    assert out["b"].intercept_cents is None
+    assert out["c"].slope_cents_per_day is None
+    assert out["c"].intercept_cents is None

@@ -586,3 +586,36 @@ def test_arrow_and_fold_bruteforce_kernels_agree(spark, sf_dir):
         for r in similarity.ann_bruteforce_topk_arrow(emb, list(range(8)), 5).collect()
     }
     assert fold == arrow
+
+
+def test_artifact_memo_invalidates_on_file_rewrite(spark, tmp_path):
+    """Rewriting the SAME path with different data must miss the memo:
+    the fingerprint includes source-file (size, mtime) stats, so a plan
+    whose semanticHash is unchanged still retrains (ADVICE r3)."""
+    import time
+
+    import numpy as np
+
+    from gmall_flink_20_spark.operators import ann
+
+    p = str(tmp_path / "emb.parquet")
+    rng = np.random.RandomState(3)
+
+    def write(seed):
+        r = np.random.RandomState(seed)
+        rows = [(i, [float(x) for x in r.rand(8)]) for i in range(30)]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+
+    write(1)
+    ann._ARTIFACT_MEMO.clear()
+    first = ann.kmeans_centroids_local(spark.read.parquet(p), nlist=4, iters=2, dim=8)
+    assert len(ann._ARTIFACT_MEMO) == 1
+    time.sleep(0.05)  # ensure mtime_ns moves even on coarse filesystems
+    write(2)
+    second = ann.kmeans_centroids_local(spark.read.parquet(p), nlist=4, iters=2, dim=8)
+    assert len(ann._ARTIFACT_MEMO) == 2, "rewrite at same path must invalidate"
+    assert second != first
+    ann.clear_artifact_memo()
+    assert len(ann._ARTIFACT_MEMO) == 0

@@ -141,6 +141,22 @@ def test_compact_small_files(spark):
     assert spark.read.parquet(dst).count() == 10_000
 
 
+def test_compact_small_files_clamps_to_source_splits(spark):
+    """When the byte-sizing formula asks for MORE files than the source
+    has splits, coalesce can't widen — the returned count must match the
+    files actually written (ADVICE r3)."""
+    from gmall_flink_20_spark import io_sinks
+
+    src = tempfile.mkdtemp(prefix="cs_clamp_src_")
+    spark.range(50_000).coalesce(2).write.mode("overwrite").parquet(src)
+    dst = tempfile.mkdtemp(prefix="cs_clamp_dst_")
+    # ~200 KB of parquet with a 1 KB target asks for ~200 output files
+    n_out = io_sinks.compact_small_files(spark, src, dst, target_file_bytes=1024)
+    files_out = list(Path(dst).glob("*.parquet"))
+    assert n_out == len(files_out), (n_out, len(files_out))
+    assert spark.read.parquet(dst).count() == 50_000
+
+
 def test_bucketed_tables_join_without_exchange(spark):
     """The co-located-join contract write_bucketed exists for: two tables
     bucketed on the join key must sort-merge join with ZERO Exchange —

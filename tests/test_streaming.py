@@ -279,3 +279,42 @@ def test_funnel_stream_matches_batch_on_ties_and_disorder(spark):
     assert per_user[3].s2_s is None
     # exactly one emission per user with a view
     assert set(per_user) == {1, 2, 3}
+
+
+def test_funnel_stream_tombstone_ttl_preserves_semantics(spark):
+    """With tombstone_ttl_s set, emitted keys get one final event-time
+    timer and state.remove() when it fires — output must be identical
+    to the TTL-less run (exactly one emission per user, no re-fires)
+    as long as the user doesn't reappear after the TTL."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+
+    from gmall_flink_20_spark.streaming import replay, stateful
+
+    base = 1_700_000_000
+
+    def ts(s):
+        return datetime.fromtimestamp(base + s, tz=timezone.utc).replace(tzinfo=None)
+
+    rows = [
+        (1, 10, ts(100), "view"),
+        (1, 11, ts(150), "click"),
+        (1, 12, ts(200), "purchase"),
+        (2, 20, ts(50), "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    ).withColumn("ts_s", F.col("ts").cast("long"))
+    sa, sb, _ = replay.sentinel_pair(spark, ev)
+    stream = replay.replay_stream(
+        spark, ev, "ts", num_chunks=3, extra_chunks=[sa, sb]
+    )
+    out = stateful.funnel_stream(
+        stream.withWatermark("ts", "60 seconds"), horizon_s=300, tombstone_ttl_s=60
+    )
+    got = replay.run_to_completion(out).collect()
+    assert sorted(r.user_id for r in got) == [1, 2]
+    by_user = {r.user_id: r for r in got}
+    assert by_user[1].s2_s == base + 200
+    assert by_user[2].s1_s is None
