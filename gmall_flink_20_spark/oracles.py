@@ -1224,11 +1224,12 @@ SELECT query_id, neighbor_id, rank FROM (
 ) WHERE rank <= 5
 """
 
-def _kmeans_ctes(nlist: int, iters: int, dim: int) -> tuple[list[str], str]:
+def _kmeans_ctes(nlist: int | str, iters: int, dim: int) -> tuple[list[str], str]:
     """Shared unrolled spherical-Lloyd CTE chain (mirrors
     operators/ann.kmeans_centroids(normalize=True): round(mean, 6)
     determinism contract, empty-cell carry-forward). Returns (ctes, the
-    per-row squared-L2 expression against alias c)."""
+    per-row squared-L2 expression against alias c). ``nlist`` may be an
+    int literal or a SQL scalar-subquery string (the derived-k form)."""
     unit = (
         "list_transform(embedding, x -> CAST(x AS DOUBLE) / "
         f"sqrt({_DDOT.format(a='embedding', b='embedding')}))"
@@ -2583,12 +2584,24 @@ FROM feat
 """
 
 
+# ann.derive_nlist as SQL: max(8, ceil(n / 256)) over the corpus —
+# keeps the oracle correct at ANY scale factor, matching the operator's
+# derived-by-default nlist
+_DERIVED_NLIST_SQL = (
+    "(SELECT greatest(8, CAST(ceil(count(*) / 256.0) AS BIGINT)) FROM embeddings)"
+)
+
+
 def _semantic_dedup_sql(
-    threshold: float = 0.25, nlist: int = 8, iters: int = 3, dim: int = 64
+    threshold: float = 0.25,
+    nlist: int | str = _DERIVED_NLIST_SQL,
+    iters: int = 3,
+    dim: int = 64,
 ) -> str:
     """SemDeDup oracle: unrolled-Lloyd assignment (same CTE chain as
     emb_kmeans), then the within-cluster lower-id cosine drop rule on
-    the RAW embeddings with the double-fold cosine."""
+    the RAW embeddings with the double-fold cosine. Default nlist is the
+    derived-from-corpus-size scalar subquery (ann.derive_nlist)."""
     ctes, dl2 = _kmeans_ctes(nlist, iters, dim)
     final = f"""asg AS (
     SELECT vec_id, cid FROM (

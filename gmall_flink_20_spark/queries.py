@@ -1668,7 +1668,10 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means clusters bound the cosine candidate space; each vector with
     a lower-id same-cluster neighbor at cosine >= 0.25 is dropped, one
     canonical representative per near-dup chain. Kept flags for every
-    vector, oracle-checked against the unrolled-Lloyd SQL."""
+    vector, oracle-checked against the unrolled-Lloyd SQL. nlist is
+    DERIVED from corpus size (ann.derive_nlist, max(8, ceil(n/256)) —
+    mirrored by a scalar subquery in the oracle), so expected cluster
+    size stays constant and the pair stage linear as the corpus grows."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ann.semantic_dedup(emb, threshold=0.25)
 

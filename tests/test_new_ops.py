@@ -619,3 +619,63 @@ def test_artifact_memo_invalidates_on_file_rewrite(spark, tmp_path):
     assert second != first
     ann.clear_artifact_memo()
     assert len(ann._ARTIFACT_MEMO) == 0
+
+
+def test_derive_nlist_and_semantic_dedup_wiring(spark):
+    """nlist=None derives k = max(min, ceil(n/target)) and produces the
+    same result as passing that k explicitly (VERDICT r3 item 4)."""
+    import numpy as np
+
+    from gmall_flink_20_spark.operators import ann
+
+    rng = np.random.RandomState(5)
+    rows = [(i, [float(x) for x in rng.rand(8)]) for i in range(600)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assert ann.derive_nlist(df, target_cluster_rows=64, min_nlist=4) == 10
+    assert ann.derive_nlist(df, target_cluster_rows=256, min_nlist=8) == 8
+    assert ann.derive_nlist(df.limit(100), target_cluster_rows=256) == 8
+
+    derived = ann.semantic_dedup(
+        df, threshold=0.9, dim=8, target_cluster_rows=64,
+    ).toPandas().sort_values("vec_id", ignore_index=True)
+    explicit = ann.semantic_dedup(
+        df, threshold=0.9, nlist=10, dim=8,
+    ).toPandas().sort_values("vec_id", ignore_index=True)
+    assert derived.equals(explicit)
+    # derived k actually materialized ~target-sized clusters
+    assert derived["cluster_id"].nunique() == 10
+
+
+def test_kmeans_training_job_count(spark):
+    """Driver round-trip contract (VERDICT r3 item 7): training runs ONE
+    action for init + one fused assign+mean action per Lloyd iteration —
+    the persisted input means each action beyond the first reads the
+    cache, so the source is scanned once. AQE splits each shuffle-agg
+    action into ≤2 Spark jobs (stage materialization + result), hence
+    the 1 + 2*iters bound; a regression to separate assign and mean
+    passes would double it."""
+    import numpy as np
+
+    from gmall_flink_20_spark.operators import ann
+
+    rng = np.random.RandomState(5)
+    rows = [(i, [float(x) for x in rng.rand(8)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sc = spark.sparkContext
+
+    ann._ARTIFACT_MEMO.clear()
+    sc.setJobGroup("km_train", "")
+    ann.kmeans_centroids_local(df, nlist=4, iters=3, dim=8)
+    n = len(sc.statusTracker().getJobIdsForGroup("km_train"))
+    assert n <= 1 + 2 * 3, f"{n} jobs for iters=3 — extra per-iteration actions"
+
+    # memo hit: zero jobs
+    sc.setJobGroup("km_hit", "")
+    ann.kmeans_centroids_local(df, nlist=4, iters=3, dim=8)
+    assert len(sc.statusTracker().getJobIdsForGroup("km_hit")) == 0
+
+    sc.setJobGroup("pq_train", "")
+    ann.pq_train_local(df, m=2, subdim=4, ks=4, iters=2)
+    n = len(sc.statusTracker().getJobIdsForGroup("pq_train"))
+    assert n <= 1 + 2 * 2, f"{n} jobs for pq iters=2"
+    ann._ARTIFACT_MEMO.clear()
