@@ -234,6 +234,29 @@ def main() -> None:
             # cached blocks/broadcasts don't pressure later measurements
             spark.catalog.clearCache()
 
+    # Streaming replay wall-times (VERDICT r3 item 8): the Structured-
+    # Streaming entries are EXCLUDED from the headline total (their
+    # replay-harness micro-batch scheduling isn't comparable to batch
+    # plan time) but timed once each and recorded in BENCH_DETAIL.json
+    # so streaming perf regressions are visible round-over-round. Skip
+    # with SPARK_GRAFT_BENCH_STREAMING=0.
+    stream_timings: dict[str, float] = {}
+    stream_skipped: list[str] = []
+    if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
+        # hard time budget so the replay section can't blow the driver's
+        # bench wall-clock; anything skipped is recorded, not silent
+        budget = float(os.environ.get("SPARK_GRAFT_BENCH_STREAMING_BUDGET", "420"))
+        t_section = time.perf_counter()
+        for name in sorted(n for n in QUERIES if n.endswith("_streaming")):
+            if time.perf_counter() - t_section > budget:
+                stream_skipped.append(name)
+                continue
+            t0 = time.perf_counter()
+            rows = QUERIES[name](spark, sf_dir).toPandas()
+            stream_timings[name] = round(time.perf_counter() - t0, 3)
+            del rows
+            spark.catalog.clearCache()
+
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     total = round(sum(timings.values()), 3)
     # Full per-query detail goes to a file (and an early stdout line for
@@ -248,6 +271,10 @@ def main() -> None:
         "queries": timings,
         "runs": runs,
         "sf": sf_val,
+        # single-shot replay wall-times, excluded from "value"
+        "streaming_queries": stream_timings,
+        "streaming_total": round(sum(stream_timings.values()), 3),
+        "streaming_skipped_over_budget": stream_skipped,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
