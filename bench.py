@@ -162,6 +162,8 @@ BENCH_QUERIES = [
     "docs_source_diversity",
     "customers_ltv",
     "docs_health_by_source",
+    "orders_market_basket",
+    "customers_revenue_pareto",
 ]
 
 

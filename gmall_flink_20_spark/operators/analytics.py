@@ -27,7 +27,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "funnel", "retention_cohorts", "pivot_counts", "rate_anomaly", "transition_matrix"]
+__all__ = [
+    "asof_join",
+    "funnel",
+    "retention_cohorts",
+    "pivot_counts",
+    "rate_anomaly",
+    "transition_matrix",
+    "market_basket",
+    "revenue_concentration",
+]
 
 
 def asof_join(
@@ -724,4 +733,139 @@ def group_trend(
         F.col("_n").cast("long").alias("n"),
         (F.round(slope, 6) + F.lit(0.0)).alias("slope_cents_per_day"),
         (F.round(my - slope * mx, 6) + F.lit(0.0)).alias("intercept_cents"),
+    )
+
+
+def market_basket(
+    lines: DataFrame,
+    order_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    min_pair_count: int = 3,
+) -> DataFrame:
+    """Association-rule mining over order baskets — support, confidence
+    (both directions) and lift for every item pair co-purchased in at
+    least ``min_pair_count`` orders. The batch complement of
+    ``item_cooccurrence`` (events): that ranks per-anchor neighbors,
+    this emits the calibrated rule statistics a recommender or
+    assortment team consumes.
+
+    Scale shape: pair generation is a self-equi-join of the DISTINCT
+    (order, item) basket frame on the order key — fan-out is bounded by
+    C(basket,2), and TPC-H-style baskets are tens of items, so the pair
+    stream is a small constant multiple of the input (never |items|²).
+    Item marginals reduce to |items| rows and broadcast back into the
+    rule frame; the total-orders count rides the same broadcast as a
+    1-row cross join. One shuffle for the basket distinct (reused by
+    the self-join's both sides via cache), one for the pair count.
+
+    Float contract: support/confidence/lift are round-6 over exact
+    counts with identical expression trees in both engines (+0.0
+    normalizes signed zero, though counts make negatives impossible).
+    """
+    from ._cache import eager_persist
+
+    baskets = eager_persist(
+        lines.select(
+            F.col(order_col).alias("_o"), F.col(item_col).alias("_i")
+        ).distinct()
+    )
+    totals = baskets.agg(F.count_distinct(F.col("_o")).alias("_n"))
+    item_counts = baskets.groupBy("_i").agg(F.count(F.lit(1)).alias("_c"))
+    a = baskets.select(F.col("_o"), F.col("_i").alias("part_a"))
+    b = baskets.select(F.col("_o"), F.col("_i").alias("part_b"))
+    pairs = (
+        a.join(b, "_o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= int(min_pair_count))
+    )
+    ca = item_counts.select(F.col("_i").alias("part_a"), F.col("_c").alias("_ca"))
+    cb = item_counts.select(F.col("_i").alias("part_b"), F.col("_c").alias("_cb"))
+    nd = F.col("_n").cast("double")
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("part_a").cast("long").alias("part_a"),
+            F.col("part_b").cast("long").alias("part_b"),
+            F.col("pair_count").cast("long").alias("pair_count"),
+            (F.round(F.col("pair_count") / nd, 6) + F.lit(0.0)).alias("support"),
+            (F.round(F.col("pair_count") / F.col("_ca"), 6) + F.lit(0.0)).alias(
+                "conf_a_b"
+            ),
+            (F.round(F.col("pair_count") / F.col("_cb"), 6) + F.lit(0.0)).alias(
+                "conf_b_a"
+            ),
+            (
+                F.round(
+                    F.col("pair_count") * nd / (F.col("_ca") * F.col("_cb")), 6
+                )
+                + F.lit(0.0)
+            ).alias("lift"),
+        )
+    )
+
+
+def revenue_concentration(
+    orders: DataFrame,
+    key_col: str = "o_custkey",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """Revenue-concentration report: decile-level Pareto curve plus the
+    Gini coefficient — "do 20% of customers carry 80% of revenue?" as
+    one frame. Emits one row per spend decile (1 = highest spenders):
+    customer count, decile revenue, cumulative share, and the corpus
+    Gini (constant column, exact rank formula over integer cents).
+
+    Scale shape: everything beyond the per-key aggregate operates on the
+    |keys| frame, which is orders-of-magnitude smaller than the fact
+    table. The global sort that ranks keys is the same |keys|-sized
+    total order customers_ltv already pays; decile stats then reduce to
+    10 rows. Gini uses G = 2·Σ(r·x)/(n·Σx) − (n+1)/n over ascending
+    ranks — one aggregate over the ranked frame, no second sort.
+
+    Determinism: integer-cent sums, ties ranked by key; round-6 + 0.0.
+    """
+    per = orders.groupBy(key_col).agg(
+        F.sum(F.round(F.col(amount_col) * 100, 0).cast("long"))
+        .cast("long")
+        .alias("_cents")
+    )
+    w_desc = Window.orderBy(F.col("_cents").desc(), F.col(key_col).asc())
+    w_asc = Window.orderBy(F.col("_cents").asc(), F.col(key_col).desc())
+    ranked = per.select(
+        "_cents",
+        F.ntile(10).over(w_desc).alias("decile"),
+        F.row_number().over(w_asc).cast("long").alias("_r_asc"),
+    )
+    gini_f = ranked.agg(
+        (
+            F.lit(2.0) * F.sum(F.col("_r_asc") * F.col("_cents"))
+            / (F.count(F.lit(1)) * F.sum("_cents"))
+            - (F.count(F.lit(1)) + 1) / F.count(F.lit(1))
+        ).alias("_g"),
+        F.sum("_cents").alias("_total"),
+    )
+    dec = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("_cents").cast("long").alias("decile_cents"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dec.crossJoin(F.broadcast(gini_f))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_keys",
+            "decile_cents",
+            (
+                F.round(
+                    F.sum("decile_cents").over(w_cum) / F.col("_total").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cum_share"),
+            (F.round(F.col("_g"), 6) + F.lit(0.0)).alias("gini"),
+        )
     )

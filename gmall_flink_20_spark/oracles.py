@@ -3162,3 +3162,55 @@ FROM (
     FROM j JOIN cv c USING (lang)
 )
 """
+
+# association rules over order baskets (analytics.market_basket):
+# distinct-basket self-join pairs, marginals, round-6 + signed-zero-safe
+ORACLES["orders_market_basket"] = """
+WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+n AS (SELECT count(DISTINCT o) AS n FROM b),
+ic AS (SELECT i, count(*) AS c FROM b GROUP BY i),
+p AS (
+    SELECT a.i AS part_a, b2.i AS part_b, count(*) AS pair_count
+    FROM b a JOIN b b2 ON a.o = b2.o AND a.i < b2.i
+    GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT CAST(part_a AS BIGINT) AS part_a, CAST(part_b AS BIGINT) AS part_b,
+       CAST(pair_count AS BIGINT) AS pair_count,
+       round(pair_count / CAST(n.n AS DOUBLE), 6) + 0.0 AS support,
+       round(pair_count / CAST(ca.c AS DOUBLE), 6) + 0.0 AS conf_a_b,
+       round(pair_count / CAST(cb.c AS DOUBLE), 6) + 0.0 AS conf_b_a,
+       round(pair_count * CAST(n.n AS DOUBLE) / (ca.c * cb.c), 6) + 0.0 AS lift
+FROM p JOIN ic ca ON ca.i = p.part_a JOIN ic cb ON cb.i = p.part_b, n
+"""
+
+# revenue concentration (analytics.revenue_concentration): decile Pareto
+# curve + exact-rank Gini over integer-cent customer totals
+ORACLES["customers_revenue_pareto"] = """
+WITH per AS (
+    SELECT o_custkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY o_custkey
+),
+ranked AS (
+    SELECT cents,
+           ntile(10) OVER (ORDER BY cents DESC, o_custkey ASC) AS decile,
+           row_number() OVER (ORDER BY cents ASC, o_custkey DESC) AS r_asc
+    FROM per
+),
+g AS (
+    SELECT 2.0 * sum(r_asc * cents) / (count(*) * sum(cents))
+               - (count(*) + 1.0) / count(*) AS g,
+           sum(cents) AS total
+    FROM ranked
+),
+dec AS (
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(cents) AS BIGINT) AS decile_cents
+    FROM ranked GROUP BY decile
+)
+SELECT CAST(decile AS BIGINT) AS decile, n_keys, decile_cents,
+       round(sum(decile_cents) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+             / CAST(g.total AS DOUBLE), 6) + 0.0 AS cum_share,
+       round(g.g, 6) + 0.0 AS gini
+FROM dec, g
+"""

@@ -1951,6 +1951,28 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.knn_graph(load_table(spark, sf_dir, "embeddings"), k=3)
 
 
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over TPC-H order baskets (operators/analytics.
+    market_basket): support / directional confidence / lift for part
+    pairs co-purchased in >= 3 orders. Pair fan-out is bounded by basket
+    size (C(b,2), b <= ~tens), item marginals broadcast — the rule frame
+    never approaches |parts|²."""
+    from .operators import analytics
+
+    return analytics.market_basket(load_table(spark, sf_dir, "lineitem"))
+
+
+def customers_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration report (operators/analytics.
+    revenue_concentration): per-spend-decile Pareto curve + corpus Gini
+    over integer-cent customer totals. Complements customers_ltv (which
+    emits per-customer deciles) with the 10-row concentration summary a
+    leadership dashboard consumes."""
+    from .operators import analytics
+
+    return analytics.revenue_concentration(load_table(spark, sf_dir, "orders"))
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2001,6 +2023,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (2) r3's red row, fixed in r4 (signed-zero normalization)
     "emb_covariance": emb_covariance,
     # (3) round-4 NEW operators (inserted here as they land)
+    "orders_market_basket": orders_market_basket,
+    "customers_revenue_pareto": customers_revenue_pareto,
     # (4) flagship fill from the already-proven set (≥2 green rounds)
     "hot_items_topn": hot_items_topn,
     "hot_urls_topn": hot_urls_topn,

@@ -237,3 +237,50 @@ def test_group_trend_zero_variance_yields_null(spark):
     assert out["b"].intercept_cents is None
     assert out["c"].slope_cents_per_day is None
     assert out["c"].intercept_cents is None
+
+
+# ------------------------------------------------------------ market basket
+
+
+def test_market_basket_rule_stats(spark):
+    """4 baskets: {1,2,3}, {1,2}, {1,2}, {3}. Pair (1,2) count=3,
+    support=3/4, conf both ways 3/3 and 3/3, lift = 4*3/(3*3)."""
+    rows = [
+        (10, 1), (10, 2), (10, 3),
+        (11, 1), (11, 2),
+        (12, 1), (12, 2), (12, 2),  # duplicate line collapses
+        (13, 3),
+    ]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = analytics.market_basket(df, min_pair_count=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.part_a, r.part_b, r.pair_count) == (1, 2, 3)
+    assert r.support == 0.75
+    assert r.conf_a_b == 1.0 and r.conf_b_a == 1.0
+    assert abs(r.lift - round(4 * 3 / 9, 6)) < 1e-12
+
+
+def test_market_basket_broadcasts_marginals(spark):
+    rows = [(o, i) for o in range(20) for i in range(o % 4 + 2)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    plan = _plan(analytics.market_basket(df, min_pair_count=1))
+    assert "BroadcastHashJoin" in plan
+    assert "PythonUDF" not in plan
+
+
+def test_revenue_concentration_uniform_and_skewed(spark):
+    # uniform spend -> gini 0; 10 keys, 1 per decile, cum_share k/10
+    rows = [(k, 10.0) for k in range(10)]
+    df = spark.createDataFrame(rows, "o_custkey long, o_totalprice double")
+    out = {r.decile: r for r in analytics.revenue_concentration(df).collect()}
+    assert len(out) == 10
+    assert all(out[d].gini == 0.0 for d in out)
+    assert out[3].cum_share == 0.3 and out[10].cum_share == 1.0
+    # one key owns everything among n=2 -> gini = 1/2 (rank formula)
+    df2 = spark.createDataFrame(
+        [(1, 100.0), (2, 0.0)], "o_custkey long, o_totalprice double"
+    )
+    got = {r.decile: r for r in analytics.revenue_concentration(df2).collect()}
+    assert got[1].gini == 0.5
+    assert got[1].cum_share == 1.0
