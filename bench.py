@@ -164,6 +164,8 @@ BENCH_QUERIES = [
     "docs_health_by_source",
     "orders_market_basket",
     "customers_revenue_pareto",
+    "emb_label_drift",
+    "docs_dedup_survivors",
 ]
 
 

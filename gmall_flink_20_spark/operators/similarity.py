@@ -22,6 +22,7 @@ __all__ = [
     "ann_bruteforce_topk",
     "ann_bruteforce_topk_arrow",
     "lang_centroid_outliers",
+    "label_centroid_drift",
     "covariance_matrix",
     "correlation_matrix",
     "top_eigvec_local",
@@ -513,4 +514,76 @@ def pca_project2(
         F.col(id_col),
         (F.round(fold(v1), 6) + F.lit(0.0)).alias("pc1"),
         (F.round(fold(v2), 6) + F.lit(0.0)).alias("pc2"),
+    )
+
+
+def label_centroid_drift(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-subgroup embedding drift monitor: each label's centroid scored
+    against the corpus centroid — cosine and L2 distance per label. The
+    standing QC for "did one source/shard/batch drift away from the
+    corpus?" (the group-level complement of ``lang_centroid_outliers``,
+    which scores individual vectors).
+
+    Scale shape: both centroid families reduce to (labels × dim) and
+    (dim) rows via map-side-combined aggregates over the exploded
+    corpus — the corpus shuffles dim rows per input row once, everything
+    downstream operates on KB-scale frames. No broadcast of the corpus,
+    no pairwise work.
+
+    Float contract: per-dim sums rounded to 4 (the summed-double gate);
+    means derived from rounded sums; cosine/L2 computed as DETERMINISTIC
+    sequential folds over pos-sorted mean arrays so both engines add in
+    the identical order; round-6 + signed-zero normalization on outputs.
+    """
+    ex = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"),
+    )
+    lbl = ex.groupBy("label", "pos").agg(
+        F.round(F.sum("x"), 4).alias("_s"), F.count(F.lit(1)).alias("_n")
+    )
+    glob = ex.groupBy("pos").agg(
+        F.round(F.sum("x"), 4).alias("_gs"), F.count(F.lit(1)).alias("_gn")
+    )
+    j = lbl.join(F.broadcast(glob), "pos").select(
+        "label",
+        "pos",
+        (F.col("_s") / F.col("_n")).alias("_m"),
+        (F.col("_gs") / F.col("_gn")).alias("_gm"),
+        F.col("_n"),
+    )
+    a = j.groupBy("label").agg(
+        F.max("_n").cast("long").alias("n"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "_m"))), lambda s: s["_m"]
+        ).alias("_mv"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "_gm"))), lambda s: s["_gm"]
+        ).alias("_gv"),
+    )
+
+    def fold2(u, v, fn):
+        return F.aggregate(
+            F.zip_with(u, v, fn), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    dot_mg = fold2(F.col("_mv"), F.col("_gv"), lambda a_, b_: a_ * b_)
+    n2m = fold2(F.col("_mv"), F.col("_mv"), lambda a_, b_: a_ * b_)
+    n2g = fold2(F.col("_gv"), F.col("_gv"), lambda a_, b_: a_ * b_)
+    l2 = fold2(F.col("_mv"), F.col("_gv"), lambda a_, b_: (a_ - b_) * (a_ - b_))
+    return a.select(
+        F.col("label").cast("long").alias("label"),
+        "n",
+        # zero-norm centroid (degenerate corpus) has no defined angle:
+        # explicit NULL in both engines instead of NULL-vs-inf divergence
+        F.when(
+            (n2m > 0) & (n2g > 0),
+            F.round(dot_mg / F.sqrt(n2m * n2g), 6) + F.lit(0.0),
+        ).alias("cos_to_global"),
+        (F.round(F.sqrt(l2), 6) + F.lit(0.0)).alias("l2_to_global"),
     )

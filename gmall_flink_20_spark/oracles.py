@@ -3214,3 +3214,61 @@ SELECT CAST(decile AS BIGINT) AS decile, n_keys, decile_cents,
        round(g.g, 6) + 0.0 AS gini
 FROM dec, g
 """
+
+# per-label centroid drift (similarity.label_centroid_drift): round-4
+# per-dim sums, means from rounded sums, deterministic pos-ordered folds
+ORACLES["emb_label_drift"] = """
+WITH v AS (
+    SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+    FROM embeddings
+),
+l AS (
+    SELECT label, g.i AS pos, round(sum(vv[g.i + 1]), 4) AS s, count(*) AS n
+    FROM v, generate_series(0, 63) g(i) GROUP BY 1, 2
+),
+gl AS (
+    SELECT g.i AS pos, round(sum(vv[g.i + 1]), 4) AS gs, count(*) AS gn
+    FROM v, generate_series(0, 63) g(i) GROUP BY 1
+),
+j AS (
+    SELECT l.label, l.pos, l.s / l.n AS m, gl.gs / gl.gn AS gm, l.n
+    FROM l JOIN gl USING (pos)
+),
+a AS (
+    SELECT label, max(n) AS n,
+           list(m ORDER BY pos) AS mv, list(gm ORDER BY pos) AS gv
+    FROM j GROUP BY label
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(n AS BIGINT) AS n,
+       CASE WHEN list_sum(list_transform(range(1, 65), k -> mv[k] * mv[k])) > 0
+             AND list_sum(list_transform(range(1, 65), k -> gv[k] * gv[k])) > 0 THEN
+       round(list_sum(list_transform(range(1, 65), k -> mv[k] * gv[k]))
+             / sqrt(list_sum(list_transform(range(1, 65), k -> mv[k] * mv[k]))
+                    * list_sum(list_transform(range(1, 65), k -> gv[k] * gv[k]))),
+             6) + 0.0 END AS cos_to_global,
+       round(sqrt(list_sum(list_transform(range(1, 65),
+                  k -> (mv[k] - gv[k]) * (mv[k] - gv[k])))), 6) + 0.0 AS l2_to_global
+FROM a
+"""
+
+# quality-aware dedup survivorship (components.resolve_duplicates
+# rank_cols path): best-token member per near-dup cluster, singletons
+# survive themselves
+ORACLES["docs_dedup_survivors"] = f"""
+WITH RECURSIVE {_NEARDUP_CLUSTER_CTES},
+q AS (SELECT doc_id, CAST(len({_TOKENS}) AS BIGINT) AS n_tokens FROM documents),
+j AS (
+    SELECT q.doc_id, COALESCE(c.cluster_id, q.doc_id) AS cluster_id, q.n_tokens
+    FROM q LEFT JOIN clusters c ON c.doc_id = q.doc_id
+),
+r AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY n_tokens DESC, doc_id ASC) AS rn,
+           count(*) OVER (PARTITION BY cluster_id) AS nm
+    FROM j
+)
+SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(nm AS BIGINT) AS n_members, n_tokens
+FROM r WHERE rn = 1
+"""

@@ -1951,6 +1951,49 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.knn_graph(load_table(spark, sf_dir, "embeddings"), k=3)
 
 
+def docs_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivorship: one row per near-dup cluster (and per
+    singleton) naming the SURVIVOR — the member with the most tokens,
+    ties to the lowest doc id — plus the member count. Production dedup
+    keeps the best copy, not an arbitrary one (components.
+    resolve_duplicates rank_cols path); this emits the audit frame that
+    justifies each survivor choice. Cluster discovery is the standard
+    LSH → verify → connected-components pipeline; the rank is one window
+    over the |docs|-sized (id, cluster, n_tokens) frame."""
+    from pyspark.sql import Window as W
+
+    from .operators import components, dedup, text
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.neardup_verified(
+        docs, parallelism=spark.sparkContext.defaultParallelism
+    )
+    clusters = components.neardup_clusters(pairs)
+    q = text.token_count(docs)
+    j = (
+        q.join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+    )
+    w = W.partitionBy("cluster_id").orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    wc = W.partitionBy("cluster_id")
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc).cast("long"))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", F.col("cluster_id").cast("long").alias("cluster_id"), "n_members", "n_tokens")
+    )
+
+
+def emb_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding drift (operators/similarity.
+    label_centroid_drift): each label's centroid scored against the
+    corpus centroid (cosine + L2) — the subgroup drift monitor run
+    before accepting a new shard/source into the corpus. Corpus reduces
+    to (labels × dim) rows; distances fold deterministically over
+    pos-sorted mean arrays."""
+    return similarity.label_centroid_drift(load_table(spark, sf_dir, "embeddings"))
+
+
 def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association rules over TPC-H order baskets (operators/analytics.
     market_basket): support / directional confidence / lift for part
@@ -2025,6 +2068,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (3) round-4 NEW operators (inserted here as they land)
     "orders_market_basket": orders_market_basket,
     "customers_revenue_pareto": customers_revenue_pareto,
+    "emb_label_drift": emb_label_drift,
+    "docs_dedup_survivors": docs_dedup_survivors,
     # (4) flagship fill from the already-proven set (≥2 green rounds)
     "hot_items_topn": hot_items_topn,
     "hot_urls_topn": hot_urls_topn,

@@ -679,3 +679,66 @@ def test_kmeans_training_job_count(spark):
     n = len(sc.statusTracker().getJobIdsForGroup("pq_train"))
     assert n <= 1 + 2 * 2, f"{n} jobs for pq iters=2"
     ann._ARTIFACT_MEMO.clear()
+
+
+def test_label_centroid_drift_semantics(spark):
+    """Two labels in 2 known directions (padded to dim 4): label 0 along
+    +x, label 1 along +y; global centroid at 45°. Also the degenerate
+    zero-centroid case must yield NULL cosine, not inf."""
+    import math
+
+    from gmall_flink_20_spark.operators import similarity
+
+    rows = [
+        (0, [2.0, 0.0, 0.0, 0.0]),
+        (0, [4.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 2.0, 0.0, 0.0]),
+        (1, [0.0, 4.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "label long, embedding array<double>")
+    out = {
+        r.label: r
+        for r in similarity.label_centroid_drift(df, dim=4).collect()
+    }
+    # label centroids (3,0), (0,3); global (1.5,1.5) -> cos 45°
+    for lab in (0, 1):
+        assert out[lab].n == 2
+        assert abs(out[lab].cos_to_global - round(1 / math.sqrt(2), 6)) < 1e-9
+        assert abs(out[lab].l2_to_global - round(math.sqrt(1.5**2 + 1.5**2), 6)) < 1e-9
+
+    # degenerate: opposite labels cancel -> zero global centroid -> NULL
+    rows2 = [(0, [1.0, 0.0]), (1, [-1.0, 0.0])]
+    df2 = spark.createDataFrame(rows2, "label long, embedding array<double>")
+    got = {r.label: r for r in similarity.label_centroid_drift(df2, dim=2).collect()}
+    assert got[0].cos_to_global is None and got[1].cos_to_global is None
+    assert got[0].l2_to_global == 1.0
+
+
+def test_dedup_survivors_invariants(spark, sf_dir):
+    """Every cluster appears exactly once; the named survivor has the
+    cluster-max token count (ties to lowest id); singleton clusters
+    survive themselves."""
+    from gmall_flink_20_spark.operators import components, dedup, text
+    from gmall_flink_20_spark.io import load_table
+    from gmall_flink_20_spark.queries import QUERIES
+
+    out = QUERIES["docs_dedup_survivors"](spark, sf_dir).toPandas()
+    assert out["cluster_id"].is_unique
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.neardup_verified(docs, parallelism=8)
+    cl = components.neardup_clusters(pairs).toPandas()
+    toks = text.token_count(docs).toPandas().set_index("doc_id")["n_tokens"]
+    members = cl.groupby("cluster_id")["doc_id"].apply(list).to_dict()
+    surv = out.set_index("cluster_id")
+    for cid, mem in members.items():
+        row = surv.loc[cid]
+        best = sorted(mem, key=lambda d: (-toks[d], d))[0]
+        assert row["doc_id"] == best
+        assert row["n_members"] == len(mem)
+    # singletons: clusters of size 1 in the output are docs not in any pair
+    clustered = set(cl["doc_id"])
+    singles = surv[surv["n_members"] == 1]
+    assert not (set(singles["doc_id"]) & clustered) or all(
+        len(members.get(c, [1])) == 1 for c in singles.index
+    )
