@@ -166,6 +166,8 @@ BENCH_QUERIES = [
     "customers_revenue_pareto",
     "emb_label_drift",
     "docs_dedup_survivors",
+    "emb_pq_recon_error",
+    "events_gap_stats",
 ]
 
 

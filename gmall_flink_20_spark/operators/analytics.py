@@ -36,6 +36,7 @@ __all__ = [
     "transition_matrix",
     "market_basket",
     "revenue_concentration",
+    "inter_event_gaps",
 ]
 
 
@@ -868,4 +869,48 @@ def revenue_concentration(
             ).alias("cum_share"),
             (F.round(F.col("_g"), 6) + F.lit(0.0)).alias("gini"),
         )
+    )
+
+
+def inter_event_gaps(
+    events: DataFrame,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Cadence profile: per event type, the distribution of gaps between
+    a user's consecutive events of that type — min / exact p50 / exact
+    p90 / max seconds plus gap count. The operational answer to "how
+    often does a user click / how stale is latest-state allowed to be",
+    and the data-driven source of session-gap and watermark-delay
+    thresholds the windowed operators consume.
+
+    Plan shape: one exchange on (user, type) for the lag window, then a
+    map-side-combined per-type aggregate of the |gaps| frame. Exact
+    percentiles (not approx) because the output is a calibration
+    artifact: Spark's percentile() and DuckDB's quantile_cont() share
+    the h = (n−1)·p linear-interpolation definition, and gaps are exact
+    integer seconds, so the interpolated values match bit-for-bit.
+    """
+    w = Window.partitionBy(user_col, type_col).orderBy(
+        F.col(time_col).asc(), F.col(id_col).asc()
+    )
+    ts_s = F.col(time_col).cast("long")
+    gaps = (
+        events.select(type_col, user_col, time_col, id_col)
+        .withColumn("_prev", F.lag(ts_s).over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(F.col(type_col), (ts_s - F.col("_prev")).alias("_gap"))
+    )
+    return gaps.groupBy(type_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.min("_gap").cast("long").alias("min_gap_s"),
+        (F.round(F.percentile(F.col("_gap"), F.lit(0.5)), 6) + F.lit(0.0)).alias(
+            "p50_gap_s"
+        ),
+        (F.round(F.percentile(F.col("_gap"), F.lit(0.9)), 6) + F.lit(0.0)).alias(
+            "p90_gap_s"
+        ),
+        F.max("_gap").cast("long").alias("max_gap_s"),
     )

@@ -37,6 +37,7 @@ __all__ = [
     "pq_train_local",
     "ann_pq_topk",
     "ann_ivf_pq_topk",
+    "pq_reconstruction_error",
     "derive_nlist",
     "semantic_dedup",
     "ann_recall",
@@ -1101,4 +1102,52 @@ def knn_graph(
             "neighbor_id",
             F.col("rank").cast("long").alias("rank"),
         )
+    )
+
+
+def pq_reconstruction_error(
+    emb: DataFrame,
+    m: int = 8,
+    subdim: int = 8,
+    ks: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector PQ reconstruction error — the quantization-quality QC
+    every PQ deployment reports (FAISS: imbalance/квadratic error stats)
+    before trusting ADC distances: err(x) = Σ_j ‖x_j − codeword(x_j)‖².
+    High-error rows are the vectors the compressed index represents
+    worst; the corpus distribution of err sizes the m/ks budget.
+
+    Plan shape: codebooks are trained once (memoized driver literals);
+    encoding and the error fold are ROW-LOCAL — one corpus scan, zero
+    shuffle, the per-subspace terms added in fixed j order as codegen
+    expressions (matching the oracle's j-ordered list_sum bit-for-bit).
+
+    Shares the emb_ann_pq oracle's assumption that the ks init ids are
+    0..ks−1 (codes index the codebook literal directly).
+    """
+    books = pq_train_local(emb, m, subdim, ks, iters, id_col, vec_col)
+    enc = _pq_encode_udf(books, m, subdim)
+    df = emb.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        enc(F.col(vec_col)).alias("_codes"),
+    )
+    err = None
+    for j in range(m):
+        book_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in cv]) for _, cv in books[j]]
+        )
+        sub = F.slice(F.col("_v"), j * subdim + 1, subdim)
+        cw = F.element_at(book_lit, F.col("_codes")[j] + 1)
+        term = F.aggregate(
+            F.zip_with(sub, cw, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        err = term if err is None else err + term
+    return df.select(
+        F.col(id_col), (F.round(err, 6) + F.lit(0.0)).alias("recon_err")
     )

@@ -3272,3 +3272,52 @@ SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
        CAST(nm AS BIGINT) AS n_members, n_tokens
 FROM r WHERE rn = 1
 """
+
+def _pq_recon_sql(m: int = 8, subdim: int = 8, ks: int = 16, iters: int = 2) -> str:
+    """PQ reconstruction-error oracle: the emb_ann_pq codebook/encode CTE
+    chain, then per-vector sum of j-ordered subspace errors (list_sum
+    over list ORDER BY j mirrors the Spark side's fixed-j expression
+    chain)."""
+    base = _pq_sql(m, subdim, ks, iters, k=1)
+    # reuse everything up to and including the `codes` CTE, then redefine
+    # the tail: cut at the dt CTE the ANN form appends after codes
+    head = base.split(",\ndt AS (")[0]
+    dl2 = (
+        f"list_sum(list_transform(range(1, {subdim + 1}), "
+        "i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])))"
+    )
+    return (
+        head
+        + f""",
+errj AS (
+    SELECT s.vec_id, s.j, {dl2} AS d2
+    FROM sub s
+    JOIN enc e ON e.vec_id = s.vec_id AND e.j = s.j
+    JOIN cents{iters} c ON c.j = s.j AND c.cid = e.cid
+)
+SELECT vec_id, round(list_sum(list(d2 ORDER BY j)), 6) + 0.0 AS recon_err
+FROM errj GROUP BY vec_id
+"""
+    )
+
+
+ORACLES["emb_pq_recon_error"] = _pq_recon_sql()
+
+# inter-event gap cadence (analytics.inter_event_gaps): lag per (user,
+# type), exact quantile_cont == Spark percentile (both h=(n-1)p)
+ORACLES["events_gap_stats"] = f"""
+WITH g AS (
+    SELECT event_type,
+           {_TS} - lag({_TS}) OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts ASC, event_id ASC) AS gap
+    FROM events
+)
+SELECT event_type,
+       CAST(count(gap) AS BIGINT) AS n_gaps,
+       CAST(min(gap) AS BIGINT) AS min_gap_s,
+       round(quantile_cont(gap, 0.5), 6) + 0.0 AS p50_gap_s,
+       round(quantile_cont(gap, 0.9), 6) + 0.0 AS p90_gap_s,
+       CAST(max(gap) AS BIGINT) AS max_gap_s
+FROM g WHERE gap IS NOT NULL
+GROUP BY event_type
+"""

@@ -1951,6 +1951,26 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.knn_graph(load_table(spark, sf_dir, "embeddings"), k=3)
 
 
+def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type cadence profile (operators/analytics.inter_event_gaps):
+    min / exact-p50 / exact-p90 / max seconds between a user's
+    consecutive same-type events — the calibration source for session
+    gaps and watermark delays. One (user, type) exchange, then a
+    per-type aggregate."""
+    from .operators import analytics
+
+    return analytics.inter_event_gaps(_events(spark, sf_dir))
+
+
+def emb_pq_recon_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quantization QC (operators/ann.pq_reconstruction_error):
+    per-vector squared reconstruction error against the trained m×ks
+    codebooks — the corpus distribution that sizes the PQ budget before
+    trusting ADC distances. Row-local encode + fixed-j-order error fold;
+    one corpus scan."""
+    return ann.pq_reconstruction_error(load_table(spark, sf_dir, "embeddings"))
+
+
 def docs_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware survivorship: one row per near-dup cluster (and per
     singleton) naming the SURVIVOR — the member with the most tokens,
@@ -2070,6 +2090,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_revenue_pareto": customers_revenue_pareto,
     "emb_label_drift": emb_label_drift,
     "docs_dedup_survivors": docs_dedup_survivors,
+    "emb_pq_recon_error": emb_pq_recon_error,
+    "events_gap_stats": events_gap_stats,
     # (4) flagship fill from the already-proven set (≥2 green rounds)
     "hot_items_topn": hot_items_topn,
     "hot_urls_topn": hot_urls_topn,

@@ -284,3 +284,29 @@ def test_revenue_concentration_uniform_and_skewed(spark):
     got = {r.decile: r for r in analytics.revenue_concentration(df2).collect()}
     assert got[1].gini == 0.5
     assert got[1].cum_share == 1.0
+
+
+def test_inter_event_gaps_exact_percentiles(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+    def ev(i, u, off, typ):
+        return Row(event_id=i, user_id=u, ts=t0 + dt.timedelta(seconds=off), event_type=typ)
+
+    rows = [
+        # user 1 clicks at 0, 10, 30 -> gaps 10, 20
+        ev(1, 1, 0, "click"), ev(2, 1, 10, "click"), ev(3, 1, 30, "click"),
+        # user 2 clicks at 0, 40 -> gap 40
+        ev(4, 2, 0, "click"), ev(5, 2, 40, "click"),
+        # single view -> no gap, type absent from output
+        ev(6, 1, 5, "view"),
+    ]
+    out = {r.event_type: r for r in analytics.inter_event_gaps(
+        spark.createDataFrame(rows)).collect()}
+    assert set(out) == {"click"}
+    c = out["click"]
+    assert (c.n_gaps, c.min_gap_s, c.max_gap_s) == (3, 10, 40)
+    # sorted gaps [10, 20, 40]: p50 = 20, p90 = h=(n-1)*0.9=1.8 -> 20+0.8*20=36
+    assert c.p50_gap_s == 20.0
+    assert c.p90_gap_s == 36.0

@@ -742,3 +742,27 @@ def test_dedup_survivors_invariants(spark, sf_dir):
     assert not (set(singles["doc_id"]) & clustered) or all(
         len(members.get(c, [1])) == 1 for c in singles.index
     )
+
+
+def test_pq_reconstruction_error_semantics(spark):
+    """A corpus that IS the codebook reconstructs exactly (err 0); a
+    far-away vector gets the distance to its nearest codeword."""
+    from gmall_flink_20_spark.operators import ann
+
+    ann._ARTIFACT_MEMO.clear()
+    # dim 4, m=2 subspaces of 2; ks=2 codewords from ids 0,1
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),
+        (1, [10.0, 0.0, 0.0, 0.0]),
+        (2, [10.0, 1.0, 0.0, 0.0]),  # 1.0 off codeword 1 in subspace 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: r.recon_err
+        for r in ann.pq_reconstruction_error(
+            df, m=2, subdim=2, ks=2, iters=0
+        ).collect()
+    }
+    assert out[0] == 0.0 and out[1] == 0.0
+    assert out[2] == 1.0  # (10,1) vs codeword (10,0): d2 = 1
+    ann._ARTIFACT_MEMO.clear()
