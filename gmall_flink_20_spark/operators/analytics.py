@@ -37,6 +37,8 @@ __all__ = [
     "market_basket",
     "revenue_concentration",
     "inter_event_gaps",
+    "fulfillment_latency",
+    "seasonality_profile",
 ]
 
 
@@ -913,4 +915,102 @@ def inter_event_gaps(
             "p90_gap_s"
         ),
         F.max("_gap").cast("long").alias("max_gap_s"),
+    )
+
+
+def fulfillment_latency(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    priority_col: str = "o_orderpriority",
+) -> DataFrame:
+    """Order-fulfillment SLA report: per order priority, the
+    distribution of days from order placement to the LAST line shipment
+    — n_orders, min / exact p50 / exact p90 / max days, and mean days.
+    The operational "are urgent orders actually shipped faster" answer
+    the TPC-H q4/q12 shapes circle but never emit.
+
+    Plan shape: the orders⋈lineitem equi-join shuffles both sides on
+    orderkey once (the fact-table join every TPC-H plan already pays);
+    the per-order max(shipdate) folds INTO the same exchange (groupBy on
+    the join key), then the per-priority rollup is a map-side-combined
+    aggregate over the |orders| frame. No window functions.
+
+    Determinism: latency is an exact integer day diff; mean is one
+    long-sum / count division; percentiles interpolate exact integers
+    with the shared h = (n−1)·p definition (see inter_event_gaps).
+    """
+    per_order = (
+        orders.select(
+            "o_orderkey", F.col(priority_col).alias("priority"),
+            F.to_date("o_orderdate").alias("_od"),
+        )
+        .join(
+            lineitem.select("l_orderkey", F.to_date("l_shipdate").alias("_sd")),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderkey", "priority", "_od")
+        .agg(F.max("_sd").alias("_last"))
+        .select("priority", F.datediff(F.col("_last"), F.col("_od")).cast("long").alias("_days"))
+    )
+    return per_order.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.min("_days").cast("long").alias("min_days"),
+        (F.round(F.percentile(F.col("_days"), F.lit(0.5)), 6) + F.lit(0.0)).alias("p50_days"),
+        (F.round(F.percentile(F.col("_days"), F.lit(0.9)), 6) + F.lit(0.0)).alias("p90_days"),
+        F.max("_days").cast("long").alias("max_days"),
+        (
+            F.round(F.sum("_days").cast("double") / F.count(F.lit(1)).cast("double"), 6)
+            + F.lit(0.0)
+        ).alias("mean_days"),
+    )
+
+
+def seasonality_profile(
+    events: DataFrame,
+    time_col: str = "ts",
+) -> DataFrame:
+    """Day-of-week × hour-of-day load profile with independence lift:
+    for every (dow, hour) cell, the observed event count and its lift
+    against the expectation under dow⊥hour independence —
+    ``lift = obs / dow_total / hour_total * grand_total``. Cells with
+    lift ≫ 1 are the traffic concentrations capacity planning and
+    anomaly baselines key on; a flat lift≈1 surface says the margins
+    explain everything.
+
+    dow/hour derive from epoch-second INTEGER arithmetic
+    (``(days + 4) % 7``, 0 = Sunday — 1970-01-01 was a Thursday), not
+    engine calendar functions, so both engines bucket identically with
+    no locale/week-origin divergence.
+
+    Scale shape: one map-side-combined groupBy over at most 168 cells;
+    the dow/hour margins and the grand total derive FROM the 168-row
+    cell frame (window sums over a tiny frame), never rescanning the
+    events. The lift division chain is fixed-order on exact longs.
+    """
+    ts_s = F.col(time_col).cast("long")
+    cells = (
+        events.select(
+            (((ts_s / 86400).cast("long") + 4) % 7).alias("dow"),
+            ((ts_s / 3600).cast("long") % 24).alias("hour"),
+        )
+        .groupBy("dow", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    w_dow = Window.partitionBy("dow")
+    w_hour = Window.partitionBy("hour")
+    w_all = Window.partitionBy()
+    return cells.select(
+        F.col("dow").cast("long").alias("dow"),
+        F.col("hour").cast("long").alias("hour"),
+        "n_events",
+        (
+            F.round(
+                F.col("n_events").cast("double")
+                / F.sum("n_events").over(w_dow).cast("double")
+                / F.sum("n_events").over(w_hour).cast("double")
+                * F.sum("n_events").over(w_all).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("lift"),
     )

@@ -39,6 +39,7 @@ __all__ = [
     "ann_ivf_pq_topk",
     "pq_reconstruction_error",
     "derive_nlist",
+    "ann_nprobe_pareto",
     "semantic_dedup",
     "ann_recall",
     "cluster_balanced_sample",
@@ -1150,4 +1151,115 @@ def pq_reconstruction_error(
         err = term if err is None else err + term
     return df.select(
         F.col(id_col), (F.round(err, 6) + F.lit(0.0)).alias("recon_err")
+    )
+
+
+def ann_nprobe_pareto(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    nlist: int = 16,
+    train_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """The IVF recall/cost tuning curve — one row per ``nprobe`` level:
+    mean recall@k against exact brute force AND the total number of
+    candidates scanned. This is the Pareto frontier every ANN deployment
+    charts before fixing nprobe (FAISS's standard nprobe sweep): recall
+    rises toward 1 and cost rises toward |corpus| as nprobe → nlist, and
+    the knee of this curve IS the production setting.
+
+    Emits (nprobe, n_queries, total_candidates, total_hits,
+    mean_recall), mean_recall = total_hits / (n_queries·k) — one exact
+    integer division.
+
+    Plan shape: the quantizer trains once (memoized driver literal);
+    the corpus is assigned row-local and scanned ONCE — every nprobe
+    level reuses the same candidate join output (the level table is a
+    broadcast literal crossed with the tiny probe side, so candidates
+    for level ℓ are the pr ≤ ℓ slice, not a re-scan). Ground truth is
+    the k·|queries|-row brute-force frame — tiny. Everything after the
+    one bucket equi-join is a map-side-combined aggregate over
+    candidate-pair rows.
+    """
+    from .similarity import ann_bruteforce_topk
+
+    max_np = max(nprobes)
+    base = with_unit(emb.select(F.col(id_col), F.col(vec_col)), vec_col, dim)
+    cents = kmeans_centroids_local(
+        base.select(F.col(id_col), F.col("_av").alias(vec_col)),
+        nlist,
+        train_iters,
+        id_col,
+        vec_col,
+        dim=dim,
+        normalize=False,
+    )
+    assigned = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        norm(F.col(vec_col)).alias("nn"),
+        _assign_udf(cents)(F.col("_av")).alias("list_id"),
+    )
+    levels = F.array(*[F.lit(int(np_)) for np_ in sorted(nprobes)])
+    probes = (
+        base.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            norm(F.col(vec_col)).alias("qn"),
+            F.posexplode(_probe_udf(cents, max_np)(F.col("_av"))).alias(
+                "_pr0", "list_id"
+            ),
+        )
+        .select("*", F.explode(levels).alias("nprobe"))
+        .filter(F.col("_pr0") < F.col("nprobe"))
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assigned, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("_score"), F.asc("neighbor_id")
+    )
+    topk = (
+        cand.withColumn(
+            "_score", dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
+        )
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+    exact = ann_bruteforce_topk(emb, query_ids, k, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        topk.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).cast("long").alias("total_hits"))
+    )
+    n_cand = cand.groupBy("nprobe").agg(
+        F.count(F.lit(1)).cast("long").alias("total_candidates")
+    )
+    denom = float(len(query_ids) * k)
+    return (
+        n_cand.join(hits, "nprobe", "left")
+        .select(
+            F.col("nprobe").cast("long").alias("nprobe"),
+            F.lit(len(query_ids)).cast("long").alias("n_queries"),
+            "total_candidates",
+            F.coalesce(F.col("total_hits"), F.lit(0)).cast("long").alias("total_hits"),
+            (
+                F.round(
+                    F.coalesce(F.col("total_hits"), F.lit(0)).cast("double")
+                    / F.lit(denom),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("mean_recall"),
+        )
     )

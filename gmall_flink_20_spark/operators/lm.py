@@ -29,6 +29,7 @@ from .text import tokens
 
 __all__ = [
     "unigram_lm",
+    "bigram_lm",
     "ccnet_buckets",
     "ccnet_buckets_approx",
     "quality_classifier",
@@ -230,4 +231,60 @@ def ccnet_buckets_approx(
             .otherwise(F.lit("tail"))
             .alias("bucket"),
         )
+    )
+
+
+def bigram_lm(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document corpus-BIGRAM likelihood statistics — the next rung
+    of the CCNet perplexity-proxy ladder above ``unigram_lm``: a
+    document of individually-common tokens in an uncommon ORDER (shuffled
+    boilerplate, word-salad spam, template stitching) scores high on the
+    unigram proxy but low here.
+
+    Emits per document (documents with ≥ 2 tokens): ``n_bigrams``,
+    ``sum_bf`` (summed corpus frequency over the document's bigram
+    occurrences), ``min_bf`` (rarest bigram's corpus count — 1 means the
+    document contains a transition seen nowhere else), and ``lm2_score``
+    = ``sum_bf / n_bigrams / total_bigrams`` — the same exact-integer
+    division chain as the unigram score, so the two are directly
+    comparable gates.
+
+    Scale shape identical to ``unigram_lm``: bigrams collapse to
+    (doc, bigram, count) first (map-side combine), the corpus bigram
+    table joins on the bigram key (hash-partitioned; AQE broadcasts it
+    when small), and the corpus total is a broadcast scalar. The bigram
+    construction is ROW-LOCAL — a zip of the token array with its own
+    tail, no window/lag shuffle.
+    """
+    toks = tokens(text_col)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    dt = (
+        df.select(F.col(id_col), F.explode(bigrams).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bf = dt.groupBy("bg").agg(F.sum("c").cast("long").alias("bf"))
+    total = bf.agg(F.sum("bf").cast("long").alias("total"))
+    return (
+        dt.join(bf, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("bf")).cast("long").alias("sum_bf"),
+            F.min("bf").cast("long").alias("min_bf"),
+        )
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "lm2_score",
+            F.col("sum_bf").cast("double")
+            / F.col("n_bigrams").cast("double")
+            / F.col("total").cast("double"),
+        )
+        .drop("total")
     )

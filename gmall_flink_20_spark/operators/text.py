@@ -31,6 +31,8 @@ __all__ = [
     "vocabulary",
     "overlap_pairs",
     "corpus_stats",
+    "phrase_census",
+    "vocab_gini",
     "LANG_MARKERS",
     "gopher_filter",
     "gopher_feature_cols",
@@ -721,5 +723,131 @@ def token_entropy(
                 F.log(F.col("dl").cast("double")) - F.col("_tlnt") / F.col("dl").cast("double"),
                 6,
             ).alias("entropy"),
+        )
+    )
+
+
+def phrase_census(
+    df: DataFrame,
+    n: int = 3,
+    min_df: int = 2,
+    topk: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boilerplate phrase census: the ``topk`` word n-grams that recur
+    across the most DISTINCT documents — the phrase-level analog of
+    CCNet/RefinedWeb line-frequency boilerplate detection (headers,
+    footers, licence blurbs, template stitching repeat verbatim across
+    documents; novel prose does not). Emits (phrase, n_docs,
+    n_occurrences, df_share) for phrases in ≥ ``min_df`` documents,
+    ranked by (n_docs desc, n_occurrences desc, phrase asc).
+
+    A curation run anti-joins these phrases back against the shingled
+    corpus to strip or down-weight boilerplate spans — the same
+    consumption pattern as docs_line_dedup but robust to documents that
+    lack line structure.
+
+    Scale shape: n-gram construction is row-local (zip of the token
+    array against its shifted self — no window); occurrences collapse to
+    (doc, phrase, count) map-side before the phrase-level aggregate, so
+    the shuffle moves per-document phrase vocabularies. The final
+    ordering ranks only the df-filtered survivors (a tiny frame under
+    any real min_df), and the top-k bound keeps the output fixed-size at
+    any corpus scale. The doc-count denominator is a broadcast scalar.
+    """
+    toks = tokens(text_col)
+    width = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    shifted = [F.slice(toks, i + 1, width) for i in range(n)]
+    grams = shifted[0]
+    for nxt in shifted[1:]:
+        grams = F.zip_with(grams, nxt, lambda a, b: F.concat_ws(" ", a, b))
+    per_doc = (
+        df.select(F.col(id_col), F.explode(grams).alias("phrase"))
+        .groupBy(id_col, "phrase")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_docs_total = df.select(
+        F.count(F.lit(1)).cast("long").alias("_nd")
+    )
+    census = (
+        per_doc.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("c").cast("long").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_df)
+    )
+    w = Window.orderBy(
+        F.desc("n_docs"), F.desc("n_occurrences"), F.asc("phrase")
+    )
+    return (
+        census.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= topk)
+        .crossJoin(F.broadcast(n_docs_total))
+        .select(
+            "phrase",
+            "n_docs",
+            "n_occurrences",
+            (
+                F.round(F.col("n_docs").cast("double") / F.col("_nd").cast("double"), 6)
+                + F.lit(0.0)
+            ).alias("df_share"),
+        )
+    )
+
+
+def vocab_gini(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Vocabulary-concentration report: per language, the Gini
+    coefficient of the token-frequency distribution plus vocab size and
+    total token count. Natural language is strongly Zipfian (Gini near
+    1); a synthetic or templated sub-corpus shows up as an anomalously
+    FLAT distribution (low Gini), and a near-duplicate-polluted one as
+    even more concentrated than Zipf predicts — the corpus-level
+    fingerprint complementing per-document scores, computed with exact
+    integer arithmetic (no log-log regression, no transcendentals, per
+    the package determinism contract).
+
+    Gini uses the same ascending-rank formula as revenue_concentration:
+    G = 2·Σ(r·tf)/(n·Σtf) − (n+1)/n, ties ranked by token.
+
+    Scale shape: the corpus collapses to (lang, token, tf) with map-side
+    combine — the |vocab| frame, orders of magnitude smaller than the
+    corpus (Heaps' law). The per-language rank window sorts only that
+    vocab frame; everything after is a map-side-combined aggregate to
+    one row per language.
+    """
+    tf = (
+        df.select(F.col(lang_col).alias("lang"), F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("tf").asc(), F.col("tok").asc())
+    ranked = tf.withColumn("_r", F.row_number().over(w).cast("long"))
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab_size"),
+            F.sum("tf").cast("long").alias("total_tokens"),
+            F.sum(F.col("_r") * F.col("tf")).cast("long").alias("_rtf"),
+        )
+        .select(
+            "lang",
+            "vocab_size",
+            "total_tokens",
+            (
+                F.round(
+                    F.lit(2.0) * F.col("_rtf")
+                    / (F.col("vocab_size") * F.col("total_tokens"))
+                    - (F.col("vocab_size") + 1) / F.col("vocab_size"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("gini"),
         )
     )
