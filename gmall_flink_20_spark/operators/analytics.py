@@ -978,9 +978,11 @@ def seasonality_profile(
     explain everything.
 
     dow/hour derive from epoch-second INTEGER arithmetic
-    (``(days + 4) % 7``, 0 = Sunday — 1970-01-01 was a Thursday), not
-    engine calendar functions, so both engines bucket identically with
-    no locale/week-origin divergence.
+    (``pmod(floor(ts/86400) + 4, 7)``, 0 = Sunday — 1970-01-01 was a
+    Thursday), not engine calendar functions, so both engines bucket
+    identically with no locale/week-origin divergence. floor-division
+    plus pmod (NOT truncating cast + ``%`` remainder) keeps pre-1970
+    negative-epoch timestamps in the 0-6 / 0-23 ranges.
 
     Scale shape: one map-side-combined groupBy over at most 168 cells;
     the dow/hour margins and the grand total derive FROM the 168-row
@@ -990,8 +992,8 @@ def seasonality_profile(
     ts_s = F.col(time_col).cast("long")
     cells = (
         events.select(
-            (((ts_s / 86400).cast("long") + 4) % 7).alias("dow"),
-            ((ts_s / 3600).cast("long") % 24).alias("hour"),
+            F.pmod(F.floor(ts_s / F.lit(86400)) + F.lit(4), F.lit(7)).alias("dow"),
+            F.pmod(F.floor(ts_s / F.lit(3600)), F.lit(24)).alias("hour"),
         )
         .groupBy("dow", "hour")
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))

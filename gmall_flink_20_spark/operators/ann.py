@@ -617,38 +617,40 @@ def pq_train_local(
     # persist across the (1 + iters) training scans, like the k-means
     # trainer: the init job materializes the cache, each iteration reads it
     train = emb.select(F.col(id_col), F.col(vec_col)).persist()
-    init = train.filter(F.col(id_col) < ks).collect()
-    rows = sorted((int(r[id_col]), [float(x) for x in r[vec_col]]) for r in init)
-    books = [
-        [(cid, v[j * subdim : (j + 1) * subdim]) for cid, v in rows]
-        for j in range(m)
-    ]
-    for _ in range(iters):
-        enc = _pq_encode_udf(books, m, subdim)
-        means_rows = (
-            train.select(F.col(id_col), F.col(vec_col), enc(F.col(vec_col)).alias("_codes"))
-            .select("_codes", F.posexplode(F.col(vec_col)).alias("_p", "_x"))
-            .select(
-                (F.col("_p") / subdim).cast("int").alias("_j"),
-                F.element_at("_codes", (F.col("_p") / subdim).cast("int") + 1).alias("_cid"),
-                (F.col("_p") % subdim).alias("_pos"),
-                F.col("_x").cast("double").alias("_x"),
-            )
-            .groupBy("_j", "_cid", "_pos")
-            .agg(F.round(F.avg("_x"), 6).alias("_mean"))
-            .collect()
-        )
-        new: dict[tuple[int, int], dict[int, float]] = {}
-        for r in means_rows:
-            new.setdefault((int(r["_j"]), int(r["_cid"])), {})[int(r["_pos"])] = float(r["_mean"])
+    try:
+        init = train.filter(F.col(id_col) < ks).collect()
+        rows = sorted((int(r[id_col]), [float(x) for x in r[vec_col]]) for r in init)
         books = [
-            [
-                (cid, [new[(j, cid)][i] for i in range(subdim)] if (j, cid) in new else cv)
-                for cid, cv in books[j]
-            ]
+            [(cid, v[j * subdim : (j + 1) * subdim]) for cid, v in rows]
             for j in range(m)
         ]
-    train.unpersist()
+        for _ in range(iters):
+            enc = _pq_encode_udf(books, m, subdim)
+            means_rows = (
+                train.select(F.col(id_col), F.col(vec_col), enc(F.col(vec_col)).alias("_codes"))
+                .select("_codes", F.posexplode(F.col(vec_col)).alias("_p", "_x"))
+                .select(
+                    (F.col("_p") / subdim).cast("int").alias("_j"),
+                    F.element_at("_codes", (F.col("_p") / subdim).cast("int") + 1).alias("_cid"),
+                    (F.col("_p") % subdim).alias("_pos"),
+                    F.col("_x").cast("double").alias("_x"),
+                )
+                .groupBy("_j", "_cid", "_pos")
+                .agg(F.round(F.avg("_x"), 6).alias("_mean"))
+                .collect()
+            )
+            new: dict[tuple[int, int], dict[int, float]] = {}
+            for r in means_rows:
+                new.setdefault((int(r["_j"]), int(r["_cid"])), {})[int(r["_pos"])] = float(r["_mean"])
+            books = [
+                [
+                    (cid, [new[(j, cid)][i] for i in range(subdim)] if (j, cid) in new else cv)
+                    for cid, cv in books[j]
+                ]
+                for j in range(m)
+            ]
+    finally:
+        train.unpersist()
     if len(_ARTIFACT_MEMO) >= _ARTIFACT_MEMO_CAP:
         _ARTIFACT_MEMO.clear()
     _ARTIFACT_MEMO[memo_key] = [[(cid, list(cv)) for cid, cv in book] for book in books]
@@ -1116,7 +1118,7 @@ def pq_reconstruction_error(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Per-vector PQ reconstruction error — the quantization-quality QC
-    every PQ deployment reports (FAISS: imbalance/квadratic error stats)
+    every PQ deployment reports (FAISS: imbalance/quadratic error stats)
     before trusting ADC distances: err(x) = Σ_j ‖x_j − codeword(x_j)‖².
     High-error rows are the vectors the compressed index represents
     worst; the corpus distribution of err sizes the m/ks budget.

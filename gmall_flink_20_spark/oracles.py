@@ -3321,3 +3321,175 @@ SELECT event_type,
 FROM g WHERE gap IS NOT NULL
 GROUP BY event_type
 """
+
+# order-fulfillment SLA (analytics.fulfillment_latency): per-order max
+# shipdate inside the orderkey join exchange, exact quantile_cont ==
+# Spark percentile (both h=(n-1)p), mean = sum/count double division
+ORACLES["orders_fulfillment_latency"] = """
+WITH per AS (
+    SELECT o.o_orderkey, o.o_orderpriority AS priority,
+           date_diff('day', CAST(o.o_orderdate AS DATE),
+                     CAST(max(l.l_shipdate) AS DATE)) AS days
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+)
+SELECT priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(min(days) AS BIGINT) AS min_days,
+       round(quantile_cont(days, 0.5), 6) + 0.0 AS p50_days,
+       round(quantile_cont(days, 0.9), 6) + 0.0 AS p90_days,
+       CAST(max(days) AS BIGINT) AS max_days,
+       round(CAST(sum(days) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) + 0.0 AS mean_days
+FROM per GROUP BY priority
+"""
+
+# dow×hour seasonality with independence lift (analytics.
+# seasonality_profile): floor-div + pmod epoch arithmetic (pre-1970
+# safe), lift division chain left-associated exactly as the Spark side
+ORACLES["events_seasonality"] = """
+WITH c AS (
+    SELECT ((CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) + 4) % 7 + 7) % 7 AS dow,
+           (CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) % 24 + 24) % 24 AS hour,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+)
+SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour, n_events,
+       round(CAST(n_events AS DOUBLE)
+             / CAST(sum(n_events) OVER (PARTITION BY dow) AS DOUBLE)
+             / CAST(sum(n_events) OVER (PARTITION BY hour) AS DOUBLE)
+             * CAST(sum(n_events) OVER () AS DOUBLE), 6) + 0.0 AS lift
+FROM c
+"""
+
+# corpus-bigram LM proxy (lm.bigram_lm): the unigram CTE shape one
+# n-gram order up — bigrams built row-locally from the token list's own
+# tail, identical exact-integer division chain for lm2_score
+ORACLES["docs_bigram_lm"] = r"""
+WITH base AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+bgx AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bg
+    FROM base
+),
+dt AS (SELECT doc_id, bg, count(*) AS c FROM bgx GROUP BY 1, 2),
+bf AS (SELECT bg, CAST(sum(c) AS BIGINT) AS bf FROM dt GROUP BY 1),
+tot AS (SELECT CAST(sum(bf) AS BIGINT) AS total FROM bf)
+SELECT d.doc_id,
+       CAST(sum(d.c) AS BIGINT) AS n_bigrams,
+       CAST(sum(d.c * t.bf) AS BIGINT) AS sum_bf,
+       CAST(min(t.bf) AS BIGINT) AS min_bf,
+       CAST(sum(d.c * t.bf) AS DOUBLE) / CAST(sum(d.c) AS DOUBLE)
+           / (SELECT CAST(total AS DOUBLE) FROM tot) AS lm2_score
+FROM dt d JOIN bf t USING (bg)
+GROUP BY d.doc_id
+"""
+
+# boilerplate phrase census (text.phrase_census n=3, min_df=2, topk=50):
+# row-local trigram construction, rank only the min_df survivors
+ORACLES["docs_phrase_census"] = r"""
+WITH base AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+ph AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS phrase
+    FROM base
+),
+pd AS (SELECT doc_id, phrase, count(*) AS c FROM ph GROUP BY 1, 2),
+census AS (
+    SELECT phrase, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(c) AS BIGINT) AS n_occurrences
+    FROM pd GROUP BY 1 HAVING count(*) >= 2
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS ndocs FROM documents)
+SELECT phrase, n_docs, n_occurrences,
+       round(CAST(n_docs AS DOUBLE) / CAST(nd.ndocs AS DOUBLE), 6) + 0.0 AS df_share
+FROM (
+    SELECT *, row_number() OVER (ORDER BY n_docs DESC, n_occurrences DESC, phrase ASC) AS rk
+    FROM census
+) c, nd
+WHERE rk <= 50
+"""
+
+# per-language vocabulary Gini (text.vocab_gini): ascending-rank exact
+# Gini over the (lang, token, tf) vocab frame, ties ranked by token
+ORACLES["docs_vocab_gini"] = r"""
+WITH tokd AS (
+    SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+),
+tc AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS tf FROM tokd GROUP BY 1, 2),
+r AS (
+    SELECT lang, tf,
+           row_number() OVER (PARTITION BY lang ORDER BY tf ASC, tok ASC) AS rk
+    FROM tc
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS vocab_size,
+       CAST(sum(tf) AS BIGINT) AS total_tokens,
+       round(2.0 * sum(rk * tf) / (count(*) * sum(tf))
+             - (count(*) + 1.0) / count(*), 6) + 0.0 AS gini
+FROM r GROUP BY lang
+"""
+
+
+def _nprobe_pareto_sql(
+    nlist: int = 16, iters: int = 3, dim: int = 64, k: int = 5,
+    nq: int = 10, nprobes: tuple[int, ...] = (1, 2, 4),
+) -> str:
+    """IVF nprobe Pareto oracle (ann.ann_nprobe_pareto): the trained-IVF
+    CTE chain, every nprobe level sliced (pr <= level) from ONE probe
+    ranking, recall against the exact brute-force top-k."""
+    ctes, dl2 = _kmeans_ctes(nlist, iters, dim)
+    levels = ", ".join(str(x) for x in sorted(nprobes))
+    final = f"""asg AS (
+    SELECT vec_id AS neighbor_id, embedding AS nv, cid AS list_id FROM (
+        SELECT u.vec_id, u.embedding, c.cid,
+               row_number() OVER (PARTITION BY u.vec_id ORDER BY {dl2} ASC, c.cid ASC) AS rn
+        FROM u, cents{iters} c) WHERE rn = 1
+),
+pr AS (
+    SELECT vec_id AS query_id, embedding AS qv, cid AS list_id, pr FROM (
+        SELECT u.vec_id, u.embedding, c.cid,
+               row_number() OVER (PARTITION BY u.vec_id ORDER BY {dl2} ASC, c.cid ASC) AS pr
+        FROM u, cents{iters} c WHERE u.vec_id < {nq}) WHERE pr <= {max(nprobes)}
+),
+lv AS (SELECT unnest([{levels}]) AS nprobe),
+cand AS (
+    SELECT l.nprobe, p.query_id, p.qv, a.neighbor_id, a.nv
+    FROM pr p JOIN lv l ON p.pr <= l.nprobe
+    JOIN asg a USING (list_id)
+    WHERE p.query_id <> a.neighbor_id
+),
+tk AS (
+    SELECT nprobe, query_id, neighbor_id FROM (
+        SELECT nprobe, query_id, neighbor_id,
+               row_number() OVER (PARTITION BY nprobe, query_id
+                   ORDER BY {_DCOS.format(a='qv', b='nv')} DESC, neighbor_id ASC) AS rk
+        FROM cand) WHERE rk <= {k}
+),
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {_DCOS.format(a='q.embedding', b='c2.embedding')} DESC, c2.vec_id ASC) AS rk
+        FROM (SELECT * FROM embeddings WHERE vec_id < {nq}) q, embeddings c2
+        WHERE q.vec_id <> c2.vec_id) WHERE rk <= {k}
+),
+hits AS (
+    SELECT t.nprobe, CAST(count(*) AS BIGINT) AS total_hits
+    FROM tk t JOIN exact e USING (query_id, neighbor_id) GROUP BY 1
+),
+nc AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS total_candidates FROM cand GROUP BY 1)
+SELECT CAST(nc.nprobe AS BIGINT) AS nprobe, CAST({nq} AS BIGINT) AS n_queries,
+       nc.total_candidates,
+       CAST(COALESCE(h.total_hits, 0) AS BIGINT) AS total_hits,
+       round(CAST(COALESCE(h.total_hits, 0) AS DOUBLE) / {float(nq * k)!r}, 6) + 0.0 AS mean_recall
+FROM nc LEFT JOIN hits h USING (nprobe)
+"""
+    return "WITH " + ",\n".join(ctes) + ",\n" + final
+
+
+ORACLES["emb_ann_nprobe_pareto"] = _nprobe_pareto_sql()

@@ -1264,7 +1264,11 @@ def events_funnel_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, ev, "ts", num_chunks=8, disorder_s=300, extra_chunks=[sa, sb]
     )
     out = stateful.funnel_stream(
-        stream.withWatermark("ts", "660 seconds"), horizon_s=86400
+        # ttl=None: batch parity over a BOUNDED corpus needs exactly-once
+        # per user for the whole replay; the finite production default
+        # (2×horizon) would re-open funnels for users who reappear late
+        stream.withWatermark("ts", "660 seconds"), horizon_s=86400,
+        tombstone_ttl_s=None,
     )
     per_user = replay.run_to_completion(out)
     counts = per_user.agg(
@@ -2036,22 +2040,70 @@ def customers_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.revenue_concentration(load_table(spark, sf_dir, "orders"))
 
 
+def orders_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-fulfillment SLA report (operators/analytics.
+    fulfillment_latency): per order priority, the distribution of days
+    from placement to LAST line shipment — the operational answer the
+    TPC-H q4/q12 shapes circle. One orderkey shuffle (join + per-order
+    max fold in the same exchange), then a map-side-combined rollup."""
+    from .operators import analytics
+
+    return analytics.fulfillment_latency(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day load profile with independence lift
+    (operators/analytics.seasonality_profile): one map-side-combined
+    groupBy to ≤168 cells; margins and grand total derive from the cell
+    frame via tiny window sums. dow/hour use floor-div + pmod epoch
+    arithmetic so both engines bucket identically (incl. pre-1970)."""
+    from .operators import analytics
+
+    return analytics.seasonality_profile(load_events(spark, sf_dir))
+
+
+def emb_ann_nprobe_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe recall/cost Pareto frontier (operators/ann.
+    ann_nprobe_pareto): one corpus scan serves every nprobe level (the
+    level table is a broadcast literal; level ℓ's candidates are the
+    pr ≤ ℓ slice), recall measured against exact brute force."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann.ann_nprobe_pareto(
+        emb, list(range(10)), 5, nprobes=(1, 2, 4), nlist=16, train_iters=3
+    )
+
+
+def docs_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram likelihood per document (operators/lm.bigram_lm) —
+    the next rung of the CCNet proxy ladder above unigram_lm: catches
+    common-token/uncommon-order word salad. Bigram construction is
+    row-local (zip against own tail, no lag shuffle); corpus bigram
+    table joins on the bigram key with AQE broadcast when small."""
+    return lm.bigram_lm(load_table(spark, sf_dir, "documents"))
+
+
+def docs_phrase_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate phrase census (operators/text.phrase_census): top-50
+    word trigrams by distinct-document frequency — the phrase-level
+    analog of CCNet line-frequency boilerplate detection. N-grams are
+    row-local; occurrences collapse map-side; the rank window orders
+    only the min_df-filtered survivors."""
+    return text.phrase_census(load_table(spark, sf_dir, "documents"))
+
+
+def docs_vocab_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-concentration report (operators/text.vocab_gini): per
+    language, exact Gini of the token-frequency distribution + vocab
+    size + token total. The corpus collapses to the |vocab| frame
+    (Heaps' law) before the per-language rank window."""
+    return text.vocab_gini(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------- registry
 
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- CORRECTNESS window priority -----------------------------------
-    # The driver gates the FIRST 50 entries in dict order. Rounds 1-3
-    # proved every reference operator (2 green rounds each) and rotated
-    # the r2 backlog through; round 4 fronts (1) the 31 entries that have
-    # never had a driver row (VERDICT r3 item 2), (2) emb_covariance —
-    # r3's one red row, signed-zero-fixed this round, needs a green —
-    # then (3) round-4 NEW operators (in-window on first appearance, and
-    # capped so the window covers every never-checked entry — VERDICT r3
-    # item 3), then (4) flagship fill from the already-proven set.
-    # Everything below the window stays pytest-parity covered by
-    # tests/test_queries_parity.py (the full-registry sweep).
-    #
-    # (1) the 31 never-driver-checked entries (late-round-3 additions)
+_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_zorder_layout": events_zorder_layout,
     "events_item_cooccurrence": events_item_cooccurrence,
     "events_latest_state": events_latest_state,
@@ -2083,16 +2135,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_ann_topk_arrow": emb_ann_topk_arrow,
     "emb_top_eigvec": emb_top_eigvec,
     "emb_pca_project": emb_pca_project,
-    # (2) r3's red row, fixed in r4 (signed-zero normalization)
     "emb_covariance": emb_covariance,
-    # (3) round-4 NEW operators (inserted here as they land)
     "orders_market_basket": orders_market_basket,
     "customers_revenue_pareto": customers_revenue_pareto,
     "emb_label_drift": emb_label_drift,
     "docs_dedup_survivors": docs_dedup_survivors,
     "emb_pq_recon_error": emb_pq_recon_error,
     "events_gap_stats": events_gap_stats,
-    # (4) flagship fill from the already-proven set (≥2 green rounds)
     "hot_items_topn": hot_items_topn,
     "hot_urls_topn": hot_urls_topn,
     "unique_visitors": unique_visitors,
@@ -2111,7 +2160,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_ann_ivf_pq_rerank": emb_ann_ivf_pq_rerank,
     "docs_dup_spans": docs_dup_spans,
     "events_rfm": events_rfm,
-    # --- below the 50-entry window (pytest-parity covered) -------------
     "page_views": page_views,
     "unique_visitors_approx": unique_visitors_approx,
     "channel_stats": channel_stats,
@@ -2219,7 +2267,66 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_ann_topk": emb_ann_topk,
     "emb_ann_lsh": emb_ann_lsh,
     "emb_cosine_neardup": emb_cosine_neardup,
+    # round-5 additions (gated on first appearance)
+    "orders_fulfillment_latency": orders_fulfillment_latency,
+    "events_seasonality": events_seasonality,
+    "emb_ann_nprobe_pareto": emb_ann_nprobe_pareto,
+    "docs_bigram_lm": docs_bigram_lm,
+    "docs_phrase_census": docs_phrase_census,
+    "docs_vocab_gini": docs_vocab_gini,
 }
+
+# --- CORRECTNESS window (driver gates the FIRST 50 entries in dict
+# order) — round-5 rotation policy (VERDICT r4 item 4): (1) operators
+# NEW this round go in-window on first appearance, then (2) oldest
+# driver-row first — every entry whose latest green row is from round 1,
+# then round-2 entries in their original file order, until the window is
+# full. Entries left out (latest row r2-r4) stay pytest-parity covered
+# by tests/test_queries_parity.py (the full-registry sweep) and rotate
+# into round 6's window. tests/test_registry_window.py asserts the
+# window is exactly 50 and every round-5 addition is inside it.
+R5_NEW: list[str] = [
+    "orders_fulfillment_latency",
+    "events_seasonality",
+    "emb_ann_nprobe_pareto",
+    "docs_bigram_lm",
+    "docs_phrase_census",
+    "docs_vocab_gini",
+]
+_STALE_R1: list[str] = [
+    "tpch_q14", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22",
+    "docs_token_count", "docs_token_count_bpe", "docs_winnowing",
+    "docs_quality", "docs_lang_id", "docs_fingerprint",
+    "docs_dedup_exact", "docs_ngram_jaccard", "docs_corpus_select",
+    "docs_neardup_verified", "media_features", "docs_simhash",
+    "docs_simhash_neardup", "emb_ann_topk", "emb_ann_lsh",
+    "emb_ann_ivf", "emb_cosine_neardup",
+]
+_STALE_R2: list[str] = [
+    "page_views", "unique_visitors_approx", "channel_stats",
+    "channel_stats_rollup", "province_ad_clicks", "user_sessions",
+    "user_running_counts", "province_clicks_salted", "blacklist_kept",
+    "blacklist_warnings", "login_fail_consecutive", "login_fail_times3",
+    "login_fail_horizon", "order_timeout_streaming",
+    "blacklist_kept_streaming", "pay_receipt_reconcile", "tpch_q3",
+    "tpch_q4", "tpch_q5", "tpch_q6", "channel_stats_cube",
+    "page_views_streaming", "unique_visitors_streaming",
+    "hot_urls_topn_streaming", "pay_receipt_interval_join_streaming",
+    "pay_receipt_reconcile_streaming", "user_sessions_streaming",
+    "events_dedup_streaming", "events_asof_attribution", "events_funnel",
+    "events_retention", "channel_behavior_pivot", "events_rate_anomaly",
+    "events_rate_anomaly_streaming", "events_transition_matrix",
+    "tpch_q2", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11",
+]
+WINDOW_SIZE = 50
+_R5_WINDOW: list[str] = (R5_NEW + _STALE_R1 + _STALE_R2)[:WINDOW_SIZE]
+assert len(_R5_WINDOW) == WINDOW_SIZE
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    name: _ALL[name] for name in _R5_WINDOW
+}
+QUERIES.update((k, v) for k, v in _ALL.items() if k not in QUERIES)
+assert len(QUERIES) == len(_ALL)
 
 # queries whose semantics are estimator-specific → rows-only driver check
 # (empty since WA6 gained its error-bound oracle)

@@ -468,7 +468,7 @@ def funnel_stream(
     events: DataFrame,
     horizon_s: int,
     steps: tuple[str, str, str] = ("view", "click", "purchase"),
-    tombstone_ttl_s: int | None = None,
+    tombstone_ttl_s: int | None = -1,
 ) -> DataFrame:
     """The 3-step earliest-chain funnel as arbitrary stateful streaming —
     per user, the chained minima s0 → s1 → s2 (each step at/after the
@@ -493,10 +493,16 @@ def funnel_stream(
     funnel. On an unbounded stream that is still O(users) state, so
     ``tombstone_ttl_s`` arms one final event-time timer that far past
     the emission watermark and ``state.remove()``s when it fires
-    (re-armed if stray rows keep arriving). The default ``None`` keeps
-    tombstones forever: exact semantics, with the same external
-    compaction requirement the CDC latest-state docstring documents.
+    (re-armed if stray rows keep arriving). The DEFAULT is finite —
+    2 × ``horizon_s`` (any negative value selects it): a long-running
+    production stream must not grow one tombstone per user forever
+    (VERDICT r4 item 3). Pass ``None`` EXPLICITLY to keep tombstones
+    forever (exact exactly-once even for users who reappear arbitrarily
+    late, with the same external compaction requirement the CDC
+    latest-state docstring documents).
     """
+    if tombstone_ttl_s is not None and tombstone_ttl_s < 0:
+        tombstone_ttl_s = 2 * horizon_s
     st0, st1, st2 = steps
     idx = {st0: 0, st1: 1, st2: 2}
 

@@ -29,8 +29,38 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _canon_with_raw(df: pd.DataFrame) -> tuple[pd.DataFrame, dict[str, "object"]]:
+    """Rounded canonical frame PLUS the pre-round float columns reindexed
+    by the same row order. The sort key is the rounded frame with each
+    float column's raw uint64 bit pattern as tiebreaker, so rows that tie
+    under round(9) (or differ only as -0.0 vs 0.0) still pair up
+    positionally whenever the two frames hold the same raw multiset."""
+    import numpy as np
+
+    cols = sorted(df.columns)
+    disp = df[cols].copy()
+    raw: dict[str, np.ndarray] = {}
+    for c in cols:
+        if disp[c].dtype == object:
+            disp[c] = disp[c].astype(str)
+        elif str(disp[c].dtype).startswith("float"):
+            raw[c] = disp[c].to_numpy(dtype="float64").copy()
+            disp[c] = disp[c].round(9)
+    key = disp.copy()
+    bit_cols = []
+    for c, arr in raw.items():
+        bc = c + "\x00bits"
+        key[bc] = arr.view("uint64")
+        bit_cols.append(bc)
+    order = key.sort_values(by=cols + bit_cols).index.to_numpy()
+    disp = disp.loc[order].reset_index(drop=True)
+    raw = {c: arr[order] for c, arr in raw.items()}
+    return disp, raw
+
+
 def assert_frames_match(got: pd.DataFrame, exp: pd.DataFrame, name: str = "") -> None:
-    g, e = canon(got), canon(exp)
+    g, graw = _canon_with_raw(got)
+    e, eraw = _canon_with_raw(exp)
     assert list(g.columns) == list(e.columns), f"{name}: columns {list(g.columns)} != {list(e.columns)}"
     assert len(g) == len(e), f"{name}: rows {len(g)} != {len(e)}"
     if not g.equals(e):
@@ -40,15 +70,15 @@ def assert_frames_match(got: pd.DataFrame, exp: pd.DataFrame, name: str = "") ->
             f"{name}: {int(bad.sum())}/{len(g)} rows differ\n"
             f"spark:\n{g[bad].head(5)}\noracle:\n{e[bad].head(5)}"
         )
-    # Bitwise float check: the driver hashes raw byte representations, so
-    # -0.0 vs 0.0 (which pandas equality treats as equal) must fail here
-    # too — this is the faithful replica of the driver's value-hash gate.
+    # Bitwise float check ON THE PRE-ROUND VALUES: the driver hashes raw
+    # byte representations, so -0.0 vs 0.0 AND last-ulp drift (which the
+    # rounded tolerant pass above erases) must fail here too — this is
+    # the faithful replica of the driver's value-hash gate.
     import numpy as np
 
     for c in g.columns:
-        if str(g[c].dtype).startswith("float"):
-            ga = g[c].to_numpy(dtype="float64")
-            ea = e[c].to_numpy(dtype="float64")
+        if c in graw:
+            ga, ea = graw[c], eraw[c]
             diff = (ga.view("uint64") != ea.view("uint64")) & ~(
                 np.isnan(ga) & np.isnan(ea)
             )

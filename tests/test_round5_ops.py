@@ -1,0 +1,194 @@
+"""Round-5 operator gates: the six previously-unverified operators
+(VERDICT r4 item 1), the registry-window rotation invariants (item 4),
+and the stale-memo retrain scenario (item 7)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from gmall_flink_20_spark import queries as Q
+from gmall_flink_20_spark.operators import analytics, ann, lm, text
+
+
+# ------------------------------------------------------------ registry window
+
+
+def test_window_is_exactly_fifty():
+    assert len(Q._R5_WINDOW) == Q.WINDOW_SIZE == 50
+    assert len(set(Q._R5_WINDOW)) == 50
+
+
+def test_window_leads_the_registry():
+    assert list(Q.QUERIES)[:50] == Q._R5_WINDOW
+
+
+def test_round5_new_ops_are_in_window():
+    assert set(Q.R5_NEW) <= set(Q._R5_WINDOW)
+
+
+def test_window_rotation_fronts_stalest():
+    # every round-1-stale entry must be in the round-5 window
+    assert set(Q._STALE_R1) <= set(Q._R5_WINDOW)
+
+
+def test_registry_complete():
+    assert set(Q.QUERIES) == set(Q._ALL)
+
+
+# ------------------------------------------------------- seasonality_profile
+
+
+def test_seasonality_negative_epoch_stays_in_range(spark):
+    # pre-1970 timestamps must land in 0-6 / 0-23, not negative buckets
+    # (ADVICE r4: truncating cast + % remainder gave negatives)
+    df = spark.createDataFrame(
+        [(-1,), (-86400 * 3 - 7200,), (0,), (86400 + 3600,)], "ts_s long"
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"))
+    rows = analytics.seasonality_profile(df).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["dow"] <= 6, r
+        assert 0 <= r["hour"] <= 23, r
+    # 1969-12-31 23:59:59 (ts=-1) is a Wednesday (dow 3, hour 23)
+    cell = {(r["dow"], r["hour"]) for r in rows}
+    assert (3, 23) in cell
+    # 1970-01-01 00:00:00 is a Thursday (dow 4, hour 0)
+    assert (4, 0) in cell
+
+
+def test_seasonality_lift_identity(spark):
+    # a single populated cell has lift == 1 by construction
+    df = spark.createDataFrame([(3600,), (3600,)], "ts_s long").select(
+        F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    rows = analytics.seasonality_profile(df).collect()
+    assert len(rows) == 1 and rows[0]["lift"] == 1.0
+
+
+# ------------------------------------------------------- fulfillment_latency
+
+
+def test_fulfillment_latency_last_shipment(spark):
+    orders = spark.createDataFrame(
+        [(1, "1-URGENT", "2024-01-01"), (2, "1-URGENT", "2024-01-10")],
+        "o_orderkey long, o_orderpriority string, o_orderdate string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    lineitem = spark.createDataFrame(
+        [(1, "2024-01-03"), (1, "2024-01-08"), (2, "2024-01-11")],
+        "l_orderkey long, l_shipdate string",
+    ).withColumn("l_shipdate", F.to_timestamp("l_shipdate"))
+    [r] = analytics.fulfillment_latency(orders, lineitem).collect()
+    # order 1 latency = LAST line (7 days), order 2 = 1 day
+    assert r["n_orders"] == 2
+    assert r["min_days"] == 1 and r["max_days"] == 7
+    assert r["mean_days"] == 4.0
+
+
+# ---------------------------------------------------------------- bigram_lm
+
+
+def test_bigram_lm_drops_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "solo"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in lm.bigram_lm(df).collect()}
+    # docs 2 and 3 have < 2 tokens -> no bigram rows
+    assert set(rows) == {1}
+    # doc 1 bigrams: "a b" x2, "b a" x1 -> n=3; corpus freqs 2,1
+    r = rows[1]
+    assert r["n_bigrams"] == 3
+    assert r["sum_bf"] == 2 * 2 + 1 * 1
+    assert r["min_bf"] == 1
+    assert r["lm2_score"] == pytest.approx((5 / 3) / 3)
+
+
+# ------------------------------------------------------------- phrase_census
+
+
+def test_phrase_census_min_df_and_rank(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown dog sits"),
+            (3, "the quick brown cat naps"),
+            (4, "completely different text here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = text.phrase_census(df, n=3, min_df=2, topk=10).collect()
+    # only "the quick brown" and "quick brown ..." phrases can recur;
+    # "the quick brown" spans all 3 docs and must rank first
+    assert rows[0]["phrase"] == "the quick brown"
+    assert rows[0]["n_docs"] == 3
+    assert rows[0]["df_share"] == 0.75
+    # nothing with df < 2 survives
+    assert all(r["n_docs"] >= 2 for r in rows)
+
+
+# ---------------------------------------------------------------- vocab_gini
+
+
+def test_vocab_gini_flat_vs_skewed(spark):
+    # flat distribution (all tf equal) -> Gini ~ 0; skewed -> higher
+    flat = spark.createDataFrame(
+        [(1, "a b c d", "en")], "doc_id long, text string, lang string"
+    )
+    skew = spark.createDataFrame(
+        [(1, "a a a a a a b", "en")], "doc_id long, text string, lang string"
+    )
+    [rf] = text.vocab_gini(flat).collect()
+    [rs] = text.vocab_gini(skew).collect()
+    assert rf["vocab_size"] == 4 and rf["total_tokens"] == 4
+    assert rf["gini"] == 0.0
+    # skew: tf=[1(b),6(a)] ranked asc -> G = 2*(1*1+2*6)/(2*7) - 3/2
+    assert rs["gini"] == pytest.approx(2 * 13 / 14 - 1.5)
+    assert rs["gini"] > rf["gini"]
+
+
+# --------------------------------------------------------- ann_nprobe_pareto
+
+
+def test_nprobe_pareto_monotone(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = {
+        r["nprobe"]: r
+        for r in ann.ann_nprobe_pareto(
+            emb, list(range(10)), 5, nprobes=(1, 2, 4), nlist=16, train_iters=3
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 4}
+    # candidates scanned strictly grow with nprobe; recall never drops
+    assert rows[1]["total_candidates"] < rows[2]["total_candidates"] < rows[4]["total_candidates"]
+    assert rows[1]["mean_recall"] <= rows[2]["mean_recall"] <= rows[4]["mean_recall"]
+    assert all(r["n_queries"] == 10 for r in rows.values())
+    assert all(0.0 <= r["mean_recall"] <= 1.0 for r in rows.values())
+
+
+# ------------------------------------------------- stale-artifact memo retrain
+
+
+def test_memo_retrains_after_inplace_rewrite(spark, tmp_path):
+    # rewriting the SAME path with different data must invalidate the
+    # artifact memo (fingerprint includes file size+mtime) — the stale
+    # scenario ADVICE r3 described for concurrent sessions.
+    import random
+
+    path = str(tmp_path / "emb")
+    rng = random.Random(7)
+
+    def write(seed):
+        rng2 = random.Random(seed)
+        rows = [(i, [rng2.uniform(-1, 1) for _ in range(8)]) for i in range(64)]
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>").coalesce(
+            1
+        ).write.mode("overwrite").parquet(path)
+
+    write(1)
+    df1 = spark.read.parquet(path)
+    c1 = ann.kmeans_centroids_local(df1, 4, 1, "vec_id", "embedding", dim=8)
+    write(2)
+    df2 = spark.read.parquet(path)
+    c2 = ann.kmeans_centroids_local(df2, 4, 1, "vec_id", "embedding", dim=8)
+    assert c1 != c2, "memo returned stale centroids after in-place rewrite"

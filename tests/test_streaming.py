@@ -318,3 +318,60 @@ def test_funnel_stream_tombstone_ttl_preserves_semantics(spark):
     by_user = {r.user_id: r for r in got}
     assert by_user[1].s2_s == base + 200
     assert by_user[2].s1_s is None
+
+
+def test_funnel_stream_tombstone_removed_after_ttl(spark):
+    """The finite-TTL default (2×horizon) must actually REMOVE the
+    tombstone when the TTL timer fires: a user who reappears after the
+    TTL starts a fresh funnel (second emission — observable proof the
+    state was dropped), while ttl=None keeps absorbing forever."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+
+    from gmall_flink_20_spark.streaming import replay, stateful
+
+    base = 1_700_000_000
+
+    def mk(rows):
+        def ts(s):
+            return datetime.fromtimestamp(base + s, tz=timezone.utc).replace(
+                tzinfo=None
+            )
+
+        return spark.createDataFrame(
+            [(u, e, ts(s), t) for (u, e, s, t) in rows],
+            "user_id long, event_id long, ts timestamp, event_type string",
+        ).withColumn("ts_s", F.col("ts").cast("long"))
+
+    phase1 = mk([(1, 10, 100, "view"), (1, 11, 150, "click"), (1, 12, 200, "purchase")])
+    p700 = mk([(9, 90, 700, "noise")])
+    p1500 = mk([(9, 91, 1500, "noise")])
+    p1700 = mk([(9, 92, 1700, "noise")])
+    phase2 = mk([(1, 20, 2000, "view"), (1, 21, 2050, "click"), (1, 22, 2100, "purchase")])
+    sa, sb, _ = replay.sentinel_pair(spark, phase2)
+
+    def run(ttl):
+        stream = replay.replay_stream(
+            spark,
+            phase1,
+            "ts",
+            num_chunks=1,
+            extra_chunks=[p700, p1500, p1700, phase2, sa, sb],
+        )
+        out = stateful.funnel_stream(
+            stream.withWatermark("ts", "60 seconds"), horizon_s=300,
+            tombstone_ttl_s=ttl,
+        )
+        return [r for r in replay.run_to_completion(out).collect() if r.user_id == 1]
+
+    # default (-1 -> 2*300=600): emission wm=640, TTL timer 1240; pacer
+    # 1700 batch (wm 1440) fires it with no user-1 data -> state removed
+    # -> phase-2 chain emits a SECOND funnel
+    got = sorted(run(-1), key=lambda r: r.s0_s)
+    assert len(got) == 2, f"expected re-emission after TTL removal, got {got}"
+    assert got[0].s0_s == base + 100 and got[0].s2_s == base + 200
+    assert got[1].s0_s == base + 2000 and got[1].s2_s == base + 2100
+    # ttl=None: tombstone lives forever -> phase 2 absorbed, one emission
+    got_none = run(None)
+    assert len(got_none) == 1 and got_none[0].s0_s == base + 100
