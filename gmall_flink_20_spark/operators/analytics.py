@@ -36,6 +36,9 @@ __all__ = [
     "transition_matrix",
     "market_basket",
     "revenue_concentration",
+    "revenue_concentration_dist",
+    "range_partitioned_rank",
+    "ltv_deciles_dist",
     "inter_event_gaps",
     "fulfillment_latency",
     "seasonality_profile",
@@ -1015,4 +1018,164 @@ def seasonality_profile(
             )
             + F.lit(0.0)
         ).alias("lift"),
+    )
+
+
+def range_partitioned_rank(
+    per: DataFrame,
+    value_col: str,
+    key_col: str,
+    nbuckets: int = 32,
+    out: str = "_r_asc",
+) -> DataFrame:
+    """EXACT global ascending row_number over ``(value asc, key desc)``
+    with NO single-partition sort — the two-phase range-partitioned
+    ranking that replaces an unpartitioned ``Window.orderBy`` at scale
+    (VERDICT r4 item 2: the global-sort decile/Gini scale-killer).
+
+    Phase 1: ``approx_percentile`` cutoffs (one mergeable GK-sketch
+    aggregate) split the value domain into ``nbuckets`` roughly-equal
+    ranges; every row is bucketed ROW-LOCALLY against the broadcast
+    cutoff array (ties share a bucket, so tie order stays bucket-local).
+    Phase 2: bucket counts (≤ nbuckets rows — the only unpartitioned
+    window, over a frame that never grows with data) become broadcast
+    rank offsets, and each bucket ranks locally with a PARTITIONED
+    window. Global rank = offset + local rank — bit-identical to the
+    unpartitioned form because range partitioning preserves the total
+    order. Sketch error only skews bucket SIZES, never correctness.
+
+    At 100 TB: the biggest sort is |keys|/nbuckets per task instead of
+    |keys| in one task; nbuckets scales with the cluster.
+    """
+    probs = [i / nbuckets for i in range(1, nbuckets)]
+    cuts = per.agg(F.percentile_approx(value_col, probs, 10000).alias("_cuts"))
+    b = (
+        per.crossJoin(F.broadcast(cuts))
+        .withColumn(
+            "_bucket",
+            F.size(F.filter("_cuts", lambda c: F.col(value_col) > c)).cast("long"),
+        )
+        .drop("_cuts")
+    )
+    bc = b.groupBy("_bucket").agg(F.count(F.lit(1)).cast("long").alias("_bc"))
+    w_off = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    off = bc.select(
+        "_bucket",
+        F.coalesce(F.sum("_bc").over(w_off), F.lit(0)).cast("long").alias("_off"),
+    )
+    w_loc = Window.partitionBy("_bucket").orderBy(
+        F.col(value_col).asc(), F.col(key_col).desc()
+    )
+    return (
+        b.join(F.broadcast(off), "_bucket")
+        .withColumn(out, (F.col("_off") + F.row_number().over(w_loc)).cast("long"))
+        .drop("_bucket", "_off")
+    )
+
+
+def _ntile10_from_desc_rank(r_desc, n):
+    """ntile(10)-identical decile from an exact 1-based descending rank:
+    group boundaries are cum-size(d) = d·q + min(d, n mod 10) (first
+    ``n mod 10`` groups hold q+1 rows). Pure long comparisons — no
+    division whose double rounding could flip a decile at 1e9+ keys."""
+    q = F.floor(n / F.lit(10)).cast("long")
+    r = (n - q * F.lit(10)).cast("long")
+    d = F.lit(1).cast("long")
+    for i in range(1, 10):
+        d = d + (r_desc > F.lit(i) * q + F.least(F.lit(i).cast("long"), r)).cast("long")
+    return d
+
+
+def revenue_concentration_dist(
+    orders: DataFrame,
+    key_col: str = "o_custkey",
+    amount_col: str = "o_totalprice",
+    nbuckets: int = 32,
+) -> DataFrame:
+    """``revenue_concentration`` with the scale-safe ranking: identical
+    output (same oracle gates both), but the |keys| frame is ranked via
+    ``range_partitioned_rank`` instead of an unpartitioned window, and
+    the decile derives from the exact rank arithmetically
+    (``_ntile10_from_desc_rank``) instead of a second global-sort ntile.
+    The only unpartitioned windows left run on the ≤nbuckets offset
+    frame and the 10-row decile frame — both constant-size at any scale.
+    """
+    per = orders.groupBy(key_col).agg(
+        F.sum(F.round(F.col(amount_col) * 100, 0).cast("long"))
+        .cast("long")
+        .alias("_cents")
+    )
+    ranked = range_partitioned_rank(per, "_cents", key_col, nbuckets)
+    stats = ranked.agg(
+        (
+            F.lit(2.0) * F.sum(F.col("_r_asc") * F.col("_cents"))
+            / (F.count(F.lit(1)) * F.sum("_cents"))
+            - (F.count(F.lit(1)) + 1) / F.count(F.lit(1))
+        ).alias("_g"),
+        F.sum("_cents").alias("_total"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    )
+    dec = (
+        ranked.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "decile",
+            _ntile10_from_desc_rank(
+                F.col("_n") + F.lit(1) - F.col("_r_asc"), F.col("_n")
+            ),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("_cents").cast("long").alias("decile_cents"),
+            F.max("_g").alias("_g"),
+            F.max("_total").alias("_total"),
+        )
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return dec.select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_keys",
+        "decile_cents",
+        (
+            F.round(
+                F.sum("decile_cents").over(w_cum) / F.col("_total").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("cum_share"),
+        (F.round(F.col("_g"), 6) + F.lit(0.0)).alias("gini"),
+    )
+
+
+def ltv_deciles_dist(
+    orders: DataFrame,
+    key_col: str = "o_custkey",
+    amount_col: str = "o_totalprice",
+    nbuckets: int = 32,
+) -> DataFrame:
+    """``customers_ltv`` with the scale-safe ranking: per-customer order
+    count + integer-cent spend + spend decile, where the decile comes
+    from ``range_partitioned_rank`` + exact ntile arithmetic instead of
+    an unpartitioned ntile window. Output identical to the exact form
+    (same oracle); the per-key frame is never sorted in one task."""
+    per = orders.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col(amount_col) * 100, 0).cast("long"))
+        .cast("long")
+        .alias("total_cents"),
+    )
+    ranked = range_partitioned_rank(per, "total_cents", key_col, nbuckets)
+    n = ranked.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            key_col,
+            "n_orders",
+            "total_cents",
+            _ntile10_from_desc_rank(
+                F.col("_n") + F.lit(1) - F.col("_r_asc"), F.col("_n")
+            )
+            .cast("long")
+            .alias("ltv_decile"),
+        )
     )

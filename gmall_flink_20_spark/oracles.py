@@ -3493,3 +3493,8 @@ FROM nc LEFT JOIN hits h USING (nprobe)
 
 
 ORACLES["emb_ann_nprobe_pareto"] = _nprobe_pareto_sql()
+
+# the _dist forms are bit-identical to their exact-window siblings (range
+# partitioning preserves the total order) — same oracles gate both
+ORACLES["customers_revenue_pareto_dist"] = ORACLES["customers_revenue_pareto"]
+ORACLES["customers_ltv_dist"] = ORACLES["customers_ltv"]

@@ -2040,6 +2040,30 @@ def customers_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.revenue_concentration(load_table(spark, sf_dir, "orders"))
 
 
+def customers_revenue_pareto_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The revenue-concentration report computed the 100 TB way
+    (operators/analytics.revenue_concentration_dist): range-partitioned
+    two-phase ranking (approx_percentile bucket cutoffs → broadcast
+    offsets → PARTITIONED local rank) replaces the unpartitioned ntile/
+    row_number windows — output is bit-identical to customers_revenue_
+    pareto, so the SAME oracle gates both (VERDICT r4 item 2)."""
+    from .operators import analytics
+
+    return analytics.revenue_concentration_dist(load_table(spark, sf_dir, "orders"))
+
+
+def customers_ltv_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customers_ltv via the scale-safe ranking (operators/analytics.
+    ltv_deciles_dist): per-customer spend deciles from range-partitioned
+    exact ranks + ntile arithmetic — no single-task sort of the customer
+    frame; same oracle as the exact form."""
+    from .operators import analytics
+
+    return analytics.ltv_deciles_dist(load_table(spark, sf_dir, "orders")).select(
+        "o_custkey", "n_orders", "total_cents", "ltv_decile"
+    )
+
+
 def orders_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-fulfillment SLA report (operators/analytics.
     fulfillment_latency): per order priority, the distribution of days
@@ -2268,6 +2292,8 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_ann_lsh": emb_ann_lsh,
     "emb_cosine_neardup": emb_cosine_neardup,
     # round-5 additions (gated on first appearance)
+    "customers_revenue_pareto_dist": customers_revenue_pareto_dist,
+    "customers_ltv_dist": customers_ltv_dist,
     "orders_fulfillment_latency": orders_fulfillment_latency,
     "events_seasonality": events_seasonality,
     "emb_ann_nprobe_pareto": emb_ann_nprobe_pareto,
@@ -2286,6 +2312,8 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # into round 6's window. tests/test_registry_window.py asserts the
 # window is exactly 50 and every round-5 addition is inside it.
 R5_NEW: list[str] = [
+    "customers_revenue_pareto_dist",
+    "customers_ltv_dist",
     "orders_fulfillment_latency",
     "events_seasonality",
     "emb_ann_nprobe_pareto",
