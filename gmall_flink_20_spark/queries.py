@@ -328,8 +328,9 @@ def _topn_streaming(
     store = stopn.ParquetUpsertStore(
         tempfile.mkdtemp(prefix="topn_store_") + "/log", "window_end_s", key_col
     )
-    q = stopn.topn_upsert_sink(counts, store).trigger(availableNow=True).start()
-    q.awaitTermination()
+    with replay.replay_shuffle(spark):
+        q = stopn.topn_upsert_sink(counts, store).trigger(availableNow=True).start()
+        q.awaitTermination()
     snap = store.snapshot(spark)
     top = topn.top_n_per_key(snap, ["window_end_s"], "cnt", n, tiebreak=[key_col])
     return top.select(
@@ -464,8 +465,9 @@ def unique_visitors_approx_streaming(spark: SparkSession, sf_dir: str) -> DataFr
     store = stopn.ParquetUpsertStore(
         tempfile.mkdtemp(prefix="uv_hll_store_") + "/log", "window_end_s", "k"
     )
-    q = stopn.topn_upsert_sink(est, store).trigger(availableNow=True).start()
-    q.awaitTermination()
+    with replay.replay_shuffle(spark):
+        q = stopn.topn_upsert_sink(est, store).trigger(availableNow=True).start()
+        q.awaitTermination()
     snap = store.snapshot(spark).drop("k")
     exact = distinct.unique_count(_events(spark, sf_dir), "ts", "1 hour", "user_id")
     return snap.join(exact, "window_end_s").select(
@@ -1175,8 +1177,9 @@ def events_latest_state_streaming(spark: SparkSession, sf_dir: str) -> DataFrame
     store = stopn.ParquetUpsertStore(
         tempfile.mkdtemp(prefix="cdc_store_") + "/log", "user_id", "k"
     )
-    q = stopn.topn_upsert_sink(latest, store).trigger(availableNow=True).start()
-    q.awaitTermination()
+    with replay.replay_shuffle(spark):
+        q = stopn.topn_upsert_sink(latest, store).trigger(availableNow=True).start()
+        q.awaitTermination()
     return store.snapshot(spark).drop("k").select(
         "user_id", "last_ts_s", "last_event_type", "last_value_cents"
     )
