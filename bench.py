@@ -168,6 +168,18 @@ BENCH_QUERIES = [
     "docs_dedup_survivors",
     "emb_pq_recon_error",
     "events_gap_stats",
+    # round-5 additions
+    "customers_revenue_pareto_dist",
+    "customers_ltv_dist",
+    "orders_fulfillment_latency",
+    "events_seasonality",
+    "emb_ann_nprobe_pareto",
+    "docs_bigram_lm",
+    "docs_phrase_census",
+    "docs_vocab_gini",
+    "emb_mahalanobis",
+    "docs_cross_source_contamination",
+    "tpch_referential_audit",
 ]
 
 

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "referential_audit",
     "asof_join",
     "funnel",
     "retention_cohorts",
@@ -1179,3 +1180,48 @@ def ltv_deciles_dist(
             .alias("ltv_decile"),
         )
     )
+
+
+def referential_audit(
+    relations: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit — one row per FK relation
+    ``(name, child, child_key, parent, parent_key)``: child row count,
+    orphan count (child keys with no parent row — NULL keys included,
+    matching the LEFT-JOIN-IS-NULL convention in both engines), and the
+    orphan share. The standing data-quality gate a warehouse runs after
+    every load; a nonzero share is a broken upstream join feed.
+
+    Scale shape: each relation is a LEFT ANTI join on the key (AQE
+    broadcasts dim-sized parents; fact⋈fact shuffles on the key it would
+    shuffle on anyway) feeding COUNT aggregates — two scalar frames per
+    relation, unioned into a |relations|-row report. No windows, no
+    driver-side iteration over data (the loop is over the RELATION LIST,
+    a schema-sized constant)."""
+    outs = []
+    for name, child, ckey, parent, pkey in relations:
+        total = child.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
+        orph = child.join(
+            parent.select(F.col(pkey).alias("_pk")),
+            F.col(ckey) == F.col("_pk"),
+            "left_anti",
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+        outs.append(
+            total.crossJoin(orph).select(
+                F.lit(name).alias("relation"),
+                "n_child",
+                "n_orphans",
+                (
+                    F.round(
+                        F.col("n_orphans").cast("double")
+                        / F.col("n_child").cast("double"),
+                        6,
+                    )
+                    + F.lit(0.0)
+                ).alias("orphan_share"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "mahalanobis_outliers",
     "cosine",
     "ann_bruteforce_topk",
     "ann_bruteforce_topk_arrow",
@@ -586,4 +587,74 @@ def label_centroid_drift(
             F.round(dot_mg / F.sqrt(n2m * n2g), 6) + F.lit(0.0),
         ).alias("cos_to_global"),
         (F.round(F.sqrt(l2), 6) + F.lit(0.0)).alias("l2_to_global"),
+    )
+
+
+def mahalanobis_outliers(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Diagonal-covariance Mahalanobis distance per vector — the standard
+    embedding-QC outlier score (encoder glitches, wrong-modality rows,
+    truncated inputs land far from the per-dimension envelope even when
+    their norm looks normal). Emits ``(id, maha2)`` for every row;
+    downstream curation thresholds or top-k's the score column like any
+    per-document quality score.
+
+    Scale shape: ONE map-side-combined aggregate reduces the corpus to
+    a ``dim``-row stats frame (sum, sum-of-squares, count per position);
+    means/variances derive from it and fold into a broadcast literal
+    pair of arrays; scoring is then ROW-LOCAL (zip_with + sequential
+    fold) on a second corpus scan — no window, no join, no per-row
+    shuffle. Zero-variance dimensions contribute 0 (explicit guard, not
+    a NaN) in both engines.
+
+    Float contract: per-dim sums rounded to 4 (the summed-double gate,
+    as label_centroid_drift); var = (ss − s·s/n)/n from the rounded
+    sums; the score folds dimension terms in ascending position order —
+    matching the oracle's ordered list_sum bit-for-bit; round-6 + 0.0.
+    """
+    ex = emb.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x")
+    )
+    stats = ex.groupBy("pos").agg(
+        F.round(F.sum("x"), 4).alias("_s"),
+        F.round(F.sum(F.col("x") * F.col("x")), 4).alias("_ss"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    cons = stats.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("pos", (F.col("_s") / F.col("_n")).alias("m")))
+            ),
+            lambda s: s["m"],
+        ).alias("_mu"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "pos",
+                        (
+                            (F.col("_ss") - F.col("_s") * F.col("_s") / F.col("_n"))
+                            / F.col("_n")
+                        ).alias("v"),
+                    )
+                )
+            ),
+            lambda s: s["v"],
+        ).alias("_vr"),
+    )
+    diff2 = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.col("_mu"),
+        lambda x, m: (x - m) * (x - m),
+    )
+    terms = F.zip_with(
+        diff2, F.col("_vr"), lambda d2, v: F.when(v > 0, d2 / v).otherwise(F.lit(0.0))
+    )
+    score = F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
+    return emb.crossJoin(F.broadcast(cons)).select(
+        F.col(id_col), (F.round(score, 6) + F.lit(0.0)).alias("maha2")
     )

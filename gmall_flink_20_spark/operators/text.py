@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "cross_source_contamination",
     "tokens",
     "token_count",
     "token_count_bpe",
@@ -849,5 +850,73 @@ def vocab_gini(
                 )
                 + F.lit(0.0)
             ).alias("gini"),
+        )
+    )
+
+
+def cross_source_contamination(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source n-gram containment matrix: for every ORDERED source
+    pair (a, b), the share of a's distinct word n-grams that also occur
+    in b — the corpus-level contamination/overlap audit run before
+    mixing sources (a high containment of an eval source inside a train
+    source is exactly the leak ``decontaminate`` removes doc-by-doc).
+    Emits (source_a, source_b, grams_a, shared, containment) for ALL
+    ordered pairs, zero-overlap pairs included.
+
+    Scale shape: n-gram construction is ROW-LOCAL (the phrase_census
+    zip — no window); the corpus collapses to the DISTINCT
+    (source, gram) frame (map-side combine; |sources|·|gram vocab|,
+    Heaps-bounded); the one shuffle is the gram-key equi-self-join whose
+    output is bounded by pairs-per-gram ≤ |sources|², and source
+    marginals are a broadcast frame. The full matrix is |sources|² rows
+    — constant-size output at any corpus scale.
+    """
+    toks = tokens(text_col)
+    width = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    shifted = [F.slice(toks, i + 1, width) for i in range(n)]
+    grams = shifted[0]
+    for nxt in shifted[1:]:
+        grams = F.zip_with(grams, nxt, lambda a, b: F.concat_ws(" ", a, b))
+    g = (
+        df.select(F.col(source_col).alias("_src"), F.explode(grams).alias("_gram"))
+        .distinct()
+    )
+    marg = g.groupBy("_src").agg(F.count(F.lit(1)).cast("long").alias("_grams"))
+    shared = (
+        g.alias("a")
+        .join(g.alias("b"), F.col("a._gram") == F.col("b._gram"))
+        .filter(F.col("a._src") != F.col("b._src"))
+        .groupBy(F.col("a._src").alias("_sa"), F.col("b._src").alias("_sb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_shared"))
+    )
+    pairs = (
+        marg.alias("ma")
+        .crossJoin(F.broadcast(marg.alias("mb")))
+        .filter(F.col("ma._src") != F.col("mb._src"))
+    )
+    return (
+        pairs.join(
+            shared,
+            (F.col("ma._src") == F.col("_sa")) & (F.col("mb._src") == F.col("_sb")),
+            "left",
+        )
+        .select(
+            F.col("ma._src").alias("source_a"),
+            F.col("mb._src").alias("source_b"),
+            F.col("ma._grams").alias("grams_a"),
+            F.coalesce(F.col("_shared"), F.lit(0)).cast("long").alias("shared"),
+            (
+                F.round(
+                    F.coalesce(F.col("_shared"), F.lit(0)).cast("double")
+                    / F.col("ma._grams").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("containment"),
         )
     )

@@ -3498,3 +3498,102 @@ ORACLES["emb_ann_nprobe_pareto"] = _nprobe_pareto_sql()
 # partitioning preserves the total order) — same oracles gate both
 ORACLES["customers_revenue_pareto_dist"] = ORACLES["customers_revenue_pareto"]
 ORACLES["customers_ltv_dist"] = ORACLES["customers_ltv"]
+
+# diagonal-covariance Mahalanobis outlier score (similarity.
+# mahalanobis_outliers): round-4 per-dim sums/sumsq, var from rounded
+# sums, score folds dims in ascending position order, zero-var guard
+ORACLES["emb_mahalanobis"] = """
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+    FROM embeddings
+),
+s AS (
+    SELECT g.i AS pos, round(sum(vv[g.i + 1]), 4) AS s,
+           round(sum(vv[g.i + 1] * vv[g.i + 1]), 4) AS ss, count(*) AS n
+    FROM v, generate_series(0, 63) g(i) GROUP BY 1
+),
+c AS (
+    SELECT list(s / n ORDER BY pos) AS mu,
+           list((ss - s * s / n) / n ORDER BY pos) AS vr
+    FROM s
+)
+SELECT vec_id,
+       round(list_sum(list_transform(range(1, 65),
+             k -> CASE WHEN c.vr[k] > 0
+                       THEN (v.vv[k] - c.mu[k]) * (v.vv[k] - c.mu[k]) / c.vr[k]
+                       ELSE 0.0 END)), 6) + 0.0 AS maha2
+FROM v, c
+"""
+
+# cross-source 5-gram containment matrix (text.cross_source_
+# contamination): distinct (source, gram), gram-key self-join, full
+# ordered-pair matrix with zero-overlap pairs kept
+ORACLES["docs_cross_source_contamination"] = r"""
+WITH base AS (
+    SELECT source, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+g AS (
+    SELECT DISTINCT source,
+           unnest(list_transform(range(1, len(t) - 3),
+                  i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' ||
+                       t[i + 3] || ' ' || t[i + 4])) AS gram
+    FROM base
+),
+m AS (SELECT source, CAST(count(*) AS BIGINT) AS grams FROM g GROUP BY 1),
+p AS (
+    SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS shared
+    FROM g a JOIN g b ON a.gram = b.gram AND a.source <> b.source
+    GROUP BY 1, 2
+)
+SELECT ma.source AS source_a, mb.source AS source_b, ma.grams AS grams_a,
+       CAST(COALESCE(p.shared, 0) AS BIGINT) AS shared,
+       round(CAST(COALESCE(p.shared, 0) AS DOUBLE) / CAST(ma.grams AS DOUBLE), 6)
+           + 0.0 AS containment
+FROM m ma JOIN m mb ON ma.source <> mb.source
+LEFT JOIN p ON p.sa = ma.source AND p.sb = mb.source
+"""
+
+# referential-integrity audit (analytics.referential_audit): LEFT-JOIN-
+# IS-NULL orphan counts per FK relation, NULL child keys count orphan
+ORACLES["tpch_referential_audit"] = """
+WITH rel AS (
+    SELECT 'lineitem_orders' AS relation,
+           (SELECT count(*) FROM lineitem) AS n_child,
+           (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+             ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem_part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l LEFT JOIN part p
+             ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL)
+    UNION ALL
+    SELECT 'lineitem_supplier',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l LEFT JOIN supplier s
+             ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL)
+    UNION ALL
+    SELECT 'orders_customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o LEFT JOIN customer c
+             ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+    UNION ALL
+    SELECT 'customer_nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c LEFT JOIN nation n
+             ON c.c_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL)
+    UNION ALL
+    SELECT 'supplier_nation',
+           (SELECT count(*) FROM supplier),
+           (SELECT count(*) FROM supplier s LEFT JOIN nation n
+             ON s.s_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL)
+    UNION ALL
+    SELECT 'nation_region',
+           (SELECT count(*) FROM nation),
+           (SELECT count(*) FROM nation n LEFT JOIN region r
+             ON n.n_regionkey = r.r_regionkey WHERE r.r_regionkey IS NULL)
+)
+SELECT relation, CAST(n_child AS BIGINT) AS n_child,
+       CAST(n_orphans AS BIGINT) AS n_orphans,
+       round(CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE), 6) + 0.0 AS orphan_share
+FROM rel
+"""

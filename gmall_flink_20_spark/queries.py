@@ -2128,6 +2128,49 @@ def docs_vocab_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.vocab_gini(load_table(spark, sf_dir, "documents"))
 
 
+def emb_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector diagonal-covariance Mahalanobis outlier score
+    (operators/similarity.mahalanobis_outliers): one map-side-combined
+    stats pass to a dim-row frame, broadcast mean/var arrays, row-local
+    fixed-order scoring fold — no window, no join on the corpus."""
+    return similarity.mahalanobis_outliers(load_table(spark, sf_dir, "embeddings"))
+
+
+def docs_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source 5-gram containment matrix (operators/text.
+    cross_source_contamination): distinct (source, gram) frame, one
+    gram-key self-join, broadcast marginals — the corpus-level overlap
+    audit run before fixing mixture weights or trusting eval splits."""
+    return text.cross_source_contamination(load_table(spark, sf_dir, "documents"))
+
+
+def tpch_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity report over every TPC-H FK relation
+    (operators/analytics.referential_audit): LEFT ANTI orphan counts
+    per relation (AQE broadcasts dim parents), a |relations|-row frame.
+    The post-load data-quality gate every warehouse runs."""
+    from .operators import analytics
+
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    pa = load_table(spark, sf_dir, "part")
+    na = load_table(spark, sf_dir, "nation")
+    re_ = load_table(spark, sf_dir, "region")
+    return analytics.referential_audit(
+        [
+            ("lineitem_orders", li, "l_orderkey", od, "o_orderkey"),
+            ("lineitem_part", li, "l_partkey", pa, "p_partkey"),
+            ("lineitem_supplier", li, "l_suppkey", su, "s_suppkey"),
+            ("orders_customer", od, "o_custkey", cu, "c_custkey"),
+            ("customer_nation", cu, "c_nationkey", na, "n_nationkey"),
+            ("supplier_nation", su, "s_nationkey", na, "n_nationkey"),
+            ("nation_region", na, "n_regionkey", re_, "r_regionkey"),
+        ]
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2303,6 +2346,9 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_bigram_lm": docs_bigram_lm,
     "docs_phrase_census": docs_phrase_census,
     "docs_vocab_gini": docs_vocab_gini,
+    "emb_mahalanobis": emb_mahalanobis,
+    "docs_cross_source_contamination": docs_cross_source_contamination,
+    "tpch_referential_audit": tpch_referential_audit,
 }
 
 # --- CORRECTNESS window (driver gates the FIRST 50 entries in dict
@@ -2323,6 +2369,9 @@ R5_NEW: list[str] = [
     "docs_bigram_lm",
     "docs_phrase_census",
     "docs_vocab_gini",
+    "emb_mahalanobis",
+    "docs_cross_source_contamination",
+    "tpch_referential_audit",
 ]
 _STALE_R1: list[str] = [
     "tpch_q14", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22",

@@ -246,3 +246,64 @@ def test_ntile_formula_matches_spark_ntile(spark):
         )
         bad = got.filter(F.col("d") != F.col("expected")).count()
         assert bad == 0, f"n={n}: {bad} mismatches"
+
+
+# --------------------------------------------- round-5 second-batch operators
+
+
+def test_mahalanobis_identical_vectors_score_zero(spark):
+    # a corpus of identical vectors has zero variance everywhere -> the
+    # zero-var guard yields score 0, not NaN
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(4)], "vec_id long, embedding array<double>"
+    )
+    from gmall_flink_20_spark.operators import similarity
+
+    rows = similarity.mahalanobis_outliers(df, dim=2).collect()
+    assert len(rows) == 4
+    assert all(r["maha2"] == 0.0 for r in rows)
+
+
+def test_mahalanobis_flags_the_outlier(spark):
+    from gmall_flink_20_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.1]), (3, [-1.0, -0.1]), (9, [0.0, 50.0])],
+        "vec_id long, embedding array<double>",
+    )
+    scores = {r["vec_id"]: r["maha2"] for r in similarity.mahalanobis_outliers(df, dim=2).collect()}
+    assert scores[9] == max(scores.values())
+
+
+def test_cross_source_contamination_matrix(spark):
+    from gmall_flink_20_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f", "s1"),       # grams: "a b c d e", "b c d e f"
+            (2, "a b c d e x", "s2"),       # shares "a b c d e" with s1
+            (3, "q r s t u v", "s3"),       # disjoint
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {(r["source_a"], r["source_b"]): r for r in text_ops.cross_source_contamination(df).collect()}
+    assert len(rows) == 6  # 3*2 ordered pairs, zero-overlap pairs included
+    assert rows[("s1", "s2")]["shared"] == 1
+    assert rows[("s1", "s2")]["grams_a"] == 2
+    assert rows[("s1", "s2")]["containment"] == 0.5
+    assert rows[("s2", "s1")]["containment"] == 0.5
+    assert rows[("s1", "s3")]["shared"] == 0
+    assert rows[("s1", "s3")]["containment"] == 0.0
+
+
+def test_referential_audit_counts_orphans_and_null_keys(spark):
+    from gmall_flink_20_spark.operators import analytics
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    [r] = analytics.referential_audit([("c_p", child, "fk", parent, "pk")]).collect()
+    # 99 has no parent; NULL never matches -> both orphans
+    assert r["n_child"] == 4 and r["n_orphans"] == 2
+    assert r["orphan_share"] == 0.5
