@@ -180,6 +180,8 @@ BENCH_QUERIES = [
     "emb_mahalanobis",
     "docs_cross_source_contamination",
     "tpch_referential_audit",
+    "docs_minhash_calibration",
+    "docs_dedup_savings",
 ]
 
 

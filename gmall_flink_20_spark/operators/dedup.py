@@ -45,6 +45,9 @@ def minhash_perm_consts(num_hashes: int) -> list[tuple[int, int]]:
     return out
 
 __all__ = [
+    "dedup_savings",
+    "minhash_calibration",
+    "hashed_shingle_sets",
     "dedup_exact",
     "shingle_array",
     "shingles",
@@ -430,6 +433,17 @@ def neardup_verified(
     """
     sig = minhash_signature_permuted(df, n, num_hashes, text_col, id_col, parallelism)
     pairs = lsh_candidate_pairs(sig, bands, rows_per_band, id_col, from_array=True)
+    arr = hashed_shingle_sets(df, n, text_col, id_col)
+    return jaccard_verify(pairs, arr, threshold, id_col)
+
+
+def hashed_shingle_sets(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, shingles: array<bigint>) distinct 60-bit hashed shingle sets —
+    the exact-verification operand: hashing each shingle to a bigint
+    makes the pairwise ``array_intersect`` integer-typed (cheap) and
+    keeps the array KB-scale regardless of shingle text length."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     base = df.select(F.col(id_col), toks.alias("toks")).filter(F.size("toks") >= n)
     rows = base.select(
@@ -444,8 +458,136 @@ def neardup_verified(
             + ")), 1, 15), 16, 10) AS BIGINT)"
         ).alias("h"),
     )
-    arr = rows.groupBy(id_col).agg(F.collect_set("h").alias("shingles"))
-    return jaccard_verify(pairs, arr, threshold, id_col)
+    return rows.groupBy(id_col).agg(F.collect_set("h").alias("shingles"))
+
+
+def minhash_calibration(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """MinHash estimator-calibration report: for every LSH candidate
+    pair, the signature agreement level (matching components of the
+    k-permutation signature) against the EXACT shingle Jaccard — grouped
+    by agreement level into ≤ num_hashes+1 rows: pair count, the
+    estimator's implied Jaccard (matches/k), and the micro-averaged
+    exact Jaccard (Σ|∩| / Σ|∪|). The unbiased-estimator property says
+    est ≈ exact per level; a systematic gap is the QC signal that the
+    shingle size / permutation family is mistuned for this corpus.
+
+    Determinism: agreement counts and intersection/union sizes are exact
+    integers; the micro-average divides two exact LONG sums (a mean of
+    per-pair double ratios would be summation-order-dependent across
+    engines — micro-averaging is the determinism-safe calibration form).
+
+    Scale shape: candidates come from the same banding join the dedup
+    pipeline pays; signatures and hashed sets join onto pairs as arrays
+    (row-local zip/intersect, no shingle-level shuffle); the output is
+    fixed-size at any corpus scale.
+    """
+    sig = minhash_signature_permuted(df, n, num_hashes, text_col, id_col, parallelism)
+    pairs = lsh_candidate_pairs(sig, bands, rows_per_band, id_col, from_array=True)
+    arr = hashed_shingle_sets(df, n, text_col, id_col)
+    sa = sig.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("_sa"))
+    sb = sig.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("_sb"))
+    za = arr.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("_ha"))
+    zb = arr.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("_hb"))
+    scored = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            F.size(
+                F.filter(
+                    F.zip_with("_sa", "_sb", lambda a, b: a == b), lambda x: x
+                )
+            )
+            .cast("long")
+            .alias("n_matches"),
+            F.size(F.array_intersect("_ha", "_hb")).cast("long").alias("_inter"),
+            (
+                F.size("_ha").cast("long")
+                + F.size("_hb").cast("long")
+                - F.size(F.array_intersect("_ha", "_hb")).cast("long")
+            ).alias("_union"),
+        )
+    )
+    return scored.groupBy("n_matches").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        (
+            F.round(F.col("n_matches").cast("double") / F.lit(float(num_hashes)), 6)
+            + F.lit(0.0)
+        ).alias("est_jaccard"),
+        F.sum("_inter").cast("long").alias("sum_inter"),
+        F.sum("_union").cast("long").alias("sum_union"),
+        (
+            F.round(
+                F.sum("_inter").cast("double") / F.sum("_union").cast("double"), 6
+            )
+            + F.lit(0.0)
+        ).alias("micro_jaccard"),
+    )
+
+
+def dedup_savings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Dedup impact ledger: the near-dup CLUSTER-SIZE histogram with the
+    token savings the min-id survivorship policy realizes — per cluster
+    size: cluster count, member docs, duplicate docs (size − 1 each),
+    and the total tokens those duplicates carry (what dedup deletes from
+    the training corpus). The report a data-curation review reads before
+    approving a dedup run — "we drop N docs / M tokens at these cluster
+    sizes" — all exact integer arithmetic.
+
+    Scale shape: reuses the banded-LSH → verify → connected-components
+    pipeline (growth exponents ≤0.4, BASELINE.md), joins token counts
+    onto the cluster frame (|clustered docs|, ≪ corpus), and reduces to
+    ≤ max-cluster-size rows via two map-side-combined aggregates.
+    """
+    from .components import neardup_clusters
+
+    pairs = neardup_verified(df, text_col=text_col, id_col=id_col, parallelism=parallelism)
+    clusters = neardup_clusters(pairs.select("doc_a", "doc_b"))
+    toks = df.select(
+        F.col(id_col),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long").alias("_nt"),
+    )
+    cl = (
+        clusters.join(toks, id_col)
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_sz"),
+            F.sum(
+                F.when(F.col(id_col) != F.col("cluster_id"), F.col("_nt")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("_dup_toks"),
+        )
+    )
+    return cl.groupBy("_sz").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("_sz").cast("long").alias("total_docs"),
+        F.sum(F.col("_sz") - 1).cast("long").alias("dup_docs"),
+        F.sum("_dup_toks").cast("long").alias("dup_tokens"),
+    ).select(
+        F.col("_sz").alias("cluster_size"),
+        "n_clusters",
+        "total_docs",
+        "dup_docs",
+        "dup_tokens",
+    )
 
 
 def jaccard_verify(

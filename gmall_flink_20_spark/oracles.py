@@ -3597,3 +3597,56 @@ SELECT relation, CAST(n_child AS BIGINT) AS n_child,
        round(CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE), 6) + 0.0 AS orphan_share
 FROM rel
 """
+
+# minhash estimator calibration (dedup.minhash_calibration): signature
+# agreement level vs exact jaccard, micro-averaged over exact long sums
+ORACLES["docs_minhash_calibration"] = f"""
+WITH sh AS ({_SHINGLES}),
+{_MINHASH_CTES},
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM band a JOIN band b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sigp AS (SELECT doc_id, list(minhash ORDER BY seed) AS sig FROM sig GROUP BY doc_id),
+arr AS ({_HASHED_SETS}),
+sc AS (
+    SELECT
+        CAST(len(list_filter(range(1, 17), k -> x.sig[k] = y.sig[k])) AS BIGINT) AS n_matches,
+        CAST(len(list_intersect(a.hsh, b.hsh)) AS BIGINT) AS inter_sz,
+        CAST(len(a.hsh) + len(b.hsh) - len(list_intersect(a.hsh, b.hsh)) AS BIGINT) AS union_sz
+    FROM cand c
+    JOIN sigp x ON x.doc_id = c.doc_a
+    JOIN sigp y ON y.doc_id = c.doc_b
+    JOIN arr a ON a.doc_id = c.doc_a
+    JOIN arr b ON b.doc_id = c.doc_b
+)
+SELECT n_matches, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(CAST(n_matches AS DOUBLE) / 16.0, 6) + 0.0 AS est_jaccard,
+       CAST(sum(inter_sz) AS BIGINT) AS sum_inter,
+       CAST(sum(union_sz) AS BIGINT) AS sum_union,
+       round(CAST(sum(inter_sz) AS DOUBLE) / CAST(sum(union_sz) AS DOUBLE), 6) + 0.0 AS micro_jaccard
+FROM sc GROUP BY n_matches
+"""
+
+# dedup impact ledger (dedup.dedup_savings): cluster-size histogram +
+# min-id-survivorship token savings, exact integers throughout
+ORACLES["docs_dedup_savings"] = rf"""
+WITH RECURSIVE {{NEARDUP}},
+tok AS (
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+m AS (SELECT c.cluster_id, c.doc_id, t.n_tokens FROM clusters c JOIN tok t USING (doc_id)),
+cl AS (
+    SELECT cluster_id, count(*) AS sz,
+           sum(CASE WHEN doc_id <> cluster_id THEN n_tokens ELSE 0 END) AS dup_toks
+    FROM m GROUP BY 1
+)
+SELECT CAST(sz AS BIGINT) AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(sz) AS BIGINT) AS total_docs,
+       CAST(sum(sz - 1) AS BIGINT) AS dup_docs,
+       CAST(sum(dup_toks) AS BIGINT) AS dup_tokens
+FROM cl GROUP BY sz
+""".replace("{NEARDUP}", _NEARDUP_CLUSTER_CTES)

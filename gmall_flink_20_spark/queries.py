@@ -2171,6 +2171,28 @@ def tpch_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator-calibration report (operators/dedup.
+    minhash_calibration): per signature-agreement level, pair count,
+    implied estimator Jaccard, micro-averaged exact Jaccard (exact
+    long-sum division — the determinism-safe calibration form)."""
+    return dedup.minhash_calibration(
+        load_table(spark, sf_dir, "documents"),
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
+def docs_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact ledger (operators/dedup.dedup_savings): near-dup
+    cluster-size histogram with duplicate-doc and duplicate-token
+    counts under min-id survivorship — the pre-approval report for a
+    dedup run, all exact integers."""
+    return dedup.dedup_savings(
+        load_table(spark, sf_dir, "documents"),
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2349,6 +2371,8 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_mahalanobis": emb_mahalanobis,
     "docs_cross_source_contamination": docs_cross_source_contamination,
     "tpch_referential_audit": tpch_referential_audit,
+    "docs_minhash_calibration": docs_minhash_calibration,
+    "docs_dedup_savings": docs_dedup_savings,
 }
 
 # --- CORRECTNESS window (driver gates the FIRST 50 entries in dict
@@ -2372,6 +2396,8 @@ R5_NEW: list[str] = [
     "emb_mahalanobis",
     "docs_cross_source_contamination",
     "tpch_referential_audit",
+    "docs_minhash_calibration",
+    "docs_dedup_savings",
 ]
 _STALE_R1: list[str] = [
     "tpch_q14", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22",

@@ -307,3 +307,41 @@ def test_referential_audit_counts_orphans_and_null_keys(spark):
     # 99 has no parent; NULL never matches -> both orphans
     assert r["n_child"] == 4 and r["n_orphans"] == 2
     assert r["orphan_share"] == 0.5
+
+
+def test_minhash_calibration_identical_docs(spark):
+    """Two identical docs must land at full signature agreement with
+    exact jaccard 1.0; the disjoint doc pairs (if banded together) at 0."""
+    from gmall_flink_20_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "one two three four five six"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["n_matches"]: r for r in dedup.minhash_calibration(df).collect()}
+    assert 16 in rows  # the identical pair agrees on every component
+    assert rows[16]["micro_jaccard"] == 1.0
+    assert rows[16]["est_jaccard"] == 1.0
+
+
+def test_dedup_savings_ledger(spark):
+    from gmall_flink_20_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (5, "alpha beta gamma delta epsilon zeta"),
+            (9, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    [r] = dedup.dedup_savings(df).collect()
+    # one cluster {1,2,5}: survivor 1, dups 2 and 5 carry 6 tokens each
+    assert r["cluster_size"] == 3 and r["n_clusters"] == 1
+    assert r["total_docs"] == 3 and r["dup_docs"] == 2
+    assert r["dup_tokens"] == 12
