@@ -182,6 +182,8 @@ BENCH_QUERIES = [
     "tpch_referential_audit",
     "docs_minhash_calibration",
     "docs_dedup_savings",
+    "docs_tokenizer_fertility",
+    "docs_pii_stats",
 ]
 
 

@@ -16,6 +16,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "pii_stats",
+    "tokenizer_fertility",
     "cross_source_contamination",
     "tokens",
     "token_count",
@@ -919,4 +921,91 @@ def cross_source_contamination(
                 + F.lit(0.0)
             ).alias("containment"),
         )
+    )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer-fertility report per language: how many characters a
+    whitespace token vs a BPE-ish token spans, and the BPE/whitespace
+    fan-out — the per-language efficiency audit run before fixing a
+    token budget (languages the tokenizer fragments hardest dominate
+    compute per byte of text; CJK-like or highly-inflected subcorpora
+    show up immediately).
+
+    Emits per language: n_docs, total_chars, ws_tokens, bpe_tokens,
+    chars_per_ws (= chars/ws), chars_per_bpe, bpe_per_ws. All counts are
+    exact longs folded map-side; ratios are single double divisions of
+    those longs (round-6 + 0.0) — one corpus scan, one tiny aggregate,
+    no explode (both token counts are row-local regexp/size expressions).
+    """
+    ws_count = F.size(tokens(text_col))
+    bpe_count = F.regexp_count(F.col(text_col), F.lit(_BPE_PATTERN))
+    per = df.select(
+        F.col(lang_col).alias("lang"),
+        F.length(F.col(text_col)).cast("long").alias("_chars"),
+        ws_count.cast("long").alias("_ws"),
+        bpe_count.cast("long").alias("_bpe"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_chars").cast("long").alias("total_chars"),
+        F.sum("_ws").cast("long").alias("ws_tokens"),
+        F.sum("_bpe").cast("long").alias("bpe_tokens"),
+    )
+    def ratio(a, b):
+        return (
+            F.round(F.col(a).cast("double") / F.col(b).cast("double"), 6)
+            + F.lit(0.0)
+        )
+    return agg.select(
+        "lang", "n_docs", "total_chars", "ws_tokens", "bpe_tokens",
+        ratio("total_chars", "ws_tokens").alias("chars_per_ws"),
+        ratio("total_chars", "bpe_tokens").alias("chars_per_bpe"),
+        ratio("bpe_tokens", "ws_tokens").alias("bpe_per_ws"),
+    )
+
+
+def pii_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """PII exposure report per source: documents containing / total
+    occurrences of email addresses and phone numbers (the two patterns
+    ``cleaning.redact_pii`` removes) — the governance dashboard that
+    decides WHICH sources need the redaction pass at all, and verifies
+    its effect afterwards (re-run on cleaned output → all zeros).
+
+    Patterns live in cleaning.py (the Java ∩ RE2 subset both engines
+    honor identically). One corpus scan of row-local ``regexp_count``
+    expressions folding into a map-side-combined per-source aggregate —
+    |sources| rows out at any corpus scale.
+    """
+    from .cleaning import EMAIL_RE, PHONE_RE
+
+    emails = F.regexp_count(F.col(text_col), F.lit(EMAIL_RE)).cast("long")
+    phones = F.regexp_count(F.col(text_col), F.lit(PHONE_RE)).cast("long")
+    per = df.select(
+        F.col(source_col).alias("source"),
+        emails.alias("_em"),
+        phones.alias("_ph"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("_em") > 0).cast("long")).cast("long").alias("docs_with_email"),
+        F.sum("_em").cast("long").alias("email_hits"),
+        F.sum((F.col("_ph") > 0).cast("long")).cast("long").alias("docs_with_phone"),
+        F.sum("_ph").cast("long").alias("phone_hits"),
+        (
+            F.round(
+                F.sum(((F.col("_em") > 0) | (F.col("_ph") > 0)).cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("pii_doc_share"),
     )

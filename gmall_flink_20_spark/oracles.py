@@ -3650,3 +3650,49 @@ SELECT CAST(sz AS BIGINT) AS cluster_size, CAST(count(*) AS BIGINT) AS n_cluster
        CAST(sum(dup_toks) AS BIGINT) AS dup_tokens
 FROM cl GROUP BY sz
 """.replace("{NEARDUP}", _NEARDUP_CLUSTER_CTES)
+
+# tokenizer fertility per language (text.tokenizer_fertility): exact
+# long counts, round-6 ratio divisions of the same longs
+ORACLES["docs_tokenizer_fertility"] = r"""
+WITH per AS (
+    SELECT lang,
+           CAST(length(text) AS BIGINT) AS ch,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS BIGINT) AS bpe
+    FROM documents
+),
+a AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ch) AS BIGINT) AS total_chars,
+           CAST(sum(ws) AS BIGINT) AS ws_tokens,
+           CAST(sum(bpe) AS BIGINT) AS bpe_tokens
+    FROM per GROUP BY lang
+)
+SELECT lang, n_docs, total_chars, ws_tokens, bpe_tokens,
+       round(CAST(total_chars AS DOUBLE) / CAST(ws_tokens AS DOUBLE), 6) + 0.0 AS chars_per_ws,
+       round(CAST(total_chars AS DOUBLE) / CAST(bpe_tokens AS DOUBLE), 6) + 0.0 AS chars_per_bpe,
+       round(CAST(bpe_tokens AS DOUBLE) / CAST(ws_tokens AS DOUBLE), 6) + 0.0 AS bpe_per_ws
+FROM a
+"""
+
+# PII exposure per source (text.pii_stats): same Java∩RE2 patterns the
+# cleaning oracle uses, counted instead of replaced
+ORACLES["docs_pii_stats"] = r"""
+WITH per AS (
+    SELECT source,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS em,
+           CAST(len(regexp_extract_all(text,
+               '[0-9]{3}-[0-9]{3,4}-[0-9]{4}')) AS BIGINT) AS ph
+    FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN em > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+       CAST(sum(em) AS BIGINT) AS email_hits,
+       CAST(sum(CASE WHEN ph > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_phone,
+       CAST(sum(ph) AS BIGINT) AS phone_hits,
+       round(CAST(sum(CASE WHEN em > 0 OR ph > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) + 0.0 AS pii_doc_share
+FROM per GROUP BY source
+"""

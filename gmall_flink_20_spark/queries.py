@@ -2193,6 +2193,22 @@ def docs_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility report per language (operators/text.
+    tokenizer_fertility): chars per whitespace/BPE-ish token and the
+    BPE fan-out — one scan of row-local regexp/size expressions into a
+    |langs|-row map-side-combined aggregate."""
+    return text.tokenizer_fertility(load_table(spark, sf_dir, "documents"))
+
+
+def docs_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII exposure report per source (operators/text.pii_stats): email/
+    phone hit counts and affected-doc shares using the same Java∩RE2
+    patterns cleaning.redact_pii removes — the governance dashboard
+    deciding which sources need redaction."""
+    return text.pii_stats(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------- registry
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2373,6 +2389,8 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_referential_audit": tpch_referential_audit,
     "docs_minhash_calibration": docs_minhash_calibration,
     "docs_dedup_savings": docs_dedup_savings,
+    "docs_tokenizer_fertility": docs_tokenizer_fertility,
+    "docs_pii_stats": docs_pii_stats,
 }
 
 # --- CORRECTNESS window (driver gates the FIRST 50 entries in dict
@@ -2398,6 +2416,8 @@ R5_NEW: list[str] = [
     "tpch_referential_audit",
     "docs_minhash_calibration",
     "docs_dedup_savings",
+    "docs_tokenizer_fertility",
+    "docs_pii_stats",
 ]
 _STALE_R1: list[str] = [
     "tpch_q14", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22",

@@ -345,3 +345,30 @@ def test_dedup_savings_ledger(spark):
     assert r["cluster_size"] == 3 and r["n_clusters"] == 1
     assert r["total_docs"] == 3 and r["dup_docs"] == 2
     assert r["dup_tokens"] == 12
+
+
+def test_tokenizer_fertility_ratios(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, "don't stop", "en")],
+        "doc_id long, text string, lang string",
+    )
+    [r] = text.tokenizer_fertility(df).collect()
+    # ws tokens: 2 + 2 = 4; bpe: hello|world=2, don|'|t|stop=4 -> 6
+    assert r["ws_tokens"] == 4 and r["bpe_tokens"] == 6
+    assert r["total_chars"] == 11 + 10
+    assert r["bpe_per_ws"] == 1.5
+
+
+def test_pii_stats_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b@example.com or c@d.org", "s1"),
+            (2, "call 555-123-4567 now", "s1"),
+            (3, "clean document", "s1"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    [r] = text.pii_stats(df).collect()
+    assert r["docs_with_email"] == 1 and r["email_hits"] == 2
+    assert r["docs_with_phone"] == 1 and r["phone_hits"] == 1
+    assert r["pii_doc_share"] == pytest.approx(2 / 3, abs=1e-6)
