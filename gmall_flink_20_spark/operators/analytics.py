@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "seasonality_lift",
+    "seasonality_cells",
     "referential_audit",
     "asof_join",
     "funnel",
@@ -993,15 +995,29 @@ def seasonality_profile(
     cell frame (window sums over a tiny frame), never rescanning the
     events. The lift division chain is fixed-order on exact longs.
     """
-    ts_s = F.col(time_col).cast("long")
     cells = (
-        events.select(
-            F.pmod(F.floor(ts_s / F.lit(86400)) + F.lit(4), F.lit(7)).alias("dow"),
-            F.pmod(F.floor(ts_s / F.lit(3600)), F.lit(24)).alias("hour"),
-        )
+        events.select(*seasonality_cells(time_col))
         .groupBy("dow", "hour")
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
+    return seasonality_lift(cells)
+
+
+def seasonality_cells(time_col: str = "ts") -> list:
+    """The dow/hour bucketing projection (floor-div + pmod epoch
+    arithmetic — see seasonality_profile), shared by the batch and
+    streaming forms so both bucket identically."""
+    ts_s = F.col(time_col).cast("long")
+    return [
+        F.pmod(F.floor(ts_s / F.lit(86400)) + F.lit(4), F.lit(7)).alias("dow"),
+        F.pmod(F.floor(ts_s / F.lit(3600)), F.lit(24)).alias("hour"),
+    ]
+
+
+def seasonality_lift(cells: DataFrame) -> DataFrame:
+    """Independence-lift post-processing over the ≤168-row (dow, hour,
+    n_events) cell frame — margins and grand total via tiny window sums,
+    the division chain left-associated (shared by batch + streaming)."""
     w_dow = Window.partitionBy("dow")
     w_hour = Window.partitionBy("hour")
     w_all = Window.partitionBy()

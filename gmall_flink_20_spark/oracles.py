@@ -3696,3 +3696,6 @@ SELECT source,
              / CAST(count(*) AS DOUBLE), 6) + 0.0 AS pii_doc_share
 FROM per GROUP BY source
 """
+
+# the streaming seasonality run is gated by the identical batch oracle
+ORACLES["events_seasonality_streaming"] = ORACLES["events_seasonality"]

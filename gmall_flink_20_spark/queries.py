@@ -2193,6 +2193,35 @@ def docs_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_seasonality_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dow×hour seasonality cells as an ACTUAL streaming aggregation:
+    update-mode groupBy over the replayed event stream upserted into the
+    distributed parquet store (the MapState-upsert pattern of the top-N
+    family), then the independence-lift post-processing runs in batch on
+    the ≤168-row snapshot — gated by the identical SQL oracle as the
+    batch form. Excluded from bench (replay harness)."""
+    import tempfile
+
+    from .operators import analytics
+    from .streaming import replay
+    from .streaming import topn as stopn
+
+    ev = load_events(spark, sf_dir).select("ts", "event_id")
+    stream = replay.replay_stream(spark, ev, "ts", num_chunks=8)
+    cells = (
+        stream.select(*analytics.seasonality_cells("ts"))
+        .groupBy("dow", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    store = stopn.ParquetUpsertStore(
+        tempfile.mkdtemp(prefix="season_store_") + "/log", "dow", "hour"
+    )
+    with replay.replay_shuffle(spark):
+        q = stopn.topn_upsert_sink(cells, store).trigger(availableNow=True).start()
+        q.awaitTermination()
+    return analytics.seasonality_lift(store.snapshot(spark))
+
+
 def docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-fertility report per language (operators/text.
     tokenizer_fertility): chars per whitespace/BPE-ish token and the
@@ -2391,6 +2420,7 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_dedup_savings": docs_dedup_savings,
     "docs_tokenizer_fertility": docs_tokenizer_fertility,
     "docs_pii_stats": docs_pii_stats,
+    "events_seasonality_streaming": events_seasonality_streaming,
 }
 
 # --- CORRECTNESS window (driver gates the FIRST 50 entries in dict
@@ -2418,6 +2448,7 @@ R5_NEW: list[str] = [
     "docs_dedup_savings",
     "docs_tokenizer_fertility",
     "docs_pii_stats",
+    "events_seasonality_streaming",
 ]
 _STALE_R1: list[str] = [
     "tpch_q14", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22",
