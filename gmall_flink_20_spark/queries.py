@@ -253,7 +253,7 @@ def order_timeout_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", F.col("ts").cast("long").alias("ts_s"), "event_type", "ts"
     )
     s1, s2, _ = replay.sentinel_pair(spark, ev)
-    stream = replay.replay_stream(spark, ev, "ts", num_chunks=8, extra_chunks=[s1, s2])
+    stream = replay.replay_stream(spark, ev, "ts", num_chunks=replay.REPLAY_CHUNKS, extra_chunks=[s1, s2])
     out = stateful.order_timeout_stream(stream.withWatermark("ts", "2 seconds"), horizon_s=7200)
     res = replay.run_to_completion(out)
     return res.select("create_id", "user_id", "create_ts_s", "status")
@@ -274,7 +274,7 @@ def login_fail_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s1, s2, _ = replay.sentinel_pair(spark, ev)
     stream = replay.replay_stream(
-        spark, ev, "ts", num_chunks=8, disorder_s=300, extra_chunks=[s1, s2]
+        spark, ev, "ts", num_chunks=replay.REPLAY_CHUNKS, disorder_s=300, extra_chunks=[s1, s2]
     )
     out = stateful.login_fail_pairs_stream(
         stream.withWatermark("ts", "660 seconds"), max_gap_s=7200
@@ -295,7 +295,7 @@ def blacklist_kept_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day_str"),
         "ts",
     )
-    stream = replay.replay_stream(spark, clicks, "ts", num_chunks=8)
+    stream = replay.replay_stream(spark, clicks, "ts", num_chunks=replay.REPLAY_CHUNKS)
     out = stateful.blacklist_stream(stream.drop("ts"), threshold=3)
     return (
         replay.run_to_completion(out)
@@ -321,7 +321,7 @@ def _topn_streaming(
     from .streaming import topn as stopn
     from .streaming import windows as swindows
 
-    stream = replay.replay_stream(spark, rows, "ts", num_chunks=8)
+    stream = replay.replay_stream(spark, rows, "ts", num_chunks=replay.REPLAY_CHUNKS)
     counts = swindows.streaming_windowed_count(
         stream, "ts", "2 seconds", size, slide, key_col
     )
@@ -380,7 +380,7 @@ def page_views_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = _clicks(spark, sf_dir).select("user_id", "ts")
     s1, s2, cutoff = replay.sentinel_pair(spark, clicks)
     stream = replay.replay_stream(
-        spark, clicks, "ts", num_chunks=8, extra_chunks=[s1, s2]
+        spark, clicks, "ts", num_chunks=replay.REPLAY_CHUNKS, extra_chunks=[s1, s2]
     )
     out = (
         stream.withWatermark("ts", "2 seconds")
@@ -412,7 +412,7 @@ def unique_visitors_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir).select("user_id", "ts")
     s1, s2, cutoff = replay.sentinel_pair(spark, ev)
-    stream = replay.replay_stream(spark, ev, "ts", num_chunks=8, extra_chunks=[s1, s2])
+    stream = replay.replay_stream(spark, ev, "ts", num_chunks=replay.REPLAY_CHUNKS, extra_chunks=[s1, s2])
     out = (
         stream.withWatermark("ts", "2 hours")
         .withColumn("hour", F.date_trunc("hour", F.col("ts")))
@@ -451,7 +451,7 @@ def unique_visitors_approx_streaming(spark: SparkSession, sf_dir: str) -> DataFr
 
     rsd = 0.05
     ev = _events(spark, sf_dir).select("user_id", "ts")
-    stream = replay.replay_stream(spark, ev, "ts", num_chunks=8)
+    stream = replay.replay_stream(spark, ev, "ts", num_chunks=replay.REPLAY_CHUNKS)
     est = (
         stream.withWatermark("ts", "2 seconds")
         .groupBy(F.window("ts", "1 hour").alias("w"))
@@ -551,8 +551,8 @@ def pay_receipt_interval_join_streaming(spark: SparkSession, sf_dir: str) -> Dat
         F.col("user_id").alias("key"),
         floored.alias("receipt_t"),
     )
-    sp = replay.replay_stream(spark, pays, "pay_t", num_chunks=6)
-    sr = replay.replay_stream(spark, recs, "receipt_t", num_chunks=6)
+    sp = replay.replay_stream(spark, pays, "pay_t", num_chunks=replay.REPLAY_CHUNKS)
+    sr = replay.replay_stream(spark, recs, "receipt_t", num_chunks=replay.REPLAY_CHUNKS)
     out = sjoins.stream_interval_join(sp, sr, "key", "pay_t", "receipt_t", -1800, 1800)
     return replay.run_to_completion(
         out.select(
@@ -586,8 +586,8 @@ def pay_receipt_reconcile_streaming(spark: SparkSession, sf_dir: str) -> DataFra
     )
     sl = replay.flush_sentinel(spark, pays, ts_col="pay_t", days=30, overrides={"key": -1})
     sr_ = replay.flush_sentinel(spark, recs, ts_col="receipt_t", days=31, overrides={"key": -2})
-    sp = replay.replay_stream(spark, pays, "pay_t", num_chunks=6, extra_chunks=[sl])
-    sr = replay.replay_stream(spark, recs, "receipt_t", num_chunks=6, extra_chunks=[sr_])
+    sp = replay.replay_stream(spark, pays, "pay_t", num_chunks=replay.REPLAY_CHUNKS, extra_chunks=[sl])
+    sr = replay.replay_stream(spark, recs, "receipt_t", num_chunks=replay.REPLAY_CHUNKS, extra_chunks=[sr_])
     out = sjoins.stream_reconcile_full_outer(
         sp, sr, "key", "pay_t", "receipt_t", -3600, 3600,
         matched="matched", left_only="payed_no_receipt", right_only="receipt_no_pay",
@@ -615,7 +615,7 @@ def user_sessions_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir).select("user_id", "ts")
     sentinel = replay.flush_sentinel(spark, ev, ts_col="ts", days=30)
-    stream = replay.replay_stream(spark, ev, "ts", num_chunks=8, extra_chunks=[sentinel])
+    stream = replay.replay_stream(spark, ev, "ts", num_chunks=replay.REPLAY_CHUNKS, extra_chunks=[sentinel])
     out = swindows.streaming_session_count(stream, "ts", "2 seconds", 1800, "user_id")
     return replay.run_to_completion(out).select(
         "user_id", "session_start_s", "session_end_s", "n_events"
@@ -637,7 +637,7 @@ def events_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     dups = ev.filter(F.col("event_id") % 3 == 0).withColumn(
         "ts", F.col("ts") + F.expr("INTERVAL 1 SECOND")
     )
-    stream = replay.replay_stream(spark, ev.unionAll(dups), "ts", num_chunks=8)
+    stream = replay.replay_stream(spark, ev.unionAll(dups), "ts", num_chunks=replay.REPLAY_CHUNKS)
     deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
@@ -665,7 +665,7 @@ def market_behavior_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame
 
     gen = generators.market_behavior_frame(spark, n=60000)
     sentinel = replay.flush_sentinel(spark, gen, ts_col="ts", days=30)
-    stream = replay.replay_stream(spark, gen, "ts", num_chunks=8, extra_chunks=[sentinel])
+    stream = replay.replay_stream(spark, gen, "ts", num_chunks=replay.REPLAY_CHUNKS, extra_chunks=[sentinel])
     out = swindows.streaming_windowed_count(
         stream, "ts", "2 seconds", "10 minutes", None, "channel", "behavior"
     )
@@ -1152,7 +1152,7 @@ def events_latest_state_streaming(spark: SparkSession, sf_dir: str) -> DataFrame
         "event_type",
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
     )
-    stream = replay.replay_stream(spark, ev, "ts", num_chunks=8)
+    stream = replay.replay_stream(spark, ev, "ts", num_chunks=replay.REPLAY_CHUNKS)
     latest = (
         stream.withColumn("ts_s", F.col("ts").cast("long"))
         .groupBy("user_id")
@@ -1264,7 +1264,7 @@ def events_funnel_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa, sb, _ = replay.sentinel_pair(spark, ev)
     stream = replay.replay_stream(
-        spark, ev, "ts", num_chunks=8, disorder_s=300, extra_chunks=[sa, sb]
+        spark, ev, "ts", num_chunks=replay.REPLAY_CHUNKS, disorder_s=300, extra_chunks=[sa, sb]
     )
     out = stateful.funnel_stream(
         # ttl=None: batch parity over a BOUNDED corpus needs exactly-once
@@ -1572,7 +1572,7 @@ def events_rate_anomaly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame
         "event_type", F.col("ts").cast("long").alias("ts_s"), "ts"
     )
     s1, s2, cutoff = replay.sentinel_pair(spark, ev)
-    stream = replay.replay_stream(spark, ev, "ts", num_chunks=8, extra_chunks=[s1, s2])
+    stream = replay.replay_stream(spark, ev, "ts", num_chunks=replay.REPLAY_CHUNKS, extra_chunks=[s1, s2])
     out = stateful.rate_anomaly_stream(
         stream.withWatermark("ts", "2 seconds"), bucket_s=3600, trailing=24
     )
@@ -1911,7 +1911,7 @@ def docs_dedup_incremental_streaming(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .distinct()
     )
-    stream = replay.replay_stream(spark, new, "ts", num_chunks=6)
+    stream = replay.replay_stream(spark, new, "ts", num_chunks=replay.REPLAY_CHUNKS)
     deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
         ["content_hash"]
     )
@@ -2207,7 +2207,7 @@ def events_seasonality_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import topn as stopn
 
     ev = load_events(spark, sf_dir).select("ts", "event_id")
-    stream = replay.replay_stream(spark, ev, "ts", num_chunks=8)
+    stream = replay.replay_stream(spark, ev, "ts", num_chunks=replay.REPLAY_CHUNKS)
     cells = (
         stream.select(*analytics.seasonality_cells("ts"))
         .groupBy("dow", "hour")
