@@ -184,6 +184,8 @@ BENCH_QUERIES = [
     "docs_dedup_savings",
     "docs_tokenizer_fertility",
     "docs_pii_stats",
+    "items_triangle_stats",
+    "customers_cohort_ltv",
 ]
 
 

@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "item_pairs",
+    "cohort_ltv",
     "seasonality_lift",
     "seasonality_cells",
     "referential_audit",
@@ -436,6 +438,39 @@ def rfm_segments(
     )
 
 
+def item_pairs(
+    events: DataFrame,
+    cap: int = 50,
+    min_support: int = 2,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+) -> DataFrame:
+    """Co-interaction item pairs (item_a < item_b, n_users >= min_support)
+    with the per-user cap bounding pair fan-out at cap² — the shared edge
+    builder for item-CF (item_cooccurrence) and graph analytics
+    (triangle_stats, pagerank)."""
+    ui = events.groupBy(F.col(user_col), F.col(item_col)).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    w_cap = Window.partitionBy(user_col).orderBy(
+        F.col("_cnt").desc(), F.col(item_col).asc()
+    )
+    capped = (
+        ui.withColumn("_r", F.row_number().over(w_cap))
+        .filter(F.col("_r") <= cap)
+        .select(F.col(user_col).alias("_u"), F.col(item_col).alias("_i"))
+    )
+    a = capped.select(F.col("_u"), F.col("_i").alias("item_a"))
+    b = capped.select(F.col("_u"), F.col("_i").alias("item_b"))
+    return (
+        a.join(b, "_u")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .filter(F.col("n_users") >= min_support)
+    )
+
+
 def item_cooccurrence(
     events: DataFrame,
     k: int = 10,
@@ -461,26 +496,7 @@ def item_cooccurrence(
 
     Deterministic: every rank ties on item id; counts are integers.
     """
-    ui = events.groupBy(F.col(user_col), F.col(item_col)).agg(
-        F.count(F.lit(1)).alias("_cnt")
-    )
-    w_cap = Window.partitionBy(user_col).orderBy(
-        F.col("_cnt").desc(), F.col(item_col).asc()
-    )
-    capped = (
-        ui.withColumn("_r", F.row_number().over(w_cap))
-        .filter(F.col("_r") <= cap)
-        .select(F.col(user_col).alias("_u"), F.col(item_col).alias("_i"))
-    )
-    a = capped.select(F.col("_u"), F.col("_i").alias("item_a"))
-    b = capped.select(F.col("_u"), F.col("_i").alias("item_b"))
-    pairs = (
-        a.join(b, "_u")
-        .filter(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-        .filter(F.col("n_users") >= min_support)
-    )
+    pairs = item_pairs(events, cap, min_support, user_col, item_col)
     sym = pairs.unionByName(
         pairs.select(
             F.col("item_b").alias("item_a"),
@@ -1241,3 +1257,67 @@ def referential_audit(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def cohort_ltv(
+    orders: DataFrame,
+    key_col: str = "o_custkey",
+    amount_col: str = "o_totalprice",
+    date_col: str = "o_orderdate",
+) -> DataFrame:
+    """Acquisition-cohort LTV curves: customers cohorted by FIRST order
+    month; one row per (cohort_month, age_months) with active customers,
+    integer-cent revenue, cumulative cohort revenue, and cumulative LTV
+    per acquired customer — the retention-economics table every
+    subscription/commerce review reads ("does month-6 LTV cover CAC?").
+
+    Month arithmetic is calendar-exact integers (year·12 + month — no
+    epoch division, no engine calendar quirks); money is integer cents;
+    the cumulative window runs over the (cohorts × ages) frame, which is
+    calendar-bounded (≤ a few thousand rows at ANY corpus scale), never
+    over customers. Two shuffles total: the per-customer cohort min and
+    the per-cell aggregate — both map-side combined.
+    """
+    m = (F.year(F.col(date_col)) * 12 + F.month(F.col(date_col))).cast("long")
+    base = orders.select(
+        F.col(key_col).alias("_k"),
+        m.alias("_m"),
+        F.round(F.col(amount_col) * 100, 0).cast("long").alias("_cents"),
+    )
+    cohort = base.groupBy("_k").agg(F.min("_m").alias("_cm"))
+    sizes = cohort.groupBy("_cm").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    cells = (
+        base.join(cohort, "_k")
+        .groupBy(F.col("_cm"), (F.col("_m") - F.col("_cm")).alias("age_months"))
+        .agg(
+            F.count_distinct(F.col("_k")).cast("long").alias("active_customers"),
+            F.sum("_cents").cast("long").alias("revenue_cents"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("_cm")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cells.join(F.broadcast(sizes), "_cm")
+        .select(
+            F.col("_cm").cast("long").alias("cohort_month"),
+            F.col("age_months").cast("long").alias("age_months"),
+            "cohort_size",
+            "active_customers",
+            "revenue_cents",
+            F.sum("revenue_cents").over(w_cum).cast("long").alias("cum_revenue_cents"),
+            (
+                F.round(
+                    F.sum("revenue_cents").over(w_cum).cast("double")
+                    / F.lit(100.0)
+                    / F.col("cohort_size").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cum_ltv_per_customer"),
+        )
+    )

@@ -3699,3 +3699,78 @@ FROM per GROUP BY source
 
 # the streaming seasonality run is gated by the identical batch oracle
 ORACLES["events_seasonality_streaming"] = ORACLES["events_seasonality"]
+
+# triangle census over the co-click item graph (graph.triangle_stats):
+# compact-forward orientation — every triangle closes exactly once
+ORACLES["items_triangle_stats"] = """
+WITH ui AS (
+    SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id,
+           count(*) AS cnt
+    FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+capped AS (
+    SELECT user_id, item_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY cnt DESC, item_id ASC) AS r
+        FROM ui
+    ) WHERE r <= 50
+),
+e AS (
+    SELECT a.item_id AS a, b.item_id AS b
+    FROM capped a JOIN capped b
+      ON a.user_id = b.user_id AND a.item_id < b.item_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+),
+deg AS (
+    SELECT a, count(*) AS d FROM (
+        SELECT a FROM e UNION ALL SELECT b AS a FROM e
+    ) GROUP BY 1
+),
+o AS (
+    SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.a ELSE e.b END AS u,
+           CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.b ELSE e.a END AS v
+    FROM e JOIN deg da ON da.a = e.a JOIN deg db ON db.a = e.b
+),
+tri AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM o p1 JOIN o p2 ON p2.u = p1.v JOIN o p3 ON p3.u = p1.u AND p3.v = p2.v
+),
+st AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(CAST(d * (d - 1) / 2 AS BIGINT)) AS BIGINT) AS n_wedges
+    FROM deg
+),
+ec AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+SELECT st.n_nodes, ec.n_edges, st.n_wedges, tri.n_triangles,
+       round(3.0 * tri.n_triangles / st.n_wedges, 6) + 0.0 AS global_clustering
+FROM st, ec, tri
+"""
+
+# acquisition-cohort LTV curves (analytics.cohort_ltv): calendar-exact
+# integer month arithmetic, integer cents, cumulative over the cell frame
+ORACLES["customers_cohort_ltv"] = """
+WITH base AS (
+    SELECT o_custkey AS k,
+           CAST(date_part('year', o_orderdate) * 12 + date_part('month', o_orderdate) AS BIGINT) AS m,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+),
+cohort AS (SELECT k, min(m) AS cm FROM base GROUP BY 1),
+sizes AS (SELECT cm, CAST(count(*) AS BIGINT) AS cohort_size FROM cohort GROUP BY 1),
+cells AS (
+    SELECT c.cm, b.m - c.cm AS age_months,
+           CAST(count(DISTINCT b.k) AS BIGINT) AS active_customers,
+           CAST(sum(b.cents) AS BIGINT) AS revenue_cents
+    FROM base b JOIN cohort c ON c.k = b.k
+    GROUP BY 1, 2
+)
+SELECT CAST(c.cm AS BIGINT) AS cohort_month,
+       CAST(c.age_months AS BIGINT) AS age_months,
+       s.cohort_size, c.active_customers, c.revenue_cents,
+       CAST(sum(c.revenue_cents) OVER (PARTITION BY c.cm ORDER BY c.age_months
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_revenue_cents,
+       round(CAST(sum(c.revenue_cents) OVER (PARTITION BY c.cm ORDER BY c.age_months
+            ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0 / CAST(s.cohort_size AS DOUBLE), 6)
+           + 0.0 AS cum_ltv_per_customer
+FROM cells c JOIN sizes s ON s.cm = c.cm
+"""

@@ -2238,6 +2238,28 @@ def docs_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.pii_stats(load_table(spark, sf_dir, "documents"))
 
 
+def items_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the co-click item graph (operators/graph.
+    triangle_stats): compact-forward degree orientation bounds every
+    join fan-out at the arboricity; edges come from the same capped
+    item_pairs builder the CF kernel uses."""
+    from .operators import analytics, graph
+
+    ev = _clicks(spark, sf_dir).select("user_id", _item_id())
+    edges = analytics.item_pairs(ev, cap=50, min_support=2)
+    return graph.triangle_stats(edges)
+
+
+def customers_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition-cohort LTV curves (operators/analytics.cohort_ltv):
+    first-order-month cohorts × age, integer-cent revenue, cumulative
+    LTV per acquired customer — cumulative window over the calendar-
+    bounded cell frame, never over customers."""
+    from .operators import analytics
+
+    return analytics.cohort_ltv(load_table(spark, sf_dir, "orders"))
+
+
 # ---------------------------------------------------------------- registry
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2421,6 +2443,8 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_tokenizer_fertility": docs_tokenizer_fertility,
     "docs_pii_stats": docs_pii_stats,
     "events_seasonality_streaming": events_seasonality_streaming,
+    "items_triangle_stats": items_triangle_stats,
+    "customers_cohort_ltv": customers_cohort_ltv,
 }
 
 # --- CORRECTNESS window (driver gates the FIRST 50 entries in dict
@@ -2449,6 +2473,8 @@ R5_NEW: list[str] = [
     "docs_tokenizer_fertility",
     "docs_pii_stats",
     "events_seasonality_streaming",
+    "items_triangle_stats",
+    "customers_cohort_ltv",
 ]
 _STALE_R1: list[str] = [
     "tpch_q14", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22",

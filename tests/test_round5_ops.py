@@ -372,3 +372,57 @@ def test_pii_stats_counts(spark):
     assert r["docs_with_email"] == 1 and r["email_hits"] == 2
     assert r["docs_with_phone"] == 1 and r["phone_hits"] == 1
     assert r["pii_doc_share"] == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_triangle_stats_known_graph(spark):
+    from gmall_flink_20_spark.operators import graph
+
+    # K4 minus one edge: nodes {1,2,3,4}, edges 12 13 14 23 24 (no 34)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], "item_a long, item_b long"
+    )
+    [r] = graph.triangle_stats(edges).collect()
+    assert r["n_nodes"] == 4 and r["n_edges"] == 5
+    # triangles: 123 and 124
+    assert r["n_triangles"] == 2
+    # degrees: 1->3, 2->3, 3->2, 4->2 -> wedges 3+3+1+1 = 8
+    assert r["n_wedges"] == 8
+    assert r["global_clustering"] == 0.75
+
+
+def test_triangle_stats_hub_star_has_none(spark):
+    from gmall_flink_20_spark.operators import graph
+
+    # star graph: hub 0 to leaves 1..5 — wedges but zero triangles
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "item_a long, item_b long"
+    )
+    [r] = graph.triangle_stats(edges).collect()
+    assert r["n_triangles"] == 0
+    assert r["n_wedges"] == 10
+    assert r["global_clustering"] == 0.0
+
+
+def test_cohort_ltv_curve(spark):
+    orders = spark.createDataFrame(
+        [
+            (1, 100.0, "2024-01-05"),
+            (1, 50.0, "2024-02-10"),
+            (2, 10.0, "2024-01-20"),
+            (3, 40.0, "2024-02-01"),
+        ],
+        "o_custkey long, o_totalprice double, o_orderdate string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    rows = {(r["cohort_month"], r["age_months"]): r for r in analytics.cohort_ltv(orders).collect()}
+    jan = 2024 * 12 + 1
+    feb = jan + 1
+    # Jan cohort: customers 1,2 -> size 2; age 0 revenue 11000 cents
+    assert rows[(jan, 0)]["cohort_size"] == 2
+    assert rows[(jan, 0)]["revenue_cents"] == 11000
+    assert rows[(jan, 0)]["active_customers"] == 2
+    # age 1: customer 1 spends 5000 -> cumulative 16000 -> LTV 80.0
+    assert rows[(jan, 1)]["cum_revenue_cents"] == 16000
+    assert rows[(jan, 1)]["cum_ltv_per_customer"] == 80.0
+    # Feb cohort: customer 3 only
+    assert rows[(feb, 0)]["cohort_size"] == 1
+    assert rows[(feb, 0)]["revenue_cents"] == 4000
