@@ -186,6 +186,8 @@ BENCH_QUERIES = [
     "docs_pii_stats",
     "items_triangle_stats",
     "customers_cohort_ltv",
+    "events_seasonal_anomaly",
+    "docs_dup_provenance",
 ]
 
 

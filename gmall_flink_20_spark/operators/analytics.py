@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "seasonal_anomaly",
     "item_pairs",
     "cohort_ltv",
     "seasonality_lift",
@@ -1320,4 +1321,67 @@ def cohort_ltv(
                 + F.lit(0.0)
             ).alias("cum_ltv_per_customer"),
         )
+    )
+
+
+def seasonal_anomaly(
+    events: DataFrame,
+    time_col: str = "ts",
+    z_threshold: float = 1.75,
+) -> DataFrame:
+    """Seasonality-adjusted anomaly cells: bucket events into
+    (week, dow, hour) counts, baseline each (dow, hour) cell against its
+    OWN history across weeks (zero-filled — a week where the cell was
+    silent counts as 0, which is exactly the anomaly a naive groupBy
+    would hide), and emit the cells whose |z| ≥ ``z_threshold``. The
+    "is this Tuesday 9am actually abnormal, or is Tuesday 9am always
+    like this" detector that a raw trailing z-score (rate_anomaly)
+    cannot express.
+
+    Determinism: counts are exact integers, so mean = s/n and
+    var = (ss − s·s/n)/n are fixed-order double expressions over exact
+    longs — no rounding gate needed before the final round-6. var = 0
+    cells never emit (zero variance ⇒ every week identical ⇒ z
+    undefined/0).
+
+    Scale shape: one map-side-combined count to |weeks|·168 cells; the
+    zero-fill grid is (distinct weeks × observed dow-hour cells), both
+    broadcast-size; baseline stats are a second tiny aggregate. Nothing
+    downstream of the first count touches event rows.
+    """
+    ts_s = F.col(time_col).cast("long")
+    cells = (
+        events.select(
+            F.floor(ts_s / F.lit(604800)).cast("long").alias("week"),
+            *seasonality_cells(time_col),
+        )
+        .groupBy("week", "dow", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    weeks = cells.select("week").distinct()
+    slots = cells.select("dow", "hour").distinct()
+    grid = weeks.crossJoin(slots)
+    filled = grid.join(cells, ["week", "dow", "hour"], "left").select(
+        "week", "dow", "hour", F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events")
+    )
+    stats = filled.groupBy("dow", "hour").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("n_events").cast("long").alias("_s"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("long").alias("_ss"),
+    )
+    j = filled.join(F.broadcast(stats), ["dow", "hour"])
+    mean = F.col("_s").cast("double") / F.col("_n").cast("double")
+    var = (
+        F.col("_ss").cast("double")
+        - F.col("_s").cast("double") * F.col("_s").cast("double") / F.col("_n").cast("double")
+    ) / F.col("_n").cast("double")
+    z = (F.col("n_events").cast("double") - mean) / F.sqrt(var)
+    return (
+        j.filter(var > 0)
+        .select(
+            "week", "dow", "hour", "n_events",
+            (F.round(mean, 6) + F.lit(0.0)).alias("cell_mean"),
+            (F.round(z, 6) + F.lit(0.0)).alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) >= z_threshold)
     )

@@ -45,6 +45,7 @@ def minhash_perm_consts(num_hashes: int) -> list[tuple[int, int]]:
     return out
 
 __all__ = [
+    "dup_provenance",
     "dedup_savings",
     "minhash_calibration",
     "hashed_shingle_sets",
@@ -994,4 +995,43 @@ def novelty_rate(
                 F.col("n_novel").cast("double") / F.col("n_windows").cast("double"), 6
             ).alias("novelty"),
         )
+    )
+
+
+def dup_provenance(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """WHERE duplication comes from: the verified near-dup pairs rolled
+    up by unordered source pair — within-source counts (a crawler
+    re-fetching its own pages) vs cross-source counts (mirrors,
+    syndication, the overlap that double-weights content when sources
+    are mixed). The provenance view a curation review reads next to
+    ``dedup_savings``; ``cross_source_contamination`` sees shared
+    VOCABULARY, this sees actual verified duplicate DOCUMENTS.
+
+    Emits (source_x ≤ source_y, n_pairs, within_source) — a
+    |sources|²-bounded frame. Scale shape: the pair pipeline is the
+    standard banded one; the rollup joins the tiny (id, source) dim onto
+    pairs twice and aggregates map-side.
+    """
+    pairs = neardup_verified(
+        df, text_col=text_col, id_col=id_col, parallelism=parallelism
+    ).select("doc_a", "doc_b")
+    src = df.select(F.col(id_col), F.col(source_col).alias("_src"))
+    sa = src.select(F.col(id_col).alias("doc_a"), F.col("_src").alias("_sa"))
+    sb = src.select(F.col(id_col).alias("doc_b"), F.col("_src").alias("_sb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("_sa", "_sb").alias("source_x"),
+            F.greatest("_sa", "_sb").alias("source_y"),
+        )
+        .groupBy("source_x", "source_y")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .withColumn("within_source", F.col("source_x") == F.col("source_y"))
     )

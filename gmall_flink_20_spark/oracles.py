@@ -3774,3 +3774,69 @@ SELECT CAST(c.cm AS BIGINT) AS cohort_month,
            + 0.0 AS cum_ltv_per_customer
 FROM cells c JOIN sizes s ON s.cm = c.cm
 """
+
+# seasonality-adjusted anomaly cells (analytics.seasonal_anomaly):
+# zero-filled week grid, fixed-order mean/var over exact integer counts
+ORACLES["events_seasonal_anomaly"] = """
+WITH cells AS (
+    SELECT CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS week,
+           ((CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) + 4) % 7 + 7) % 7 AS dow,
+           (CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) % 24 + 24) % 24 AS hour,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2, 3
+),
+weeks AS (SELECT DISTINCT week FROM cells),
+slots AS (SELECT DISTINCT dow, hour FROM cells),
+filled AS (
+    SELECT w.week, s.dow, s.hour, CAST(COALESCE(c.n_events, 0) AS BIGINT) AS n_events
+    FROM weeks w CROSS JOIN slots s
+    LEFT JOIN cells c ON c.week = w.week AND c.dow = s.dow AND c.hour = s.hour
+),
+st AS (
+    SELECT dow, hour, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_events) AS BIGINT) AS s,
+           CAST(sum(n_events * n_events) AS BIGINT) AS ss
+    FROM filled GROUP BY 1, 2
+)
+SELECT * FROM (
+    SELECT week, CAST(f.dow AS BIGINT) AS dow, CAST(f.hour AS BIGINT) AS hour, f.n_events,
+           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS cell_mean,
+           round((CAST(f.n_events AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                        / CAST(n AS DOUBLE)), 6) + 0.0 AS zscore
+    FROM filled f JOIN st USING (dow, hour)
+    WHERE (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+          / CAST(n AS DOUBLE) > 0
+)
+WHERE abs(zscore) >= 1.75
+"""
+
+# duplication provenance (dedup.dup_provenance): verified near-dup pairs
+# rolled up by unordered source pair
+ORACLES["docs_dup_provenance"] = f"""
+WITH sh AS ({_SHINGLES}),
+{_MINHASH_CTES},
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM band a JOIN band b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+arr AS ({_HASHED_SETS}),
+pairs AS (
+    SELECT c.doc_a, c.doc_b
+    FROM cand c
+    JOIN arr x ON x.doc_id = c.doc_a
+    JOIN arr y ON y.doc_id = c.doc_b
+    WHERE len(list_intersect(x.hsh, y.hsh)) > 0
+      AND CAST(len(list_intersect(x.hsh, y.hsh)) AS DOUBLE)
+          / CAST(len(x.hsh) + len(y.hsh) - len(list_intersect(x.hsh, y.hsh)) AS DOUBLE) >= 0.3
+)
+SELECT least(da.source, db.source) AS source_x,
+       greatest(da.source, db.source) AS source_y,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       least(da.source, db.source) = greatest(da.source, db.source) AS within_source
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+GROUP BY 1, 2
+"""

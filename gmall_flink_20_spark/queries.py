@@ -2260,6 +2260,26 @@ def customers_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.cohort_ltv(load_table(spark, sf_dir, "orders"))
 
 
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly cells (operators/analytics.
+    seasonal_anomaly): each (week, dow, hour) count z-scored against its
+    own zero-filled cross-week baseline — the 'is Tuesday 9am always
+    like this' complement to the trailing-window rate_anomaly."""
+    from .operators import analytics
+
+    return analytics.seasonal_anomaly(load_events(spark, sf_dir))
+
+
+def docs_dup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication provenance (operators/dedup.dup_provenance): verified
+    near-dup pairs rolled up by unordered source pair — within-source vs
+    cross-source duplicate counts."""
+    return dedup.dup_provenance(
+        load_table(spark, sf_dir, "documents"),
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2445,6 +2465,8 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_seasonality_streaming": events_seasonality_streaming,
     "items_triangle_stats": items_triangle_stats,
     "customers_cohort_ltv": customers_cohort_ltv,
+    "events_seasonal_anomaly": events_seasonal_anomaly,
+    "docs_dup_provenance": docs_dup_provenance,
 }
 
 # --- CORRECTNESS window (driver gates the FIRST 50 entries in dict
@@ -2475,6 +2497,8 @@ R5_NEW: list[str] = [
     "events_seasonality_streaming",
     "items_triangle_stats",
     "customers_cohort_ltv",
+    "events_seasonal_anomaly",
+    "docs_dup_provenance",
 ]
 _STALE_R1: list[str] = [
     "tpch_q14", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22",

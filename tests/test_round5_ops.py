@@ -426,3 +426,47 @@ def test_cohort_ltv_curve(spark):
     # Feb cohort: customer 3 only
     assert rows[(feb, 0)]["cohort_size"] == 1
     assert rows[(feb, 0)]["revenue_cents"] == 4000
+
+
+def test_seasonal_anomaly_zero_fill_catches_silent_week(spark):
+    """A cell that goes silent one week must be flagged LOW — only the
+    zero-filled grid can see it."""
+    from datetime import datetime, timezone
+
+    rows = []
+    # cell (dow of day0+3h) active weeks 0-3 with 10 events, silent week 4
+    for week in range(5):
+        n = 10 if week < 4 else 0
+        for i in range(n):
+            rows.append((week * 100 + i, week * 604800 + 3 * 3600))
+    # pacer in week 4 at another hour, so week 4 exists in the grid
+    rows.append((999, 4 * 604800 + 10 * 3600))
+    df = spark.createDataFrame(rows, "event_id long, ts_s long").select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    out = {r["week"]: r for r in analytics.seasonal_anomaly(df, z_threshold=1.9).collect() if r["hour"] == 3}
+    # week 4's silent cell: counts (10,10,10,10,0) -> mean 8,
+    # var (400-320)/5 = 16 -> z = (0-8)/4 = -2 — only visible zero-filled
+    assert set(out) == {4}
+    assert out[4]["n_events"] == 0
+    assert out[4]["zscore"] == -2.0
+
+
+def test_dup_provenance_split_sources(spark):
+    from gmall_flink_20_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "s1"),
+            (2, "alpha beta gamma delta epsilon zeta", "s2"),
+            (3, "alpha beta gamma delta epsilon zeta", "s1"),
+            (9, "one two three four five six seven", "s1"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {(r["source_x"], r["source_y"]): r for r in dedup.dup_provenance(df).collect()}
+    # pairs (1,2) s1-s2, (1,3) s1-s1, (2,3) s1-s2
+    assert rows[("s1", "s2")]["n_pairs"] == 2
+    assert rows[("s1", "s2")]["within_source"] is False
+    assert rows[("s1", "s1")]["n_pairs"] == 1
+    assert rows[("s1", "s1")]["within_source"] is True
