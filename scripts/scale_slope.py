@@ -43,6 +43,12 @@ HEAVY = [
     "docs_containment_pairs",
     "emb_knn_graph",
     "emb_semantic_dedup",
+    # round-5 heavy additions
+    "docs_minhash_calibration",
+    "docs_dedup_savings",
+    "docs_cross_source_contamination",
+    "docs_dup_provenance",
+    "items_triangle_stats",
 ]
 
 
