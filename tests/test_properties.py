@@ -451,3 +451,30 @@ def test_rfm_scores_are_monotone_in_metrics(spark, purchases):
                 assert a.f_score <= b.f_score
             if a.monetary_cents > b.monetary_cents:
                 assert a.m_score <= b.m_score
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 500), st.integers(-3, 3)),
+        min_size=1,
+        max_size=120,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(2, 9),
+)
+def test_range_partitioned_rank_matches_global_sort(spark, rows, nbuckets):
+    """range_partitioned_rank == the unpartitioned row_number for any
+    value distribution (ties, negatives, skew) and any bucket count."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gmall_flink_20_spark.operators import analytics
+
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = analytics.range_partitioned_rank(df, "v", "k", nbuckets=nbuckets)
+    w = Window.orderBy(F.col("v").asc(), F.col("k").desc())
+    exp = df.withColumn("_r_asc", F.row_number().over(w).cast("long"))
+    g = {r["k"]: r["_r_asc"] for r in got.collect()}
+    e = {r["k"]: r["_r_asc"] for r in exp.collect()}
+    assert g == e

@@ -413,3 +413,50 @@ def test_engagement_single_aggregate_no_join(spark, sf_dir):
     assert "Generate" in plan  # the explode
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_round5_reports_pure_codegen(spark, sf_dir):
+    # single-scan QC reports must never fall off codegen into Python
+    for name in (
+        "docs_pii_stats",
+        "docs_tokenizer_fertility",
+        "docs_vocab_gini",
+        "docs_bigram_lm",
+        "events_seasonality",
+        "events_seasonal_anomaly",
+        "orders_fulfillment_latency",
+        "customers_cohort_ltv",
+        "tpch_referential_audit",
+    ):
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_mahalanobis_no_corpus_join(spark, sf_dir):
+    # scoring is row-local against broadcast mean/var arrays: the only
+    # join is the 1-row stats crossJoin (broadcast nested loop)
+    plan = plan_of(QUERIES["emb_mahalanobis"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_triangle_stats_no_cartesian(spark, sf_dir):
+    # both triangle joins are hash equi-joins on oriented endpoints;
+    # the only nested-loop joins combine the three 1-row stat frames
+    import re
+
+    plan = plan_of(QUERIES["items_triangle_stats"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"BroadcastNestedLoopJoin", plan):
+        pass  # allowed: 1-row stat frames
+    assert "BatchEvalPython" not in plan
+
+
+def test_contamination_distinct_before_join(spark, sf_dir):
+    # the gram self-join must consume the DISTINCT (source, gram) frame,
+    # never raw gram occurrences: HashAggregate (distinct) feeds the join
+    plan = plan_of(QUERIES["docs_cross_source_contamination"](spark, sf_dir))
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan
