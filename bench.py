@@ -188,6 +188,9 @@ BENCH_QUERIES = [
     "customers_cohort_ltv",
     "events_seasonal_anomaly",
     "docs_dup_provenance",
+    "orders_backlog",
+    "events_bot_score",
+    "parts_supplier_hhi",
 ]
 
 

@@ -28,6 +28,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "supplier_hhi",
+    "bot_cadence_score",
+    "order_backlog",
     "seasonal_anomaly",
     "item_pairs",
     "cohort_ltv",
@@ -1384,4 +1387,146 @@ def seasonal_anomaly(
             (F.round(z, 6) + F.lit(0.0)).alias("zscore"),
         )
         .filter(F.abs(F.col("zscore")) >= z_threshold)
+    )
+
+
+def order_backlog(
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """Open-order backlog time series: for every calendar month, how
+    many orders were placed on-or-before that month but not fully
+    shipped until after it — the operations dashboard behind
+    fulfillment_latency's distribution view ("is the backlog growing?").
+
+    Interval counting without an interval join: each order contributes
+    a +1 delta at its placement month and a −1 at the month AFTER its
+    last shipment; the backlog at month m is the running sum of deltas
+    through m. One orderkey join (the exchange every TPC-H plan pays),
+    one map-side-combined delta aggregate to a calendar-bounded month
+    frame, one cumulative window over THAT frame — event rows are never
+    windowed. Exact integer arithmetic throughout.
+    """
+    per = (
+        orders.select(
+            "o_orderkey",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long").alias("_m0"),
+        )
+        .join(
+            lineitem.select(
+                "l_orderkey",
+                (F.year("l_shipdate") * 12 + F.month("l_shipdate")).cast("long").alias("_ms"),
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderkey", "_m0")
+        .agg(F.max("_ms").alias("_m1"))
+    )
+    deltas = (
+        per.select(F.col("_m0").alias("month"), F.lit(1).cast("long").alias("_d"))
+        .unionByName(
+            per.select((F.col("_m1") + 1).alias("month"), F.lit(-1).cast("long").alias("_d"))
+        )
+        .groupBy("month")
+        .agg(F.sum("_d").cast("long").alias("_delta"))
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return deltas.select(
+        F.col("month").cast("long").alias("month"),
+        "_delta",
+        F.sum("_delta").over(w).cast("long").alias("open_orders"),
+    ).select("month", F.col("_delta").alias("delta"), "open_orders")
+
+
+def bot_cadence_score(
+    events: DataFrame,
+    min_events: int = 5,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Bot-cadence detector: per user with ≥ ``min_events`` events, the
+    inter-event-gap coefficient of variation (std/mean). Human activity
+    is bursty (cv ≳ 1); scripted clients fire on near-fixed timers
+    (cv ≈ 0) — the first-pass bot screen a traffic-quality pipeline
+    runs before any model. Emits (user, n_gaps, mean_gap_s, cv).
+
+    Determinism: gaps are exact integer seconds; mean = s/n and
+    var = (ss − s·s/n)/n are fixed-order expressions over exact longs
+    (the seasonal_anomaly contract); cv is round-6 with a zero-mean
+    guard (all-identical timestamps emit cv NULL, not NaN).
+
+    Scale shape: one lag window partitioned by user (the sessionization
+    exchange), one map-side-combined per-user aggregate. Nothing global.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(time_col).asc(), F.col(id_col).asc()
+    )
+    ts_s = F.col(time_col).cast("long")
+    gaps = (
+        events.select(F.col(user_col), F.col(time_col), ts_s.alias("_t"), F.col(id_col))
+        .withColumn("_prev", F.lag("_t").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(F.col(user_col), (F.col("_t") - F.col("_prev")).alias("_g"))
+    )
+    agg = gaps.groupBy(user_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("_g").cast("long").alias("_s"),
+        F.sum(F.col("_g") * F.col("_g")).cast("long").alias("_ss"),
+    ).filter(F.col("n_gaps") >= min_events - 1)
+    mean = F.col("_s").cast("double") / F.col("n_gaps").cast("double")
+    var = (
+        F.col("_ss").cast("double")
+        - F.col("_s").cast("double") * F.col("_s").cast("double") / F.col("n_gaps").cast("double")
+    ) / F.col("n_gaps").cast("double")
+    return agg.select(
+        F.col(user_col),
+        "n_gaps",
+        (F.round(mean, 6) + F.lit(0.0)).alias("mean_gap_s"),
+        F.when(mean > 0, F.round(F.sqrt(var) / mean, 6) + F.lit(0.0)).alias("cv"),
+    )
+
+
+def supplier_hhi(
+    lineitem: DataFrame,
+) -> DataFrame:
+    """Supply-concentration report: per part, the Herfindahl–Hirschman
+    index of supplier revenue shares (Σ share²; 1 = single-sourced,
+    → 1/n_suppliers = evenly split) plus supplier count and total
+    revenue cents — the procurement-risk screen ("which parts have no
+    second source?").
+
+    Determinism: HHI computes in its INTEGER form — Σ share² =
+    (Σ cents_i²) / T², so the only float ops are two divisions of exact
+    long sums ((Σc²)/T/T, fixed order); a float Σ share² would be
+    summation-order-dependent across engines. Two shuffles on the same
+    part key (map-side combined), no windows, no joins beyond the
+    part-key rollup pair.
+    """
+    ps = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("_cents")
+    )
+    return (
+        ps.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum("_cents").cast("long").alias("revenue_cents"),
+            F.sum(F.col("_cents") * F.col("_cents")).cast("long").alias("_sq"),
+        )
+        .select(
+            F.col("l_partkey"),
+            "n_suppliers",
+            "revenue_cents",
+            (
+                F.round(
+                    F.col("_sq").cast("double")
+                    / F.col("revenue_cents").cast("double")
+                    / F.col("revenue_cents").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("hhi"),
+        )
     )

@@ -3840,3 +3840,65 @@ JOIN documents da ON da.doc_id = p.doc_a
 JOIN documents db ON db.doc_id = p.doc_b
 GROUP BY 1, 2
 """
+
+# open-order backlog time series (analytics.order_backlog): +1/-1 month
+# deltas, cumulative over the calendar-bounded month frame
+ORACLES["orders_backlog"] = """
+WITH per AS (
+    SELECT o.o_orderkey,
+           CAST(date_part('year', o.o_orderdate) * 12 + date_part('month', o.o_orderdate) AS BIGINT) AS m0,
+           CAST(max(date_part('year', l.l_shipdate) * 12 + date_part('month', l.l_shipdate)) AS BIGINT) AS m1
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+),
+deltas AS (
+    SELECT month, CAST(sum(d) AS BIGINT) AS delta FROM (
+        SELECT m0 AS month, 1 AS d FROM per
+        UNION ALL
+        SELECT m1 + 1 AS month, -1 AS d FROM per
+    ) GROUP BY 1
+)
+SELECT CAST(month AS BIGINT) AS month, delta,
+       CAST(sum(delta) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open_orders
+FROM deltas
+"""
+
+# bot-cadence screen (analytics.bot_cadence_score): exact integer gap
+# sums, fixed-order mean/var, zero-mean guard emits NULL cv
+ORACLES["events_bot_score"] = f"""
+WITH g AS (
+    SELECT user_id,
+           {_TS} - lag({_TS}) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap
+    FROM events
+),
+a AS (
+    SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps,
+           CAST(sum(gap) AS BIGINT) AS s,
+           CAST(sum(gap * gap) AS BIGINT) AS ss
+    FROM g WHERE gap IS NOT NULL GROUP BY 1
+)
+SELECT user_id, n_gaps,
+       round(CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE), 6) + 0.0 AS mean_gap_s,
+       CASE WHEN CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE) > 0 THEN
+           round(sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                      / CAST(n_gaps AS DOUBLE))
+                 / (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 6) + 0.0
+       END AS cv
+FROM a WHERE n_gaps >= 4
+"""
+
+# supply-concentration HHI (analytics.supplier_hhi): integer-form
+# Herfindahl (sum of squared cents over squared total)
+ORACLES["parts_supplier_hhi"] = """
+WITH ps AS (
+    SELECT l_partkey, l_suppkey,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM lineitem GROUP BY 1, 2
+)
+SELECT l_partkey,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+       round(CAST(sum(cents * cents) AS DOUBLE) / CAST(sum(cents) AS DOUBLE)
+             / CAST(sum(cents) AS DOUBLE), 6) + 0.0 AS hhi
+FROM ps GROUP BY 1
+"""

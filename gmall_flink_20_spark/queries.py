@@ -2280,6 +2280,35 @@ def docs_dup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog time series (operators/analytics.order_backlog):
+    +1/−1 month deltas per order instead of an interval join; cumulative
+    window only over the calendar-bounded month frame."""
+    from .operators import analytics
+
+    return analytics.order_backlog(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+def events_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot-cadence screen (operators/analytics.bot_cadence_score):
+    per-user inter-event-gap coefficient of variation from exact integer
+    gap sums — scripted timers show cv ≈ 0, humans are bursty."""
+    from .operators import analytics
+
+    return analytics.bot_cadence_score(load_events(spark, sf_dir))
+
+
+def parts_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration HHI per part (operators/analytics.
+    supplier_hhi): integer-form Herfindahl (Σc²/T²) so the only float
+    ops are two fixed-order divisions of exact long sums."""
+    from .operators import analytics
+
+    return analytics.supplier_hhi(load_table(spark, sf_dir, "lineitem"))
+
+
 # ---------------------------------------------------------------- registry
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2467,6 +2496,9 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_cohort_ltv": customers_cohort_ltv,
     "events_seasonal_anomaly": events_seasonal_anomaly,
     "docs_dup_provenance": docs_dup_provenance,
+    "orders_backlog": orders_backlog,
+    "events_bot_score": events_bot_score,
+    "parts_supplier_hhi": parts_supplier_hhi,
 }
 
 # --- CORRECTNESS window (driver gates the FIRST 50 entries in dict
@@ -2499,6 +2531,9 @@ R5_NEW: list[str] = [
     "customers_cohort_ltv",
     "events_seasonal_anomaly",
     "docs_dup_provenance",
+    "orders_backlog",
+    "events_bot_score",
+    "parts_supplier_hhi",
 ]
 _STALE_R1: list[str] = [
     "tpch_q14", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22",

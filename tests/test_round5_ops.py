@@ -470,3 +470,53 @@ def test_dup_provenance_split_sources(spark):
     assert rows[("s1", "s2")]["within_source"] is False
     assert rows[("s1", "s1")]["n_pairs"] == 1
     assert rows[("s1", "s1")]["within_source"] is True
+
+
+def test_order_backlog_interval_counting(spark):
+    orders = spark.createDataFrame(
+        [(1, "2024-01-10"), (2, "2024-01-20"), (3, "2024-03-05")],
+        "o_orderkey long, o_orderdate string",
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    lineitem = spark.createDataFrame(
+        [(1, "2024-02-15"), (2, "2024-01-25"), (3, "2024-03-20")],
+        "l_orderkey long, l_shipdate string",
+    ).withColumn("l_shipdate", F.to_timestamp("l_shipdate"))
+    rows = {r["month"]: r["open_orders"] for r in analytics.order_backlog(orders, lineitem).collect()}
+    jan, feb, mar = 2024 * 12 + 1, 2024 * 12 + 2, 2024 * 12 + 3
+    # Jan: orders 1,2 open; Feb: order 2 shipped in Jan -> only 1 open
+    assert rows[jan] == 2
+    assert rows[feb] == 1
+    # Mar: order 1 shipped Feb; order 3 placed+shipped Mar -> 1 open
+    assert rows[mar] == 1
+    # month after Mar: everything shipped
+    assert rows[mar + 1] == 0
+
+
+def test_bot_cadence_flags_fixed_timer(spark):
+    rows = []
+    # bot user 1: exactly every 60s; human user 2: bursty gaps
+    for i in range(6):
+        rows.append((1, i, 1000 + 60 * i))
+    for i, t in enumerate((0, 5, 8, 600, 610, 4000)):
+        rows.append((2, 100 + i, 2000000 + t))
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts_s long").select(
+        "user_id", "event_id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    out = {r["user_id"]: r for r in analytics.bot_cadence_score(df).collect()}
+    assert out[1]["cv"] == 0.0 and out[1]["mean_gap_s"] == 60.0
+    assert out[2]["cv"] > 1.0
+
+
+def test_supplier_hhi_bounds(spark):
+    li = spark.createDataFrame(
+        [
+            (1, 10, 100.0), (1, 11, 100.0),           # part 1: 50/50 split
+            (2, 10, 400.0),                            # part 2: single source
+            (3, 10, 300.0), (3, 11, 100.0),            # part 3: 75/25
+        ],
+        "l_partkey long, l_suppkey long, l_extendedprice double",
+    )
+    rows = {r["l_partkey"]: r for r in analytics.supplier_hhi(li).collect()}
+    assert rows[1]["hhi"] == 0.5 and rows[1]["n_suppliers"] == 2
+    assert rows[2]["hhi"] == 1.0 and rows[2]["n_suppliers"] == 1
+    assert rows[3]["hhi"] == 0.625
