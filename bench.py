@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "orders_backlog",
     "events_bot_score",
     "parts_supplier_hhi",
+    "media_decode_roundtrip",
 ]
 
 

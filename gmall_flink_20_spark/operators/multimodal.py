@@ -1,14 +1,19 @@
 """Multimodal-column plumbing (beyond-reference scope).
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
-metadata. The Spark-side contract — schema, partitioning, Arrow batch
-shape through ``mapInPandas`` — is real and tested; the actual media
-decode is STUBBED (this container has no image/audio libs): pass
-``fake_decode=True`` for a deterministic fake, otherwise the decode step
-raises ``NotImplementedError`` where a real libjpeg/ffmpeg call belongs.
-(Checked round 4: no PIL/Pillow wheel is available offline and installs
-are disallowed, so the real branch stays gated; wiring it is a one-line
-swap of the fake block for ``PIL.Image.open(io.BytesIO(b))`` etc.)
+metadata. TWO tiers here:
+
+- REAL codec path (round 5, bottom of this file): 24-bit BMP, PCM16 WAV
+  and a length-prefixed raw-frame video container are encoded AND
+  decoded with the stdlib alone (``struct``/``wave``) — genuine
+  byte-format parsing (row stride/padding, bottom-up order, BGR,
+  PCM16 frames), oracle-gated end-to-end (``media_decode_roundtrip``),
+  plus a real nearest-neighbor resize (decode → resample → re-encode).
+- Gated path: JPEG/PNG/MP4 decode genuinely needs PIL/ffmpeg (absent in
+  this container, installs disallowed — re-checked round 5): those
+  branches keep the ``fake_decode=True`` contract stub and raise
+  ``NotImplementedError`` otherwise; wiring them is a one-line swap for
+  ``PIL.Image.open(io.BytesIO(b))`` etc.
 
 Scale notes: mapInPandas streams Arrow batches, so per-executor memory is
 bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` regardless of
@@ -32,6 +37,11 @@ from pyspark.sql.types import (
 )
 
 __all__ = [
+    "REAL_MEDIA_SCHEMA",
+    "DECODED_SCHEMA",
+    "encode_media",
+    "decode_media",
+    "resize_images_real",
     "MEDIA_SCHEMA",
     "FEATURE_SCHEMA",
     "RESIZED_SCHEMA",
@@ -180,3 +190,256 @@ def sample_frames(
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return media.mapInPandas(_sample_batch, schema=FRAME_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# REAL media codec path (round 5): container-stdlib formats.
+#
+# JPEG/PNG/MP4 decode still genuinely needs PIL/ffmpeg (absent here,
+# installs disallowed — the gated branches above stand). But two media
+# formats need NOTHING beyond the stdlib: 24-bit uncompressed BMP
+# (struct-packed header + padded BGR rows) and PCM16 WAV (stdlib
+# ``wave``). The functions below ENCODE real payloads in those formats
+# and DECODE them back — actual byte-format parsing (BMP row padding,
+# bottom-up row order, BGR channel order, WAV frame extraction), not a
+# fake. The synthetic pixel/sample values are deterministic functions of
+# the media id, so the DuckDB oracle can recompute the expected decoded
+# features in closed form WITHOUT a decoder — the gate catches any
+# mis-parse (padding, orientation, channel order, sample width).
+
+REAL_MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("mime", StringType(), True),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_samples", IntegerType(), True),
+        StructField("content_sum", LongType(), True),
+    ]
+)
+
+_BMP_W, _BMP_H = 5, 5  # odd width => 15-byte rows pad to 16 (exercises padding)
+_WAV_RATE, _WAV_N = 8000, 64
+_VID_FRAMES = 4
+
+
+def _bmp_encode(mid: int, frame: int = 0) -> bytes:
+    """24-bit bottom-up BMP; pixel value v(x,y) = (id + frame + 3x + 7y) % 256
+    written to all three BGR channels."""
+    import struct
+
+    row_raw = _BMP_W * 3
+    pad = (4 - row_raw % 4) % 4
+    rows = []
+    for y in range(_BMP_H - 1, -1, -1):  # bottom-up storage
+        row = bytearray()
+        for x in range(_BMP_W):
+            v = (mid + frame + 3 * x + 7 * y) % 256
+            row += bytes((v, v, v))
+        rows.append(bytes(row) + b"\x00" * pad)
+    px = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, _BMP_W, _BMP_H, 1, 24, 0, len(px), 2835, 2835, 0, 0
+    )
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(px), 0, 0, 54)
+    return head + info + px
+
+
+def _bmp_decode(b: bytes) -> tuple[int, int, int]:
+    """Parse a 24-bit BMP: (width, height, sum of ALL channel bytes) —
+    honoring the data offset, row padding, and bottom-up layout."""
+    import struct
+
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", b, 10)[0]
+    _, w, h, _, bpp = struct.unpack_from("<IiiHH", b, 14)
+    if bpp != 24:
+        raise ValueError(f"unsupported bpp {bpp}")
+    row_raw = w * 3
+    stride = row_raw + (4 - row_raw % 4) % 4
+    total = 0
+    for row in range(abs(h)):
+        start = offset + row * stride
+        total += sum(b[start : start + row_raw])
+    return w, abs(h), total
+
+
+def _wav_encode(mid: int) -> bytes:
+    """PCM16 mono WAV via stdlib wave; sample_i = ((id·7 + 13i) % 256 − 128)·256."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(_WAV_RATE)
+        frames = b"".join(
+            struct.pack("<h", ((mid * 7 + 13 * i) % 256 - 128) * 256)
+            for i in range(_WAV_N)
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def _wav_decode(b: bytes) -> tuple[int, int, int]:
+    """(sample_rate, n_samples, sum of squared PCM16 samples)."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(b), "rb") as w:
+        rate, n = w.getframerate(), w.getnframes()
+        raw = w.readframes(n)
+    samples = struct.unpack(f"<{n}h", raw)
+    return rate, n, sum(s * s for s in samples)
+
+
+def _vid_encode(mid: int) -> bytes:
+    """Length-prefixed raw-BMP frame container (the no-codec stand-in:
+    a real MP4/H.264 parse stays gated on ffmpeg)."""
+    import struct
+
+    frames = [_bmp_encode(mid, k) for k in range(_VID_FRAMES)]
+    out = b"VID0" + struct.pack("<I", len(frames))
+    for f in frames:
+        out += struct.pack("<I", len(f)) + f
+    return out
+
+
+def _vid_decode(b: bytes) -> tuple[int, int]:
+    """(n_frames, sum of all channel bytes across all decoded frames)."""
+    import struct
+
+    if b[:4] != b"VID0":
+        raise ValueError("not a VID0 payload")
+    n = struct.unpack_from("<I", b, 4)[0]
+    off, total = 8, 0
+    for _ in range(n):
+        ln = struct.unpack_from("<I", b, off)[0]
+        off += 4
+        _, _, s = _bmp_decode(b[off : off + ln])
+        total += s
+        off += ln
+    return n, total
+
+
+def encode_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL media payloads from an id column: BMP images, PCM16 WAV
+    audio, VID0 raw-frame video — kind = id % 3 (image/audio/video,
+    matching attach_media's assignment). mapInPandas so payload bytes
+    are built executor-side, Arrow-batched, never through the driver."""
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kinds = ["image", "audio", "video"]
+        encoders = [_bmp_encode, _wav_encode, _vid_encode]
+        mimes = ["image/bmp", "audio/wav", "application/x-vid0"]
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            k = (ids % 3).to_numpy()
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": [kinds[i] for i in k],
+                    "payload": [encoders[i](int(m)) for i, m in zip(k, ids)],
+                    "mime": [mimes[i] for i in k],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(_enc, schema=REAL_MEDIA_SCHEMA)
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """REAL decode of the stdlib-format payloads — BMP header/stride/
+    bottom-up parse, WAV frame extraction, VID0 frame walk — emitting
+    exact-integer features per kind (NULL where not applicable):
+    (width, height) + channel-byte sum for images, (sample_rate,
+    n_samples) + squared-sample sum for audio, (n_frames) + all-frame
+    channel sum for video. Row-local in mapInPandas (Arrow-batched,
+    no shuffle); the oracle recomputes every feature in closed form
+    from the id, so a mis-parse anywhere fails the hash gate."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                w = h = nf = sr = ns = None
+                if kind == "image":
+                    w, h, cs = _bmp_decode(payload)
+                elif kind == "audio":
+                    sr, ns, cs = _wav_decode(payload)
+                else:
+                    nf, cs = _vid_decode(payload)
+                rows.append((int(mid), kind, w, h, nf, sr, ns, int(cs)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "width", "height",
+                    "n_frames", "sample_rate", "n_samples", "content_sum",
+                ],
+            )
+
+    return media.mapInPandas(_dec, schema=DECODED_SCHEMA)
+
+
+def resize_images_real(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL nearest-neighbor image resize: BMP decode → index-map
+    resample → BMP re-encode, all stdlib. Emits re-encoded payloads
+    with the target dimensions; non-image rows are filtered (the same
+    contract as the gated PIL path)."""
+    import struct
+
+    def _resize_one(b: bytes) -> bytes:
+        offset = struct.unpack_from("<I", b, 10)[0]
+        _, w0, h0, _, bpp = struct.unpack_from("<IiiHH", b, 14)
+        stride0 = w0 * 3 + (4 - (w0 * 3) % 4) % 4
+        rows_out = []
+        pad = (4 - (width * 3) % 4) % 4
+        for y in range(height):  # output STORAGE rows (bottom-up)
+            # map through LOGICAL (top-anchored) space — the standard
+            # nearest-neighbor convention (PIL etc.), not storage order
+            t = height - 1 - y
+            src_t = t * abs(h0) // height
+            sy = abs(h0) - 1 - src_t
+            base = offset + sy * stride0
+            row = bytearray()
+            for x in range(width):
+                sx = x * w0 // width
+                px = base + sx * 3
+                row += b[px : px + 3]
+            rows_out.append(bytes(row) + b"\x00" * pad)
+        px_data = b"".join(rows_out)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(px_data), 2835, 2835, 0, 0
+        )
+        head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(px_data), 0, 0, 54)
+        return head + info + px_data
+
+    def _rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "image"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["payload"].map(_resize_one),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(_rs, schema=RESIZED_SCHEMA)

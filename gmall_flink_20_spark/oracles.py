@@ -3902,3 +3902,44 @@ SELECT l_partkey,
              / CAST(sum(cents) AS DOUBLE), 6) + 0.0 AS hhi
 FROM ps GROUP BY 1
 """
+
+# REAL media decode round-trip (multimodal.encode_media -> decode_media):
+# the oracle recomputes every decoded feature in CLOSED FORM from the
+# media id (pixel v=(id+3x+7y)%256 over a 5x5 grid, PCM16 sample
+# s=((7id+13i)%256-128)*256 over 64 samples, 4 video frames) — the Spark
+# side must reproduce them by actually parsing the bytes it encoded
+ORACLES["media_decode_roundtrip"] = """
+WITH ids AS (SELECT doc_id AS media_id, doc_id % 3 AS k FROM documents),
+img AS (
+    SELECT i.media_id,
+           CAST(3 * sum((i.media_id + 3 * g1.x + 7 * g2.y) % 256) AS BIGINT) AS cs
+    FROM ids i, generate_series(0, 4) g1(x), generate_series(0, 4) g2(y)
+    WHERE i.k = 0 GROUP BY 1
+),
+aud AS (
+    SELECT i.media_id,
+           CAST(sum((((i.media_id * 7 + 13 * g.s) % 256 - 128) * 256)
+                    * (((i.media_id * 7 + 13 * g.s) % 256 - 128) * 256)) AS BIGINT) AS cs
+    FROM ids i, generate_series(0, 63) g(s)
+    WHERE i.k = 1 GROUP BY 1
+),
+vid AS (
+    SELECT i.media_id,
+           CAST(3 * sum((i.media_id + g0.f + 3 * g1.x + 7 * g2.y) % 256) AS BIGINT) AS cs
+    FROM ids i, generate_series(0, 3) g0(f), generate_series(0, 4) g1(x),
+         generate_series(0, 4) g2(y)
+    WHERE i.k = 2 GROUP BY 1
+)
+SELECT i.media_id,
+       CASE i.k WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(CASE WHEN i.k = 0 THEN 5 END AS INTEGER) AS width,
+       CAST(CASE WHEN i.k = 0 THEN 5 END AS INTEGER) AS height,
+       CAST(CASE WHEN i.k = 2 THEN 4 END AS INTEGER) AS n_frames,
+       CAST(CASE WHEN i.k = 1 THEN 8000 END AS INTEGER) AS sample_rate,
+       CAST(CASE WHEN i.k = 1 THEN 64 END AS INTEGER) AS n_samples,
+       COALESCE(img.cs, aud.cs, vid.cs) AS content_sum
+FROM ids i
+LEFT JOIN img USING (media_id)
+LEFT JOIN aud USING (media_id)
+LEFT JOIN vid USING (media_id)
+"""

@@ -2309,6 +2309,19 @@ def parts_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.supplier_hhi(load_table(spark, sf_dir, "lineitem"))
 
 
+def media_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode (operators/multimodal.encode_media →
+    decode_media): stdlib-format payloads (24-bit BMP with row padding,
+    PCM16 WAV, length-prefixed raw-frame video) are ENCODED then DECODED
+    back executor-side through Arrow mapInPandas — actual byte-format
+    parsing, not the fake-decode contract. The oracle recomputes every
+    decoded feature in closed form from the media id, so any mis-parse
+    (stride, orientation, channel order, sample width) fails the hash
+    gate. JPEG/PNG/MP4 stay gated on PIL/ffmpeg (absent here)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_media(multimodal.encode_media(docs))
+
+
 # ---------------------------------------------------------------- registry
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2499,6 +2512,7 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_backlog": orders_backlog,
     "events_bot_score": events_bot_score,
     "parts_supplier_hhi": parts_supplier_hhi,
+    "media_decode_roundtrip": media_decode_roundtrip,
 }
 
 # --- CORRECTNESS window (driver gates the FIRST 50 entries in dict
@@ -2534,6 +2548,7 @@ R5_NEW: list[str] = [
     "orders_backlog",
     "events_bot_score",
     "parts_supplier_hhi",
+    "media_decode_roundtrip",
 ]
 _STALE_R1: list[str] = [
     "tpch_q14", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22",

@@ -520,3 +520,45 @@ def test_supplier_hhi_bounds(spark):
     assert rows[1]["hhi"] == 0.5 and rows[1]["n_suppliers"] == 2
     assert rows[2]["hhi"] == 1.0 and rows[2]["n_suppliers"] == 1
     assert rows[3]["hhi"] == 0.625
+
+
+# --------------------------------------------------------- real media codecs
+
+
+def test_media_real_roundtrip_local(spark):
+    from gmall_flink_20_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame([(i,) for i in range(9)], "doc_id long")
+    out = {r["media_id"]: r for r in mm.decode_media(mm.encode_media(df)).collect()}
+    assert len(out) == 9
+    # kind assignment and per-kind fields
+    assert out[0]["kind"] == "image" and out[0]["width"] == 5 and out[0]["height"] == 5
+    assert out[1]["kind"] == "audio" and out[1]["sample_rate"] == 8000 and out[1]["n_samples"] == 64
+    assert out[2]["kind"] == "video" and out[2]["n_frames"] == 4
+    # closed-form check for one image
+    exp = 3 * sum((3 + 3 * x + 7 * y) % 256 for x in range(5) for y in range(5))
+    assert out[3]["content_sum"] == exp
+
+
+def test_resize_images_real_nearest_neighbor(spark):
+    from gmall_flink_20_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame([(0,), (3,)], "doc_id long")
+    media = mm.encode_media(df)  # ids 0,3 -> both images
+    resized = mm.resize_images_real(media, 2, 2).collect()
+    assert len(resized) == 2
+    by_id = {r["media_id"]: r for r in resized}
+    for mid in (0, 3):
+        r = by_id[mid]
+        assert r["width"] == 2 and r["height"] == 2
+        # re-decode the re-encoded BMP: nearest-neighbor of the 5x5
+        # source at scale 2/5 picks source pixels (0, 2) on each axis
+        w, h, s = mm._bmp_decode(bytes(r["payload"]))
+        assert (w, h) == (2, 2)
+        # decoded row y of the resized image maps to source row y*5//2
+        exp = 3 * sum(
+            (mid + 3 * (x * 5 // 2) + 7 * (y * 5 // 2)) % 256
+            for x in range(2)
+            for y in range(2)
+        )
+        assert s == exp, (mid, s, exp)
