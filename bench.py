@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     "events_bot_score",
     "parts_supplier_hhi",
     "media_decode_roundtrip",
+    "docs_threshold_sweep",
 ]
 
 

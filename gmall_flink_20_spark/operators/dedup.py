@@ -45,6 +45,7 @@ def minhash_perm_consts(num_hashes: int) -> list[tuple[int, int]]:
     return out
 
 __all__ = [
+    "neardup_threshold_sweep",
     "dup_provenance",
     "dedup_savings",
     "minhash_calibration",
@@ -1034,4 +1035,71 @@ def dup_provenance(
         .groupBy("source_x", "source_y")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         .withColumn("within_source", F.col("source_x") == F.col("source_y"))
+    )
+
+
+def neardup_threshold_sweep(
+    df: DataFrame,
+    thresholds: tuple[float, ...] = (0.3, 0.5, 0.7, 0.9),
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """The dedup tuning curve — for every Jaccard threshold level, how
+    many verified pairs survive and how many distinct documents they
+    touch. THE knob-selection evidence for a dedup run (the analog of
+    ``ann_nprobe_pareto`` for the LSH family): too low a threshold
+    over-merges topical near-misses, too high leaves boilerplate
+    untouched, and this table shows exactly where the pair mass sits.
+
+    One pipeline pass: candidates and exact Jaccard are computed ONCE
+    (no per-threshold re-scan); every threshold level is a broadcast
+    literal slice of the same scored-pair frame (the nprobe-pareto
+    shape). Emits (threshold, n_pairs, n_docs) with exact counts; the
+    Jaccard is the identical exact-integer-ratio double in both engines,
+    so threshold compares cannot diverge.
+    """
+    sig = minhash_signature_permuted(df, n, num_hashes, text_col, id_col, parallelism)
+    pairs = lsh_candidate_pairs(sig, bands, rows_per_band, id_col, from_array=True)
+    arr = hashed_shingle_sets(df, n, text_col, id_col)
+    za = arr.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("_ha"))
+    zb = arr.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("_hb"))
+    scored = (
+        pairs.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .withColumn("_inter", F.size(F.array_intersect("_ha", "_hb")).cast("long"))
+        .filter(F.col("_inter") > 0)
+        .withColumn(
+            "_union",
+            (F.size("_ha") + F.size("_hb")).cast("long") - F.col("_inter"),
+        )
+        .withColumn(
+            "_j", F.col("_inter").cast("double") / F.col("_union").cast("double")
+        )
+        .select("doc_a", "doc_b", "_j")
+    )
+    lv = F.explode(F.array(*[F.lit(float(t)) for t in thresholds])).alias("threshold")
+    s2 = scored.select("doc_a", "doc_b", "_j", lv).filter(
+        F.col("_j") >= F.col("threshold")
+    )
+    pair_counts = s2.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    doc_counts = (
+        s2.select("threshold", F.col("doc_a").alias("_d"))
+        .unionByName(s2.select("threshold", F.col("doc_b").alias("_d")))
+        .groupBy("threshold")
+        .agg(F.count_distinct("_d").cast("long").alias("n_docs"))
+    )
+    return (
+        pair_counts.join(doc_counts, "threshold")
+        .select(
+            (F.round(F.col("threshold"), 6) + F.lit(0.0)).alias("threshold"),
+            "n_pairs",
+            "n_docs",
+        )
     )

@@ -3943,3 +3943,33 @@ LEFT JOIN img USING (media_id)
 LEFT JOIN aud USING (media_id)
 LEFT JOIN vid USING (media_id)
 """
+
+# dedup threshold tuning curve (dedup.neardup_threshold_sweep): one
+# scored-pair pass sliced by broadcast threshold literals
+ORACLES["docs_threshold_sweep"] = f"""
+WITH sh AS ({_SHINGLES}),
+{_MINHASH_CTES},
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM band a JOIN band b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+arr AS ({_HASHED_SETS}),
+scored AS (
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(x.hsh, y.hsh)) AS DOUBLE)
+               / CAST(len(x.hsh) + len(y.hsh) - len(list_intersect(x.hsh, y.hsh)) AS DOUBLE) AS j
+    FROM cand c
+    JOIN arr x ON x.doc_id = c.doc_a
+    JOIN arr y ON y.doc_id = c.doc_b
+    WHERE len(list_intersect(x.hsh, y.hsh)) > 0
+),
+lv AS (SELECT unnest([0.3, 0.5, 0.7, 0.9]) AS threshold),
+s2 AS (SELECT l.threshold, s.doc_a, s.doc_b FROM scored s JOIN lv l ON s.j >= l.threshold)
+SELECT round(threshold, 6) + 0.0 AS threshold,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       (SELECT CAST(count(DISTINCT d) AS BIGINT) FROM (
+            SELECT doc_a AS d FROM s2 i WHERE i.threshold = s2o.threshold
+            UNION ALL SELECT doc_b FROM s2 i2 WHERE i2.threshold = s2o.threshold)) AS n_docs
+FROM s2 s2o GROUP BY threshold
+"""

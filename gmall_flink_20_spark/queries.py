@@ -2322,6 +2322,17 @@ def media_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_media(multimodal.encode_media(docs))
 
 
+def docs_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold tuning curve (operators/dedup.
+    neardup_threshold_sweep): surviving pair and affected-doc counts per
+    Jaccard level from ONE scored-pair pass — the knob-selection table
+    for a dedup run (the LSH analog of ann_nprobe_pareto)."""
+    return dedup.neardup_threshold_sweep(
+        load_table(spark, sf_dir, "documents"),
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2513,6 +2524,7 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_bot_score": events_bot_score,
     "parts_supplier_hhi": parts_supplier_hhi,
     "media_decode_roundtrip": media_decode_roundtrip,
+    "docs_threshold_sweep": docs_threshold_sweep,
 }
 
 # --- CORRECTNESS window (driver gates the FIRST 50 entries in dict
@@ -2549,6 +2561,7 @@ R5_NEW: list[str] = [
     "events_bot_score",
     "parts_supplier_hhi",
     "media_decode_roundtrip",
+    "docs_threshold_sweep",
 ]
 _STALE_R1: list[str] = [
     "tpch_q14", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22",

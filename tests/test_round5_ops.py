@@ -562,3 +562,25 @@ def test_resize_images_real_nearest_neighbor(spark):
             for y in range(2)
         )
         assert s == exp, (mid, s, exp)
+
+
+def test_threshold_sweep_monotone(spark):
+    from gmall_flink_20_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),      # exact dup of 1
+            (3, "alpha beta gamma delta epsilon OTHER"),     # partial overlap
+            (9, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["threshold"]: r for r in dedup.neardup_threshold_sweep(df).collect()}
+    ts = sorted(rows)
+    # pair and doc counts never increase as the threshold rises
+    for lo, hi in zip(ts, ts[1:]):
+        assert rows[lo]["n_pairs"] >= rows[hi]["n_pairs"]
+        assert rows[lo]["n_docs"] >= rows[hi]["n_docs"]
+    # the exact-dup pair survives even at 0.9
+    assert rows[0.9]["n_pairs"] >= 1
