@@ -193,6 +193,9 @@ BENCH_QUERIES = [
     "parts_supplier_hhi",
     "media_decode_roundtrip",
     "docs_threshold_sweep",
+    "emb_pq_code_balance",
+    "lineitem_price_audit",
+    "events_session_stats",
 ]
 
 

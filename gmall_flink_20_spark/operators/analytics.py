@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "session_stats",
+    "price_integrity_audit",
     "supplier_hhi",
     "bot_cadence_score",
     "order_backlog",
@@ -1529,4 +1531,91 @@ def supplier_hhi(
                 + F.lit(0.0)
             ).alias("hhi"),
         )
+    )
+
+
+def price_integrity_audit(
+    lineitem: DataFrame,
+    part: DataFrame,
+    max_rel_dev: float = 0.5,
+) -> DataFrame:
+    """Fact-vs-dim price integrity: per part brand, how many lineitem
+    rows have an implied unit price deviating more than ``max_rel_dev``
+    from the part's catalog retail price — the post-load sanity gate
+    that catches unit mix-ups, broken currency conversions, and bad
+    joins upstream (the value-level complement to referential_audit's
+    key-level checks).
+
+    The deviation test is EXACT LONG arithmetic — with the default 0.5:
+    ``|ext_cents − ret_cents·qty| · 2 > ret_cents·qty`` (no float
+    division per row, so no engine can disagree on a borderline row).
+    One fact⋈dim join (part broadcasts) into a map-side-combined
+    per-brand aggregate.
+    """
+    li = lineitem.select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("_ext"),
+        F.col("l_quantity").cast("long").alias("_qty"),
+    )
+    pa = part.select(
+        "p_partkey",
+        F.col("p_brand"),
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("_ret"),
+    )
+    num = int(round(max_rel_dev * 2))  # 0.5 -> the |dev|*2 > base form
+    j = li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+    viol = (
+        F.abs(F.col("_ext") - F.col("_ret") * F.col("_qty")) * 2
+        > F.col("_ret") * F.col("_qty") * num
+    ).cast("long")
+    return j.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(viol).cast("long").alias("n_violations"),
+        (
+            F.round(
+                F.sum(viol).cast("double") / F.count(F.lit(1)).cast("double"), 6
+            )
+            + F.lit(0.0)
+        ).alias("violation_share"),
+    )
+
+
+def session_stats(
+    sessions: DataFrame,
+) -> DataFrame:
+    """One-row session-quality summary over a (user_id, session_start_s,
+    session_end_s, n_events) frame: session/user counts, events per
+    session, and the exact p50/p90/max ACTIVE duration (last−first
+    event, i.e. excluding the closing inactivity gap) — the engagement
+    dashboard header fed by the sessionization every analytics stack
+    runs.
+
+    Exact longs for counts and durations; percentiles use the shared
+    h = (n−1)·p definition (see inter_event_gaps); means are single
+    fixed-order divisions. One map-side-combined aggregate over the
+    |sessions| frame.
+    """
+    dur = (F.col("session_end_s") - F.lit(1800) - F.col("session_start_s")).cast(
+        "long"
+    )
+    base = sessions.select(
+        F.col("user_id"), dur.alias("_dur"), F.col("n_events").cast("long").alias("_ne")
+    )
+    return base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.sum("_ne").cast("long").alias("n_events"),
+        (
+            F.round(
+                F.sum("_ne").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            )
+            + F.lit(0.0)
+        ).alias("events_per_session"),
+        (F.round(F.percentile(F.col("_dur"), F.lit(0.5)), 6) + F.lit(0.0)).alias(
+            "p50_duration_s"
+        ),
+        (F.round(F.percentile(F.col("_dur"), F.lit(0.9)), 6) + F.lit(0.0)).alias(
+            "p90_duration_s"
+        ),
+        F.max("_dur").cast("long").alias("max_duration_s"),
     )

@@ -26,6 +26,7 @@ from ._cache import eager_persist
 from .similarity import cosine, dot, norm
 
 __all__ = [
+    "pq_code_balance",
     "hyperplanes",
     "lsh_bucket_expr",
     "ann_lsh_topk",
@@ -1263,5 +1264,61 @@ def ann_nprobe_pareto(
                 )
                 + F.lit(0.0)
             ).alias("mean_recall"),
+        )
+    )
+
+
+def pq_code_balance(
+    emb: DataFrame,
+    m: int = 8,
+    subdim: int = 8,
+    ks: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ codebook-usage balance — FAISS's imbalance factor per
+    subspace: ``ks · Σ_c (n_c/n)²`` (1.0 = perfectly uniform code usage,
+    → ks = one code absorbs everything). The companion QC to
+    ``pq_reconstruction_error``: recon error says how FAR codewords sit
+    from the data, this says whether the codebook's capacity is actually
+    USED — a high factor means ADC distances collapse and recall dies
+    long before the error metric shows it.
+
+    Determinism: the imbalance computes in INTEGER form
+    (``ks·Σn_c²`` exact long, then two fixed-order double divisions by
+    n — the supplier_hhi contract), so no float summation order exists.
+
+    Plan shape: codebooks are memoized driver literals; encoding is
+    row-local; one map-side-combined (subspace, code) count (≤ m·ks
+    rows) then an m-row aggregate. One corpus scan, one tiny shuffle.
+    """
+    books = pq_train_local(emb, m, subdim, ks, iters, id_col, vec_col)
+    enc = _pq_encode_udf(books, m, subdim)
+    per = (
+        emb.select(F.posexplode(enc(F.col(vec_col))).alias("subspace", "_cid"))
+        .groupBy("subspace", "_cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    return (
+        per.groupBy("subspace")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_codes_used"),
+            F.sum("_n").cast("long").alias("n_vectors"),
+            F.sum(F.col("_n") * F.col("_n")).cast("long").alias("_sq"),
+        )
+        .select(
+            F.col("subspace").cast("long").alias("subspace"),
+            "n_vectors",
+            "n_codes_used",
+            (
+                F.round(
+                    (F.lit(int(ks)) * F.col("_sq")).cast("double")
+                    / F.col("n_vectors").cast("double")
+                    / F.col("n_vectors").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("imbalance"),
         )
     )

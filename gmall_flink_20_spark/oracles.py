@@ -3973,3 +3973,66 @@ SELECT round(threshold, 6) + 0.0 AS threshold,
             UNION ALL SELECT doc_b FROM s2 i2 WHERE i2.threshold = s2o.threshold)) AS n_docs
 FROM s2 s2o GROUP BY threshold
 """
+
+# PQ codebook-usage imbalance (ann.pq_code_balance): the _pq_sql train/
+# encode CTE chain cut after enc, then the integer-form FAISS factor
+def _pq_balance_sql(m: int = 8, subdim: int = 8, ks: int = 16, iters: int = 2) -> str:
+    base = _pq_sql(m, subdim, ks, iters, k=1)
+    head = base.split(",\ncodes AS (")[0]
+    return (
+        head
+        + f""",
+bal AS (SELECT j, cid, CAST(count(*) AS BIGINT) AS n FROM enc GROUP BY 1, 2)
+SELECT CAST(j AS BIGINT) AS subspace,
+       CAST(sum(n) AS BIGINT) AS n_vectors,
+       CAST(count(*) AS BIGINT) AS n_codes_used,
+       round(CAST({ks} * sum(n * n) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+             / CAST(sum(n) AS DOUBLE), 6) + 0.0 AS imbalance
+FROM bal GROUP BY j
+"""
+    )
+
+
+ORACLES["emb_pq_code_balance"] = _pq_balance_sql()
+
+# fact-vs-dim price integrity (analytics.price_integrity_audit): exact
+# long deviation test |ext - ret*qty|*2 > ret*qty
+ORACLES["lineitem_price_audit"] = """
+WITH li AS (
+    SELECT l_partkey,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS ext,
+           CAST(l_quantity AS BIGINT) AS qty
+    FROM lineitem
+),
+pa AS (
+    SELECT p_partkey, p_brand,
+           CAST(round(p_retailprice * 100) AS BIGINT) AS ret
+    FROM part
+)
+SELECT p_brand AS brand,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN abs(ext - ret * qty) * 2 > ret * qty * 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       round(CAST(sum(CASE WHEN abs(ext - ret * qty) * 2 > ret * qty * 1
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) + 0.0 AS violation_share
+FROM li JOIN pa ON li.l_partkey = pa.p_partkey
+GROUP BY 1
+"""
+
+# session-quality summary (analytics.session_stats): aggregate over the
+# user_sessions CTE; active duration excludes the closing gap
+ORACLES["events_session_stats"] = f"""
+WITH sess AS ({ORACLES["user_sessions"]})
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       round(CAST(sum(n_events) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) + 0.0
+           AS events_per_session,
+       round(quantile_cont(session_end_s - 1800 - session_start_s, 0.5), 6) + 0.0
+           AS p50_duration_s,
+       round(quantile_cont(session_end_s - 1800 - session_start_s, 0.9), 6) + 0.0
+           AS p90_duration_s,
+       CAST(max(session_end_s - 1800 - session_start_s) AS BIGINT) AS max_duration_s
+FROM sess
+"""

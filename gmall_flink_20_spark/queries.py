@@ -2333,6 +2333,36 @@ def docs_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_pq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook-usage imbalance per subspace (operators/ann.
+    pq_code_balance): FAISS's ks·Σ(n_c/n)² factor in integer form —
+    the capacity-usage QC beside emb_pq_recon_error."""
+    return ann.pq_code_balance(load_table(spark, sf_dir, "embeddings"))
+
+
+def lineitem_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-vs-dim price integrity per brand (operators/analytics.
+    price_integrity_audit): implied unit price vs catalog retail price,
+    deviation test in exact long arithmetic — the value-level complement
+    to tpch_referential_audit."""
+    from .operators import analytics
+
+    return analytics.price_integrity_audit(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-quality summary (operators/analytics.session_stats) over
+    the session_window frame: session/user counts, events per session,
+    exact p50/p90/max active duration."""
+    from .operators import analytics
+
+    return analytics.session_stats(
+        windows.session_count(_events(spark, sf_dir), "ts", 1800, "user_id")
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2525,6 +2555,9 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parts_supplier_hhi": parts_supplier_hhi,
     "media_decode_roundtrip": media_decode_roundtrip,
     "docs_threshold_sweep": docs_threshold_sweep,
+    "emb_pq_code_balance": emb_pq_code_balance,
+    "lineitem_price_audit": lineitem_price_audit,
+    "events_session_stats": events_session_stats,
 }
 
 # --- CORRECTNESS window (driver gates the FIRST 50 entries in dict
@@ -2562,6 +2595,9 @@ R5_NEW: list[str] = [
     "parts_supplier_hhi",
     "media_decode_roundtrip",
     "docs_threshold_sweep",
+    "emb_pq_code_balance",
+    "lineitem_price_audit",
+    "events_session_stats",
 ]
 _STALE_R1: list[str] = [
     "tpch_q14", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22",

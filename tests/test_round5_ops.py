@@ -584,3 +584,45 @@ def test_threshold_sweep_monotone(spark):
         assert rows[lo]["n_docs"] >= rows[hi]["n_docs"]
     # the exact-dup pair survives even at 0.9
     assert rows[0.9]["n_pairs"] >= 1
+
+
+def test_pq_code_balance_bounds(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = ann.pq_code_balance(emb).collect()
+    assert len(rows) == 8  # m subspaces
+    for r in rows:
+        # FAISS imbalance factor: 1 (uniform) <= f <= ks (collapsed)
+        assert 1.0 <= r["imbalance"] <= 16.0, r
+        assert 1 <= r["n_codes_used"] <= 16
+
+
+def test_price_audit_violations(spark):
+    li = spark.createDataFrame(
+        [(1, 2.0, 200.0), (1, 1.0, 100.0), (1, 1.0, 500.0), (2, 1.0, 50.0)],
+        "l_partkey long, l_quantity double, l_extendedprice double",
+    )
+    part = spark.createDataFrame(
+        [(1, "B1", 100.0), (2, "B2", 50.0)],
+        "p_partkey long, p_brand string, p_retailprice double",
+    )
+    rows = {r["brand"]: r for r in analytics.price_integrity_audit(li, part).collect()}
+    # part 1 retail 100: lines at unit 100, 100, 500 -> one violation (5x)
+    assert rows["B1"]["n_lines"] == 3 and rows["B1"]["n_violations"] == 1
+    assert rows["B2"]["n_violations"] == 0
+
+
+def test_session_stats_summary(spark):
+    sessions = spark.createDataFrame(
+        [
+            (1, 1000, 1000 + 600 + 1800, 5),   # 600s active
+            (1, 9000, 9000 + 0 + 1800, 1),     # single-event session
+            (2, 500, 500 + 1200 + 1800, 4),
+        ],
+        "user_id long, session_start_s long, session_end_s long, n_events long",
+    )
+    [r] = analytics.session_stats(sessions).collect()
+    assert r["n_sessions"] == 3 and r["n_users"] == 2
+    assert r["n_events"] == 10
+    assert r["events_per_session"] == pytest.approx(10 / 3, abs=1e-6)
+    assert r["max_duration_s"] == 1200
+    assert r["p50_duration_s"] == 600.0
