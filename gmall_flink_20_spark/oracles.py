@@ -4036,3 +4036,17 @@ SELECT CAST(count(*) AS BIGINT) AS n_sessions,
        CAST(max(session_end_s - 1800 - session_start_s) AS BIGINT) AS max_duration_s
 FROM sess
 """
+
+# REAL PNG decode round-trip (multimodal.encode_png -> decode_png): the
+# oracle recomputes width/height/channel-sum in CLOSED FORM from the
+# media id (pixel v=(id+3x+7y)%256 over a 7x5 RGB grid); the Spark side
+# must reproduce them by actually inflating the IDAT stream and
+# inverting all five per-row filters
+ORACLES["media_png_roundtrip"] = """
+SELECT d.doc_id AS media_id,
+       CAST(7 AS INTEGER) AS width,
+       CAST(5 AS INTEGER) AS height,
+       CAST(3 * sum((d.doc_id + 3 * g1.x + 7 * g2.y) % 256) AS BIGINT) AS content_sum
+FROM documents d, generate_series(0, 6) g1(x), generate_series(0, 4) g2(y)
+GROUP BY 1
+"""

@@ -80,3 +80,73 @@ def test_cosine_neardup_capped_equals_uncapped(spark):
         for r in ann.cosine_near_dup_blocked(emb, 0.95, block_cap_rows=12).collect()
     }
     assert capped == uncapped and len(capped) > 0
+
+
+# ------------------------------------------------- max_block_rows guard
+# VERDICT r5 item 2: the quadratic exhaustive path must not be enterable
+# accidentally — a degenerate blocking key (one giant block) raises at
+# execution time instead of silently running B²/2 pair evaluations.
+
+
+def test_degenerate_block_raises(spark):
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = _mkdf(spark, {"all_same": 120})
+    guarded = blocking.bounded_block_pairs(
+        df, ["blk"], "id", cap_rows=50, max_block_rows=100
+    )
+    with pytest.raises(Exception) as ei:
+        guarded.count()
+    assert "max_block_rows" in str(ei.value)
+    assert "all_same" in str(ei.value)  # the offending block is named
+
+
+def test_guard_passes_under_limit_and_none_disables(spark):
+    df = _mkdf(spark, {"big": 120, "small": 5})
+    # under the limit: identical answer to the unguarded plan
+    unguarded = {
+        (r.id_a, r.id_b)
+        for r in blocking.bounded_block_pairs(df, ["blk"], "id", cap_rows=50).collect()
+    }
+    guarded = {
+        (r.id_a, r.id_b)
+        for r in blocking.bounded_block_pairs(
+            df, ["blk"], "id", cap_rows=50, max_block_rows=120
+        ).collect()
+    }
+    assert guarded == unguarded and len(guarded) > 0
+    # None = documented exhaustive escape hatch, no guard in the plan
+    escape = {
+        (r.id_a, r.id_b)
+        for r in blocking.bounded_block_pairs(
+            df, ["blk"], "id", cap_rows=50, max_block_rows=None
+        ).collect()
+    }
+    assert escape == unguarded
+
+
+def test_cosine_neardup_guard_wired(spark):
+    import pytest
+
+    rows = [(i, 0, [1.0, 2.0, 3.0]) for i in range(40)]  # one block of 40
+    emb = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    with pytest.raises(Exception) as ei:
+        ann.cosine_near_dup_blocked(emb, 0.5, max_block_rows=10).count()
+    assert "max_block_rows" in str(ei.value)
+    # generous bound: passes and matches the unguarded answer
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in ann.cosine_near_dup_blocked(emb, 0.5, max_block_rows=1000).collect()
+    }
+    assert len(got) == 40 * 39 // 2  # identical vectors: every pair
+
+
+def test_jaccard_blocked_guard_wired(spark):
+    import pytest
+
+    rows = [(i, "en", "web", "a b c d") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
+    with pytest.raises(Exception) as ei:
+        dedup.jaccard_blocked(df, n=1, max_block_rows=10).count()
+    assert "max_block_rows" in str(ei.value)

@@ -15,21 +15,22 @@ from gmall_flink_20_spark.operators import analytics, ann, lm, text
 
 
 def test_window_is_exactly_fifty():
-    assert len(Q._R5_WINDOW) == Q.WINDOW_SIZE == 50
-    assert len(set(Q._R5_WINDOW)) == 50
+    assert len(Q._R6_WINDOW) == Q.WINDOW_SIZE == 50
+    assert len(set(Q._R6_WINDOW)) == 50
 
 
 def test_window_leads_the_registry():
-    assert list(Q.QUERIES)[:50] == Q._R5_WINDOW
+    assert list(Q.QUERIES)[:50] == Q._R6_WINDOW
 
 
-def test_round5_new_ops_are_in_window():
-    assert set(Q.R5_NEW) <= set(Q._R5_WINDOW)
+def test_round6_new_ops_are_in_window():
+    assert set(Q.R6_NEW) <= set(Q._R6_WINDOW)
 
 
 def test_window_rotation_fronts_stalest():
-    # every round-1-stale entry must be in the round-5 window
-    assert set(Q._STALE_R1) <= set(Q._R5_WINDOW)
+    # round-6 rotation (VERDICT r5 item 1): every entry whose latest
+    # driver row is from round 2 must be in the round-6 window
+    assert set(Q._STALE_R2) <= set(Q._R6_WINDOW)
 
 
 def test_registry_complete():

@@ -227,3 +227,65 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bucketed_agg_without_exchange(spark):
+    """groupBy on the bucket key over a bucketed table needs no Exchange:
+    the hash aggregate runs bucket-local — at 100 TB a daily rollup over
+    a bucketed fact table skips the full-table shuffle entirely."""
+    import re
+
+    from gmall_flink_20_spark import io_sinks
+
+    df = spark.range(20_000).withColumn("k", F.col("id") % 500).withColumn(
+        "v", F.col("id") * 2
+    )
+    spark.sql("DROP TABLE IF EXISTS ba_t")
+    io_sinks.write_bucketed(df, "ba_t", ["k"], 8)
+    try:
+        agg = spark.table("ba_t").groupBy("k").agg(F.sum("v").alias("sv"))
+        plan = agg._sc._jvm.PythonSQLUtils.explainString(
+            agg._jdf.queryExecution(), "formatted"
+        )
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+        assert agg.count() == 500
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ba_t")
+
+
+def test_bucket_coalescing_joins_mismatched_bucket_counts(spark):
+    """Tables bucketed 8 vs 4 on the same key: with
+    coalesceBucketsInJoin enabled Spark coalesces the 8-bucket side to 4
+    and joins with ZERO Exchange — re-bucketing an entire historical
+    table to match a new producer's bucket count is exactly the migraine
+    this avoids at 100 TB."""
+    import re
+
+    from gmall_flink_20_spark import io_sinks
+
+    a = spark.range(10_000).withColumn("va", F.col("id") * 2)
+    b = spark.range(10_000).withColumn("vb", F.col("id") * 3)
+    spark.sql("DROP TABLE IF EXISTS bc_a")
+    spark.sql("DROP TABLE IF EXISTS bc_b")
+    io_sinks.write_bucketed(a, "bc_a", ["id"], 8, sort_by=["id"])
+    io_sinks.write_bucketed(b, "bc_b", ["id"], 4, sort_by=["id"])
+    confs = {
+        "spark.sql.bucketing.coalesceBucketsInJoin.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        joined = spark.table("bc_a").join(spark.table("bc_b"), "id")
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+        assert joined.count() == 10_000
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS bc_a")
+        spark.sql("DROP TABLE IF EXISTS bc_b")
