@@ -375,3 +375,38 @@ def test_funnel_stream_tombstone_removed_after_ttl(spark):
     # ttl=None: tombstone lives forever -> phase 2 absorbed, one emission
     got_none = run(None)
     assert len(got_none) == 1 and got_none[0].s0_s == base + 100
+
+
+def test_bucketed_state_equals_per_key(spark, small_events):
+    """Round-6 shard layout (stateful.STATE_BUCKETS): for each user-keyed
+    state machine, the key-bucketed plan must emit EXACTLY the per-key
+    plan's rows on a disordered replay — the timer-wheel shard is a
+    physical-layout change, not a semantics change."""
+    ev = small_events.select(
+        "user_id", "event_id", F.col("ts").cast("long").alias("ts_s"), "event_type", "ts"
+    )
+
+    def run(op, buckets, **kw):
+        s1 = far_future_row(spark, ev, days=30)
+        s2 = far_future_row(spark, ev, days=31)
+        stream = replay.replay_stream(
+            spark, ev, "ts", num_chunks=6, disorder_s=300, extra_chunks=[s1, s2]
+        )
+        out = op(
+            stream.withWatermark("ts", "660 seconds"), key_buckets=buckets, **kw
+        )
+        return sorted(
+            tuple(r) for r in replay.run_to_completion(out).collect()
+        )
+
+    for op, kw in [
+        (lambda s, key_buckets: stateful.login_fail_pairs_stream(
+            s, max_gap_s=7200, key_buckets=key_buckets), {}),
+        (lambda s, key_buckets: stateful.order_timeout_stream(
+            s, horizon_s=7200, key_buckets=key_buckets), {}),
+        (lambda s, key_buckets: stateful.funnel_stream(
+            s, horizon_s=86400, key_buckets=key_buckets), {}),
+    ]:
+        per_key = run(op, 0, **kw)
+        sharded = run(op, 7, **kw)  # deliberately small, non-default B
+        assert sharded == per_key and per_key  # non-empty, identical

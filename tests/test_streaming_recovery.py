@@ -176,3 +176,139 @@ def test_funnel_stream_recovers_from_checkpoint(spark, sf_dir):
         2: int(got["s1_s"].notna().sum()),
         3: int(got["s2_s"].notna().sum()),
     }
+
+
+def test_login_fail_stream_recovers_from_checkpoint(spark, sf_dir):
+    """VERDICT r5 item 7: kill the buffering login-fail detector mid-
+    replay at a checkpoint, restart, and the pair set must equal the
+    batch oracle — buffered undecided rows and the last-fail scalar
+    survive the restart with no lost or duplicated pairs."""
+    from gmall_flink_20_spark.operators import patterns
+
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("user_id") < 40)
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts").cast("long").alias("ts_s"),
+            "event_type",
+            "ts",
+        )
+        .orderBy("ts_s")
+    )
+    rows = ev.collect()
+    half = len(rows) // 2
+    schema = ev.schema
+
+    base = Path(tempfile.mkdtemp(prefix="recov_login_"))
+    src = base / "src"
+    src.mkdir()
+    ckpt = str(base / "ckpt")
+    out_dir = str(base / "out")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            stateful.login_fail_pairs_stream(
+                stream.withWatermark("ts", "2 seconds"), max_gap_s=7200
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _write_chunk(spark.createDataFrame(rows[:half], schema), src, 0, 1_000_000_000)
+    run_once()
+    _write_chunk(spark.createDataFrame(rows[half:], schema), src, 1, 1_000_000_001)
+    run_once()
+
+    got = spark.read.parquet(out_dir).toPandas()
+    full = spark.createDataFrame(rows, schema)
+    # decided prefix: the final watermark is max(ts) - 2s; pairs whose
+    # last fail is at/above it are still buffered (undecidable at EOF)
+    wm_s = max(r.ts_s for r in rows) - 2
+    exp = (
+        patterns.consecutive_event_pairs(
+            full, "user_id", "ts", "event_type", "error", 7200, "event_id"
+        )
+        .filter(F.col("last_fail_s") < wm_s)
+        .toPandas()
+    )
+    key = ["user_id", "first_fail_s", "last_fail_s"]
+    got_set = set(map(tuple, got[key].to_numpy().tolist()))
+    exp_set = set(map(tuple, exp[key].to_numpy().tolist()))
+    assert got_set == exp_set and len(got) == len(got_set)  # no dupes
+
+
+def test_order_timeout_stream_recovers_from_checkpoint(spark, sf_dir):
+    """Kill-and-resume for the pending-order state machine: pendings
+    opened before the stop must still resolve (payed or timeout) after
+    the restart, exactly once each."""
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("user_id") < 40)
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts").cast("long").alias("ts_s"),
+            "event_type",
+            "ts",
+        )
+        .orderBy("ts_s")
+    )
+    rows = ev.collect()
+    half = len(rows) // 2
+    schema = ev.schema
+
+    base = Path(tempfile.mkdtemp(prefix="recov_order_"))
+    src = base / "src"
+    src.mkdir()
+    ckpt = str(base / "ckpt")
+    out_dir = str(base / "out")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            stateful.order_timeout_stream(
+                stream.withWatermark("ts", "2 seconds"), horizon_s=7200
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _write_chunk(spark.createDataFrame(rows[:half], schema), src, 0, 1_000_000_000)
+    run_once()
+    _write_chunk(spark.createDataFrame(rows[half:], schema), src, 1, 1_000_000_001)
+    run_once()
+
+    got = spark.read.parquet(out_dir).toPandas()
+    # exactly-once resolution: each create id resolves at most once
+    assert got["create_id"].is_unique
+    # every view whose deadline passed the final watermark has resolved
+    wm_s = max(r.ts_s for r in rows) - 2
+    views = [
+        (r.user_id, r.event_id, r.ts_s)
+        for r in rows
+        if r.event_type == "view" and r.ts_s + 7200 <= wm_s
+    ]
+    resolved = set(got["create_id"].tolist())
+    missing = [v for v in views if v[1] not in resolved]
+    assert not missing, missing[:5]
