@@ -197,6 +197,8 @@ BENCH_QUERIES = [
     "lineitem_price_audit",
     "events_session_stats",
     "media_png_roundtrip",
+    "docs_perplexity",
+    "docs_dsir_weights",
 ]
 
 

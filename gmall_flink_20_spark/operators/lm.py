@@ -12,7 +12,10 @@ Determinism contract (same as operators/text.py): every emitted score is
 exact integer arithmetic or a fixed-order chain of IEEE-754 double
 divisions on exact integers, so the DuckDB oracle computes bit-identical
 values — no transcendental functions (``ln`` differs in ULPs across
-libm implementations), no floating-point summation trees.
+libm implementations), no floating-point summation trees. Exceptions:
+``bigram_perplexity`` and ``dsir_weights`` are inherently log-domain and
+follow text.bm25_topk's relaxed contract instead (ln of exact-integer
+rationals, per-doc sum rounded to 6 decimals).
 
 Scale notes per operator are in the docstrings; the common shape is
 map-side-combined token aggregation (one shuffle on token, one on
@@ -30,6 +33,8 @@ from .text import tokens
 __all__ = [
     "unigram_lm",
     "bigram_lm",
+    "bigram_perplexity",
+    "dsir_weights",
     "ccnet_buckets",
     "ccnet_buckets_approx",
     "quality_classifier",
@@ -287,4 +292,160 @@ def bigram_lm(
             / F.col("total").cast("double"),
         )
         .drop("total")
+    )
+
+
+def bigram_perplexity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document cross-entropy under a Laplace-smoothed corpus bigram
+    LM — the actual CCNet quality statistic (Wenzek et al. train KenLM;
+    at corpus scale the self-trained smoothed bigram model is the
+    standard stand-in, one rung above ``bigram_lm``'s frequency proxy):
+
+        H(d) = −(1/N_d) Σ_trans ln P(b|a),
+        P(b|a) = (c(ab) + 1) / (c(a·) + V)
+
+    with c from the whole corpus and V the corpus vocabulary size. Low
+    H = fluent under the corpus distribution; high H = word salad /
+    template stitching. Emits (doc_id, n_transitions, min_bf,
+    cross_entropy) for documents with ≥ 2 tokens.
+
+    Determinism: this op (like text.bm25_topk / tfidf) RELAXES the
+    module's no-transcendentals contract — ``ln`` of exact-integer
+    rationals, summed per doc and rounded to 6 decimals; reorder error
+    is ~1e-13 on sums of O(10²) unit-scale terms, far inside the
+    rounding.
+
+    Scale shape: bigram construction is row-local (zip against own
+    tail, no lag shuffle); corpus bigram counts, left-context counts,
+    and V are token-keyed aggregates (map-side combined) joined back on
+    the bigram/context key — the LM tables are vocabulary-sized, not
+    corpus-sized, so AQE broadcasts them when small and hash-joins
+    otherwise.
+    """
+    toks = tokens(text_col)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    dt = (
+        df.select(F.col(id_col), F.explode(bigrams).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bf = dt.groupBy("bg").agg(F.sum("c").cast("long").alias("bf"))
+    ctx = (
+        bf.withColumn("a", F.split(F.col("bg"), " ")[0])
+        .groupBy("a")
+        .agg(F.sum("bf").cast("long").alias("cf"))
+    )
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("t"))
+        .agg(F.count_distinct("t").cast("long").alias("v"))
+    )
+    trans = (
+        dt.join(bf, "bg")
+        .withColumn("a", F.split(F.col("bg"), " ")[0])
+        .join(ctx, "a")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "_lp",
+            F.log(
+                (F.col("bf").cast("double") + F.lit(1.0))
+                / (F.col("cf").cast("double") + F.col("v").cast("double"))
+            ),
+        )
+    )
+    return (
+        trans.groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_transitions"),
+            F.min("bf").cast("long").alias("min_bf"),
+            F.round(
+                -F.sum(F.col("c").cast("double") * F.col("_lp"))
+                / F.sum("c").cast("double"),
+                6,
+            ).alias("cross_entropy"),
+        )
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_filter,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by the log-ratio of a TARGET distribution to the RAW
+    distribution over hashed n-gram features — the standard cheap
+    re-weighting that biases a 100 TB crawl toward a quality domain
+    without training a classifier.
+
+        w(d) = Σ_k n_k(d) · [ ln((tc_k+1)/(T+B)) − ln((rc_k+1)/(R+B)) ]
+
+    where n_k(d) is the document's count in hashed-unigram bucket k
+    (B = ``n_buckets``), tc/rc are target/raw corpus bucket totals and
+    T/R their sums (add-one smoothing on both). ``target_filter`` is a
+    boolean Column selecting the target slice of ``df`` (e.g.
+    ``col('lang') == 'en'``).
+
+    Buckets use the engine-portable 60-bit md5 hash (the shingle-hash
+    parity trick, dedup.jaccard_blocked) mod B, so the oracle buckets
+    identically. Emits (doc_id, n_tokens, dsir_logweight) for non-empty
+    documents, weight rounded to 6 decimals after the per-doc sum
+    (the text.bm25_topk ln-parity precedent).
+
+    Scale shape: one token explode → (doc, bucket) map-side-combined
+    counts; the two global bucket tables are B rows each — broadcast
+    literals, effectively — so the scoring join adds no corpus shuffle
+    beyond the feature aggregation itself.
+    """
+    tk = (
+        df.select(F.col(id_col), F.col(text_col), F.explode(tokens(text_col)).alias("t"))
+        .withColumn(
+            "k",
+            F.pmod(
+                F.expr("CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)"),
+                F.lit(n_buckets),
+            ),
+        )
+    )
+    doc_feat = tk.groupBy(id_col, "k").agg(F.count(F.lit(1)).alias("n"))
+    raw = doc_feat.groupBy("k").agg(F.sum("n").cast("long").alias("rc"))
+    target_ids = df.filter(target_filter).select(id_col)
+    tgt = (
+        doc_feat.join(target_ids, id_col)
+        .groupBy("k")
+        .agg(F.sum("n").cast("long").alias("tc"))
+    )
+    totals = raw.join(tgt, "k", "left").agg(
+        F.sum("rc").cast("long").alias("rt"),
+        F.sum(F.coalesce(F.col("tc"), F.lit(0))).cast("long").alias("tt"),
+    )
+    scored = (
+        doc_feat.join(raw, "k")
+        .join(tgt, "k", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "_lr",
+            F.log(
+                (F.coalesce(F.col("tc"), F.lit(0)).cast("double") + F.lit(1.0))
+                / (F.col("tt").cast("double") + F.lit(float(n_buckets)))
+            )
+            - F.log(
+                (F.col("rc").cast("double") + F.lit(1.0))
+                / (F.col("rt").cast("double") + F.lit(float(n_buckets)))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.round(F.sum(F.col("n").cast("double") * F.col("_lr")), 6).alias(
+            "dsir_logweight"
+        ),
     )

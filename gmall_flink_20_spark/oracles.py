@@ -4050,3 +4050,76 @@ SELECT d.doc_id AS media_id,
 FROM documents d, generate_series(0, 6) g1(x), generate_series(0, 4) g2(y)
 GROUP BY 1
 """
+
+# smoothed-bigram cross-entropy (lm.bigram_perplexity): Laplace
+# P(b|a) = (c(ab)+1)/(c(a.)+V) over corpus counts; H = -mean ln P per
+# doc, rounded 6 after the sum (bm25 ln-parity precedent)
+ORACLES["docs_perplexity"] = r"""
+WITH base AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+dt AS (
+    SELECT doc_id, concat_ws(' ', t[i+1], t[i+2]) AS bg,
+           CAST(count(*) AS BIGINT) AS c
+    FROM (SELECT doc_id, t, unnest(range(0, len(t) - 1)) AS i FROM base
+          WHERE len(t) >= 2)
+    GROUP BY 1, 2
+),
+bf AS (SELECT bg, CAST(sum(c) AS BIGINT) AS bf FROM dt GROUP BY 1),
+ctx AS (
+    SELECT string_split(bg, ' ')[1] AS a, CAST(sum(bf) AS BIGINT) AS cf
+    FROM bf GROUP BY 1
+),
+vocab AS (
+    SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+    FROM (SELECT unnest(t) AS tok FROM base)
+)
+SELECT dt.doc_id,
+       CAST(sum(dt.c) AS BIGINT) AS n_transitions,
+       CAST(min(bf.bf) AS BIGINT) AS min_bf,
+       round(-sum(CAST(dt.c AS DOUBLE) * ln((CAST(bf.bf AS DOUBLE) + 1.0)
+                 / (CAST(ctx.cf AS DOUBLE) + CAST(vocab.v AS DOUBLE))))
+             / sum(CAST(dt.c AS DOUBLE)), 6) AS cross_entropy
+FROM dt
+JOIN bf USING (bg)
+JOIN ctx ON string_split(dt.bg, ' ')[1] = ctx.a
+CROSS JOIN vocab
+GROUP BY 1
+"""
+
+# DSIR hashed-unigram importance log-weights (lm.dsir_weights): target =
+# lang='en' docs, raw = all docs; engine-portable md5 bucketing mod 1024
+ORACLES["docs_dsir_weights"] = r"""
+WITH tk AS (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 1024 AS k
+    FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+          FROM documents)
+),
+doc_feat AS (
+    SELECT doc_id, k, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY 1, 2
+),
+raw AS (SELECT k, CAST(sum(n) AS BIGINT) AS rc FROM doc_feat GROUP BY 1),
+tgt AS (
+    SELECT f.k, CAST(sum(f.n) AS BIGINT) AS tc
+    FROM doc_feat f JOIN documents d USING (doc_id)
+    WHERE d.lang = 'en' GROUP BY 1
+),
+totals AS (
+    SELECT CAST(sum(raw.rc) AS BIGINT) AS rt,
+           CAST(sum(COALESCE(tgt.tc, 0)) AS BIGINT) AS tt
+    FROM raw LEFT JOIN tgt USING (k)
+)
+SELECT f.doc_id,
+       CAST(sum(f.n) AS BIGINT) AS n_tokens,
+       round(sum(CAST(f.n AS DOUBLE) * (
+           ln((CAST(COALESCE(tgt.tc, 0) AS DOUBLE) + 1.0)
+              / (CAST(totals.tt AS DOUBLE) + 1024.0))
+           - ln((CAST(raw.rc AS DOUBLE) + 1.0)
+              / (CAST(totals.rt AS DOUBLE) + 1024.0)))), 6) AS dsir_logweight
+FROM doc_feat f
+JOIN raw USING (k)
+LEFT JOIN tgt USING (k)
+CROSS JOIN totals
+GROUP BY 1
+"""

@@ -2111,6 +2111,25 @@ def docs_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.bigram_lm(load_table(spark, sf_dir, "documents"))
 
 
+def docs_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed-bigram cross-entropy per document (operators/lm.
+    bigram_perplexity) — the CCNet quality statistic proper (Wenzek et
+    al.), one rung above docs_bigram_lm's frequency proxy: Laplace
+    P(b|a) over corpus counts, H(d) = −mean ln P, rounded 6."""
+    return lm.bigram_perplexity(load_table(spark, sf_dir, "documents"))
+
+
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (operators/lm.dsir_weights; Xie et
+    al. 2023): hashed-unigram log-ratio of the lang='en' target slice
+    vs the full corpus — the cheap importance-resampling scorer for
+    biasing a crawl toward a target domain. Engine-portable md5
+    bucketing; weight rounded 6 after the per-doc sum."""
+    return lm.dsir_weights(
+        load_table(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )
+
+
 def docs_phrase_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate phrase census (operators/text.phrase_census): top-50
     word trigrams by distinct-document frequency — the phrase-level
@@ -2568,6 +2587,8 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parts_supplier_hhi": parts_supplier_hhi,
     "media_decode_roundtrip": media_decode_roundtrip,
     "media_png_roundtrip": media_png_roundtrip,
+    "docs_perplexity": docs_perplexity,
+    "docs_dsir_weights": docs_dsir_weights,
     "docs_threshold_sweep": docs_threshold_sweep,
     "emb_pq_code_balance": emb_pq_code_balance,
     "lineitem_price_audit": lineitem_price_audit,
@@ -2648,6 +2669,8 @@ WINDOW_SIZE = 50
 # reference's headline operators re-sampled as regression tripwires.
 R6_NEW: list[str] = [
     "media_png_roundtrip",
+    "docs_perplexity",
+    "docs_dsir_weights",
 ]
 _R6_CANARIES: list[str] = [
     "hot_items_topn",
