@@ -199,6 +199,8 @@ BENCH_QUERIES = [
     "media_png_roundtrip",
     "docs_perplexity",
     "docs_dsir_weights",
+    "items_association_rules",
+    "events_next_prediction",
 ]
 
 

@@ -35,6 +35,8 @@ __all__ = [
     "order_backlog",
     "seasonal_anomaly",
     "item_pairs",
+    "association_rules",
+    "markov_next_topk",
     "cohort_ltv",
     "seasonality_lift",
     "seasonality_cells",
@@ -1618,4 +1620,124 @@ def session_stats(
             "p90_duration_s"
         ),
         F.max("_dur").cast("long").alias("max_duration_s"),
+    )
+
+
+def association_rules(
+    events: DataFrame,
+    min_pair_support: int = 2,
+    cap: int = 50,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+) -> DataFrame:
+    """Directed association rules A→B over per-user item baskets —
+    support / confidence / lift, the market-basket classic (Agrawal &
+    Srikant's Apriori output at depth 2). For every ordered item pair
+    co-held by ≥ ``min_pair_support`` users:
+
+        confidence(A→B) = |users(A,B)| / |users(A)|
+        lift(A→B) = confidence / (|users(B)| / n_users)
+
+    Both are single fixed-order divisions of exact longs (lift as
+    (pair·n)/(a·b) — one division), so the oracle is bit-identical.
+
+    Scale shape: rides ``item_pairs`` (per-user basket capped at
+    ``cap`` → pair fan-out ≤ cap² per user, map-side-combined counts);
+    item supports are one extra catalog-sized aggregate joined twice
+    (broadcast under AQE); n_users is a broadcast scalar. Emitting both
+    directions from each undirected pair is a row-local explode of the
+    |pairs|-sized frame, not a second pass over events.
+    """
+    pairs = item_pairs(
+        events, cap=cap, min_support=min_pair_support,
+        user_col=user_col, item_col=item_col,
+    )
+    supports = events.groupBy(F.col(item_col)).agg(
+        F.count_distinct(F.col(user_col)).cast("long").alias("supp")
+    )
+    n_users = events.agg(
+        F.count_distinct(F.col(user_col)).cast("long").alias("n_users")
+    )
+    directed = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("ante"),
+                    F.col("item_b").alias("cons"),
+                    F.col("n_users").alias("pair_users"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("ante"),
+                    F.col("item_a").alias("cons"),
+                    F.col("n_users").alias("pair_users"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    sa = supports.select(F.col(item_col).alias("ante"), F.col("supp").alias("supp_a"))
+    sb = supports.select(F.col(item_col).alias("cons"), F.col("supp").alias("supp_b"))
+    return (
+        directed.join(F.broadcast(sa), "ante")
+        .join(F.broadcast(sb), "cons")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "ante",
+            "cons",
+            "pair_users",
+            "supp_a",
+            "supp_b",
+            (F.col("pair_users").cast("double") / F.col("supp_a").cast("double")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("pair_users") * F.col("n_users")).cast("double")
+                / (F.col("supp_a") * F.col("supp_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+def markov_next_topk(
+    events: DataFrame,
+    k: int = 3,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Top-``k`` Laplace-smoothed next-state predictions per state — the
+    serving-side read of ``transition_matrix``: for each from_state the
+    ``k`` likeliest successors with add-one-smoothed probability
+
+        p = (cnt + 1) / (row_total + |states|)
+
+    (|states| = distinct observed states, so unseen successors hold
+    non-zero mass). Ranking is integer-only (cnt desc, to_state asc);
+    the probability is one fixed-order division — oracle bit-identical.
+
+    Scale shape: everything downstream of the one lead() window in
+    transition_matrix operates on |states|²-sized frames — broadcast
+    territory regardless of corpus size.
+    """
+    tm = transition_matrix(events, key_col, state_col, ts_col, tiebreak_col)
+    n_states = events.agg(
+        F.count_distinct(F.col(state_col)).cast("long").alias("n_states")
+    )
+    w = Window.partitionBy("from_state").orderBy(
+        F.col("cnt").desc(), F.col("to_state").asc()
+    )
+    return (
+        tm.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .crossJoin(F.broadcast(n_states))
+        .select(
+            "from_state",
+            "to_state",
+            "cnt",
+            F.col("rn").cast("long").alias("rn"),
+            (
+                (F.col("cnt").cast("double") + F.lit(1.0))
+                / (F.col("row_total").cast("double") + F.col("n_states").cast("double"))
+            ).alias("smoothed_prob"),
+        )
     )

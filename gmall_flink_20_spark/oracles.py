@@ -4123,3 +4123,83 @@ LEFT JOIN tgt USING (k)
 CROSS JOIN totals
 GROUP BY 1
 """
+
+# directed market-basket rules over purchase baskets
+# (analytics.association_rules): supports are over UNCAPPED events; the
+# pair stage replicates the per-user cap-50 rank (count desc, item asc)
+ORACLES["items_association_rules"] = """
+WITH ev AS (
+    SELECT user_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id
+    FROM events WHERE event_type = 'purchase'
+),
+ui AS (
+    SELECT user_id, item_id, CAST(count(*) AS BIGINT) AS cnt
+    FROM ev GROUP BY 1, 2
+),
+capped AS (
+    SELECT user_id, item_id
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY cnt DESC, item_id ASC) AS r
+          FROM ui)
+    WHERE r <= 50
+),
+pairs AS (
+    SELECT a.item_id AS item_a, b.item_id AS item_b,
+           CAST(count(*) AS BIGINT) AS pair_users
+    FROM capped a JOIN capped b
+      ON a.user_id = b.user_id AND a.item_id < b.item_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+),
+directed AS (
+    SELECT item_a AS ante, item_b AS cons, pair_users FROM pairs
+    UNION ALL
+    SELECT item_b AS ante, item_a AS cons, pair_users FROM pairs
+),
+supports AS (
+    SELECT item_id, CAST(count(DISTINCT user_id) AS BIGINT) AS supp
+    FROM ev GROUP BY 1
+),
+n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ev)
+SELECT d.ante, d.cons, d.pair_users,
+       sa.supp AS supp_a, sb.supp AS supp_b,
+       CAST(d.pair_users AS DOUBLE) / CAST(sa.supp AS DOUBLE) AS confidence,
+       CAST(d.pair_users * n.n_users AS DOUBLE)
+         / CAST(sa.supp * sb.supp AS DOUBLE) AS lift
+FROM directed d
+JOIN supports sa ON d.ante = sa.item_id
+JOIN supports sb ON d.cons = sb.item_id
+CROSS JOIN n
+"""
+
+# top-3 Laplace-smoothed next-event predictions per state
+# (analytics.markov_next_topk): integer ranking, one smoothed division
+ORACLES["events_next_prediction"] = """
+WITH seq AS (
+    SELECT event_type AS from_state,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS to_state
+    FROM events
+),
+pairs AS (
+    SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS cnt
+    FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2
+),
+totals AS (
+    SELECT from_state, CAST(sum(cnt) AS BIGINT) AS row_total
+    FROM pairs GROUP BY from_state
+),
+ns AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_states FROM events),
+ranked AS (
+    SELECT p.from_state, p.to_state, p.cnt, t.row_total,
+           row_number() OVER (PARTITION BY p.from_state
+                              ORDER BY p.cnt DESC, p.to_state ASC) AS rn
+    FROM pairs p JOIN totals t USING (from_state)
+)
+SELECT from_state, to_state, cnt, CAST(rn AS BIGINT) AS rn,
+       (CAST(cnt AS DOUBLE) + 1.0)
+         / (CAST(row_total AS DOUBLE) + CAST(ns.n_states AS DOUBLE)) AS smoothed_prob
+FROM ranked CROSS JOIN ns
+WHERE rn <= 3
+"""

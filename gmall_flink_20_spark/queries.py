@@ -924,6 +924,34 @@ def events_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.item_cooccurrence(ev, k=10, cap=50, min_support=2)
 
 
+def items_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed A→B market-basket rules over per-user PURCHASE baskets
+    (operators/analytics.association_rules): support / confidence /
+    lift with exact-long divisions; per-user baskets capped at 50
+    before the pair stage."""
+    from .operators import analytics
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", _item_id())
+    )
+    return analytics.association_rules(ev, min_pair_support=2, cap=50)
+
+
+def events_next_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 Laplace-smoothed next-event predictions per state
+    (operators/analytics.markov_next_topk) — the serving-side read of
+    events_transition_matrix; integer-only ranking, one fixed-order
+    division for the smoothed probability."""
+    from .operators import analytics
+
+    return analytics.markov_next_topk(
+        _events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id"),
+        k=3,
+    )
+
+
 def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style per-column data-quality profile (operators/profiling.
     profile_table): row/null/exact-distinct counts + numeric ranges in
@@ -2589,6 +2617,8 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_png_roundtrip": media_png_roundtrip,
     "docs_perplexity": docs_perplexity,
     "docs_dsir_weights": docs_dsir_weights,
+    "items_association_rules": items_association_rules,
+    "events_next_prediction": events_next_prediction,
     "docs_threshold_sweep": docs_threshold_sweep,
     "emb_pq_code_balance": emb_pq_code_balance,
     "lineitem_price_audit": lineitem_price_audit,
@@ -2671,6 +2701,8 @@ R6_NEW: list[str] = [
     "media_png_roundtrip",
     "docs_perplexity",
     "docs_dsir_weights",
+    "items_association_rules",
+    "events_next_prediction",
 ]
 _R6_CANARIES: list[str] = [
     "hot_items_topn",

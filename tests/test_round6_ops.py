@@ -73,3 +73,56 @@ def test_dsir_weight_scales_with_length(spark):
     got = {r.doc_id: r for r in lm.dsir_weights(df, F.col("lang") == "en").collect()}
     assert got[2].n_tokens == 2 * got[3].n_tokens
     assert abs(got[2].dsir_logweight - 2 * got[3].dsir_logweight) < 1e-5
+
+
+# -------------------------------------------------- association rules
+
+
+def test_association_rules_closed_form(spark):
+    # 4 users: {1,2} x3, {1} x1 -> supp(1)=4, supp(2)=3, pair=3, n=4
+    rows = [(u, i) for u in (10, 11, 12) for i in (1, 2)] + [(13, 1)]
+    ev = spark.createDataFrame(rows, "user_id long, item_id long")
+    got = {(r.ante, r.cons): r for r in analytics.association_rules(ev).collect()}
+    r12 = got[(1, 2)]
+    assert (r12.pair_users, r12.supp_a, r12.supp_b) == (3, 4, 3)
+    assert r12.confidence == 3 / 4
+    assert r12.lift == (3 * 4) / (4 * 3)
+    r21 = got[(2, 1)]
+    assert r21.confidence == 3 / 3 and r21.lift == r12.lift  # lift symmetric
+
+
+def test_association_rules_min_support(spark):
+    rows = [(1, 1), (1, 2), (2, 1), (2, 3)]  # every pair held by 1 user
+    ev = spark.createDataFrame(rows, "user_id long, item_id long")
+    assert analytics.association_rules(ev, min_pair_support=2).count() == 0
+
+
+# ------------------------------------------------------- markov top-k
+
+
+def test_markov_next_topk_closed_form(spark):
+    # one user: a b a b a c  -> from a: b x2, c x1; from b: a x2
+    seq = ["a", "b", "a", "b", "a", "c"]
+    rows = [(1, i, f"2024-01-01 00:00:{i:02d}", s) for i, s in enumerate(seq)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {(r.from_state, r.rn): r for r in analytics.markov_next_topk(ev, k=2).collect()}
+    assert got[("a", 1)].to_state == "b" and got[("a", 1)].cnt == 2
+    assert got[("a", 2)].to_state == "c"
+    # smoothing: 3 states; p(a->b) = (2+1)/(3+3)
+    assert got[("a", 1)].smoothed_prob == (2 + 1) / (3 + 3)
+    assert got[("b", 1)].to_state == "a"
+
+
+def test_markov_topk_caps_k(spark):
+    rows = [(1, i, f"2024-01-01 00:00:{i:02d}", s) for i, s in
+            enumerate(["a", "b", "a", "c", "a", "d", "a", "e"])]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = analytics.markov_next_topk(ev, k=3).collect()
+    per_from = {}
+    for r in out:
+        per_from.setdefault(r.from_state, []).append(r.rn)
+    assert max(len(v) for v in per_from.values()) <= 3
