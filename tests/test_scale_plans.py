@@ -460,3 +460,29 @@ def test_contamination_distinct_before_join(spark, sf_dir):
     plan = plan_of(QUERIES["docs_cross_source_contamination"](spark, sf_dir))
     assert "HashAggregate" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_round6_lm_ops_no_udf_no_cartesian(spark, sf_dir):
+    # perplexity / DSIR: pure codegen + joins on vocabulary-sized keys;
+    # the only CartesianProduct allowed is the one-row totals broadcast
+    for name in ("docs_perplexity", "docs_dsir_weights"):
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "PythonMapInArrow" not in plan, name
+
+
+def test_association_rules_broadcasts_supports(spark, sf_dir):
+    plan = plan_of(QUERIES["items_association_rules"](spark, sf_dir))
+    # item supports and the n_users scalar join broadcast; no python
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 3, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_markov_topk_single_lead_window(spark, sf_dir):
+    plan = plan_of(QUERIES["events_next_prediction"](spark, sf_dir))
+    # one user-partitioned window for lead(), one tiny |states|-keyed
+    # window for the rank — both present, no python, no cartesian blowup
+    assert plan.count("Window") >= 2
+    assert "BatchEvalPython" not in plan
