@@ -201,6 +201,10 @@ BENCH_QUERIES = [
     "docs_dsir_weights",
     "items_association_rules",
     "events_next_prediction",
+    "docs_zipf_fit",
+    "docs_burstiness",
+    "events_changepoint",
+    "emb_matryoshka_recall",
 ]
 
 

@@ -46,6 +46,7 @@ __all__ = [
     "retention_cohorts",
     "pivot_counts",
     "rate_anomaly",
+    "changepoint_cusum",
     "transition_matrix",
     "market_basket",
     "revenue_concentration",
@@ -1739,5 +1740,82 @@ def markov_next_topk(
                 (F.col("cnt").cast("double") + F.lit(1.0))
                 / (F.col("row_total").cast("double") + F.col("n_states").cast("double"))
             ).alias("smoothed_prob"),
+        )
+    )
+
+
+def changepoint_cusum(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Single mean-shift changepoint per key over the daily count series
+    via the CUSUM statistic: with daily counts x_1..x_n (days WITH data,
+    ordered), prefix sums S_i, and total S_n, the break lands at
+    argmax_i |n·S_i − i·S_n| (the integer-exact form of the classic
+    max |S_i − (i/n)·S_n| deviation-from-uniform-drift statistic; ties
+    break on the earlier day).  The day-granular complement to
+    ``rate_anomaly``'s per-bucket z-score: that flags spikes, this dates
+    the level shift — the first question asked when a metric drifts
+    (deploys, crawler-policy changes, source swaps in an ingest feed).
+
+    Determinism: EXACT — every quantity through the argmax is a BIGINT;
+    the only double is the final normalized statistic, one fixed-order
+    division rounded to 6.
+
+    Scale shape: the corpus collapses to the (key, day, count) frame
+    with map-side combine — ≤ |keys|·|days| rows, time-bounded however
+    large the event stream.  The prefix-sum and argmax windows sort only
+    that frame, partitioned by key (no global sort, no skew: each
+    partition is ≤ |days| rows).
+    """
+    daily = (
+        events.select(
+            F.col(key_col).alias("key"),
+            F.to_date(F.col(ts_col)).alias("day"),
+        )
+        .groupBy("key", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    w_cum = Window.partitionBy("key").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy("key")
+    cum = daily.select(
+        "key",
+        "day",
+        "x",
+        F.sum("x").over(w_cum).cast("long").alias("s_i"),
+        F.row_number()
+        .over(Window.partitionBy("key").orderBy("day"))
+        .cast("long")
+        .alias("i"),
+    ).select(
+        "*",
+        F.max("i").over(w_all).alias("n_days"),
+        F.max("s_i").over(w_all).alias("s_n"),
+    )
+    dev = cum.withColumn(
+        "cusum",
+        F.abs(F.col("n_days") * F.col("s_i") - F.col("i") * F.col("s_n")).cast("long"),
+    )
+    w_pick = Window.partitionBy("key").orderBy(F.col("cusum").desc(), F.col("day").asc())
+    return (
+        dev.withColumn("_rk", F.row_number().over(w_pick))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col("key").alias("event_type"),
+            F.col("n_days"),
+            F.col("s_n").alias("total_events"),
+            F.date_format(F.col("day"), "yyyy-MM-dd").alias("cp_day"),
+            F.col("cusum").alias("cusum_stat"),
+            (
+                F.round(
+                    F.col("cusum").cast("double")
+                    / (F.col("n_days").cast("double") * F.col("s_n").cast("double")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cusum_norm"),
         )
     )

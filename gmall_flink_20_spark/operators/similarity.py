@@ -658,3 +658,99 @@ def mahalanobis_outliers(
     return emb.crossJoin(F.broadcast(cons)).select(
         F.col(id_col), (F.round(score, 6) + F.lit(0.0)).alias("maha2")
     )
+
+
+def matryoshka_recall(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    dims: tuple[int, ...] = (8, 16, 32),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of PREFIX-truncated cosine search against the full-dim
+    exact top-k, one row per truncation width — the evaluation behind
+    Matryoshka-style dimension reduction (Kusupati et al. 2022): how
+    much retrieval quality survives if the index stores only the first
+    d coordinates.  The dimension-axis complement to the existing
+    compression dials (``emb_ann_pq`` quantizes values, this truncates
+    coordinates; ``emb_ann_recall`` grades bucketing).
+
+    Output: (dim, n_queries, total_hits, mean_recall) with
+    mean_recall = total_hits / (k·n_queries) — integer counts and ONE
+    fixed division, so cross-engine float drift cannot touch the values
+    (ranking near-ties break on neighbor id, as all ANN ops here).
+
+    Scale shape: ONE corpus scan — the broadcast query batch joins the
+    corpus once, every truncation's score is computed row-locally from
+    array slices of the same pair, and the (dim, score) pairs unpivot
+    in-row via ``inline`` before a single (query, dim)-partitioned
+    top-k window over |queries|·|dims|·|corpus| scored rows (AQE
+    coalesces).  The exact side reuses ``ann_bruteforce_topk`` and is
+    |queries|·k rows — broadcast into the hit join.
+    """
+    exact = ann_bruteforce_topk(emb, query_ids, k, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    queries = emb.filter(F.col(id_col).isin([int(q) for q in query_ids])).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    corpus = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    pairs = F.broadcast(queries).join(
+        corpus, F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(d)).cast("long").alias("dim"),
+                        (
+                            dot(F.slice("qv", 1, int(d)), F.slice("nv", 1, int(d)))
+                            / (
+                                norm(F.slice("qv", 1, int(d)))
+                                * norm(F.slice("nv", 1, int(d)))
+                            )
+                        ).alias("score"),
+                    )
+                    for d in dims
+                ]
+            )
+        ),
+    )
+    w = Window.partitionBy("query_id", "dim").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    approx = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("dim", "query_id", "neighbor_id")
+    )
+    hits = approx.join(F.broadcast(exact), ["query_id", "neighbor_id"]).groupBy(
+        "dim"
+    ).agg(F.count(F.lit(1)).cast("long").alias("total_hits"))
+    denom = float(k * len(query_ids))
+    # every dim level appears (k·|queries| ranked rows each) — left join
+    # from the literal dim frame so a zero-hit level still emits a row
+    dims_df = emb.sparkSession.createDataFrame(
+        [(int(d),) for d in sorted(dims)], "dim long"
+    )
+    return (
+        F.broadcast(dims_df)
+        .join(hits, "dim", "left")
+        .select(
+            "dim",
+            F.lit(len(query_ids)).cast("long").alias("n_queries"),
+            F.coalesce(F.col("total_hits"), F.lit(0).cast("long")).alias("total_hits"),
+            (
+                F.round(
+                    F.coalesce(F.col("total_hits"), F.lit(0)).cast("double")
+                    / F.lit(denom),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("mean_recall"),
+        )
+    )

@@ -36,6 +36,8 @@ __all__ = [
     "corpus_stats",
     "phrase_census",
     "vocab_gini",
+    "zipf_fit",
+    "term_burstiness",
     "LANG_MARKERS",
     "gopher_filter",
     "gopher_feature_cols",
@@ -1008,4 +1010,145 @@ def pii_stats(
             )
             + F.lit(0.0)
         ).alias("pii_doc_share"),
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    min_count: int = 5,
+    max_rank: int = 500,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Log-log Zipf fit per language: least-squares slope and R² of
+    ln(freq) against ln(rank) over the top-``max_rank`` terms — the
+    classic corpus-health diagnostic (natural language fits slope ≈ −1;
+    templated or synthetic sub-corpora bend the curve, and the fit
+    quality drops).  The parametric complement to ``vocab_gini``'s
+    nonparametric concentration score (reference analytics scope:
+    SURVEY §2.11 scalar pipelines — this is the corpus-level statistic
+    a reference user derives from the same word counts).
+
+    Determinism: like ``lm.bigram_perplexity`` this RELAXES the module's
+    no-transcendentals contract — ``ln`` of exact integer ranks/counts,
+    combined through ONE fixed closed-form expression per language
+    (n·Σxy − Σx·Σy over n·Σx² − (Σx)², same shape for R²), rounded to 6
+    decimals; reorder error on ≤ ``max_rank`` unit-scale terms is
+    ~1e-12, far inside the rounding.
+
+    Scale shape: the corpus collapses to (lang, term, cnt) with map-side
+    combine (the |vocab| frame, Heaps-bounded); the ``min_count`` filter
+    runs BEFORE the per-language rank window so the sort only sees
+    surviving vocabulary; everything after is one map-side-combined
+    aggregate to a |langs|-row frame.
+    """
+    counts = (
+        df.select(
+            F.col(lang_col).alias("lang"),
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("term").asc())
+    ranked = (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= max_rank)
+        .select(
+            "lang",
+            "cnt",
+            F.log(F.col("rank").cast("double")).alias("_x"),
+            F.log(F.col("cnt").cast("double")).alias("_y"),
+        )
+    )
+    agg = ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("cnt").cast("long").alias("fitted_tokens"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    n = F.col("n_terms").cast("double")
+    cov_n = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    varx_n = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vary_n = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    # degenerate fits (one term, or all counts equal) -> NULL, not a
+    # divide-by-zero: varx_n = 0 kills both, vary_n = 0 kills R² only
+    return agg.select(
+        "lang",
+        "n_terms",
+        "fitted_tokens",
+        F.when(varx_n != 0, F.round(cov_n / varx_n, 6) + F.lit(0.0)).alias(
+            "zipf_slope"
+        ),
+        F.when(
+            (varx_n != 0) & (vary_n != 0),
+            F.round(cov_n * cov_n / (varx_n * vary_n), 6) + F.lit(0.0),
+        ).alias("zipf_r2"),
+    )
+
+
+def term_burstiness(
+    df: DataFrame,
+    top_k: int = 40,
+    min_df: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fano-factor burstiness of the ``top_k`` highest-frequency terms:
+    variance-to-mean ratio of the per-document count across ALL
+    documents (zeros included).  Function words sit near the Poisson
+    floor (≈ 1 − mean); topical/content words are bursty (≫ 1); a
+    boilerplate-polluted corpus shows anomalous burstiness on template
+    phrases — the church of Katz (1996), run as a corpus QC report.
+
+    Determinism: exact — with S = Σ tf, Q = Σ tf² (BIGINT sums) and N
+    total documents, VMR = Q/S − S/N needs no per-document zero rows and
+    only two fixed-order double divisions of exact integers, rounded 6.
+
+    Scale shape: one explode to (doc, term) tf with map-side combine,
+    one term-keyed aggregate to the |vocab| frame (S, Q, df are all
+    algebraic), ``min_df`` filter BEFORE the single top-k rank window,
+    and the doc-count scalar joins in as a broadcast literal — the
+    corpus is scanned once and never re-shuffled.
+    """
+    tf = (
+        df.select(F.col(id_col).alias("_doc"), F.explode(tokens(text_col)).alias("term"))
+        .groupBy("_doc", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    stats = (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("total_tf"),
+            F.sum(F.col("tf") * F.col("tf")).cast("long").alias("sq_tf"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+    w = Window.orderBy(F.col("total_tf").desc(), F.col("term").asc())
+    ranked = stats.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= top_k
+    )
+    n_docs = df.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (
+        ranked.crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "rank",
+            "df",
+            "total_tf",
+            (
+                F.round(
+                    F.col("sq_tf").cast("double") / F.col("total_tf").cast("double")
+                    - F.col("total_tf").cast("double") / F.col("n_docs").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("burstiness"),
+        )
     )

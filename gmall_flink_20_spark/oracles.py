@@ -4203,3 +4203,166 @@ SELECT from_state, to_state, cnt, CAST(rn AS BIGINT) AS rn,
 FROM ranked CROSS JOIN ns
 WHERE rn <= 3
 """
+
+
+# log-log Zipf fit per language (text.zipf_fit): min_count filter
+# before the per-language rank window; ONE closed-form least-squares
+# expression over the <=500-term fit frame, rounded 6 (ln relaxation,
+# same guard as docs_token_entropy / docs_perplexity)
+ORACLES["docs_zipf_fit"] = r"""
+WITH counts AS (
+    SELECT lang, term, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT lang,
+                 unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                    x -> x <> '')) AS term
+          FROM documents)
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT lang, cnt,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY cnt DESC, term ASC) AS rk
+    FROM counts WHERE cnt >= 5
+),
+fit AS (
+    SELECT lang,
+           ln(CAST(rk AS DOUBLE)) AS x,
+           ln(CAST(cnt AS DOUBLE)) AS y,
+           cnt
+    FROM ranked WHERE rk <= 500
+),
+agg AS (
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(cnt) AS BIGINT) AS fitted_tokens,
+           sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+           sum(x * x) AS sxx, sum(y * y) AS syy
+    FROM fit GROUP BY lang
+)
+SELECT lang, n_terms, fitted_tokens,
+       CASE WHEN CAST(n_terms AS DOUBLE) * sxx - sx * sx <> 0 THEN
+           round((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n_terms AS DOUBLE) * sxx - sx * sx), 6) + 0.0
+       END AS zipf_slope,
+       CASE WHEN CAST(n_terms AS DOUBLE) * sxx - sx * sx <> 0
+             AND CAST(n_terms AS DOUBLE) * syy - sy * sy <> 0 THEN
+           round((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+                 * (CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+                 / ((CAST(n_terms AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n_terms AS DOUBLE) * syy - sy * sy)), 6) + 0.0
+       END AS zipf_r2
+FROM agg
+"""
+
+
+# Fano-factor burstiness of the top-40 terms (text.term_burstiness):
+# VMR = Q/S - S/N from exact BIGINT moments, zeros in closed form
+ORACLES["docs_burstiness"] = r"""
+WITH tf AS (
+    SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+          FROM documents)
+    GROUP BY 1, 2
+),
+stats AS (
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf) AS BIGINT) AS total_tf,
+           CAST(sum(tf * tf) AS BIGINT) AS sq_tf
+    FROM tf GROUP BY term HAVING count(*) >= 10
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (ORDER BY total_tf DESC, term ASC) AS BIGINT) AS rank
+    FROM stats
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT term, rank, df, total_tf,
+       round(CAST(sq_tf AS DOUBLE) / CAST(total_tf AS DOUBLE)
+             - CAST(total_tf AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) + 0.0 AS burstiness
+FROM ranked, nd WHERE rank <= 40
+"""
+
+
+# CUSUM mean-shift changepoint per event type (analytics.
+# changepoint_cusum): integer-exact argmax |n*S_i - i*S_n| over the
+# daily-count frame, tie -> earliest day; one rounded division at the end
+ORACLES["events_changepoint"] = """
+WITH daily AS (
+    SELECT event_type AS key, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS x
+    FROM events GROUP BY 1, 2
+),
+cum AS (
+    SELECT key, day, x,
+           CAST(sum(x) OVER (PARTITION BY key ORDER BY day
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_i,
+           CAST(row_number() OVER (PARTITION BY key ORDER BY day) AS BIGINT) AS i
+    FROM daily
+),
+tot AS (
+    SELECT *, max(i) OVER (PARTITION BY key) AS n_days,
+           max(s_i) OVER (PARTITION BY key) AS s_n
+    FROM cum
+),
+pick AS (
+    SELECT *, CAST(abs(n_days * s_i - i * s_n) AS BIGINT) AS cusum,
+           row_number() OVER (PARTITION BY key
+                              ORDER BY abs(n_days * s_i - i * s_n) DESC,
+                                       day ASC) AS rk
+    FROM tot
+)
+SELECT key AS event_type, n_days, s_n AS total_events,
+       strftime(day, '%Y-%m-%d') AS cp_day,
+       cusum AS cusum_stat,
+       round(CAST(cusum AS DOUBLE)
+             / (CAST(n_days AS DOUBLE) * CAST(s_n AS DOUBLE)), 6) + 0.0 AS cusum_norm
+FROM pick WHERE rk = 1
+"""
+
+
+# Matryoshka recall@5 at prefix dims 8/16/32 vs the full-dim exact top-5
+# (similarity.matryoshka_recall): the sliced dot reuses the _DDOT fold
+# shape with range(1, dim+1); integer hit counts + one fixed division
+_DDOT_D = (
+    "list_sum(list_transform(range(1, dims.dim + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+ORACLES["emb_matryoshka_recall"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_DCOS.format(a='q.qv', b='c.nv')} DESC,
+                                           c.neighbor_id ASC) AS rank
+        FROM q, c WHERE q.query_id <> c.neighbor_id
+    ) WHERE rank <= 5
+),
+scored AS (
+    SELECT dims.dim, q.query_id, c.neighbor_id,
+           ({_DDOT_D.format(a='q.qv', b='c.nv')})
+           / (sqrt({_DDOT_D.format(a='q.qv', b='q.qv')})
+              * sqrt({_DDOT_D.format(a='c.nv', b='c.nv')})) AS score
+    FROM q, c, (VALUES (8), (16), (32)) dims(dim)
+    WHERE q.query_id <> c.neighbor_id
+),
+topd AS (
+    SELECT dim, query_id, neighbor_id FROM (
+        SELECT dim, query_id, neighbor_id,
+               row_number() OVER (PARTITION BY dim, query_id
+                                  ORDER BY score DESC, neighbor_id ASC) AS rk
+        FROM scored
+    ) WHERE rk <= 5
+),
+hits AS (
+    SELECT t.dim, CAST(count(*) AS BIGINT) AS total_hits
+    FROM topd t JOIN exact e USING (query_id, neighbor_id)
+    GROUP BY t.dim
+)
+SELECT CAST(d.dim AS BIGINT) AS dim,
+       CAST(10 AS BIGINT) AS n_queries,
+       CAST(COALESCE(h.total_hits, 0) AS BIGINT) AS total_hits,
+       round(CAST(COALESCE(h.total_hits, 0) AS DOUBLE) / 50.0, 6) + 0.0 AS mean_recall
+FROM (VALUES (8), (16), (32)) d(dim) LEFT JOIN hits h ON d.dim = h.dim
+"""

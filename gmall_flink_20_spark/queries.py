@@ -2423,6 +2423,41 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log Zipf slope + R² per language (operators/text.zipf_fit):
+    the parametric corpus-health fit complementing docs_vocab_gini —
+    min_count filter before the per-language rank window, one
+    closed-form regression expression over the ≤500-term fit frame."""
+    return text.zipf_fit(load_table(spark, sf_dir, "documents"))
+
+
+def docs_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano-factor term burstiness for the top-40 corpus terms
+    (operators/text.term_burstiness): VMR = Q/S − S/N from exact BIGINT
+    moments — zeros handled in closed form, no per-doc zero rows."""
+    return text.term_burstiness(load_table(spark, sf_dir, "documents"))
+
+
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift changepoint per event type over daily counts
+    (operators/analytics.changepoint_cusum): integer-exact
+    argmax |n·S_i − i·S_n| on the tiny (type, day) frame — dates the
+    level shift that events_rate_anomaly's z-score only flags."""
+    from .operators import analytics
+
+    return analytics.changepoint_cusum(_events(spark, sf_dir))
+
+
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of prefix-truncated cosine search at dims 8/16/32 vs the
+    full-dim exact top-5 (operators/similarity.matryoshka_recall) — the
+    dimension-truncation quality dial next to PQ's value-quantization
+    dial; integer hit counts, one fixed division."""
+    return similarity.matryoshka_recall(
+        load_table(spark, sf_dir, "embeddings"), list(range(10)), k=5
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2623,6 +2658,11 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_pq_code_balance": emb_pq_code_balance,
     "lineitem_price_audit": lineitem_price_audit,
     "events_session_stats": events_session_stats,
+    # round-6 late additions (gated on first appearance)
+    "docs_zipf_fit": docs_zipf_fit,
+    "docs_burstiness": docs_burstiness,
+    "events_changepoint": events_changepoint,
+    "emb_matryoshka_recall": emb_matryoshka_recall,
 }
 
 # --- CORRECTNESS window (driver gates the FIRST 50 entries in dict
@@ -2703,6 +2743,10 @@ R6_NEW: list[str] = [
     "docs_dsir_weights",
     "items_association_rules",
     "events_next_prediction",
+    "docs_zipf_fit",
+    "docs_burstiness",
+    "events_changepoint",
+    "emb_matryoshka_recall",
 ]
 _R6_CANARIES: list[str] = [
     "hot_items_topn",

