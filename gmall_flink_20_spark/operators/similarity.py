@@ -692,10 +692,19 @@ def matryoshka_recall(
     exact = ann_bruteforce_topk(emb, query_ids, k, id_col, vec_col).select(
         "query_id", "neighbor_id"
     )
+    # prefix norms are per-ROW quantities: compute each side's once
+    # before the join (the `cosine` docstring's rule — per-pair norm
+    # recomputation would triple the interpreted-fold work)
     queries = emb.filter(F.col(id_col).isin([int(q) for q in query_ids])).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        *[norm(F.slice(vec_col, 1, int(d))).alias(f"qn_{d}") for d in dims],
     )
-    corpus = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        *[norm(F.slice(vec_col, 1, int(d))).alias(f"nn_{d}") for d in dims],
+    )
     pairs = F.broadcast(queries).join(
         corpus, F.col("query_id") != F.col("neighbor_id")
     )
@@ -709,10 +718,7 @@ def matryoshka_recall(
                         F.lit(int(d)).cast("long").alias("dim"),
                         (
                             dot(F.slice("qv", 1, int(d)), F.slice("nv", 1, int(d)))
-                            / (
-                                norm(F.slice("qv", 1, int(d)))
-                                * norm(F.slice("nv", 1, int(d)))
-                            )
+                            / (F.col(f"qn_{d}") * F.col(f"nn_{d}"))
                         ).alias("score"),
                     )
                     for d in dims
