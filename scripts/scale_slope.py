@@ -49,6 +49,8 @@ HEAVY = [
     "docs_cross_source_contamination",
     "docs_dup_provenance",
     "items_triangle_stats",
+    # round-6: the one new op that scans the corpus per query batch
+    "emb_matryoshka_recall",
 ]
 
 
