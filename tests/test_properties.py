@@ -478,3 +478,101 @@ def test_range_partitioned_rank_matches_global_sort(spark, rows, nbuckets):
     g = {r["k"]: r["_r_asc"] for r in got.collect()}
     e = {r["k"]: r["_r_asc"] for r in exp.collect()}
     assert g == e
+
+
+# ------------------------------------------------- round-6 late ops
+
+
+WORD_DOCS = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+        min_size=1,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(WORD_DOCS, st.integers(min_value=2, max_value=5))
+def test_zipf_slope_invariant_under_count_scaling(spark, docs, c):
+    # multiplying every term count by c shifts ln(cnt) by ln(c): the
+    # least-squares slope and R² are translation-invariant in y
+    from gmall_flink_20_spark.operators.text import zipf_fit
+
+    rows = [(i, " ".join(words), "en") for i, words in enumerate(docs)]
+    scaled = [(i, " ".join(words * c), "en") for i, words in enumerate(docs)]
+    # words*c preserves each doc's multiset scaled by c exactly
+    df1 = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    df2 = spark.createDataFrame(scaled, "doc_id long, text string, lang string")
+    r1 = zipf_fit(df1, min_count=1).collect()[0]
+    r2 = zipf_fit(df2, min_count=1).collect()[0]
+    assert r1.n_terms == r2.n_terms
+    if r1.zipf_slope is None:
+        assert r2.zipf_slope is None
+    else:
+        assert abs(r1.zipf_slope - r2.zipf_slope) <= 1e-5
+    if r1.zipf_r2 is not None and r2.zipf_r2 is not None:
+        assert abs(r1.zipf_r2 - r2.zipf_r2) <= 1e-5
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(WORD_DOCS)
+def test_burstiness_nonnegative_and_matches_model(spark, docs):
+    # Cauchy-Schwarz: N·Q >= S²  =>  Q/S - S/N >= 0 for every term; and
+    # the closed form equals the brute-force VMR over all docs w/ zeros
+    from gmall_flink_20_spark.operators.text import term_burstiness
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = term_burstiness(df, top_k=100, min_df=1).collect()
+    n = len(docs)
+    for r in got:
+        assert r.burstiness >= 0.0
+        per_doc = [Counter(words)[r.term] for words in docs]
+        s, q = sum(per_doc), sum(x * x for x in per_doc)
+        assert r.df == sum(1 for x in per_doc if x)
+        assert r.total_tf == s
+        assert r.burstiness == round(q / s - s / n, 6)
+
+
+DAILY = st.lists(st.integers(min_value=1, max_value=6), min_size=1, max_size=8)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(DAILY, st.integers(min_value=2, max_value=4))
+def test_changepoint_day_invariant_under_count_scaling(spark, counts, c):
+    # scaling every day's count by c scales every |n·S_i − i·S_n| by c:
+    # the argmax day is invariant, the statistic scales exactly by c
+    import datetime as dt
+
+    from gmall_flink_20_spark.operators.analytics import changepoint_cusum
+
+    def build(mult):
+        rows = []
+        for day, cnt in enumerate(counts, start=1):
+            for j in range(cnt * mult):
+                rows.append(("a", dt.datetime(2024, 3, day, 8, j % 60, j // 60), 1))
+        return spark.createDataFrame(
+            rows, "event_type string, ts timestamp, user_id long"
+        )
+
+    r1 = changepoint_cusum(build(1)).collect()[0]
+    rc = changepoint_cusum(build(c)).collect()[0]
+    assert r1.cp_day == rc.cp_day
+    assert rc.cusum_stat == c * r1.cusum_stat
+    assert rc.n_days == r1.n_days == len(counts)
+
+
+def test_changepoint_single_day_zero_stat(spark):
+    import datetime as dt
+
+    from gmall_flink_20_spark.operators.analytics import changepoint_cusum
+
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2024, 3, 1, 8, 0), 1)],
+        "event_type string, ts timestamp, user_id long",
+    )
+    r = changepoint_cusum(df).collect()[0]
+    assert r.n_days == 1 and r.cusum_stat == 0 and r.cusum_norm == 0.0
