@@ -744,8 +744,9 @@ def matryoshka_recall(
         [(int(d),) for d in sorted(dims)], "dim long"
     )
     return (
-        F.broadcast(dims_df)
-        .join(hits, "dim", "left")
+        # left-outer can only broadcast the BUILD (right) side — the
+        # |dims|-row hits frame; a left-side hint would be dead
+        dims_df.join(F.broadcast(hits), "dim", "left")
         .select(
             "dim",
             F.lit(len(query_ids)).cast("long").alias("n_queries"),
