@@ -253,7 +253,7 @@ def order_timeout_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", F.col("ts").cast("long").alias("ts_s"), "event_type", "ts"
     )
     s1, s2, _ = replay.sentinel_pair(spark, ev)
-    stream = replay.replay_stream(spark, ev, "ts", num_chunks=replay.REPLAY_CHUNKS, extra_chunks=[s1, s2])
+    stream = replay.replay_stream(spark, ev, "ts", num_chunks=replay.REPLAY_CHUNKS_HEAVY, extra_chunks=[s1, s2])
     out = stateful.order_timeout_stream(stream.withWatermark("ts", "2 seconds"), horizon_s=7200)
     res = replay.run_to_completion(out)
     return res.select("create_id", "user_id", "create_ts_s", "status")
@@ -274,7 +274,7 @@ def login_fail_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s1, s2, _ = replay.sentinel_pair(spark, ev)
     stream = replay.replay_stream(
-        spark, ev, "ts", num_chunks=replay.REPLAY_CHUNKS, disorder_s=300, extra_chunks=[s1, s2]
+        spark, ev, "ts", num_chunks=replay.REPLAY_CHUNKS_HEAVY, disorder_s=300, extra_chunks=[s1, s2]
     )
     out = stateful.login_fail_pairs_stream(
         stream.withWatermark("ts", "660 seconds"), max_gap_s=7200
@@ -1292,7 +1292,7 @@ def events_funnel_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa, sb, _ = replay.sentinel_pair(spark, ev)
     stream = replay.replay_stream(
-        spark, ev, "ts", num_chunks=replay.REPLAY_CHUNKS, disorder_s=300, extra_chunks=[sa, sb]
+        spark, ev, "ts", num_chunks=replay.REPLAY_CHUNKS_HEAVY, disorder_s=300, extra_chunks=[sa, sb]
     )
     out = stateful.funnel_stream(
         # ttl=None: batch parity over a BOUNDED corpus needs exactly-once
@@ -1600,7 +1600,7 @@ def events_rate_anomaly_streaming(spark: SparkSession, sf_dir: str) -> DataFrame
         "event_type", F.col("ts").cast("long").alias("ts_s"), "ts"
     )
     s1, s2, cutoff = replay.sentinel_pair(spark, ev)
-    stream = replay.replay_stream(spark, ev, "ts", num_chunks=replay.REPLAY_CHUNKS, extra_chunks=[s1, s2])
+    stream = replay.replay_stream(spark, ev, "ts", num_chunks=replay.REPLAY_CHUNKS_HEAVY, extra_chunks=[s1, s2])
     out = stateful.rate_anomaly_stream(
         stream.withWatermark("ts", "2 seconds"), bucket_s=3600, trailing=24
     )

@@ -220,6 +220,16 @@ def replay_stream(
 # is the trigger interval.
 REPLAY_CHUNKS = int(os.environ.get("SPARK_GRAFT_REPLAY_CHUNKS", "5"))
 
+# Adaptive chunks (VERDICT r5 item 3's remaining lever): the four
+# user/key-dense GroupState replays (funnel, login-fail, order-timeout,
+# rate-anomaly) pay |state groups| Arrow round-trips PER micro-batch on
+# top of the per-batch floor, so batch count is worth strictly more to
+# them than to the windowed-agg replays — they take one fewer chunk.
+# Output is chunking-invariant (same oracle gates; funnel measured
+# identical at 8/5/4 chunks), and the disorder window still spans
+# multiple chunks at 4. SPARK_GRAFT_REPLAY_CHUNKS_HEAVY overrides.
+REPLAY_CHUNKS_HEAVY = int(os.environ.get("SPARK_GRAFT_REPLAY_CHUNKS_HEAVY", "4"))
+
 
 @contextlib.contextmanager
 def replay_shuffle(spark):
