@@ -312,3 +312,84 @@ def test_order_timeout_stream_recovers_from_checkpoint(spark, sf_dir):
     resolved = set(got["create_id"].tolist())
     missing = [v for v in views if v[1] not in resolved]
     assert not missing, missing[:5]
+
+
+def test_rate_anomaly_stream_recovers_from_checkpoint(spark, sf_dir):
+    # the last GroupState family without a kill-resume case: open hourly
+    # buckets + the trailing-history ring must survive a restart — a
+    # bucket spanning the kill point must finalize exactly once with the
+    # z-score computed against the SAME history as an uninterrupted run
+    from datetime import datetime, timezone
+
+    from gmall_flink_20_spark.operators import analytics
+
+    ev = (
+        load_events(spark, sf_dir)
+        .select("event_type", F.col("ts").cast("long").alias("ts_s"), "ts")
+        .orderBy("ts_s")
+    )
+    rows = ev.collect()
+    half = len(rows) // 2
+    schema = ev.schema
+    max_ts = rows[-1]["ts"]
+    cutoff_s = int(max_ts.replace(tzinfo=timezone.utc).timestamp()) + 86400
+
+    def sentinel(days):
+        future = datetime.fromtimestamp(
+            max_ts.replace(tzinfo=timezone.utc).timestamp() + days * 86400,
+            tz=timezone.utc,
+        ).replace(tzinfo=None)
+        return spark.createDataFrame(
+            [("noop", int(future.replace(tzinfo=timezone.utc).timestamp()), future)],
+            schema,
+        )
+
+    base = Path(tempfile.mkdtemp(prefix="recov_"))
+    src = base / "src"
+    src.mkdir()
+    ckpt = str(base / "ckpt")
+    out_dir = str(base / "out")
+
+    _write_chunk(spark.createDataFrame(rows[:half], schema), src, 0, 1_000_000_000)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            stateful.rate_anomaly_stream(
+                stream.withWatermark("ts", "2 seconds"), bucket_s=3600, trailing=24
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # half the stream: open buckets + ring live in the checkpoint
+
+    _write_chunk(spark.createDataFrame(rows[half:], schema), src, 1, 1_000_000_001)
+    _write_chunk(sentinel(30), src, 2, 1_000_000_002)
+    _write_chunk(sentinel(31), src, 3, 1_000_000_003)
+    run_once()  # restart from checkpoint; sentinels flush the last buckets
+
+    got = (
+        spark.read.parquet(out_dir)
+        .filter((F.col("bucket_end_s") < cutoff_s) & (F.col("event_type") != "noop"))
+        .toPandas()
+    )
+    exp = analytics.rate_anomaly(
+        load_events(spark, sf_dir), bucket_s=3600, trailing=24
+    ).toPandas()
+    key = ["event_type", "bucket_end_s"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    exp_s = exp[got.columns].sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(exp_s)  # exactly once: no lost/doubled buckets
+    assert got_s[key + ["cnt", "is_anomaly"]].equals(exp_s[key + ["cnt", "is_anomaly"]])
+    assert (got_s["zscore"] - exp_s["zscore"]).abs().max() <= 1e-9
+    assert (got_s["mean_trailing"] - exp_s["mean_trailing"]).abs().max() <= 1e-9
