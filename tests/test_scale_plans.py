@@ -492,15 +492,19 @@ def test_zipf_and_burstiness_no_python_filter_before_rank(spark, sf_dir):
     # both collapse the corpus to the vocab frame with map-side combine;
     # the min-threshold Filter must sit UNDER the rank Window (sort sees
     # only survivors), and no Python anywhere
-    for name in ("docs_zipf_fit", "docs_burstiness"):
+    for name, read_cols, pruned in (
+        ("docs_zipf_fit", ("lang", "text"), ("doc_id", "source", "n_chars")),
+        ("docs_burstiness", ("doc_id", "text"), ("lang", "source", "n_chars")),
+    ):
         plan = plan_of(QUERIES[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
         assert "Window" in plan, name
-        # formatted plans list children above parents: the threshold
-        # filter node id must be greater... operator order is textual —
-        # assert both exist and the scan only reads the referenced cols
+        # the scan reads exactly the referenced columns
         read = plan.split("ReadSchema:")[1].split("\n")[0]
-        assert "text" in read and "doc_id" not in read or name == "docs_burstiness", name
+        for c in read_cols:
+            assert c in read, (name, c)
+        for c in pruned:
+            assert c not in read, (name, c)
 
 
 def test_changepoint_no_python_bounded_windows(spark, sf_dir):
