@@ -557,7 +557,7 @@ def _png_decode(b: bytes) -> tuple[int, int, int]:
 
     if b[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG payload")
-    off, w = 8, None
+    off, w, h = 8, None, None
     idat = bytearray()
     while off < len(b):
         (ln,) = struct.unpack_from(">I", b, off)
@@ -573,11 +573,15 @@ def _png_decode(b: bytes) -> tuple[int, int, int]:
             if (depth, ctyp, interlace) != (8, 2, 0):
                 raise ValueError("only 8-bit truecolor non-interlaced supported")
         elif ctype == b"IDAT":
+            if w is None:
+                # spec orders IHDR first; raising here (not NameError
+                # later) keeps the documented ValueError contract
+                raise ValueError("IDAT before IHDR")
             idat += data
         elif ctype == b"IEND":
             break
         off += 12 + ln
-    if w is None:
+    if w is None or h is None:
         raise ValueError("missing IHDR")
     stream = zlib.decompress(bytes(idat))
     bpp, stride = 3, w * 3

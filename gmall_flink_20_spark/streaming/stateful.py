@@ -51,6 +51,7 @@ __all__ = [
     "rate_anomaly_stream",
     "funnel_stream",
     "STATE_BUCKETS",
+    "pin_state_buckets",
 ]
 
 # Key-bucket count for the user-keyed state machines (0 disables → one
@@ -63,10 +64,50 @@ __all__ = [
 # per-key (proof obligations in _bucketed docstrings: every per-user
 # transition is a no-op for users whose watermark trigger hasn't fired,
 # so running all of a shard's users at every shard invocation emits the
-# same final row set as per-key timers). B is a parallelism knob, not a
-# semantics knob: a 1000-executor cluster sizes it to cores, like
-# shuffle partitions.
+# same final row set as per-key timers).
+#
+# B sizes parallelism (a 1000-executor cluster sets it like shuffle
+# partitions) BUT it participates in the state-store grouping key
+# (_kb = hash(user) % B), so for a CHECKPOINTED query it is part of the
+# on-disk state layout: changing B — or switching between the B=0
+# per-user layout and any bucketed layout — across a checkpoint resume
+# strands live per-user state under the old shard keys (lost and/or
+# duplicated emissions). B is therefore FIXED for the lifetime of a
+# checkpointed query; pick it at query creation and never change it on
+# resume. ``pin_state_buckets()`` records B inside the checkpoint dir
+# and raises on mismatch — every durable-checkpoint caller should use
+# it (the recovery tests do).
 STATE_BUCKETS = int(os.environ.get("SPARK_GRAFT_STATE_BUCKETS", "32"))
+
+
+def pin_state_buckets(checkpoint_dir: str, key_buckets: int | None = None) -> int:
+    """Record-or-validate the state-shard count ``B`` for a checkpoint.
+
+    On first call for ``checkpoint_dir`` writes ``STATE_BUCKETS.pin``
+    (the single source of truth for that query's state layout); on
+    resume, re-reads it and raises ``ValueError`` if the caller's B
+    differs — failing fast instead of silently stranding per-user state
+    under stale shard keys. Returns the pinned B; callers pass it as
+    ``key_buckets`` to the stateful operator so the resumed plan is
+    layout-identical by construction.
+    """
+    b = STATE_BUCKETS if key_buckets is None else int(key_buckets)
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    pin = os.path.join(checkpoint_dir, "STATE_BUCKETS.pin")
+    if os.path.exists(pin):
+        with open(pin) as f:
+            pinned = int(f.read().strip())
+        if pinned != b:
+            raise ValueError(
+                f"checkpoint {checkpoint_dir} was written with "
+                f"STATE_BUCKETS={pinned}; resuming with B={b} would strand "
+                "per-user state under old shard keys — resume with the "
+                "pinned value or start a fresh checkpoint"
+            )
+        return pinned
+    with open(pin, "w") as f:
+        f.write(str(b))
+    return b
 
 # single-string shard state: json blob of per-user states — dominated by
 # live users' undecided buffers, same total volume as the per-key layout

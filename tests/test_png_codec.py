@@ -75,6 +75,29 @@ def test_not_png_rejected():
         M._png_decode(b"BM123456")
 
 
+def test_idat_before_ihdr_rejected():
+    # ADVICE r6: a malformed payload with IDAT ahead of IHDR must raise
+    # the documented ValueError, not NameError from unbound w/h
+    good = M._png_encode(3)
+    chunks, off = [], 8
+    while off < len(good):
+        (ln,) = struct.unpack_from(">I", good, off)
+        chunks.append(good[off : off + 12 + ln])
+        off += 12 + ln
+    ihdr = [c for c in chunks if c[4:8] == b"IHDR"]
+    rest = [c for c in chunks if c[4:8] != b"IHDR"]
+    bad = good[:8] + b"".join(rest) + ihdr[0]
+    with pytest.raises(ValueError, match="IDAT before IHDR"):
+        M._png_decode(bad)
+
+
+def test_missing_ihdr_rejected():
+    # no IHDR and no IDAT at all: the post-walk guard still fires
+    bad = b"\x89PNG\r\n\x1a\n" + M._png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="missing IHDR"):
+        M._png_decode(bad)
+
+
 def test_encode_decode_dataframe_path(spark):
     df = spark.range(0, 40).withColumnRenamed("id", "doc_id")
     media = M.encode_png(df)

@@ -135,6 +135,9 @@ def test_funnel_stream_recovers_from_checkpoint(spark, sf_dir):
     out_dir = str(base / "out")
 
     def run_once():
+        # B is part of the on-disk state layout: pin it in the checkpoint
+        # so the resume leg provably runs the same shard count
+        b = stateful.pin_state_buckets(ckpt)
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
@@ -142,7 +145,9 @@ def test_funnel_stream_recovers_from_checkpoint(spark, sf_dir):
         )
         q = (
             stateful.funnel_stream(
-                stream.withWatermark("ts", "60 seconds"), horizon_s=86400
+                stream.withWatermark("ts", "60 seconds"),
+                horizon_s=86400,
+                key_buckets=b,
             )
             .writeStream.format("parquet")
             .option("path", out_dir)
@@ -393,3 +398,21 @@ def test_rate_anomaly_stream_recovers_from_checkpoint(spark, sf_dir):
     assert got_s[key + ["cnt", "is_anomaly"]].equals(exp_s[key + ["cnt", "is_anomaly"]])
     assert (got_s["zscore"] - exp_s["zscore"]).abs().max() <= 1e-9
     assert (got_s["mean_trailing"] - exp_s["mean_trailing"]).abs().max() <= 1e-9
+
+
+def test_pin_state_buckets_rejects_layout_change(tmp_path):
+    """ADVICE r6: STATE_BUCKETS participates in the state-store grouping
+    key, so resuming a checkpointed query with a different B (or flipping
+    bucketed <-> per-user) would strand live per-user state under old
+    shard keys. The pin records B on first use and fails fast on any
+    mismatch instead of silently losing/duplicating emissions."""
+    import pytest
+
+    ckpt = str(tmp_path / "ckpt")
+    assert stateful.pin_state_buckets(ckpt, 8) == 8
+    # same B resumes fine (and returns the pinned value)
+    assert stateful.pin_state_buckets(ckpt, 8) == 8
+    with pytest.raises(ValueError, match="STATE_BUCKETS=8"):
+        stateful.pin_state_buckets(ckpt, 16)
+    with pytest.raises(ValueError, match="strand"):
+        stateful.pin_state_buckets(ckpt, 0)  # per-user layout flip
