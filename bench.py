@@ -205,6 +205,12 @@ BENCH_QUERIES = [
     "docs_burstiness",
     "events_changepoint",
     "emb_matryoshka_recall",
+    "emb_sq8_recall",
+    "emb_binary_recall",
+    "docs_kl_divergence",
+    "docs_readability",
+    "events_trigram_paths",
+    "events_ewma",
 ]
 
 

@@ -1644,8 +1644,10 @@ def association_rules(
 
     Scale shape: rides ``item_pairs`` (per-user basket capped at
     ``cap`` → pair fan-out ≤ cap² per user, map-side-combined counts);
-    item supports are one extra catalog-sized aggregate joined twice
-    (broadcast under AQE); n_users is a broadcast scalar. Emitting both
+    item supports are one extra catalog-sized aggregate joined twice —
+    left unhinted so AQE broadcasts it when it fits and falls back to a
+    shuffle hash join on a large catalog (a forced hint here would OOM
+    the driver at catalog scale); n_users is a broadcast scalar. Emitting both
     directions from each undirected pair is a row-local explode of the
     |pairs|-sized frame, not a second pass over events.
     """
@@ -1678,8 +1680,8 @@ def association_rules(
     sa = supports.select(F.col(item_col).alias("ante"), F.col("supp").alias("supp_a"))
     sb = supports.select(F.col(item_col).alias("cons"), F.col("supp").alias("supp_b"))
     return (
-        directed.join(F.broadcast(sa), "ante")
-        .join(F.broadcast(sb), "cons")
+        directed.join(sa, "ante")
+        .join(sb, "cons")
         .crossJoin(F.broadcast(n_users))
         .select(
             "ante",
@@ -1817,5 +1819,136 @@ def changepoint_cusum(
                 )
                 + F.lit(0.0)
             ).alias("cusum_norm"),
+        )
+    )
+
+
+def trigram_paths(
+    events: DataFrame,
+    topk: int = 20,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Top-``topk`` most-travelled 3-step behavioral paths — the
+    sequence-mining rung above ``transition_matrix`` (2-step) and the
+    read model behind ``markov_next_topk``: which (a → b → c) journeys
+    actually dominate. The classic funnel-discovery query (\"what do
+    users do AROUND the purchase?\") that a 2-step matrix cannot answer
+    because it forgets where the user came from.
+
+    Per user, events order by (ts, event_id) — the registry-wide total
+    order — and every row contributes the path (state, lead¹, lead²)
+    when both successors exist for the same user. Counting and ranking
+    are INTEGER-ONLY (cnt desc, then step1/step2/step3 asc), so the
+    output is bit-deterministic cross-engine.
+
+    Scale shape: exactly ONE shuffle — the per-user sort window that
+    produces both leads in a single Window operator; path counting is a
+    map-side-combined aggregate over ≤ |events| rows, and the final
+    top-k is a rank over the |distinct paths| frame (bounded by
+    |states|³, constant in corpus size).
+    """
+    w = Window.partitionBy(key_col).orderBy(F.asc(ts_col), F.asc(tiebreak_col))
+    paths = (
+        events.select(
+            F.col(key_col),
+            F.col(state_col).alias("step1"),
+            F.lead(state_col, 1).over(w).alias("step2"),
+            F.lead(state_col, 2).over(w).alias("step3"),
+        )
+        .filter(F.col("step2").isNotNull() & F.col("step3").isNotNull())
+        .groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    rk = Window.orderBy(
+        F.desc("cnt"), F.asc("step1"), F.asc("step2"), F.asc("step3")
+    )
+    return (
+        paths.withColumn("rank", F.row_number().over(rk).cast("long"))
+        .filter(F.col("rank") <= topk)
+        .select("rank", "step1", "step2", "step3", "cnt")
+    )
+
+
+def ewma_trend(
+    events: DataFrame,
+    window_days: int = 28,
+    last_days: int = 10,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-key daily-volume EWMA and deviation — the smoothed trendline
+    ops dashboards draw over raw daily counts, and the denominator the
+    seasonal/bot screens normalize against. Decay is DYADIC: weight
+    2^(−age_days) (α = 0.5, half-life one day), truncated at
+    ``window_days``; the weights are exact binary doubles (a bit shift,
+    not ``pow``), so the only float work is one ≤ ``window_days``-term
+    weighted mean per output row — cross-engine drift provably below
+    the round-6 contract, where a libm ``pow(0.7, k)`` would carry
+    implementation-defined ulps into the ranking.
+
+        ewma(d) = Σ_{j=0..W-1} x(d−j)·2^(−j) / Σ_{j: day d−j exists} 2^(−j)
+
+    Output: the last ``last_days`` days per key — (key, day, cnt, ewma,
+    deviation = cnt − ewma), newest first by (key, day).
+
+    Scale shape: the corpus collapses to the per-(key, day) count frame
+    FIRST (map-side combine; |keys|·|days| rows — constant in corpus
+    size); the truncated decay is a bounded range self-join (≤
+    ``window_days`` partners per row) on that tiny frame, then one rank
+    window picks the reporting tail. The raw event table is scanned
+    once and never shuffled beyond the count collapse.
+    """
+    daily = events.groupBy(
+        F.col(key_col).alias("key"), F.to_date(ts_col).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    a = daily.select(F.col("key"), F.col("day"), F.col("cnt"))
+    b = daily.select(
+        F.col("key").alias("key2"),
+        F.col("day").alias("day2"),
+        F.col("cnt").alias("cnt2"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("key") == F.col("key2"))
+        & (F.col("day2") <= F.col("day"))
+        & (F.col("day2") > F.date_sub(F.col("day"), window_days)),
+    )
+    # 2^(-age) as LITERAL exact dyadic doubles (a broadcast |W|-row
+    # frame, not a runtime pow/shift): both engines consume identical
+    # bit patterns, so no libm is in the loop at all
+    wts = events.sparkSession.createDataFrame(
+        [(j, float(2.0**-j)) for j in range(int(window_days))], "age int, wgt double"
+    )
+    pairs = pairs.withColumn(
+        "age", F.datediff(F.col("day"), F.col("day2")).cast("int")
+    ).join(F.broadcast(wts), "age")
+    sm = pairs.groupBy("key", "day", "cnt").agg(
+        F.sum(F.col("cnt2").cast("double") * F.col("wgt")).alias("num"),
+        F.sum("wgt").alias("den"),
+    )
+    scored = sm.select(
+        "key",
+        "day",
+        "cnt",
+        (F.round(F.col("num") / F.col("den"), 6) + F.lit(0.0)).alias("ewma"),
+        (
+            F.round(F.col("cnt").cast("double") - F.col("num") / F.col("den"), 6)
+            + F.lit(0.0)
+        ).alias("deviation"),
+    )
+    rk = Window.partitionBy("key").orderBy(F.desc("day"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(rk))
+        .filter(F.col("_rk") <= last_days)
+        .drop("_rk")
+        .select(
+            F.col("key").alias(key_col),
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "cnt",
+            "ewma",
+            "deviation",
         )
     )

@@ -30,6 +30,8 @@ __all__ = [
     "top_eigvecs_local",
     "pca_project",
     "pca_project2",
+    "sq8_recall",
+    "binary_hamming_recall",
 ]
 
 
@@ -759,5 +761,175 @@ def matryoshka_recall(
                 )
                 + F.lit(0.0)
             ).alias("mean_recall"),
+        )
+    )
+
+
+def sq8_recall(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of int8 SCALAR-quantized cosine search against the exact
+    float top-k — the value-quantization quality dial next to PQ
+    (subspace codebooks), Matryoshka (prefix truncation) and binary
+    (sign bits): SQ8 is the FAISS ``SQ8``/Milvus default that cuts the
+    index 4× with near-lossless recall.
+
+    Train: per-dimension corpus (min, max) — one aggregate, a
+    2·dim-double artifact. Encode: code_i = floor((x_i − mn_i)·255/span_i
+    + 0.5) clamped to [0, 255] (explicit half-up, no banker's rounding
+    ambiguity cross-engine). Search is ASYMMETRIC (ADC-style): the query
+    stays float, the corpus vector is dequantized mn_i + code_i·span_i/255
+    — the standard SQ trade.
+
+    Output: ONE row (n_queries, n_corpus, total_hits, recall) —
+    integer hit counts and a single fixed division, so cross-engine
+    float drift cannot touch the values (near-ties break on neighbor_id
+    as in every ANN op here).
+
+    Scale shape: the (min, max) train pass is a map-side-combined
+    aggregate; its one-row result broadcasts via crossJoin into a single
+    corpus scan that quantizes, dequantizes and scores row-locally
+    against the broadcast query batch — zero corpus shuffle before the
+    per-query top-k window (AQE coalesces). Identical plan at 100 TB.
+    """
+    exact = ann_bruteforce_topk(emb, query_ids, k, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    stats = emb.agg(
+        F.array(
+            *[F.min(F.col(vec_col)[i].cast("double")) for i in range(dim)]
+        ).alias("mn"),
+        F.array(
+            *[F.max(F.col(vec_col)[i].cast("double")) for i in range(dim)]
+        ).alias("mx"),
+    )
+
+    def deq(x: Column, i: Column) -> Column:
+        mn_i = F.get("mn", i)
+        span = F.get("mx", i) - mn_i
+        code = F.least(
+            F.greatest(
+                F.floor((x.cast("double") - mn_i) * F.lit(255.0) / span + F.lit(0.5)),
+                F.lit(0).cast("long"),
+            ),
+            F.lit(255).cast("long"),
+        )
+        return F.when(span > 0, mn_i + code.cast("double") * span / F.lit(255.0)).otherwise(mn_i)
+
+    corpus = (
+        emb.crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.transform(F.col(vec_col), deq).alias("dv"),
+        )
+        .select("neighbor_id", "dv", norm(F.col("dv")).alias("dn"))
+    )
+    queries = emb.filter(F.col(id_col).isin([int(q) for q in query_ids])).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", dot(F.col("qv"), F.col("dv")) / (F.col("qn") * F.col("dn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    approx = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    hits = approx.join(F.broadcast(exact), ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).cast("long").alias("total_hits")
+    )
+    n_corpus = emb.agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
+    denom = float(k * len(query_ids))
+    return (
+        hits.crossJoin(F.broadcast(n_corpus)).select(
+            F.lit(len(query_ids)).cast("long").alias("n_queries"),
+            "n_corpus",
+            F.coalesce(F.col("total_hits"), F.lit(0).cast("long")).alias("total_hits"),
+            (
+                F.round(
+                    F.coalesce(F.col("total_hits"), F.lit(0)).cast("double") / F.lit(denom), 6
+                )
+                + F.lit(0.0)
+            ).alias("recall"),
+        )
+    )
+
+
+def binary_hamming_recall(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of SIGN-BIT (1-bit) quantized Hamming search against the
+    exact float cosine top-k — the most aggressive point on the
+    compression ladder (64× vs float32): bit_i = x_i > 0, distance =
+    popcount(bits_q XOR bits_c). The centered-embedding sign trick
+    behind binary IVF indexes and hash-based retrieval.
+
+    Ranking is INTEGER-ONLY (hamming asc, neighbor_id asc), so the
+    approximate side is bit-deterministic cross-engine by construction;
+    recall then needs only integer hit counts + one fixed division.
+
+    Scale shape: bits are computed row-locally in one corpus scan (a
+    64-term boolean fold — no train pass at all), the query batch
+    broadcasts, and the only wide op is the per-query top-k window.
+    At 100 TB the same plan holds; a production index would pack the
+    bits into one long and XOR/popcount, which Catalyst would fold the
+    same way — kept elementwise here for oracle-identical shape.
+    """
+    exact = ann_bruteforce_topk(emb, query_ids, k, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    bits = lambda c: F.transform(c, lambda x: (x.cast("double") > 0).cast("int"))  # noqa: E731
+    queries = emb.filter(F.col(id_col).isin([int(q) for q in query_ids])).select(
+        F.col(id_col).alias("query_id"), bits(F.col(vec_col)).alias("qb")
+    )
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"), bits(F.col(vec_col)).alias("nb")
+    )
+    hamming = F.aggregate(
+        F.zip_with("qb", "nb", lambda a, b: (a != b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("hd", hamming)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("hd"), F.asc("neighbor_id"))
+    approx = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    hits = approx.join(F.broadcast(exact), ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).cast("long").alias("total_hits")
+    )
+    n_corpus = emb.agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
+    denom = float(k * len(query_ids))
+    return (
+        hits.crossJoin(F.broadcast(n_corpus)).select(
+            F.lit(len(query_ids)).cast("long").alias("n_queries"),
+            "n_corpus",
+            F.coalesce(F.col("total_hits"), F.lit(0).cast("long")).alias("total_hits"),
+            (
+                F.round(
+                    F.coalesce(F.col("total_hits"), F.lit(0)).cast("double") / F.lit(denom), 6
+                )
+                + F.lit(0.0)
+            ).alias("recall"),
         )
     )

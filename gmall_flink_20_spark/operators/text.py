@@ -1152,3 +1152,163 @@ def term_burstiness(
             ).alias("burstiness"),
         )
     )
+
+
+def kl_divergence_by_source(
+    df: DataFrame,
+    top_m: int = 2000,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source unigram KL divergence from the corpus distribution —
+    the domain-shift dial a mixture designer reads next to
+    ``mixture_weights``/``dsir_weights``: KL(P_source ‖ P_corpus) ≈ 0
+    means the source looks like the blend; a large value flags a source
+    whose token distribution the mixture underrepresents (CCNet/DSIR
+    both rank data by exactly this family of scores).
+
+    The event space is the TOP-``top_m`` corpus terms by (frequency
+    desc, term asc) — the standard truncated-vocabulary KL: it bounds
+    the float summation at ``top_m`` terms per source (cross-engine
+    order drift stays orders of magnitude under the round-6 contract,
+    where a full-vocabulary sum would not) AND bounds the per-source
+    frame at |sources|·top_m rows regardless of corpus size. Add-one
+    smoothing over the restricted space keeps every term's mass finite:
+
+        V = min(top_m, |vocab|)            (the realized event space)
+        p = (tf_s + 1) / (N_s + V),  q = (tf_c + 1) / (N_c + V)
+        kl = Σ_V  p · ln(p / q)            (rounded 6 after the sum)
+
+    Scale shape: one corpus scan collapses to (source, term) counts
+    with map-side combine; the top-M vocabulary is one rank over the
+    term-frequency frame (broadcast after truncation); the zero-fill
+    cross join is |sources|·M — constant in corpus size. No raw text
+    ever shuffles.
+    """
+    tok = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(tokens(text_col)).alias("term"),
+    )
+    st = tok.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf_s")
+    )
+    vocab = (
+        st.groupBy("term")
+        .agg(F.sum("tf_s").cast("long").alias("tf_c"))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("tf_c"), F.asc("term"))
+            ),
+        )
+        .filter(F.col("_rk") <= top_m)
+        .drop("_rk")
+    )
+    # corpus totals over the restricted space: one tiny aggregate. The
+    # smoothing constant is the REALIZED event-space size V = min(top_m,
+    # |vocab|) — smoothing with the nominal top_m when the corpus has
+    # fewer distinct terms breaks Σp = Σq = 1 and lets the "KL" go
+    # negative (Gibbs holds only for proper distributions)
+    tot_c = vocab.agg(
+        F.sum("tf_c").cast("long").alias("n_c"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    sources = st.select("source").distinct()
+    grid = sources.crossJoin(F.broadcast(vocab))
+    filled = grid.join(st, ["source", "term"], "left").select(
+        "source",
+        "term",
+        "tf_c",
+        F.coalesce(F.col("tf_s"), F.lit(0).cast("long")).alias("tf_s"),
+    )
+    per_src = filled.groupBy("source").agg(
+        F.sum("tf_s").cast("long").alias("n_s"),
+        F.sum((F.col("tf_s") > 0).cast("long")).cast("long").alias("n_present"),
+    )
+    joined = (
+        filled.join(per_src, "source")
+        .crossJoin(F.broadcast(tot_c))
+        .select(
+            "source",
+            "n_s",
+            "n_present",
+            (
+                (F.col("tf_s").cast("double") + F.lit(1.0))
+                / (F.col("n_s").cast("double") + F.col("v").cast("double"))
+            ).alias("p"),
+            (
+                (F.col("tf_c").cast("double") + F.lit(1.0))
+                / (F.col("n_c").cast("double") + F.col("v").cast("double"))
+            ).alias("q"),
+        )
+    )
+    return (
+        joined.groupBy("source", "n_s", "n_present")
+        .agg(
+            (F.round(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 6) + F.lit(0.0)).alias(
+                "kl_unigram"
+            )
+        )
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens_top"),
+            F.col("n_present").alias("n_terms_present"),
+            "kl_unigram",
+        )
+    )
+
+
+def readability_by_source(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source Flesch-reading-ease profile — the classic readability
+    screen a curation pipeline runs next to the Gopher length/symbol
+    gates: training text that is uniformly impenetrable (legalese, OCR
+    shards) or uniformly trivial both shift this score.
+
+    Per document, from integer regexp counts only:
+
+        words     = |whitespace tokens|          (docs with 0 words drop)
+        sentences = max(count('[.!?]+' runs), 1)
+        syllables = max(count('[aeiouy]+' runs in lower(text)), words)
+                     -- every word contributes ≥ 1 syllable, the usual
+                        vowel-group proxy floor
+        flesch    = 206.835 − 1.015·words/sentences − 84.6·syllables/words
+
+    Emitted per source: n_docs, mean flesch (rounded 6 after the sum),
+    n_easy (score ≥ 60) and n_hard (score < 30) — the integer counts
+    make the gating decisions drift-proof, the mean is a small-N sum.
+
+    Scale shape: one scan, three row-local ``regexp_count``s (JVM
+    codegen, no Python), then a map-side-combined per-source aggregate;
+    output is |sources| rows.
+    """
+    words = F.size(tokens(text_col)).cast("long")
+    sentences = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    syl_raw = F.regexp_count(F.lower(F.col(text_col)), F.lit(r"[aeiouy]+")).cast("long")
+    per_doc = df.select(
+        F.col(source_col).alias("source"),
+        words.alias("w"),
+        sentences.alias("s"),
+        syl_raw.alias("y0"),
+    ).filter(F.col("w") > 0)
+    syl = F.greatest(F.col("y0"), F.col("w"))
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * F.col("w").cast("double") / F.col("s").cast("double")
+        - F.lit(84.6) * syl.cast("double") / F.col("w").cast("double")
+    )
+    scored = per_doc.select("source", flesch.alias("f"))
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.round(F.sum("f") / F.count(F.lit(1)).cast("double"), 6) + F.lit(0.0)).alias(
+            "mean_flesch"
+        ),
+        F.sum((F.col("f") >= 60.0).cast("long")).cast("long").alias("n_easy"),
+        F.sum((F.col("f") < 30.0).cast("long")).cast("long").alias("n_hard"),
+    )

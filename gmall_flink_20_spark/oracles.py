@@ -4366,3 +4366,229 @@ SELECT CAST(d.dim AS BIGINT) AS dim,
        round(CAST(COALESCE(h.total_hits, 0) AS DOUBLE) / 50.0, 6) + 0.0 AS mean_recall
 FROM (VALUES (8), (16), (32)) d(dim) LEFT JOIN hits h ON d.dim = h.dim
 """
+
+
+# ---------------------------------------------------------------- round 7
+
+# SQ8 asymmetric recall@5 (similarity.sq8_recall): per-dim (min,max)
+# train arrays, floor(+0.5) half-up codes clamped to [0,255], corpus
+# dequantized, query float; integer hits + one fixed division
+_SQ_MN = ", ".join(f"min(CAST(embedding[{i}] AS DOUBLE))" for i in range(1, 65))
+_SQ_MX = ", ".join(f"max(CAST(embedding[{i}] AS DOUBLE))" for i in range(1, 65))
+_DDOT_DV = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+ORACLES["emb_sq8_recall"] = f"""
+WITH stats AS (SELECT [{_SQ_MN}] AS mn, [{_SQ_MX}] AS mx FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_DCOS.format(a='q.qv', b='c.nv')} DESC,
+                                           c.neighbor_id ASC) AS rank
+        FROM q, c WHERE q.query_id <> c.neighbor_id
+    ) WHERE rank <= 5
+),
+deqc AS (
+    SELECT neighbor_id,
+           list_transform(range(1, 65), i -> CASE
+               WHEN (s.mx[i] - s.mn[i]) > 0 THEN
+                   s.mn[i] + least(greatest(floor(
+                       (CAST(nv[i] AS DOUBLE) - s.mn[i]) * 255.0
+                       / (s.mx[i] - s.mn[i]) + 0.5), 0), 255)
+                   * (s.mx[i] - s.mn[i]) / 255.0
+               ELSE s.mn[i] END) AS dv
+    FROM c, stats s
+),
+approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, d.neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY ({_DDOT_DV.format(a='q.qv', b='d.dv')})
+                                  / (sqrt({_DDOT_DV.format(a='q.qv', b='q.qv')})
+                                     * sqrt({_DDOT_DV.format(a='d.dv', b='d.dv')})) DESC,
+                                           d.neighbor_id ASC) AS rk
+        FROM q, deqc d WHERE q.query_id <> d.neighbor_id
+    ) WHERE rk <= 5
+),
+hits AS (
+    SELECT CAST(count(*) AS BIGINT) AS h
+    FROM approx a JOIN exact e USING (query_id, neighbor_id)
+),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM embeddings)
+SELECT CAST(10 AS BIGINT) AS n_queries, nc.n_corpus,
+       hits.h AS total_hits,
+       round(CAST(hits.h AS DOUBLE) / 50.0, 6) + 0.0 AS recall
+FROM hits, nc
+"""
+
+# sign-bit Hamming recall@5 (similarity.binary_hamming_recall):
+# integer-only approximate ranking -> bit-deterministic by construction
+ORACLES["emb_binary_recall"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_DCOS.format(a='q.qv', b='c.nv')} DESC,
+                                           c.neighbor_id ASC) AS rank
+        FROM q, c WHERE q.query_id <> c.neighbor_id
+    ) WHERE rank <= 5
+),
+approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY list_sum(list_transform(range(1, 65),
+                                      i -> CASE WHEN (CAST(q.qv[i] AS DOUBLE) > 0)
+                                                 <> (CAST(c.nv[i] AS DOUBLE) > 0)
+                                           THEN 1 ELSE 0 END)) ASC,
+                                           c.neighbor_id ASC) AS rk
+        FROM q, c WHERE q.query_id <> c.neighbor_id
+    ) WHERE rk <= 5
+),
+hits AS (
+    SELECT CAST(count(*) AS BIGINT) AS h
+    FROM approx a JOIN exact e USING (query_id, neighbor_id)
+),
+nc AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM embeddings)
+SELECT CAST(10 AS BIGINT) AS n_queries, nc.n_corpus,
+       hits.h AS total_hits,
+       round(CAST(hits.h AS DOUBLE) / 50.0, 6) + 0.0 AS recall
+FROM hits, nc
+"""
+
+# per-source truncated-vocab unigram KL (text.kl_divergence_by_source):
+# top-2000 corpus terms by (freq desc, term asc), add-one over the
+# REALIZED event space V = min(2000, |vocab|); round 6 after the sum
+ORACLES["docs_kl_divergence"] = r"""
+WITH tok AS (
+    SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS term
+    FROM documents
+),
+st AS (
+    SELECT source, term, CAST(count(*) AS BIGINT) AS tf_s
+    FROM tok GROUP BY 1, 2
+),
+vocab AS (
+    SELECT term, tf_c FROM (
+        SELECT term, CAST(sum(tf_s) AS BIGINT) AS tf_c,
+               row_number() OVER (ORDER BY sum(tf_s) DESC, term ASC) AS rk
+        FROM st GROUP BY term
+    ) WHERE rk <= 2000
+),
+tot AS (
+    SELECT CAST(sum(tf_c) AS BIGINT) AS n_c, CAST(count(*) AS BIGINT) AS v
+    FROM vocab
+),
+srcs AS (SELECT DISTINCT source FROM st),
+filled AS (
+    SELECT s.source, vb.term, vb.tf_c, COALESCE(st.tf_s, 0) AS tf_s
+    FROM srcs s CROSS JOIN vocab vb
+    LEFT JOIN st ON s.source = st.source AND vb.term = st.term
+),
+per_src AS (
+    SELECT source, CAST(sum(tf_s) AS BIGINT) AS n_s,
+           CAST(sum(CASE WHEN tf_s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_present
+    FROM filled GROUP BY 1
+)
+SELECT f.source, p.n_s AS n_tokens_top, p.n_present AS n_terms_present,
+       round(sum(
+           ((CAST(f.tf_s AS DOUBLE) + 1.0)
+            / (CAST(p.n_s AS DOUBLE) + CAST(t.v AS DOUBLE)))
+           * ln(((CAST(f.tf_s AS DOUBLE) + 1.0)
+                 / (CAST(p.n_s AS DOUBLE) + CAST(t.v AS DOUBLE)))
+                / ((CAST(f.tf_c AS DOUBLE) + 1.0)
+                   / (CAST(t.n_c AS DOUBLE) + CAST(t.v AS DOUBLE))))
+       ), 6) + 0.0 AS kl_unigram
+FROM filled f JOIN per_src p USING (source) CROSS JOIN tot t
+GROUP BY 1, 2, 3
+"""
+
+# per-source Flesch profile (text.readability_by_source): integer regexp
+# counts per doc, one small-N mean per source rounded 6
+ORACLES["docs_readability"] = r"""
+WITH per_doc AS (
+    SELECT source,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w,
+           greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+                    CAST(1 AS BIGINT)) AS s,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS y0
+    FROM documents
+),
+scored AS (
+    SELECT source,
+           206.835 - 1.015 * CAST(w AS DOUBLE) / CAST(s AS DOUBLE)
+           - 84.6 * CAST(greatest(y0, w) AS DOUBLE) / CAST(w AS DOUBLE) AS f
+    FROM per_doc WHERE w > 0
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(sum(f) / CAST(count(*) AS DOUBLE), 6) + 0.0 AS mean_flesch,
+       CAST(sum(CASE WHEN f >= 60.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_easy,
+       CAST(sum(CASE WHEN f < 30.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hard
+FROM scored GROUP BY 1
+"""
+
+# top-20 three-step paths (analytics.trigram_paths): per-user lead
+# chain in (ts, event_id) order, integer-only counting and ranking
+ORACLES["events_trigram_paths"] = """
+WITH seq AS (
+    SELECT event_type AS step1,
+           lead(event_type, 1) OVER w AS step2,
+           lead(event_type, 2) OVER w AS step3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+paths AS (
+    SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS cnt
+    FROM seq WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+    GROUP BY 1, 2, 3
+)
+SELECT rank, step1, step2, step3, cnt FROM (
+    SELECT CAST(row_number() OVER (ORDER BY cnt DESC, step1 ASC, step2 ASC,
+                                            step3 ASC) AS BIGINT) AS rank,
+           step1, step2, step3, cnt
+    FROM paths
+) WHERE rank <= 20
+"""
+
+
+# dyadic-decay EWMA trendline (analytics.ewma_trend): the 28 weights are
+# LITERAL exact doubles (repr round-trips bit-identically), so neither
+# engine runs pow/shift; bounded 28-partner self-join on the daily frame
+_EWMA_WTS = ", ".join(f"({j}, {2.0 ** -j!r})" for j in range(28))
+ORACLES["events_ewma"] = f"""
+WITH daily AS (
+    SELECT event_type AS key, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+),
+wts(age, wgt) AS (VALUES {_EWMA_WTS}),
+pairs AS (
+    SELECT d1.key, d1.day, d1.cnt, d2.cnt AS cnt2,
+           date_diff('day', d2.day, d1.day) AS age
+    FROM daily d1 JOIN daily d2
+      ON d1.key = d2.key AND d2.day <= d1.day
+     AND d2.day > d1.day - INTERVAL 28 DAY
+),
+sm AS (
+    SELECT p.key, p.day, p.cnt,
+           sum(CAST(p.cnt2 AS DOUBLE) * w.wgt) AS num,
+           sum(w.wgt) AS den
+    FROM pairs p JOIN wts w ON p.age = w.age
+    GROUP BY 1, 2, 3
+),
+ranked AS (
+    SELECT key, day, cnt, num, den,
+           row_number() OVER (PARTITION BY key ORDER BY day DESC) AS rk
+    FROM sm
+)
+SELECT key AS event_type, strftime(day, '%Y-%m-%d') AS day, cnt,
+       round(num / den, 6) + 0.0 AS ewma,
+       round(CAST(cnt AS DOUBLE) - num / den, 6) + 0.0 AS deviation
+FROM ranked WHERE rk <= 10
+"""

@@ -2458,6 +2458,59 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of int8 scalar-quantized (SQ8) asymmetric cosine search
+    vs the exact float top-5 (operators/similarity.sq8_recall) — the
+    value-quantization dial beside PQ (codebooks), Matryoshka (prefix
+    dims) and binary (sign bits); integer hits, one fixed division."""
+    return similarity.sq8_recall(
+        load_table(spark, sf_dir, "embeddings"), list(range(10)), k=5
+    )
+
+
+def emb_binary_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of 1-bit sign-quantized Hamming search vs the exact
+    float top-5 (operators/similarity.binary_hamming_recall) — the 64×
+    compression endpoint of the quantization ladder; integer-only
+    ranking, bit-deterministic."""
+    return similarity.binary_hamming_recall(
+        load_table(spark, sf_dir, "embeddings"), list(range(10)), k=5
+    )
+
+
+def docs_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source truncated-vocabulary unigram KL(source ‖ corpus) with
+    add-one smoothing over the top-2000 corpus terms
+    (operators/text.kl_divergence_by_source) — the domain-shift score
+    mixture design reads next to docs_mixture_weights/docs_dsir_weights."""
+    return text.kl_divergence_by_source(load_table(spark, sf_dir, "documents"))
+
+
+def docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Flesch-reading-ease profile from integer regexp counts
+    (operators/text.readability_by_source): mean score plus easy/hard
+    gating counts — the readability screen beside the Gopher gates."""
+    return text.readability_by_source(load_table(spark, sf_dir, "documents"))
+
+
+def events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step behavioral paths per (ts, event_id) order
+    (operators/analytics.trigram_paths) — the sequence-mining rung above
+    events_transition_matrix; integer-only counting and ranking."""
+    from .operators import analytics
+
+    return analytics.trigram_paths(_events(spark, sf_dir))
+
+
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dyadic-decay (α=0.5) daily-volume EWMA + deviation per event
+    type, last 10 days (operators/analytics.ewma_trend) — exact binary
+    weights via bit shift, no libm pow in the ranking path."""
+    from .operators import analytics
+
+    return analytics.ewma_trend(_events(spark, sf_dir))
+
+
 # ---------------------------------------------------------------- registry
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2663,102 +2716,64 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_burstiness": docs_burstiness,
     "events_changepoint": events_changepoint,
     "emb_matryoshka_recall": emb_matryoshka_recall,
+    # round-7 additions (gated on first appearance)
+    "emb_sq8_recall": emb_sq8_recall,
+    "emb_binary_recall": emb_binary_recall,
+    "docs_kl_divergence": docs_kl_divergence,
+    "docs_readability": docs_readability,
+    "events_trigram_paths": events_trigram_paths,
+    "events_ewma": events_ewma,
 }
 
 # --- CORRECTNESS window (driver gates the FIRST 50 entries in dict
-# order) — oldest-driver-row-first rotation (VERDICT r4 item 4, executed
-# again per VERDICT r5 item 1): (1) operators NEW this round go in-window
-# on first appearance, then (2) every entry whose latest green driver row
-# is stalest — for round 6 that is the 41 entries last driver-checked in
-# round 2 (_STALE_R2, re-verified in the r5 judge's pytest sweep but not
-# by the driver's sf0.01 hash gate since r2) — then (3) reference
-# flagships as regression canaries until the window is full. Entries left
-# out stay pytest-parity covered by tests/test_queries_parity.py (the
-# full-registry sweep). tests/test_round5_ops.py asserts the window is
-# exactly 50, leads the registry dict, and fronts every stale entry and
-# every round-6 addition.
-R5_NEW: list[str] = [
-    "customers_revenue_pareto_dist",
-    "customers_ltv_dist",
-    "orders_fulfillment_latency",
-    "events_seasonality",
-    "emb_ann_nprobe_pareto",
-    "docs_bigram_lm",
-    "docs_phrase_census",
-    "docs_vocab_gini",
-    "emb_mahalanobis",
-    "docs_cross_source_contamination",
-    "tpch_referential_audit",
-    "docs_minhash_calibration",
-    "docs_dedup_savings",
-    "docs_tokenizer_fertility",
-    "docs_pii_stats",
-    "events_seasonality_streaming",
-    "items_triangle_stats",
-    "customers_cohort_ltv",
-    "events_seasonal_anomaly",
-    "docs_dup_provenance",
-    "orders_backlog",
-    "events_bot_score",
-    "parts_supplier_hhi",
-    "media_decode_roundtrip",
-    "docs_threshold_sweep",
-    "emb_pq_code_balance",
-    "lineitem_price_audit",
-    "events_session_stats",
-]
-_STALE_R1: list[str] = [
-    "tpch_q14", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22",
-    "docs_token_count", "docs_token_count_bpe", "docs_winnowing",
-    "docs_quality", "docs_lang_id", "docs_fingerprint",
-    "docs_dedup_exact", "docs_ngram_jaccard", "docs_corpus_select",
-    "docs_neardup_verified", "media_features", "docs_simhash",
-    "docs_simhash_neardup", "emb_ann_topk", "emb_ann_lsh",
-    "emb_ann_ivf", "emb_cosine_neardup",
-]
-_STALE_R2: list[str] = [
-    "page_views", "unique_visitors_approx", "channel_stats",
-    "channel_stats_rollup", "province_ad_clicks", "user_sessions",
-    "user_running_counts", "province_clicks_salted", "blacklist_kept",
-    "blacklist_warnings", "login_fail_consecutive", "login_fail_times3",
-    "login_fail_horizon", "order_timeout_streaming",
-    "blacklist_kept_streaming", "pay_receipt_reconcile", "tpch_q3",
-    "tpch_q4", "tpch_q5", "tpch_q6", "channel_stats_cube",
-    "page_views_streaming", "unique_visitors_streaming",
-    "hot_urls_topn_streaming", "pay_receipt_interval_join_streaming",
-    "pay_receipt_reconcile_streaming", "user_sessions_streaming",
-    "events_dedup_streaming", "events_asof_attribution", "events_funnel",
-    "events_retention", "channel_behavior_pivot", "events_rate_anomaly",
-    "events_rate_anomaly_streaming", "events_transition_matrix",
-    "tpch_q2", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11",
-]
+# order) — oldest-driver-row-first rotation (VERDICT r4 item 4): (1)
+# operators NEW this round go in-window on first appearance, then (2)
+# the entries whose latest green driver row is stalest — for round 7
+# that is the 47 entries last driver-checked in round 3 — then (3)
+# flagship canaries ONLY into genuinely free slots. The window is
+# finite: whatever does not fit rolls to the next round's window
+# (_R7_ROLLOVER below names it explicitly — ADVICE r6 flagged the old
+# silent truncation, which dropped the round-6 canaries while the docs
+# claimed they were gated). Entries left out stay pytest-parity covered
+# by tests/test_queries_parity.py (the full-registry sweep).
 WINDOW_SIZE = 50
 
-# Round-6 window: new-this-round operators first, then ALL 41 round-2-stale
-# entries (they fit with slots to spare), then flagship canaries — the
-# reference's headline operators re-sampled as regression tripwires.
-R6_NEW: list[str] = [
-    "media_png_roundtrip",
-    "docs_perplexity",
-    "docs_dsir_weights",
-    "items_association_rules",
-    "events_next_prediction",
-    "docs_zipf_fit",
-    "docs_burstiness",
-    "events_changepoint",
-    "emb_matryoshka_recall",
+R7_NEW: list[str] = [
+    "emb_sq8_recall",
+    "emb_binary_recall",
+    "docs_kl_divergence",
+    "docs_readability",
+    "events_trigram_paths",
+    "events_ewma",
 ]
-_R6_CANARIES: list[str] = [
+# latest driver row = round 3 (from CORRECTNESS_r0{1..6}.json), sorted;
+# 47 entries — with |R7_NEW| new ops only 50-|R7_NEW| fit this round
+_STALE_R3: list[str] = [
+    "docs_ccnet_buckets", "docs_chunk", "docs_clean", "docs_collocations",
+    "docs_containment_pairs", "docs_corpus_stats", "docs_curation_pipeline",
+    "docs_decontaminate", "docs_dedup_incremental",
+    "docs_dedup_incremental_streaming", "docs_dedup_resolved",
+    "docs_domain_cap", "docs_dup_spans", "docs_gopher_filter",
+    "docs_lang_balance", "docs_line_dedup", "docs_mixture_weights",
+    "docs_neardup_incremental", "docs_overlap_pairs", "docs_pack_sequences",
+    "docs_quality_classifier", "docs_repetition", "docs_stratified_sample",
+    "docs_tfidf_topk", "docs_token_quantiles", "docs_unigram_lm",
+    "docs_vocabulary", "docs_weighted_sample", "emb_ann_ivf_pq",
+    "emb_ann_ivf_pq_rerank", "emb_ann_ivf_trained", "emb_ann_lsh_multiprobe",
+    "emb_ann_pq", "emb_ann_recall", "emb_cluster_sample", "emb_kmeans",
+    "emb_knn_graph", "emb_lang_outliers", "events_cms_counts", "events_rfm",
+    "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q16", "tpch_q20", "tpch_q21",
+    "unique_visitors_approx_streaming",
+]
+# canaries: flagship regressions re-sampled IF slots remain after new +
+# stale (this round they don't — all 10 roll over; the assert below
+# keeps that accounting honest instead of implying they're gated)
+_R7_CANARIES: list[str] = [
     "hot_items_topn",
     "order_timeout",
     "pay_receipt_interval_join",
-    "hot_urls_topn",
-    "unique_visitors",
-    "tpch_q1",
     "docs_neardup_verified",
-    "emb_ann_ivf_pq_rerank",
     "docs_corpus_build",
-    "docs_minhash_lsh_pairs",
 ]
 
 
@@ -2767,14 +2782,21 @@ def _dedup_keep_order(names: list[str]) -> list[str]:
     return [n for n in names if not (n in seen or seen.add(n))]
 
 
-_R6_WINDOW: list[str] = _dedup_keep_order(R6_NEW + _STALE_R2 + _R6_CANARIES)[
-    :WINDOW_SIZE
-]
-assert len(_R6_WINDOW) == WINDOW_SIZE
-assert set(_STALE_R2) <= set(_R6_WINDOW), "stale rotation must front all of r2"
+_R7_POOL: list[str] = _dedup_keep_order(R7_NEW + _STALE_R3 + _R7_CANARIES)
+_R7_WINDOW: list[str] = _R7_POOL[:WINDOW_SIZE]
+# everything pooled but not gated this round — fronts round 8's window
+_R7_ROLLOVER: list[str] = _R7_POOL[WINDOW_SIZE:]
+assert len(_R7_WINDOW) == WINDOW_SIZE
+assert set(R7_NEW) <= set(_R7_WINDOW), "new ops gate on first appearance"
+# ADVICE r6: no silent composition loss — every pooled name is either
+# in-window or explicitly named as rollover, and the stale cohort in the
+# window is exactly the oldest-first prefix of _STALE_R3
+assert set(_R7_WINDOW) | set(_R7_ROLLOVER) == set(_R7_POOL)
+_stale_in = [n for n in _STALE_R3 if n in set(_R7_WINDOW)]
+assert _stale_in == _STALE_R3[: len(_stale_in)], "stale gating must be oldest-first"
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    name: _ALL[name] for name in _R6_WINDOW
+    name: _ALL[name] for name in _R7_WINDOW
 }
 QUERIES.update((k, v) for k, v in _ALL.items() if k not in QUERIES)
 assert len(QUERIES) == len(_ALL)

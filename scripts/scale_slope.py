@@ -51,6 +51,11 @@ HEAVY = [
     "items_triangle_stats",
     # round-6: the one new op that scans the corpus per query batch
     "emb_matryoshka_recall",
+    # round-7: quantized-search recall (per-query corpus scan) and the
+    # source×vocab KL grid
+    "emb_sq8_recall",
+    "emb_binary_recall",
+    "docs_kl_divergence",
 ]
 
 

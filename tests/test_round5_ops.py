@@ -15,22 +15,26 @@ from gmall_flink_20_spark.operators import analytics, ann, lm, text
 
 
 def test_window_is_exactly_fifty():
-    assert len(Q._R6_WINDOW) == Q.WINDOW_SIZE == 50
-    assert len(set(Q._R6_WINDOW)) == 50
+    assert len(Q._R7_WINDOW) == Q.WINDOW_SIZE == 50
+    assert len(set(Q._R7_WINDOW)) == 50
 
 
 def test_window_leads_the_registry():
-    assert list(Q.QUERIES)[:50] == Q._R6_WINDOW
+    assert list(Q.QUERIES)[:50] == Q._R7_WINDOW
 
 
-def test_round6_new_ops_are_in_window():
-    assert set(Q.R6_NEW) <= set(Q._R6_WINDOW)
+def test_round7_new_ops_are_in_window():
+    assert set(Q.R7_NEW) <= set(Q._R7_WINDOW)
 
 
 def test_window_rotation_fronts_stalest():
-    # round-6 rotation (VERDICT r5 item 1): every entry whose latest
-    # driver row is from round 2 must be in the round-6 window
-    assert set(Q._STALE_R2) <= set(Q._R6_WINDOW)
+    # round-7 rotation: the stale cohort in-window is the oldest-first
+    # PREFIX of the round-3-stale list, and nothing pooled is silently
+    # dropped — what doesn't fit is named in _R7_ROLLOVER (ADVICE r6)
+    stale_in = [n for n in Q._STALE_R3 if n in set(Q._R7_WINDOW)]
+    assert stale_in == Q._STALE_R3[: len(stale_in)]
+    assert set(Q._R7_WINDOW) | set(Q._R7_ROLLOVER) == set(Q._R7_POOL)
+    assert not (set(Q._R7_WINDOW) & set(Q._R7_ROLLOVER))
 
 
 def test_registry_complete():

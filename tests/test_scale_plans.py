@@ -471,12 +471,16 @@ def test_round6_lm_ops_no_udf_no_cartesian(spark, sf_dir):
         assert "PythonMapInArrow" not in plan, name
 
 
-def test_association_rules_broadcasts_supports(spark, sf_dir):
-    plan = plan_of(QUERIES["items_association_rules"](spark, sf_dir))
-    # item supports and the n_users scalar join broadcast; no python
-    assert plan.count("BroadcastHashJoin") + plan.count(
-        "BroadcastNestedLoopJoin"
-    ) >= 3, plan
+def test_association_rules_supports_join_unhinted(spark, sf_dir):
+    # ADVICE r6: the catalog-sized support frames must NOT carry a forced
+    # broadcast hint (driver OOM risk at catalog scale) — AQE picks the
+    # strategy. Only the one-row n_users frame is explicitly broadcast.
+    df = QUERIES["items_association_rules"](spark, sf_dir)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert logical.count("ResolvedHint") == 1, logical
+    plan = plan_of(df)
+    # n_users still joins as a broadcast nest-loop; no python anywhere
+    assert plan.count("BroadcastNestedLoopJoin") >= 1, plan
     assert "BatchEvalPython" not in plan
 
 
@@ -524,3 +528,51 @@ def test_matryoshka_single_corpus_scan_broadcast_queries(spark, sf_dir):
     # truncation levels unpivot IN-ROW (Generate/inline), not via
     # repeated corpus self-joins
     assert "Generate" in plan
+
+
+def test_round7_quantization_recall_plans(spark, sf_dir):
+    # SQ8 + binary: broadcast query batch, no Python anywhere, the
+    # train stats join the corpus as a broadcast (crossJoin of a 1-row
+    # aggregate), and the corpus is never hash-shuffled before the
+    # per-query top-k window
+    for name in ("emb_sq8_recall", "emb_binary_recall"):
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "PythonMapInArrow" not in plan, name
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, name
+
+
+def test_round7_kl_vocab_rank_on_collapsed_frame(spark, sf_dir):
+    # the top-M vocabulary rank runs over the (term, tf) collapse, the
+    # zero-fill grid is a broadcast of the truncated vocab; no Python
+    plan = plan_of(QUERIES["docs_kl_divergence"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
+
+
+def test_round7_readability_single_scan_no_python(spark, sf_dir):
+    # three row-local regexp_counts + one agg: exactly one scan of
+    # documents, whole plan JVM-side
+    plan = plan_of(QUERIES["docs_readability"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_round7_trigram_single_user_window(spark, sf_dir):
+    # both leads come out of ONE user-partitioned Window; the only other
+    # Window is the final rank over the tiny path frame
+    import re
+
+    plan = plan_of(QUERIES["events_trigram_paths"](spark, sf_dir))
+    # formatted mode lists each node in tree + detail: 2 operators
+    assert len(re.findall(r"\n\(\d+\) Window", plan)) == 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_round7_ewma_broadcast_weights_no_pow(spark, sf_dir):
+    # the dyadic weights are a broadcast literal frame (no runtime POWER
+    # in the plan) and the self-join runs on the collapsed daily frame
+    plan = plan_of(QUERIES["events_ewma"](spark, sf_dir))
+    assert "POWER" not in plan.upper().replace("EMPOWER", "")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
