@@ -1838,11 +1838,14 @@ def trigram_paths(
     users do AROUND the purchase?\") that a 2-step matrix cannot answer
     because it forgets where the user came from.
 
-    Per user, events order by (ts, event_id) — the registry-wide total
-    order — and every row contributes the path (state, lead¹, lead²)
-    when both successors exist for the same user. Counting and ranking
-    are INTEGER-ONLY (cnt desc, then step1/step2/step3 asc), so the
-    output is bit-deterministic cross-engine.
+    Per user, events order by (epoch-µs, event_id) — the same explicit
+    µs-floored ordering key as ``transition_matrix``, because Spark
+    truncates parquet ns-timestamps to µs while the DuckDB oracle keeps
+    ns; ordering both engines on the same long makes lead() pairing
+    engine-independent. Every row contributes the path (state, lead¹,
+    lead²) when both successors exist for the same user. Counting and
+    ranking are INTEGER-ONLY (cnt desc, then step1/step2/step3 asc), so
+    the output is bit-deterministic cross-engine.
 
     Scale shape: exactly ONE shuffle — the per-user sort window that
     produces both leads in a single Window operator; path counting is a
@@ -1850,7 +1853,9 @@ def trigram_paths(
     top-k is a rank over the |distinct paths| frame (bounded by
     |states|³, constant in corpus size).
     """
-    w = Window.partitionBy(key_col).orderBy(F.asc(ts_col), F.asc(tiebreak_col))
+    w = Window.partitionBy(key_col).orderBy(
+        F.unix_micros(F.col(ts_col)), F.asc(tiebreak_col)
+    )
     paths = (
         events.select(
             F.col(key_col),

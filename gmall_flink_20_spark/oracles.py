@@ -4541,7 +4541,10 @@ WITH seq AS (
            lead(event_type, 1) OVER w AS step2,
            lead(event_type, 2) OVER w AS step3
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    -- epoch-µs ordering: matches Spark's unix_micros() window key (the
+    -- transition_matrix convention) so lead() pairing is engine-
+    -- independent on sub-µs timestamps
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id ASC)
 ),
 paths AS (
     SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS cnt
