@@ -211,6 +211,10 @@ BENCH_QUERIES = [
     "docs_readability",
     "events_trigram_paths",
     "events_ewma",
+    "events_survival",
+    "events_path_entropy",
+    "docs_code_detect",
+    "orders_repeat_screen",
 ]
 
 

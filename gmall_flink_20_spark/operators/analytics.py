@@ -1957,3 +1957,225 @@ def ewma_trend(
             "deviation",
         )
     )
+
+
+def path_entropy(
+    events: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-state next-step Shannon entropy over the first-order
+    transition estimates — \"how predictable is what users do after
+    state a?\": H(next|a) = −Σ_b p(b|a)·ln p(b|a), plus the normalized
+    H/ln(fanout) in [0, 1] (0 = deterministic successor, 1 = uniform
+    over observed successors; defined 0 when fanout = 1).
+
+    The read model next to ``markov_next_topk`` (which answers WHAT
+    follows; this answers HOW CONCENTRATED): high-entropy states are
+    where recommendation/caching is useless and where funnel
+    instrumentation should split.
+
+    Determinism: p is an exact-integer division; the entropy sum has ≤
+    |states| terms per row (single digits here, bounded by the state
+    alphabet always), so cross-engine drift is far below the round-6
+    contract.
+
+    Scale shape: rides ``transition_matrix`` (one lead() window = one
+    exchange; pairs collapse to |states|² before anything else), then a
+    |states|²-row aggregate. Output |states| rows.
+    """
+    tm = transition_matrix(events, key_col, state_col, ts_col, tiebreak_col)
+    ent = tm.groupBy("from_state").agg(
+        F.max("row_total").cast("long").alias("row_total"),
+        F.count(F.lit(1)).cast("long").alias("fanout"),
+        (F.round(-F.sum(F.col("prob") * F.log(F.col("prob"))), 6) + F.lit(0.0)).alias(
+            "entropy"
+        ),
+    )
+    return ent.select(
+        "from_state",
+        "row_total",
+        "fanout",
+        "entropy",
+        F.when(
+            F.col("fanout") > 1,
+            F.round(F.col("entropy") / F.log(F.col("fanout").cast("double")), 6)
+            + F.lit(0.0),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("entropy_norm"),
+    )
+
+
+def survival_km(
+    events: DataFrame,
+    convert_type: str = "purchase",
+    user_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Kaplan–Meier time-to-conversion with right censoring — the
+    survival curve behind \"how long until a user purchases\", done the
+    way retention science requires: users who never converted are NOT
+    dropped (that biases the curve optimistic) but counted at-risk
+    until the observation end.
+
+    Per user: entry = min event time, conversion = first
+    ``convert_type`` event; duration_days = floor((t_conv − entry)/1d)
+    for converters, floor((T_max − entry)/1d) censored otherwise
+    (T_max = global max event time). Deaths-before-censors at equal
+    times, the standard convention. Per distinct event day d:
+
+        n_risk(d)  = Σ_{d' ≥ d} (events(d') + censored(d'))
+        S(d)       = Π_{d' ≤ d} (1 − events(d')/n_risk(d'))
+                   = exp(Σ ln(...))   -- one ≤|days|-term float sum,
+                                         rounded 6 after the exp
+
+    Output: one row per day with ≥ 1 conversion event — (day,
+    n_risk, n_events, n_censored, survival).
+
+    Scale shape: the event stream is scanned ONCE — a user-keyed
+    aggregate collapses it to |users| rows (map-side combined
+    min/conditional-min/max), persisted as the reuse barrier (the ann.py
+    pattern) so the global T_max derives from the cached user frame
+    instead of a second stream scan; everything after lives on the
+    |distinct days| frame (window cumsums on a single tiny partition —
+    |days| rows, not data-sized). No self-join of the stream.
+    """
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(F.unix_micros(F.col(ts_col))).alias("entry_us"),
+        F.min(
+            F.when(F.col(state_col) == convert_type, F.unix_micros(F.col(ts_col)))
+        ).alias("conv_us"),
+        F.max(F.unix_micros(F.col(ts_col))).alias("umax_us"),
+    ).persist()
+    tmax = per_user.agg(F.max("umax_us").alias("tmax_us"))
+    us_day = 86400 * 1000 * 1000
+    durs = per_user.crossJoin(F.broadcast(tmax)).select(
+        F.when(
+            F.col("conv_us").isNotNull(),
+            F.floor((F.col("conv_us") - F.col("entry_us")) / F.lit(us_day)),
+        )
+        .otherwise(F.floor((F.col("tmax_us") - F.col("entry_us")) / F.lit(us_day)))
+        .cast("long")
+        .alias("dur"),
+        F.col("conv_us").isNotNull().cast("long").alias("is_event"),
+    )
+    day = durs.groupBy(F.col("dur").alias("day")).agg(
+        F.sum("is_event").cast("long").alias("n_events"),
+        F.sum(F.lit(1) - F.col("is_event")).cast("long").alias("n_censored"),
+    )
+    # n_total via an unbounded window on the |days| frame (not a second
+    # aggregate branch, which would recompute the whole lineage)
+    w_after = Window.orderBy(F.asc("day")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy(F.asc("day")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    at_risk = day.withColumn(
+        "n_risk",
+        (
+            F.sum(F.col("n_events") + F.col("n_censored")).over(w_all)
+            - F.coalesce(
+                F.sum(F.col("n_events") + F.col("n_censored")).over(w_after),
+                F.lit(0),
+            )
+        ).cast("long"),
+    )
+    w_cum = Window.orderBy(F.asc("day")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # factor (n_risk − n_events)/n_risk via integer subtraction; a day
+    # where EVERYONE at risk converts makes the factor 0 — ln would be
+    # −inf (NULL in Spark, −inf in DuckDB), so guard it explicitly and
+    # pin survival to 0.0 from that day on
+    curve = at_risk.withColumn(
+        "log_s",
+        F.sum(
+            F.when(
+                F.col("n_events") < F.col("n_risk"),
+                F.log(
+                    (F.col("n_risk") - F.col("n_events")).cast("double")
+                    / F.col("n_risk").cast("double")
+                ),
+            ).otherwise(F.lit(0.0))
+        ).over(w_cum),
+    ).withColumn(
+        "hit_zero",
+        F.max((F.col("n_events") == F.col("n_risk")).cast("int")).over(w_cum),
+    )
+    return (
+        curve.filter(F.col("n_events") > 0)
+        .select(
+            "day",
+            "n_risk",
+            "n_events",
+            "n_censored",
+            F.when(F.col("hit_zero") == 1, F.lit(0.0))
+            .otherwise(F.round(F.exp(F.col("log_s")), 6) + F.lit(0.0))
+            .alias("survival"),
+        )
+    )
+
+
+def rapid_repeat_orders(
+    orders: DataFrame,
+    max_gap_days: int = 7,
+) -> DataFrame:
+    """Rapid repeat-order screen — the billing-integrity audit feed:
+    every pair of DISTINCT orders by the same customer placed within
+    ``max_gap_days``, with amount-similarity flags. Exact-amount repeats
+    in a short window are retry/double-charge suspects; near-amount
+    repeats (within 1%) catch re-submissions with adjusted tax/shipping.
+    (A pure exact-amount join returns zero rows on near-continuous
+    totals — the flags keep the screen informative while the exact
+    subset stays one filter away.)
+
+        same_amount = price_a == price_b          (bit-equality of the
+                                                   stored doubles)
+        near_amount = |Δprice| ≤ 0.01·max(price)  (same expression both
+                                                   engines)
+
+    Output: one row per pair, (o_custkey, orderkey_a < orderkey_b,
+    day_a, day_b, gap_days, price_a, price_b, same_amount, near_amount),
+    integer/date ordering throughout.
+
+    Scale shape: an equi-join on custkey with the date-window residual —
+    the batch interval-join shape (pay_receipt J1): fan-out per customer
+    is bounded by order cadence within the window, never corpus-
+    quadratic; hash-partitioning on custkey spreads customers evenly.
+    """
+    a = orders.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_totalprice").alias("price_a"),
+        F.col("o_orderkey").alias("orderkey_a"),
+        F.to_date("o_orderdate").alias("day_a"),
+    )
+    b = orders.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_totalprice").alias("price_b"),
+        F.col("o_orderkey").alias("orderkey_b"),
+        F.to_date("o_orderdate").alias("day_b"),
+    )
+    pairs = a.join(b, "cust").filter(
+        (F.col("orderkey_a") < F.col("orderkey_b"))
+        & (F.abs(F.datediff(F.col("day_b"), F.col("day_a"))) <= max_gap_days)
+    )
+    near = F.abs(F.col("price_a") - F.col("price_b")) <= F.lit(0.01) * F.greatest(
+        "price_a", "price_b"
+    )
+    return pairs.select(
+        F.col("cust").alias("o_custkey"),
+        "orderkey_a",
+        "orderkey_b",
+        F.date_format("day_a", "yyyy-MM-dd").alias("day_a"),
+        F.date_format("day_b", "yyyy-MM-dd").alias("day_b"),
+        F.abs(F.datediff(F.col("day_b"), F.col("day_a"))).cast("long").alias("gap_days"),
+        "price_a",
+        "price_b",
+        (F.col("price_a") == F.col("price_b")).cast("long").alias("same_amount"),
+        near.cast("long").alias("near_amount"),
+    )

@@ -1312,3 +1312,55 @@ def readability_by_source(
         F.sum((F.col("f") >= 60.0).cast("long")).cast("long").alias("n_easy"),
         F.sum((F.col("f") < 30.0).cast("long")).cast("long").alias("n_hard"),
     )
+
+
+# code-marker regex shared by operator and docstring'd for the oracle:
+# brace/semicolon/operator punctuation plus the highest-signal keywords
+CODE_MARKER_RE = r"[{}();\[\]]|=>|::|\bdef\b|\bimport\b|\breturn\b|\bvoid\b|==|!="
+
+
+def code_detect_by_source(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source code-vs-prose screen — the routing signal an LLM data
+    pipeline needs before mixing (code wants different dedup, quality
+    gates and tokenizer settings than prose; StarCoder/The-Stack style
+    pipelines split on exactly this kind of marker density).
+
+    Per document, two integer counts: whitespace tokens and
+    ``CODE_MARKER_RE`` matches (brackets, statement punctuation, ``=>``
+    ``::`` ``==`` ``!=``, and the keywords def/import/return/void).
+    A document is code-like when markers·10 ≥ tokens (density ≥ 0.1,
+    compared in INTEGERS — no float in the gate). Per source:
+
+        n_docs, n_code, code_ratio = n_code/n_docs (one division),
+        marker_density = Σmarkers / Σtokens (one division)
+
+    Scale shape: one scan, two row-local ``regexp_count``s (JVM
+    codegen), one map-side-combined aggregate; |sources| output rows.
+    """
+    toks = F.size(tokens(text_col)).cast("long")
+    markers = F.regexp_count(F.col(text_col), F.lit(CODE_MARKER_RE)).cast("long")
+    per_doc = df.select(
+        F.col(source_col).alias("source"),
+        toks.alias("t"),
+        markers.alias("m"),
+    ).filter(F.col("t") > 0)
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("m") * 10 >= F.col("t")).cast("long")).cast("long").alias("n_code"),
+        (
+            F.round(
+                F.sum((F.col("m") * 10 >= F.col("t")).cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("code_ratio"),
+        (
+            F.round(F.sum("m").cast("double") / F.sum("t").cast("double"), 6)
+            + F.lit(0.0)
+        ).alias("marker_density"),
+    )

@@ -4595,3 +4595,127 @@ SELECT key AS event_type, strftime(day, '%Y-%m-%d') AS day, cnt,
        round(CAST(cnt AS DOUBLE) - num / den, 6) + 0.0 AS deviation
 FROM ranked WHERE rk <= 10
 """
+
+
+# Kaplan-Meier time-to-first-purchase (analytics.survival_km): entry /
+# conversion epochs per user, censoring at the global max event time,
+# deaths-before-censors; survival = exp(cum sum ln((n-d)/n)) with the
+# all-convert day pinned to 0.0 (Spark ln(0) is NULL, duck -inf)
+ORACLES["events_survival"] = """
+WITH pu AS (
+    SELECT user_id AS u, min(epoch_us(ts)) AS entry_us,
+           min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS conv_us
+    FROM events GROUP BY 1
+),
+tm AS (SELECT max(epoch_us(ts)) AS tmax_us FROM events),
+durs AS (
+    SELECT CASE WHEN conv_us IS NOT NULL
+                THEN CAST(floor((conv_us - entry_us) / 86400000000) AS BIGINT)
+                ELSE CAST(floor((tmax_us - entry_us) / 86400000000) AS BIGINT)
+           END AS dur,
+           CASE WHEN conv_us IS NOT NULL THEN 1 ELSE 0 END AS is_event
+    FROM pu, tm
+),
+day AS (
+    SELECT dur AS day, CAST(sum(is_event) AS BIGINT) AS n_events,
+           CAST(sum(1 - is_event) AS BIGINT) AS n_censored
+    FROM durs GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_events + n_censored) AS BIGINT) AS n_total FROM day),
+ar AS (
+    SELECT day.day, day.n_events, day.n_censored,
+           CAST(t.n_total - COALESCE(sum(day.n_events + day.n_censored)
+               OVER (ORDER BY day.day ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+    FROM day, tot t
+),
+curve AS (
+    SELECT *,
+           sum(CASE WHEN n_events < n_risk
+                    THEN ln(CAST(n_risk - n_events AS DOUBLE)
+                            / CAST(n_risk AS DOUBLE))
+                    ELSE 0.0 END)
+               OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS log_s,
+           max(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS hit_zero
+    FROM ar
+)
+SELECT day, n_risk, n_events, n_censored,
+       CASE WHEN hit_zero = 1 THEN 0.0
+            ELSE round(exp(log_s), 6) + 0.0 END AS survival
+FROM curve WHERE n_events > 0
+"""
+
+# next-step entropy per state (analytics.path_entropy): rides the
+# transition estimates; entropy_norm divides the ROUNDED entropy by
+# ln(fanout) and rounds again, mirroring the operator exactly
+ORACLES["events_path_entropy"] = """
+WITH seq AS (
+    SELECT event_type AS from_state,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS to_state
+    FROM events
+),
+pairs AS (
+    SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS cnt
+    FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2
+),
+tot AS (
+    SELECT from_state, CAST(sum(cnt) AS BIGINT) AS row_total
+    FROM pairs GROUP BY 1
+),
+p AS (
+    SELECT pairs.from_state, tot.row_total,
+           CAST(cnt AS DOUBLE) / CAST(row_total AS DOUBLE) AS prob
+    FROM pairs JOIN tot USING (from_state)
+)
+SELECT from_state, CAST(max(row_total) AS BIGINT) AS row_total,
+       CAST(count(*) AS BIGINT) AS fanout,
+       round(-sum(prob * ln(prob)), 6) + 0.0 AS entropy,
+       CASE WHEN count(*) > 1
+            THEN round((round(-sum(prob * ln(prob)), 6) + 0.0)
+                       / ln(CAST(count(*) AS DOUBLE)), 6) + 0.0
+            ELSE 0.0 END AS entropy_norm
+FROM p GROUP BY 1
+"""
+
+# code-marker density per source (text.code_detect_by_source): integer
+# regexp counts, the gate compares markers*10 >= tokens in integers
+ORACLES["docs_code_detect"] = r"""
+WITH per_doc AS (
+    SELECT source,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS t,
+           CAST(len(regexp_extract_all(text,
+               '[{}();\[\]]|=>|::|\bdef\b|\bimport\b|\breturn\b|\bvoid\b|==|!='
+           )) AS BIGINT) AS m
+    FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN m * 10 >= t THEN 1 ELSE 0 END) AS BIGINT) AS n_code,
+       round(CAST(sum(CASE WHEN m * 10 >= t THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) + 0.0 AS code_ratio,
+       round(CAST(sum(m) AS DOUBLE) / CAST(sum(t) AS DOUBLE), 6) + 0.0
+           AS marker_density
+FROM per_doc WHERE t > 0 GROUP BY 1
+"""
+
+# rapid repeat-order screen (analytics.rapid_repeat_orders): custkey
+# equi-join + 7-day residual; amount flags by bit-equality / 1% band
+ORACLES["orders_repeat_screen"] = """
+SELECT a.o_custkey,
+       a.o_orderkey AS orderkey_a, b.o_orderkey AS orderkey_b,
+       strftime(CAST(a.o_orderdate AS DATE), '%Y-%m-%d') AS day_a,
+       strftime(CAST(b.o_orderdate AS DATE), '%Y-%m-%d') AS day_b,
+       CAST(abs(date_diff('day', CAST(a.o_orderdate AS DATE),
+                          CAST(b.o_orderdate AS DATE))) AS BIGINT) AS gap_days,
+       a.o_totalprice AS price_a, b.o_totalprice AS price_b,
+       CAST(CASE WHEN a.o_totalprice = b.o_totalprice THEN 1 ELSE 0 END
+            AS BIGINT) AS same_amount,
+       CAST(CASE WHEN abs(a.o_totalprice - b.o_totalprice)
+                      <= 0.01 * greatest(a.o_totalprice, b.o_totalprice)
+                 THEN 1 ELSE 0 END AS BIGINT) AS near_amount
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+WHERE abs(date_diff('day', CAST(a.o_orderdate AS DATE),
+                    CAST(b.o_orderdate AS DATE))) <= 7
+"""

@@ -2511,6 +2511,43 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.ewma_trend(_events(spark, sf_dir))
 
 
+def events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier time-to-first-purchase with right censoring
+    (operators/analytics.survival_km) — non-converters stay at-risk
+    until the observation end instead of being dropped; survival =
+    exp(Σ ln(1 − d/n)) over the tiny day frame."""
+    from .operators import analytics
+
+    return analytics.survival_km(_events(spark, sf_dir))
+
+
+def events_path_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state next-step Shannon entropy + normalized concentration
+    over the first-order transition estimates
+    (operators/analytics.path_entropy) — HOW predictable each state's
+    successor is, next to events_next_prediction's WHAT."""
+    from .operators import analytics
+
+    return analytics.path_entropy(_events(spark, sf_dir))
+
+
+def docs_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source code-vs-prose screen from integer marker-density
+    counts (operators/text.code_detect_by_source) — the routing signal
+    before mixture design; gate compares integers (markers·10 ≥
+    tokens), no float in the decision."""
+    return text.code_detect_by_source(load_table(spark, sf_dir, "documents"))
+
+
+def orders_repeat_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rapid repeat-order pairs by the same customer within 7 days with
+    exact/near amount flags (operators/analytics.rapid_repeat_orders) —
+    the billing-integrity audit beside lineitem_price_audit."""
+    from .operators import analytics
+
+    return analytics.rapid_repeat_orders(load_table(spark, sf_dir, "orders"))
+
+
 # ---------------------------------------------------------------- registry
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2723,6 +2760,10 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_readability": docs_readability,
     "events_trigram_paths": events_trigram_paths,
     "events_ewma": events_ewma,
+    "events_survival": events_survival,
+    "events_path_entropy": events_path_entropy,
+    "docs_code_detect": docs_code_detect,
+    "orders_repeat_screen": orders_repeat_screen,
 }
 
 # --- CORRECTNESS window (driver gates the FIRST 50 entries in dict
@@ -2745,6 +2786,10 @@ R7_NEW: list[str] = [
     "docs_readability",
     "events_trigram_paths",
     "events_ewma",
+    "events_survival",
+    "events_path_entropy",
+    "docs_code_detect",
+    "orders_repeat_screen",
 ]
 # latest driver row = round 3 (from CORRECTNESS_r0{1..6}.json), sorted;
 # 47 entries — with |R7_NEW| new ops only 50-|R7_NEW| fit this round

@@ -190,3 +190,89 @@ def test_ewma_window_truncation(spark):
     got = {r.day: r for r in analytics.ewma_trend(_events(spark, rows)).collect()}
     last = sorted(got)[-1]
     assert got[last].ewma == 3.0 and got[last].deviation == 0.0
+
+
+# ---------------------------------------------------------- survival (KM)
+
+
+def test_survival_closed_form(spark):
+    # 4 users entering at t=0: two convert on day 0 and day 1, two never
+    # convert (censored at T_max = day 2).
+    base = 86400
+    rows = [
+        (1, 0, "view"), (1, 10, "purchase"),          # dur 0, event
+        (2, 0, "view"), (2, base + 5, "purchase"),     # dur 1, event
+        (3, 0, "view"), (3, 2 * base, "click"),        # censored dur 2
+        (4, 0, "view"), (4, 2 * base, "click"),        # censored dur 2
+    ]
+    got = {r.day: r for r in analytics.survival_km(_events(spark, rows)).collect()}
+    # day 0: n_risk 4, 1 event -> S = 3/4; day 1: n_risk 3, 1 event -> S = 1/2
+    assert got[0].n_risk == 4 and got[0].n_events == 1
+    assert got[0].survival == pytest.approx(0.75, abs=1e-9)
+    assert got[1].n_risk == 3 and got[1].n_events == 1
+    assert got[1].survival == pytest.approx(0.5, abs=1e-9)
+    assert set(got) == {0, 1}  # censor-only day 2 emits no curve row
+
+
+def test_survival_all_convert_hits_zero(spark):
+    rows = [(1, 5, "purchase"), (2, 8, "purchase")]
+    got = analytics.survival_km(_events(spark, rows)).collect()
+    assert len(got) == 1 and got[0].survival == 0.0 and got[0].n_risk == 2
+
+
+# ------------------------------------------------------------ path entropy
+
+
+def test_path_entropy_deterministic_state(spark):
+    # a -> b always; b -> (a|c) evenly: H(a)=0, H(b)=ln 2, norm 1
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"), (1, 5, "c"),
+    ]
+    got = {r.from_state: r for r in analytics.path_entropy(_events(spark, rows)).collect()}
+    assert got["a"].entropy == 0.0 and got["a"].fanout == 1
+    assert got["a"].entropy_norm == 0.0
+    assert got["b"].fanout == 2
+    assert got["b"].entropy == pytest.approx(round(math.log(2), 6), abs=1e-9)
+    assert got["b"].entropy_norm == pytest.approx(1.0, abs=1e-6)
+
+
+# -------------------------------------------------------------- code detect
+
+
+def test_code_detect_flags_marker_dense_docs(spark):
+    rows = [
+        ("code", "def f(x): return x;"),     # markers: (, ), :? -> def,(,),;,return
+        ("prose", "the quick brown fox jumps over the lazy dog today"),
+    ]
+    got = {r.source: r for r in text.code_detect_by_source(_docs(spark, rows)).collect()}
+    assert got["code"].n_code == 1 and got["code"].code_ratio == 1.0
+    assert got["prose"].n_code == 0 and got["prose"].marker_density == 0.0
+
+
+# ---------------------------------------------------------- repeat screen
+
+
+def test_repeat_screen_pairs_and_flags(spark):
+    import datetime
+
+    def od(d):
+        return datetime.datetime(2024, 1, d)
+
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "O", 100.0, od(1), "1-URGENT"),
+            (2, 10, "O", 100.0, od(3), "1-URGENT"),   # same amount, 2d gap
+            (3, 10, "O", 100.5, od(5), "1-URGENT"),   # near (0.5%), 2d gap
+            (4, 10, "O", 500.0, od(20), "1-URGENT"),  # outside window
+            (5, 11, "O", 100.0, od(1), "1-URGENT"),   # other customer
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    got = {(r.orderkey_a, r.orderkey_b): r
+           for r in analytics.rapid_repeat_orders(orders).collect()}
+    assert set(got) == {(1, 2), (2, 3), (1, 3)}
+    assert got[(1, 2)].same_amount == 1 and got[(1, 2)].near_amount == 1
+    assert got[(2, 3)].same_amount == 0 and got[(2, 3)].near_amount == 1
+    assert got[(1, 3)].same_amount == 0 and got[(1, 3)].near_amount == 1
+    assert got[(1, 2)].gap_days == 2

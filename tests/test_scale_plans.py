@@ -576,3 +576,29 @@ def test_round7_ewma_broadcast_weights_no_pow(spark, sf_dir):
     assert "POWER" not in plan.upper().replace("EMPOWER", "")
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_round7_wave2_plans(spark, sf_dir):
+    import re
+
+    # survival: one user-keyed aggregate collapse, broadcast scalars,
+    # day-frame windows — no Python, no cartesian beyond the 1-row
+    # broadcasts, exactly one scan of events
+    plan = plan_of(QUERIES["events_survival"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    # path entropy rides transition_matrix: the lead window (appearing
+    # once per branch of the pairs->totals self-reference, as in the
+    # parent op) + the tiny broadcast totals join; nothing else wide
+    plan = plan_of(QUERIES["events_path_entropy"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert len(re.findall(r"\n\(\d+\) Window", plan)) <= 2
+    assert "BroadcastHashJoin" in plan
+    # code detect: single scan, row-local regexp counts
+    plan = plan_of(QUERIES["docs_code_detect"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "BatchEvalPython" not in plan
+    # repeat screen: custkey equi-join (NOT a cartesian), date residual
+    plan = plan_of(QUERIES["orders_repeat_screen"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
