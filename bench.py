@@ -215,6 +215,8 @@ BENCH_QUERIES = [
     "events_path_entropy",
     "docs_code_detect",
     "orders_repeat_screen",
+    "media_gif_roundtrip",
+    "events_attribution_multitouch",
 ]
 
 

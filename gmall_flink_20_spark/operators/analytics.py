@@ -2179,3 +2179,79 @@ def rapid_repeat_orders(
         (F.col("price_a") == F.col("price_b")).cast("long").alias("same_amount"),
         near.cast("long").alias("near_amount"),
     )
+
+
+def multitouch_attribution(
+    events: DataFrame,
+    convert_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("view", "click"),
+    lookback_s: int = 86400,
+    user_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution — the
+    whole-journey complement to ``asof_join``'s last-touch: every touch
+    in the lookback window before a conversion gets credit, weighted
+
+        n = 1 → 1.0          n = 2 → 0.5 / 0.5
+        n ≥ 3 → first 0.4, last 0.4, each middle 0.2/(n−2)
+
+    (the standard 40/20/40 scheme). Touch order and the before-the-
+    conversion test both use the (epoch-µs, event_id) total order —
+    engine-independent on sub-µs timestamps, the transition_matrix
+    convention. Weights are fixed rationals; the per-channel credit sum
+    is rounded 6 after aggregation.
+
+    Output per touch channel: (touch_type, n_touches, n_conversions
+    reached, credit).
+
+    Scale shape: conversions ⋈ touches is a user-keyed equi-join with
+    the lookback residual — the batch interval-join shape (J1), fan-out
+    bounded by per-user activity inside the window, never corpus-
+    quadratic; position/count come from ONE window per (user,
+    conversion); the final aggregate collapses to |channels| rows.
+    """
+    lookback_us = int(lookback_s) * 1_000_000
+    conv = events.filter(F.col(state_col) == convert_type).select(
+        F.col(user_col).alias("u"),
+        F.unix_micros(F.col(ts_col)).alias("conv_us"),
+        F.col(id_col).alias("conv_id"),
+    )
+    touch = events.filter(F.col(state_col).isin(list(touch_types))).select(
+        F.col(user_col).alias("u"),
+        F.unix_micros(F.col(ts_col)).alias("t_us"),
+        F.col(id_col).alias("t_id"),
+        F.col(state_col).alias("touch_type"),
+    )
+    j = conv.join(touch, "u").filter(
+        (F.col("t_us") > F.col("conv_us") - F.lit(lookback_us))
+        & (
+            (F.col("t_us") < F.col("conv_us"))
+            | ((F.col("t_us") == F.col("conv_us")) & (F.col("t_id") < F.col("conv_id")))
+        )
+    )
+    w = Window.partitionBy("u", "conv_id").orderBy(F.asc("t_us"), F.asc("t_id"))
+    wn = Window.partitionBy("u", "conv_id")
+    pos = j.withColumn("pos", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    weight = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when(F.col("pos") == 1, F.lit(0.4))
+        .when(F.col("pos") == F.col("n"), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2).cast("double"))
+    )
+    return (
+        pos.withColumn("wgt", weight)
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.count_distinct(F.col("u"), F.col("conv_id"))
+            .cast("long")
+            .alias("n_conversions"),
+            (F.round(F.sum("wgt"), 6) + F.lit(0.0)).alias("credit"),
+        )
+    )

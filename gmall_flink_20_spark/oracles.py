@@ -4719,3 +4719,56 @@ FROM orders a JOIN orders b
 WHERE abs(date_diff('day', CAST(a.o_orderdate AS DATE),
                     CAST(b.o_orderdate AS DATE))) <= 7
 """
+
+
+# GIF87a round-trip (multimodal.encode_gif -> decode_gif): closed-form
+# features from the media id (pixel index = (id+5x+11y) % 256 over a
+# 9x6 grid, grayscale palette -> channel sum = 3 * sum(index)); the
+# Spark side must reproduce them by actually LZW-decoding the stream
+ORACLES["media_gif_roundtrip"] = """
+SELECT d.doc_id AS media_id,
+       CAST(9 AS INTEGER) AS width,
+       CAST(6 AS INTEGER) AS height,
+       CAST(3 * sum((d.doc_id + 5 * g1.x + 11 * g2.y) % 256) AS BIGINT) AS content_sum
+FROM documents d, generate_series(0, 8) g1(x), generate_series(0, 5) g2(y)
+GROUP BY 1
+"""
+
+
+# U-shaped multi-touch attribution (analytics.multitouch_attribution):
+# (epoch-us, event_id) total order for touch<conversion and positions;
+# 1.0 / 0.5-0.5 / 0.4-0.2/(n-2)-0.4 weights, credit rounded 6 after sum
+ORACLES["events_attribution_multitouch"] = """
+WITH conv AS (
+    SELECT user_id AS u, epoch_us(ts) AS conv_us, event_id AS conv_id
+    FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+    SELECT user_id AS u, epoch_us(ts) AS t_us, event_id AS t_id,
+           event_type AS touch_type
+    FROM events WHERE event_type IN ('view', 'click')
+),
+j AS (
+    SELECT c.u, c.conv_id, t.t_us, t.t_id, t.touch_type
+    FROM conv c JOIN touch t ON c.u = t.u
+    WHERE t.t_us > c.conv_us - 86400000000
+      AND (t.t_us < c.conv_us
+           OR (t.t_us = c.conv_us AND t.t_id < c.conv_id))
+),
+pos AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY u, conv_id
+                              ORDER BY t_us ASC, t_id ASC) AS pos,
+           count(*) OVER (PARTITION BY u, conv_id) AS n
+    FROM j
+)
+SELECT touch_type,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(count(DISTINCT (u, conv_id)) AS BIGINT) AS n_conversions,
+       round(sum(CASE WHEN n = 1 THEN 1.0
+                      WHEN n = 2 THEN 0.5
+                      WHEN pos = 1 THEN 0.4
+                      WHEN pos = n THEN 0.4
+                      ELSE 0.2 / CAST(n - 2 AS DOUBLE) END), 6) + 0.0 AS credit
+FROM pos GROUP BY 1
+"""

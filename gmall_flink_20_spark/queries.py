@@ -2382,6 +2382,19 @@ def media_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_png(multimodal.encode_png(docs))
 
 
+def media_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF87a decode (operators/multimodal.encode_gif → decode_gif):
+    stdlib-only GIF — header/LSD/GCT parse, sub-block reassembly, and a
+    full GIF-LZW decoder (variable 9→12-bit codes, LSB-first packing,
+    CLEAR/EOI, the KwKwK case). The oracle recomputes width/height/
+    channel-sum in closed form from the media id, so a mis-parse of the
+    code-width schedule, palette, or block framing fails the hash gate.
+    Third rung of the real-codec tier (BMP/WAV → PNG → GIF); JPEG/MP4
+    stay gated on PIL/ffmpeg."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_gif(multimodal.encode_gif(docs))
+
+
 def docs_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup threshold tuning curve (operators/dedup.
     neardup_threshold_sweep): surviving pair and affected-doc counts per
@@ -2537,6 +2550,15 @@ def docs_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     before mixture design; gate compares integers (markers·10 ≥
     tokens), no float in the decision."""
     return text.code_detect_by_source(load_table(spark, sf_dir, "documents"))
+
+
+def events_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped 40/20/40 multi-touch attribution over a 1-day lookback
+    (operators/analytics.multitouch_attribution) — whole-journey credit
+    per channel beside events_asof_attribution's last-touch."""
+    from .operators import analytics
+
+    return analytics.multitouch_attribution(_events(spark, sf_dir))
 
 
 def orders_repeat_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2764,6 +2786,8 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_path_entropy": events_path_entropy,
     "docs_code_detect": docs_code_detect,
     "orders_repeat_screen": orders_repeat_screen,
+    "media_gif_roundtrip": media_gif_roundtrip,
+    "events_attribution_multitouch": events_attribution_multitouch,
 }
 
 # --- CORRECTNESS window (driver gates the FIRST 50 entries in dict
@@ -2790,6 +2814,8 @@ R7_NEW: list[str] = [
     "events_path_entropy",
     "docs_code_detect",
     "orders_repeat_screen",
+    "media_gif_roundtrip",
+    "events_attribution_multitouch",
 ]
 # latest driver row = round 3 (from CORRECTNESS_r0{1..6}.json), sorted;
 # 47 entries — with |R7_NEW| new ops only 50-|R7_NEW| fit this round

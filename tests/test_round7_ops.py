@@ -276,3 +276,42 @@ def test_repeat_screen_pairs_and_flags(spark):
     assert got[(2, 3)].same_amount == 0 and got[(2, 3)].near_amount == 1
     assert got[(1, 3)].same_amount == 0 and got[(1, 3)].near_amount == 1
     assert got[(1, 2)].gap_days == 2
+
+
+# ------------------------------------------------------ multitouch credit
+
+
+def test_multitouch_u_shape_weights(spark):
+    # one user, 4 touches then a purchase: view,click,view,click ->
+    # weights .4, .1, .1, .4 by position
+    rows = [
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "view"),
+        (1, 40, "click"), (1, 50, "purchase"),
+    ]
+    got = {r.touch_type: r
+           for r in analytics.multitouch_attribution(_events(spark, rows)).collect()}
+    assert got["view"].credit == pytest.approx(0.5, abs=1e-9)    # .4 + .1
+    assert got["click"].credit == pytest.approx(0.5, abs=1e-9)   # .1 + .4
+    assert got["view"].n_conversions == 1 and got["view"].n_touches == 2
+
+
+def test_multitouch_degenerate_counts(spark):
+    # single-touch journey -> weight 1.0; two-touch -> 0.5 each
+    rows = [
+        (1, 10, "click"), (1, 20, "purchase"),
+        (2, 10, "view"), (2, 15, "click"), (2, 20, "purchase"),
+    ]
+    got = {r.touch_type: r
+           for r in analytics.multitouch_attribution(_events(spark, rows)).collect()}
+    assert got["click"].credit == pytest.approx(1.5, abs=1e-9)  # 1.0 + 0.5
+    assert got["view"].credit == pytest.approx(0.5, abs=1e-9)
+    assert got["click"].n_conversions == 2
+
+
+def test_multitouch_lookback_excludes_stale_touches(spark):
+    rows = [
+        (1, 10, "view"),                 # 2 days before: outside 1d lookback
+        (1, 2 * 86400 + 10, "purchase"),
+    ]
+    got = analytics.multitouch_attribution(_events(spark, rows)).collect()
+    assert got == []

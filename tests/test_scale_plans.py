@@ -602,3 +602,11 @@ def test_round7_wave2_plans(spark, sf_dir):
     plan = plan_of(QUERIES["orders_repeat_screen"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_multitouch_equijoin_no_cartesian(spark, sf_dir):
+    # conversions x touches joins on user (J1 interval-join shape) with
+    # the lookback as a residual — never a cartesian; final agg is tiny
+    plan = plan_of(QUERIES["events_attribution_multitouch"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
