@@ -217,6 +217,7 @@ BENCH_QUERIES = [
     "orders_repeat_screen",
     "media_gif_roundtrip",
     "events_attribution_multitouch",
+    "docs_pii_redact",
 ]
 
 

@@ -1364,3 +1364,41 @@ def code_detect_by_source(
             + F.lit(0.0)
         ).alias("marker_density"),
     )
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PII redaction transform — the scrub step a training pipeline runs
+    after ``pii_stats`` finds exposure: emails → ``<EMAIL>``, dashed
+    phone numbers → ``<PHONE>`` (same ``cleaning.EMAIL_RE``/``PHONE_RE``
+    patterns the stats op counts, so the two ops agree on what counts as
+    a hit). Emits per document the redaction counts and an md5 of the
+    redacted text — the compact proof-of-transform (carrying full texts
+    through the gate would dominate the output; the hash pins every
+    byte of the result anyway).
+
+    Redaction order is fixed (emails first, then phones) so the
+    composition is deterministic even where patterns could overlap.
+
+    Scale shape: one scan, three row-local regexp ops + md5 — JVM
+    codegen end to end, no shuffle at all (the per-doc output keeps the
+    scan's partitioning).
+    """
+    from .cleaning import EMAIL_RE, PHONE_RE
+
+    emails = F.regexp_count(F.col(text_col), F.lit(EMAIL_RE)).cast("long")
+    phones = F.regexp_count(F.col(text_col), F.lit(PHONE_RE)).cast("long")
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>"),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return df.select(
+        F.col(id_col),
+        emails.alias("n_emails"),
+        phones.alias("n_phones"),
+        F.md5(redacted.cast("binary")).alias("redacted_md5"),
+    )

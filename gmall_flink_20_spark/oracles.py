@@ -4772,3 +4772,18 @@ SELECT touch_type,
                       ELSE 0.2 / CAST(n - 2 AS DOUBLE) END), 6) + 0.0 AS credit
 FROM pos GROUP BY 1
 """
+
+
+# PII redaction proof-of-transform (text.pii_redact): fixed order
+# (emails then phones), md5 of the redacted text pins every byte
+ORACLES["docs_pii_redact"] = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text,
+           '[0-9]{3}-[0-9]{3,4}-[0-9]{4}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '[0-9]{3}-[0-9]{3,4}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+FROM documents
+"""

@@ -2561,6 +2561,14 @@ def events_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame
     return analytics.multitouch_attribution(_events(spark, sf_dir))
 
 
+def docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub transform (operators/text.pii_redact): emails/phones →
+    placeholder tags, per-doc redaction counts + md5 of the redacted
+    text as the proof-of-transform (the same patterns docs_pii_stats
+    counts, so screen and scrub agree)."""
+    return text.pii_redact(load_table(spark, sf_dir, "documents"))
+
+
 def orders_repeat_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rapid repeat-order pairs by the same customer within 7 days with
     exact/near amount flags (operators/analytics.rapid_repeat_orders) —
@@ -2788,6 +2796,7 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_repeat_screen": orders_repeat_screen,
     "media_gif_roundtrip": media_gif_roundtrip,
     "events_attribution_multitouch": events_attribution_multitouch,
+    "docs_pii_redact": docs_pii_redact,
 }
 
 # --- CORRECTNESS window (driver gates the FIRST 50 entries in dict
@@ -2816,6 +2825,7 @@ R7_NEW: list[str] = [
     "orders_repeat_screen",
     "media_gif_roundtrip",
     "events_attribution_multitouch",
+    "docs_pii_redact",
 ]
 # latest driver row = round 3 (from CORRECTNESS_r0{1..6}.json), sorted;
 # 47 entries — with |R7_NEW| new ops only 50-|R7_NEW| fit this round

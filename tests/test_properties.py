@@ -6,6 +6,7 @@ from __future__ import annotations
 from collections import Counter
 from datetime import datetime, timezone
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -576,3 +577,111 @@ def test_changepoint_single_day_zero_stat(spark):
     )
     r = changepoint_cusum(df).collect()[0]
     assert r.n_days == 1 and r.cusum_stat == 0 and r.cusum_norm == 0.0
+
+
+# ------------------------------------------------------------- round 7
+
+TEXTS = st.lists(
+    st.text(alphabet="abcx .?!", min_size=1, max_size=40),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(TEXTS)
+def test_kl_divergence_nonnegative_property(spark, texts):
+    # Gibbs: smoothed KL over the realized event space is always >= 0
+    # (up to the round-6 contract), for any corpus shape
+    from gmall_flink_20_spark.operators import text as T
+
+    rows = [
+        (i, t, "en", f"s{i % 2}", len(t)) for i, t in enumerate(texts) if t.strip()
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = T.kl_divergence_by_source(df).collect()
+    assert all(r.kl_unigram >= -1e-6 for r in out)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=25))
+def test_survival_monotone_and_bounded(spark, durations):
+    # Kaplan-Meier is a product of factors in [0, 1]: the curve is
+    # non-increasing in day and stays within [0, 1]; n_risk is
+    # non-increasing too — for ANY duration multiset (all converters)
+    from gmall_flink_20_spark.operators import analytics as A
+
+    base = 1_700_000_000
+    rows = []
+    for i, d in enumerate(durations):
+        rows.append((i, 0, "view"))
+        rows.append((i, d * 86400 + 1, "purchase"))
+    df = spark.createDataFrame(
+        [(j, u, ts(t), et) for j, (u, t, et) in enumerate(rows)],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    out = sorted(A.survival_km(df).collect(), key=lambda r: r.day)
+    s_prev, n_prev = 1.0 + 1e-9, None
+    for r in out:
+        assert -1e-9 <= r.survival <= s_prev
+        if n_prev is not None:
+            assert r.n_risk <= n_prev
+        s_prev, n_prev = r.survival, r.n_risk
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(min_value=1, max_value=9), min_size=1, max_size=15))
+def test_ewma_between_window_min_and_max(spark, counts):
+    # a weighted mean of window counts can never leave [min, max] of the
+    # counts inside the window
+    from gmall_flink_20_spark.operators import analytics as A
+
+    rows = []
+    eid = 0
+    for d, n in enumerate(counts):
+        for _ in range(n):
+            rows.append((eid, 1, ts(d * 86400), "click"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {r.day: r for r in A.ewma_trend(df, last_days=100).collect()}
+    lo, hi = min(counts), max(counts)
+    for r in out.values():
+        assert lo - 1e-6 <= r.ewma <= hi + 1e-6
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.sampled_from(["view", "click", "purchase"]), min_size=2, max_size=30))
+def test_multitouch_credit_conservation(spark, seq):
+    # every conversion with >= 1 touch hands out EXACTLY 1.0 total
+    # credit: sum(credit) == n_conversions-with-touches, any sequence
+    from gmall_flink_20_spark.operators import analytics as A
+
+    rows = [(i, 1, ts(i * 60), et) for i, et in enumerate(seq)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = A.multitouch_attribution(df).collect()
+    total_credit = sum(r.credit for r in out)
+    # conversions that have at least one prior touch within lookback
+    n_conv = 0
+    for i, et in enumerate(seq):
+        if et == "purchase" and any(
+            e in ("view", "click") and j < i and (i - j) * 60 <= 86400
+            for j, e in enumerate(seq)
+        ):
+            n_conv += 1
+    assert total_credit == pytest.approx(n_conv, abs=1e-4)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.binary(min_size=0, max_size=3000))
+def test_gif_lzw_roundtrip_property(spark, data):
+    from gmall_flink_20_spark.operators import multimodal as M
+
+    assert M._gif_lzw_decode(M._gif_lzw_encode(data or b"\x00")) == (data or b"\x00")

@@ -315,3 +315,30 @@ def test_multitouch_lookback_excludes_stale_touches(spark):
     ]
     got = analytics.multitouch_attribution(_events(spark, rows)).collect()
     assert got == []
+
+
+# --------------------------------------------------------------- pii redact
+
+
+def test_pii_redact_scrubs_and_counts(spark):
+    import hashlib
+
+    rows = [
+        ("s1", "mail me at bob.smith+x@corp.io or call 415-555-0101 now"),
+        ("s1", "no pii here at all"),
+    ]
+    got = {r.doc_id: r for r in text.pii_redact(_docs(spark, rows)).collect()}
+    assert got[0].n_emails == 1 and got[0].n_phones == 1
+    exp0 = hashlib.md5(
+        b"mail me at <EMAIL> or call <PHONE> now"
+    ).hexdigest()
+    assert got[0].redacted_md5 == exp0
+    assert got[1].n_emails == 0 and got[1].n_phones == 0
+    exp1 = hashlib.md5(b"no pii here at all").hexdigest()
+    assert got[1].redacted_md5 == exp1
+
+
+def test_pii_redact_multiple_hits_global(spark):
+    rows = [("s1", "a@b.co c@d.org 212-555-1234 999-1234-5678")]
+    got = text.pii_redact(_docs(spark, rows)).collect()[0]
+    assert got.n_emails == 2 and got.n_phones == 2
