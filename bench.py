@@ -218,6 +218,7 @@ BENCH_QUERIES = [
     "media_gif_roundtrip",
     "events_attribution_multitouch",
     "docs_pii_redact",
+    "events_theta_overlap",
 ]
 
 

@@ -30,7 +30,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["approx_quantiles_checked", "cms_counts", "mg_heavy_hitters_checked"]
+__all__ = [
+    "approx_quantiles_checked",
+    "cms_counts",
+    "mg_heavy_hitters_checked",
+    "kmv_sketches",
+    "theta_overlap",
+]
 
 
 def approx_quantiles_checked(
@@ -222,4 +228,183 @@ def mg_heavy_hitters_checked(
             & (F.col("est") <= F.col("exact_cnt"))
             & ((F.col("exact_cnt") - F.col("est")) <= F.col("_total") / F.lit(float(kk + 1)))
         ).alias("mg_within_bound"),
+    )
+
+
+# ------------------------------------------------------------------ KMV/theta
+# Bottom-k ("KMV" / theta) distinct sketches with SET ALGEBRA — the one
+# distinct-count structure HLL cannot give you: because the sketch IS a
+# uniform sample of the hashed key space below a threshold theta, two
+# sketches intersect/union meaningfully, so |A ∩ B| and |A ∪ B| are
+# estimable from k-sized state per key. Fixed md5-derived hashes make
+# the whole estimator deterministic — like cms_counts it sits under the
+# EXACT value gate (the DuckDB oracle reproduces every estimate
+# bit-for-bit), not a weaker error-bound check.
+KMV_M = 16**15  # hash domain [0, M): 60-bit md5 prefix, same as minhash
+
+
+def _hash60(col: str) -> "F.Column":
+    """Deterministic 60-bit hash of a column (md5 prefix as bigint) —
+    the same base-hash construction the minhash pipeline uses, so both
+    engines evaluate it identically."""
+    return F.expr(
+        f"CAST(conv(substr(md5(CAST({col} AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    )
+
+
+def kmv_sketches(
+    d: DataFrame, k: int = 256, salt_buckets: int = 32
+) -> DataFrame:
+    """Per key of a distinct (key, uh) frame: the bottom-k sketch.
+
+    Emits (key, n_exact, theta, sketch) where theta is the k-th smallest
+    hash (or M when the key has fewer than k distinct hashes — exact
+    mode) and sketch is the sorted array of hashes strictly below theta
+    (k−1 values when saturated).
+
+    Scale shape: the k-min is TWO-PHASE so no task ever sorts a whole
+    key's distinct set — a local k-min per (key, hash-salt bucket)
+    window (each partition holds ~1/salt_buckets of the key's hashes),
+    then the global k-min over the ≤ salt_buckets·k survivors. The
+    per-key state is O(k) regardless of input size; n_exact is the
+    audit column a production job would drop.
+    """
+    from pyspark.sql import Window
+
+    n = d.groupBy("key").agg(F.count(F.lit(1)).alias("n_exact"))
+    w_loc = Window.partitionBy(
+        "key", F.pmod(F.col("uh"), F.lit(salt_buckets))
+    ).orderBy("uh")
+    local = d.withColumn("_rn", F.row_number().over(w_loc)).filter(
+        F.col("_rn") <= k
+    )
+    w_glob = Window.partitionBy("key").orderBy("uh")
+    kmin = (
+        local.drop("_rn")
+        .withColumn("_rn", F.row_number().over(w_glob))
+        .filter(F.col("_rn") <= k)
+    )
+    sk = kmin.groupBy("key").agg(F.sort_array(F.collect_list("uh")).alias("kmin"))
+    return (
+        sk.join(n, "key")
+        .select(
+            "key",
+            "n_exact",
+            F.when(F.size("kmin") < k, F.lit(KMV_M))
+            .otherwise(F.element_at("kmin", k))
+            .alias("theta"),
+            "kmin",
+        )
+        .select(
+            "key",
+            "n_exact",
+            "theta",
+            F.expr("filter(kmin, h -> h < theta)").alias("sketch"),
+        )
+    )
+
+
+def theta_overlap(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    k: int = 256,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Pairwise distinct-set overlap between key groups via theta-sketch
+    algebra: for each key pair (a < b), the estimated distinct-id counts
+    of each side, of the intersection, and of the union — plus the exact
+    audit columns the gate proves them against.
+
+    Estimator: with theta_ab = min(theta_a, theta_b), every sketch value
+    below theta_ab is a uniform sample of the key's id set at rate
+    theta_ab/M, so est = |below-theta values| · M / theta_ab, applied to
+    the per-key, intersected, and unioned value sets alike (the standard
+    theta-sketch set-operation rule). Deterministic given the fixed
+    hash: the oracle reproduces every double bit-for-bit.
+
+    Scale shape: ONE distinct shuffle on (key, hash) feeds everything
+    (persisted — it is read by the sketch pass, the count pass, and the
+    exact-intersection audit); sketches are O(k) per key, and the pair
+    expansion is |keys|² over k-sized arrays — constant-size work
+    however large the input. The exact-intersection join (on the hash,
+    bounded fan-out ≤ |keys| per hash) is the audit a production job
+    drops, same contract as cms_counts' exact side.
+    """
+    from ._cache import eager_persist
+
+    d = eager_persist(
+        df.select(
+            F.col(key_col).alias("key"), _hash60(id_col).alias("uh")
+        ).distinct()
+    )
+    # the sketch frame feeds BOTH sides of the pair join — persist it
+    # (|keys| rows of O(k) state, KB-scale) so the two window passes run
+    # once, not once per join side
+    s = eager_persist(kmv_sketches(d, k, salt_buckets))
+    exact = (
+        d.alias("x")
+        .join(d.alias("y"), "uh")
+        .filter(F.col("x.key") < F.col("y.key"))
+        .groupBy(
+            F.col("x.key").alias("key_a"), F.col("y.key").alias("key_b")
+        )
+        .agg(F.count(F.lit(1)).alias("_exact_inter"))
+    )
+    a = s.select(
+        F.col("key").alias("key_a"),
+        F.col("n_exact").alias("n_a"),
+        F.col("theta").alias("theta_a"),
+        F.col("sketch").alias("sk_a"),
+    )
+    b = s.select(
+        F.col("key").alias("key_b"),
+        F.col("n_exact").alias("n_b"),
+        F.col("theta").alias("theta_b"),
+        F.col("sketch").alias("sk_b"),
+    )
+    m_d = F.lit(float(KMV_M))
+    pairs = (
+        a.join(b, F.col("key_a") < F.col("key_b"))
+        .withColumn("theta_ab", F.least("theta_a", "theta_b"))
+        .withColumn("sa", F.expr("filter(sk_a, h -> h < theta_ab)"))
+        .withColumn("sb", F.expr("filter(sk_b, h -> h < theta_ab)"))
+    )
+    return (
+        pairs.select(
+            "key_a",
+            "key_b",
+            "n_a",
+            "n_b",
+            F.round(
+                F.size("sk_a").cast("double") * m_d / F.col("theta_a").cast("double"), 3
+            ).alias("est_a"),
+            F.round(
+                F.size("sk_b").cast("double") * m_d / F.col("theta_b").cast("double"), 3
+            ).alias("est_b"),
+            F.round(
+                F.size(F.array_intersect("sa", "sb")).cast("double")
+                * m_d
+                / F.col("theta_ab").cast("double"),
+                3,
+            ).alias("est_inter"),
+            F.round(
+                F.size(F.array_union("sa", "sb")).cast("double")
+                * m_d
+                / F.col("theta_ab").cast("double"),
+                3,
+            ).alias("est_union"),
+        )
+        .join(exact, ["key_a", "key_b"], "left")
+        .select(
+            "key_a",
+            "key_b",
+            "n_a",
+            "n_b",
+            "est_a",
+            "est_b",
+            "est_inter",
+            "est_union",
+            F.coalesce(F.col("_exact_inter"), F.lit(0)).cast("long").alias("exact_inter"),
+        )
     )

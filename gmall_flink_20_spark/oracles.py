@@ -4787,3 +4787,48 @@ SELECT doc_id,
            '[0-9]{3}-[0-9]{3,4}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
 FROM documents
 """
+
+
+# KMV/theta-sketch pairwise distinct-user overlap (sketches.theta_overlap):
+# fixed md5-prefix hashes make the estimator deterministic — the oracle
+# rebuilds the identical bottom-64 sketches and reproduces every double
+# bit-for-bit. M = 16^15 (the 60-bit hash domain).
+ORACLES["events_theta_overlap"] = r"""
+WITH d AS (
+  SELECT DISTINCT event_type AS key,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS uh
+  FROM events
+),
+n AS (SELECT key, count(*) AS n_exact FROM d GROUP BY 1),
+r AS (SELECT key, uh, row_number() OVER (PARTITION BY key ORDER BY uh) AS rn FROM d),
+sk AS (SELECT key, uh, rn FROM r WHERE rn <= 64),
+th AS (SELECT key,
+        CASE WHEN count(*) < 64 THEN 1152921504606846976
+             ELSE max(CASE WHEN rn = 64 THEN uh END) END AS theta
+       FROM sk GROUP BY key),
+s2 AS (SELECT sk.key, sk.uh FROM sk JOIN th ON sk.key = th.key WHERE sk.uh < th.theta),
+m AS (SELECT key, count(*) AS m FROM s2 GROUP BY key),
+k AS (SELECT th.key, th.theta, n.n_exact, coalesce(m.m, 0) AS m
+      FROM th JOIN n ON n.key = th.key LEFT JOIN m ON m.key = th.key),
+pair AS (SELECT a.key AS key_a, b.key AS key_b, a.n_exact AS n_a, b.n_exact AS n_b,
+                a.m AS m_a, b.m AS m_b, a.theta AS theta_a, b.theta AS theta_b,
+                least(a.theta, b.theta) AS theta_ab
+         FROM k a JOIN k b ON a.key < b.key),
+ov AS (SELECT p.key_a, p.key_b,
+         (SELECT count(*) FROM s2 x JOIN s2 y ON x.uh = y.uh
+            WHERE x.key = p.key_a AND y.key = p.key_b AND x.uh < p.theta_ab) AS c_inter,
+         (SELECT count(DISTINCT u.uh) FROM s2 u
+            WHERE u.key IN (p.key_a, p.key_b) AND u.uh < p.theta_ab) AS c_union
+       FROM pair p),
+ex AS (SELECT x.key AS key_a, y.key AS key_b, count(*) AS exact_inter
+       FROM d x JOIN d y ON x.uh = y.uh AND x.key < y.key GROUP BY 1, 2)
+SELECT p.key_a, p.key_b, p.n_a, p.n_b,
+       round(CAST(p.m_a AS DOUBLE) * 1152921504606846976 / CAST(p.theta_a AS DOUBLE), 3) + 0.0 AS est_a,
+       round(CAST(p.m_b AS DOUBLE) * 1152921504606846976 / CAST(p.theta_b AS DOUBLE), 3) + 0.0 AS est_b,
+       round(CAST(o.c_inter AS DOUBLE) * 1152921504606846976 / CAST(p.theta_ab AS DOUBLE), 3) + 0.0 AS est_inter,
+       round(CAST(o.c_union AS DOUBLE) * 1152921504606846976 / CAST(p.theta_ab AS DOUBLE), 3) + 0.0 AS est_union,
+       coalesce(e.exact_inter, 0) AS exact_inter
+FROM pair p
+JOIN ov o ON o.key_a = p.key_a AND o.key_b = p.key_b
+LEFT JOIN ex e ON e.key_a = p.key_a AND e.key_b = p.key_b
+"""

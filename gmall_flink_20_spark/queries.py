@@ -2569,6 +2569,21 @@ def docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.pii_redact(load_table(spark, sf_dir, "documents"))
 
 
+def events_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distinct-user overlap between event types via bottom-k
+    (KMV/theta) sketches with set algebra (operators/sketches.
+    theta_overlap) — the distinct structure HLL cannot intersect. k=64
+    saturates at sf>=0.01 (150 users/type) so the driver gates the real
+    estimation branch, while sf0.001 (15/type) gates exact mode. Fixed
+    md5 hashes make every estimate deterministic, so like
+    events_cms_counts this sits under the EXACT value gate with the
+    true counts emitted as audit columns."""
+    from .operators import sketches
+
+    ev = _events(spark, sf_dir).select("event_type", "user_id")
+    return sketches.theta_overlap(ev, "event_type", "user_id", k=64)
+
+
 def orders_repeat_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rapid repeat-order pairs by the same customer within 7 days with
     exact/near amount flags (operators/analytics.rapid_repeat_orders) —
@@ -2797,6 +2812,7 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_gif_roundtrip": media_gif_roundtrip,
     "events_attribution_multitouch": events_attribution_multitouch,
     "docs_pii_redact": docs_pii_redact,
+    "events_theta_overlap": events_theta_overlap,
 }
 
 # --- CORRECTNESS window (driver gates the FIRST 50 entries in dict
@@ -2826,6 +2842,7 @@ R7_NEW: list[str] = [
     "media_gif_roundtrip",
     "events_attribution_multitouch",
     "docs_pii_redact",
+    "events_theta_overlap",
 ]
 # latest driver row = round 3 (from CORRECTNESS_r0{1..6}.json), sorted;
 # 47 entries — with |R7_NEW| new ops only 50-|R7_NEW| fit this round

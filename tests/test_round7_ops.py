@@ -342,3 +342,63 @@ def test_pii_redact_multiple_hits_global(spark):
     rows = [("s1", "a@b.co c@d.org 212-555-1234 999-1234-5678")]
     got = text.pii_redact(_docs(spark, rows)).collect()[0]
     assert got.n_emails == 2 and got.n_phones == 2
+
+
+# --------------------------------------------------------------- theta sketch
+
+
+def _keyed(spark, rows):
+    return spark.createDataFrame(rows, "grp string, uid long")
+
+
+def test_theta_overlap_exact_mode_unsaturated(spark):
+    from gmall_flink_20_spark.operators import sketches
+
+    # |A|=4, |B|=3, A∩B={2,3} — k far above both => theta=M, every
+    # estimate collapses to the exact count
+    rows = [("a", u) for u in (1, 2, 3, 4)] + [("b", u) for u in (2, 3, 9)]
+    got = sketches.theta_overlap(_keyed(spark, rows), "grp", "uid", k=64).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.key_a, r.key_b) == ("a", "b")
+    assert (r.n_a, r.n_b, r.exact_inter) == (4, 3, 2)
+    assert (r.est_a, r.est_b) == (4.0, 3.0)
+    assert r.est_inter == 2.0 and r.est_union == 5.0
+
+
+def test_theta_overlap_saturated_within_bound(spark):
+    from gmall_flink_20_spark.operators import sketches
+
+    # 400 ids per key, 200 shared; k=32 saturates both sketches — the
+    # KMV error envelope is ~1/sqrt(k-1): accept 4 sigma on the per-key
+    # estimates and a loose band on the set-op estimates
+    a = [("a", u) for u in range(400)]
+    b = [("b", u) for u in range(200, 600)]
+    r = sketches.theta_overlap(_keyed(spark, a + b), "grp", "uid", k=32).collect()[0]
+    assert (r.n_a, r.n_b, r.exact_inter) == (400, 400, 200)
+    sigma = 1.0 / math.sqrt(31)
+    for est, exact in ((r.est_a, 400), (r.est_b, 400)):
+        assert abs(est - exact) / exact <= 4 * sigma
+    assert 0 < r.est_inter < 600 and r.est_union > max(r.est_a, r.est_b) - 1e-9
+    # inclusion-exclusion coherence at theta_ab: inter + union est use the
+    # same scale, so est_inter + est_union ~= est of multiset sum
+    assert r.est_inter <= r.est_union + 1e-9
+
+
+def test_theta_overlap_disjoint_sets(spark):
+    from gmall_flink_20_spark.operators import sketches
+
+    rows = [("a", u) for u in range(50)] + [("b", u + 1000) for u in range(50)]
+    r = sketches.theta_overlap(_keyed(spark, rows), "grp", "uid", k=64).collect()[0]
+    assert r.exact_inter == 0 and r.est_inter == 0.0
+    assert r.est_union == 100.0  # unsaturated => exact
+
+
+def test_theta_overlap_pair_count_and_determinism(spark):
+    from gmall_flink_20_spark.operators import sketches
+
+    rows = [(g, u) for g in "abcd" for u in range(10)]
+    df = _keyed(spark, rows)
+    got1 = sorted(map(tuple, sketches.theta_overlap(df, "grp", "uid", k=8).collect()))
+    got2 = sorted(map(tuple, sketches.theta_overlap(df, "grp", "uid", k=8).collect()))
+    assert len(got1) == 6 and got1 == got2

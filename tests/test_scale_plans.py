@@ -610,3 +610,25 @@ def test_multitouch_equijoin_no_cartesian(spark, sf_dir):
     plan = plan_of(QUERIES["events_attribution_multitouch"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_theta_overlap_sketch_path_bounded(spark, sf_dir):
+    # KMV overlap: no Python anywhere; the k-min is two windows (local
+    # salted + global) so no task sorts a whole key's distinct set; the
+    # pair expansion joins two k-sized aggregated frames (broadcast-able)
+    import re
+
+    plan = plan_of(QUERIES["events_theta_overlap"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # formatted explain re-expands cached lineage under each
+    # InMemoryTableScan, so count UNIQUE window specs, not nodes: the
+    # local salted k-min (partition key includes the pmod bucket) and
+    # the global k-min — nothing else windows, i.e. no global sort
+    specs = set(
+        re.findall(r"\(\d+\) Window\n(?:.*\n)*?Arguments: (\[.*?\])\n", plan)
+    )
+    assert len(specs) == 2
+    assert sum("windowspecdefinition(key" in s for s in specs) == 2
+    assert "pmod" in plan  # the salt bucket reached the local window key
+    # heavy distinct + sketch frames are read from cache, not recomputed
+    assert "InMemoryTableScan" in plan
