@@ -219,6 +219,7 @@ BENCH_QUERIES = [
     "events_attribution_multitouch",
     "docs_pii_redact",
     "events_theta_overlap",
+    "docs_source_minhash_sim",
 ]
 
 

@@ -45,6 +45,7 @@ def minhash_perm_consts(num_hashes: int) -> list[tuple[int, int]]:
     return out
 
 __all__ = [
+    "source_minhash_sim",
     "neardup_threshold_sweep",
     "dup_provenance",
     "dedup_savings",
@@ -1105,4 +1106,63 @@ def neardup_threshold_sweep(
             "n_pairs",
             "n_docs",
         )
+    )
+
+
+def source_minhash_sim(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 64,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Corpus-level similarity matrix between SOURCES via one MinHash
+    signature per source: sig_src[s] = min over the source's distinct
+    shingle set of permutation s — so component-match rate estimates the
+    shingle-set Jaccard between whole sub-corpora. The sketch-rate
+    complement to text.cross_source_contamination's exact 5-gram overlap
+    matrix: that one pays a gram-key equi-join; this one needs NO
+    pairwise join over data at all — the single shuffle carries
+    (source, shingle-hash) pairs and collapses them into |sources|
+    signatures of O(num_hashes) state, then the |sources|² pair
+    expansion runs on a KB-scale frame.
+
+    Deterministic (same md5-derived permutations as the doc-level
+    minhash pipeline, dedup.py:39), so the estimates sit under the
+    exact value gate. Emits (source_a, source_b, sig_matches,
+    est_jaccard).
+    """
+    rows = shingle_rows_from_text(df, n, text_col, id_col=source_col)
+    base = rows.select(
+        F.col(source_col),
+        F.expr(
+            f"CAST(conv(substr(md5(shingle), 1, 15), 16, 10) AS BIGINT) % {MINHASH_P}"
+        ).alias("b0"),
+    ).distinct()
+    consts = minhash_perm_consts(num_hashes)
+    hash_cols = [
+        ((F.lit(a) * F.col("b0") + F.lit(c)) % MINHASH_P).alias(f"h{s}")
+        for s, (a, c) in enumerate(consts)
+    ]
+    # the signature frame feeds BOTH sides of the pair join — persist the
+    # |sources| rows so the corpus scan + shuffle run once, not per side
+    sig = eager_persist(
+        base.select(F.col(source_col), *hash_cols)
+        .groupBy(source_col)
+        .agg(*[F.min(f"h{s}").alias(f"m{s}") for s in range(num_hashes)])
+        .select(
+            F.col(source_col),
+            F.array(*[F.col(f"m{s}") for s in range(num_hashes)]).alias("sig"),
+        )
+    )
+    a = sig.select(F.col(source_col).alias("source_a"), F.col("sig").alias("sig_a"))
+    b = sig.select(F.col(source_col).alias("source_b"), F.col("sig").alias("sig_b"))
+    matches = F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
+    return a.join(b, F.col("source_a") < F.col("source_b")).select(
+        "source_a",
+        "source_b",
+        matches.cast("long").alias("sig_matches"),
+        F.round(matches.cast("double") / F.lit(float(num_hashes)), 6).alias(
+            "est_jaccard"
+        ),
     )

@@ -4832,3 +4832,32 @@ FROM pair p
 JOIN ov o ON o.key_a = p.key_a AND o.key_b = p.key_b
 LEFT JOIN ex e ON e.key_a = p.key_a AND e.key_b = p.key_b
 """
+
+
+# corpus-level per-source MinHash similarity (dedup.source_minhash_sim):
+# 64 of the same md5-derived affine permutations over the per-source
+# distinct shingle-hash set — deterministic, exact value gate
+_PERMS64 = ", ".join(
+    f"({s}, {a}, {c})" for s, (a, c) in enumerate(minhash_perm_consts(64))
+)
+ORACLES["docs_source_minhash_sim"] = f"""
+WITH sh AS (
+    SELECT DISTINCT source,
+           (CAST(concat('0x', substr(md5(array_to_string(t[i : i + 2], ' ')), 1, 15)) AS BIGINT) % {MINHASH_P}) AS b0
+    FROM (
+        SELECT source, t, unnest(range(1, len(t) - 1)) AS i
+        FROM (SELECT source, string_split_regex(trim(text), '\\s+') AS t FROM documents)
+        WHERE len(t) >= 3
+    )
+),
+sig AS (
+    SELECT source, g.seed, min((g.a * b0 + g.c) % {MINHASH_P}) AS mh
+    FROM sh, (VALUES {{perms}}) AS g(seed, a, c)
+    GROUP BY source, g.seed
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS sig_matches,
+       round(CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE) / 64.0, 6) + 0.0 AS est_jaccard
+FROM sig a JOIN sig b ON a.seed = b.seed AND a.source < b.source
+GROUP BY 1, 2
+""".replace("{perms}", _PERMS64)

@@ -2584,6 +2584,18 @@ def events_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.theta_overlap(ev, "event_type", "user_id", k=64)
 
 
+def docs_source_minhash_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level MinHash similarity matrix between sources
+    (operators/dedup.source_minhash_sim): one 64-permutation signature
+    per source estimates pairwise shingle-set Jaccard with NO pairwise
+    data join — the sketch-rate complement to the exact
+    docs_cross_source_contamination matrix. Deterministic permutations
+    => exact value gate."""
+    from .operators import dedup
+
+    return dedup.source_minhash_sim(load_table(spark, sf_dir, "documents"))
+
+
 def orders_repeat_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rapid repeat-order pairs by the same customer within 7 days with
     exact/near amount flags (operators/analytics.rapid_repeat_orders) —
@@ -2813,6 +2825,7 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_attribution_multitouch": events_attribution_multitouch,
     "docs_pii_redact": docs_pii_redact,
     "events_theta_overlap": events_theta_overlap,
+    "docs_source_minhash_sim": docs_source_minhash_sim,
 }
 
 # --- CORRECTNESS window (driver gates the FIRST 50 entries in dict
@@ -2843,6 +2856,7 @@ R7_NEW: list[str] = [
     "events_attribution_multitouch",
     "docs_pii_redact",
     "events_theta_overlap",
+    "docs_source_minhash_sim",
 ]
 # latest driver row = round 3 (from CORRECTNESS_r0{1..6}.json), sorted;
 # 47 entries — with |R7_NEW| new ops only 50-|R7_NEW| fit this round

@@ -402,3 +402,54 @@ def test_theta_overlap_pair_count_and_determinism(spark):
     got1 = sorted(map(tuple, sketches.theta_overlap(df, "grp", "uid", k=8).collect()))
     got2 = sorted(map(tuple, sketches.theta_overlap(df, "grp", "uid", k=8).collect()))
     assert len(got1) == 6 and got1 == got2
+
+
+# ------------------------------------------------------- source minhash sim
+
+
+def _src_docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, (s, t) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_source_minhash_identical_sources_full_match(spark):
+    from gmall_flink_20_spark.operators import dedup
+
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    r = dedup.source_minhash_sim(
+        _src_docs(spark, [("a", t), ("b", t)])
+    ).collect()[0]
+    assert (r.source_a, r.source_b) == ("a", "b")
+    assert r.sig_matches == 64 and r.est_jaccard == 1.0
+
+
+def test_source_minhash_disjoint_near_zero(spark):
+    from gmall_flink_20_spark.operators import dedup
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = "one two three four five six seven eight nine ten eleven"
+    r = dedup.source_minhash_sim(_src_docs(spark, [("a", a), ("b", b)])).collect()[0]
+    assert r.est_jaccard <= 0.1
+
+
+def test_source_minhash_partial_overlap_in_band(spark):
+    from gmall_flink_20_spark.operators import dedup
+
+    # shared middle chunk: true shingle-set Jaccard sits mid-range; the
+    # 64-perm estimate must land within a generous 4-sigma band
+    shared = " ".join(f"common{i}" for i in range(30))
+    a = " ".join(f"aonly{i}" for i in range(15)) + " " + shared
+    b = shared + " " + " ".join(f"bonly{i}" for i in range(15))
+    r = dedup.source_minhash_sim(_src_docs(spark, [("a", a), ("b", b)])).collect()[0]
+    assert 0.1 <= r.est_jaccard <= 0.9
+
+
+def test_source_minhash_pair_shape(spark):
+    from gmall_flink_20_spark.operators import dedup
+
+    rows = [(f"s{i}", f"text body number {i} with words {i} more {i}") for i in range(4)]
+    got = dedup.source_minhash_sim(_src_docs(spark, rows)).collect()
+    assert len(got) == 6
+    assert all(r.source_a < r.source_b for r in got)

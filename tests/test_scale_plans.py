@@ -632,3 +632,15 @@ def test_theta_overlap_sketch_path_bounded(spark, sf_dir):
     assert "pmod" in plan  # the salt bucket reached the local window key
     # heavy distinct + sketch frames are read from cache, not recomputed
     assert "InMemoryTableScan" in plan
+
+
+def test_source_minhash_no_pairwise_data_join(spark, sf_dir):
+    # the ONLY join is the |sources|^2 pair expansion over the two
+    # aggregated signature frames — no gram-key equi-join over data, no
+    # Python; one scan of documents feeds the single shuffle
+    import re
+
+    plan = plan_of(QUERIES["docs_source_minhash_sim"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert len(re.findall(r"\n\(\d+\) [A-Za-z]*Join", plan)) == 1
+    assert plan.count("Location: InMemoryFileIndex") == 1
