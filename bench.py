@@ -220,6 +220,7 @@ BENCH_QUERIES = [
     "docs_pii_redact",
     "events_theta_overlap",
     "docs_source_minhash_sim",
+    "events_markov_stationary",
 ]
 
 

@@ -2255,3 +2255,96 @@ def multitouch_attribution(
             (F.round(F.sum("wgt"), 6) + F.lit(0.0)).alias("credit"),
         )
     )
+
+
+def markov_stationary(
+    events: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    iters: int = 60,
+) -> DataFrame:
+    """Stationary distribution of the first-order Markov chain over
+    per-key event sequences — the long-run state mix the transition
+    matrix converges to, i.e. "where does user behavior spend its time
+    asymptotically" (the chain-level complement to transition_matrix's
+    one-step view and pagerank's graph view).
+
+    Method: power iteration on the LAZY chain M = ½I + ½P from the
+    uniform start, a fixed ``iters`` steps. The lazy step preserves the
+    stationary distribution while guaranteeing aperiodicity, so the
+    iteration converges even for periodic chains (e.g. two states
+    flipping deterministically) where plain power iteration oscillates
+    forever. States are restricted to those with at least one OUTGOING
+    transition (rows renormalized over that set), which keeps P
+    row-stochastic without dangling-mass bookkeeping; a state whose
+    every target fell outside the kept set becomes absorbing (full
+    self-loop). Both rules are part of the contract and tested.
+
+    Scale shape: the distributed work is exactly transition_matrix's —
+    one lead() window per key partition, then a collapse to |states|²
+    pair counts. The iteration itself runs driver-side on that KB-scale
+    matrix (the standard MLlib small-artifact pattern: |states| is the
+    event vocabulary, bounded by schema not by data). Emits per state
+    the exact outgoing-transition count and the stationary probability
+    (rounded to 6 — both engines' fixed-``iters`` values agree to
+    ~1e-14, far inside the rounding).
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.unix_micros(F.col(ts_col)), F.col(tiebreak_col)
+    )
+    pairs = (
+        events.select(
+            F.col(key_col),
+            F.col(state_col).alias("from_state"),
+            F.col(ts_col),
+            F.col(tiebreak_col),
+        )
+        .withColumn("to_state", F.lead("from_state").over(w))
+        .filter(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rows = pairs.collect()  # |states|² KB-scale artifact
+    spark = events.sparkSession
+    if not rows:
+        return spark.createDataFrame(
+            [], "state string, n_out long, stationary_prob double"
+        )
+    states = sorted({r.from_state for r in rows})
+    sset = set(states)
+    # row-renormalized P over the outgoing-state set
+    cnt: dict[tuple[str, str], int] = {}
+    n_out: dict[str, int] = {s: 0 for s in states}
+    for r in rows:
+        if r.to_state in sset:
+            cnt[(r.from_state, r.to_state)] = cnt.get((r.from_state, r.to_state), 0) + r.cnt
+            n_out[r.from_state] += r.cnt
+    # lazy-chain weights, only the nonzero entries (mirrors the oracle's
+    # m rows so both engines sum the same terms)
+    m: dict[tuple[str, str], float] = {}
+    for (i, j), c in cnt.items():
+        if i != j:
+            m[(i, j)] = 0.5 * (float(c) / float(n_out[i]))
+    for s in states:
+        c = cnt.get((s, s), 0)
+        # a state whose every raw target fell outside the kept set keeps
+        # no outgoing rows: treat it as absorbing (full self-loop) so the
+        # row stays stochastic and no mass leaks
+        frac = (float(c) / float(n_out[s])) if n_out[s] else 1.0
+        m[(s, s)] = 0.5 + 0.5 * frac
+    p = {s: 1.0 / float(len(states)) for s in states}
+    for _ in range(iters):
+        nxt = {s: 0.0 for s in states}
+        for i in states:
+            pi = p[i]
+            for j in states:
+                wij = m.get((i, j))
+                if wij is not None:
+                    nxt[j] += pi * wij
+        p = nxt
+    return spark.createDataFrame(
+        [(s, int(n_out[s]), round(p[s], 6) + 0.0) for s in states],
+        "state string, n_out long, stationary_prob double",
+    )

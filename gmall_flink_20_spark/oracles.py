@@ -4861,3 +4861,56 @@ SELECT a.source AS source_a, b.source AS source_b,
 FROM sig a JOIN sig b ON a.seed = b.seed AND a.source < b.source
 GROUP BY 1, 2
 """.replace("{perms}", _PERMS64)
+
+
+# Markov stationary distribution (analytics.markov_stationary): the
+# 60-step lazy-chain power iteration unrolled as it0..it60 CTEs — both
+# engines run the identical fixed-step arithmetic, so round(,6) gates it
+def _markov_stationary_sql(iters: int = 60) -> str:
+    # every CTE is MATERIALIZED: the iteration chain references each
+    # predecessor once and m ``iters`` times — without materialization
+    # DuckDB inlines the whole upstream DAG per reference (exponential
+    # planning past ~12 iterations)
+    its = ["it0 AS MATERIALIZED (SELECT s, 1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM fromset) AS p FROM fromset)"]
+    for t in range(1, iters + 1):
+        its.append(
+            f"it{t} AS MATERIALIZED (SELECT m.to_state AS s, sum(it{t-1}.p * m.w) AS p "
+            f"FROM it{t-1} JOIN m ON m.from_state = it{t-1}.s GROUP BY 1)"
+        )
+    return f"""
+WITH seq AS (
+    SELECT event_type AS from_state,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS to_state
+    FROM events
+),
+rawp AS (
+    SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS cnt
+    FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2
+),
+fromset AS MATERIALIZED (SELECT DISTINCT from_state AS s FROM rawp),
+kept AS MATERIALIZED (SELECT r.* FROM rawp r JOIN fromset f ON r.to_state = f.s),
+tot AS (SELECT from_state, CAST(sum(cnt) AS BIGINT) AS n_out FROM kept GROUP BY 1),
+nout AS MATERIALIZED (SELECT f.s, coalesce(t.n_out, 0) AS n_out
+         FROM fromset f LEFT JOIN tot t ON t.from_state = f.s),
+m AS MATERIALIZED (
+    SELECT k.from_state, k.to_state,
+           0.5 * (CAST(k.cnt AS DOUBLE) / CAST(t.n_out AS DOUBLE)) AS w
+    FROM kept k JOIN tot t ON t.from_state = k.from_state
+    WHERE k.from_state <> k.to_state
+    UNION ALL
+    SELECT n.s, n.s,
+           0.5 + 0.5 * (CASE WHEN n.n_out = 0 THEN 1.0
+                        ELSE coalesce((SELECT CAST(k2.cnt AS DOUBLE)
+                                       FROM kept k2
+                                       WHERE k2.from_state = n.s AND k2.to_state = n.s), 0.0)
+                             / CAST(n.n_out AS DOUBLE) END) AS w
+    FROM nout n
+),
+{", ".join(its)}
+SELECT n.s AS state, n.n_out, round(i.p, 6) + 0.0 AS stationary_prob
+FROM it{iters} i JOIN nout n ON n.s = i.s
+"""
+
+
+ORACLES["events_markov_stationary"] = _markov_stationary_sql()

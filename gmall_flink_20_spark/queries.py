@@ -2596,6 +2596,18 @@ def docs_source_minhash_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.source_minhash_sim(load_table(spark, sf_dir, "documents"))
 
 
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-run stationary state mix of the behavior Markov chain
+    (operators/analytics.markov_stationary): lazy-chain power iteration
+    (fixed 60 steps) on the |states|^2 transition matrix collected as a
+    KB driver artifact — the chain-level complement to
+    events_transition_matrix. Distributed work is the same single lead()
+    window + pair collapse."""
+    from .operators import analytics
+
+    return analytics.markov_stationary(_events(spark, sf_dir))
+
+
 def orders_repeat_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rapid repeat-order pairs by the same customer within 7 days with
     exact/near amount flags (operators/analytics.rapid_repeat_orders) —
@@ -2826,6 +2838,7 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_pii_redact": docs_pii_redact,
     "events_theta_overlap": events_theta_overlap,
     "docs_source_minhash_sim": docs_source_minhash_sim,
+    "events_markov_stationary": events_markov_stationary,
 }
 
 # --- CORRECTNESS window (driver gates the FIRST 50 entries in dict
@@ -2857,6 +2870,7 @@ R7_NEW: list[str] = [
     "docs_pii_redact",
     "events_theta_overlap",
     "docs_source_minhash_sim",
+    "events_markov_stationary",
 ]
 # latest driver row = round 3 (from CORRECTNESS_r0{1..6}.json), sorted;
 # 47 entries — with |R7_NEW| new ops only 50-|R7_NEW| fit this round

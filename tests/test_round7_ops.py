@@ -453,3 +453,64 @@ def test_source_minhash_pair_shape(spark):
     got = dedup.source_minhash_sim(_src_docs(spark, rows)).collect()
     assert len(got) == 6
     assert all(r.source_a < r.source_b for r in got)
+
+
+# ---------------------------------------------------------- markov stationary
+
+
+def test_markov_stationary_periodic_chain_converges(spark):
+    # deterministic a<->b flip: plain power iteration oscillates forever;
+    # the lazy chain converges to the true stationary (0.5, 0.5)
+    rows = [(1, t, "a" if t % 2 else "b") for t in range(1, 41)]
+    got = {r.state: r for r in analytics.markov_stationary(_events(spark, rows)).collect()}
+    assert got["a"].stationary_prob == pytest.approx(0.5, abs=1e-6)
+    assert got["b"].stationary_prob == pytest.approx(0.5, abs=1e-6)
+
+
+def test_markov_stationary_biased_chain(spark):
+    # P = [[3/4, 1/4], [1/2, 1/2]] => pi = (2/3, 1/3)
+    seq = (
+        ["a", "a", "a", "a", "b", "b", "a", "a", "a", "a", "b", "b"] * 6
+    )  # empirical counts: a->a 3x per a->b, b->a 1x per b->b
+    rows = [(1, t + 1, s) for t, s in enumerate(seq)]
+    got = {r.state: r for r in analytics.markov_stationary(_events(spark, rows)).collect()}
+    # exact pi from the EMPIRICAL matrix: solve with the observed counts
+    import numpy as np
+
+    cnt = {}
+    for x, y in zip(seq, seq[1:]):
+        cnt[(x, y)] = cnt.get((x, y), 0) + 1
+    P = np.array(
+        [
+            [cnt.get(("a", "a"), 0), cnt.get(("a", "b"), 0)],
+            [cnt.get(("b", "a"), 0), cnt.get(("b", "b"), 0)],
+        ],
+        dtype=float,
+    )
+    P /= P.sum(axis=1, keepdims=True)
+    w, v = np.linalg.eig(P.T)
+    pi = np.real(v[:, np.argmax(np.real(w))])
+    pi /= pi.sum()
+    assert got["a"].stationary_prob == pytest.approx(pi[0], abs=1e-4)
+    assert got["b"].stationary_prob == pytest.approx(pi[1], abs=1e-4)
+    assert got["a"].n_out + got["b"].n_out == len(seq) - 1
+
+
+def test_markov_stationary_absorbing_restriction(spark):
+    # 'end' never emits, so b loses its only kept target and becomes
+    # absorbing: all mass drains a -> b
+    rows = []
+    for u in range(5):
+        rows += [(u, 1, "a"), (u, 2, "b"), (u, 3, "end")]
+    # 'end' appears as from_state never (it is each user's last event)
+    got = {r.state: r for r in analytics.markov_stationary(_events(spark, rows)).collect()}
+    assert set(got) == {"a", "b"}
+    assert got["b"].stationary_prob == pytest.approx(1.0, abs=1e-6)
+    assert got["a"].stationary_prob == pytest.approx(0.0, abs=1e-6)
+    assert got["b"].n_out == 0  # its only raw target was dropped
+
+
+def test_markov_stationary_sums_to_one(spark):
+    rows = [(u, t, s) for u in range(3) for t, s in enumerate(["x", "y", "z", "x", "y"])]
+    got = analytics.markov_stationary(_events(spark, rows)).collect()
+    assert sum(r.stationary_prob for r in got) == pytest.approx(1.0, abs=1e-5)
