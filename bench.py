@@ -221,6 +221,8 @@ BENCH_QUERIES = [
     "events_theta_overlap",
     "docs_source_minhash_sim",
     "events_markov_stationary",
+    "parts_skyline",
+    "events_scd2_intervals",
 ]
 
 

@@ -4914,3 +4914,51 @@ FROM it{iters} i JOIN nout n ON n.s = i.s
 
 
 ORACLES["events_markov_stationary"] = _markov_stationary_sql()
+
+
+# 2-D dominance skyline (analytics.skyline2d): the oracle can afford the
+# quadratic NOT EXISTS over the collapsed distinct points
+ORACLES["parts_skyline"] = """
+WITH pts AS (
+    SELECT p_retailprice AS x, CAST(p_size AS BIGINT) AS y,
+           CAST(count(*) AS BIGINT) AS n_parts, min(p_partkey) AS min_partkey
+    FROM part GROUP BY 1, 2
+)
+SELECT a.x AS p_retailprice, a.y AS p_size, a.n_parts, a.min_partkey
+FROM pts a
+WHERE NOT EXISTS (
+    SELECT 1 FROM pts b
+    WHERE b.x <= a.x AND b.y <= a.y AND (b.x < a.x OR b.y < a.y)
+)
+"""
+
+
+# SCD2 validity intervals (analytics.scd2_intervals): gaps-and-islands
+# with the shared (epoch_us, event_id) ordering contract
+ORACLES["events_scd2_intervals"] = """
+WITH flagged AS (
+    SELECT user_id, event_type AS state, epoch_us(ts) AS us, event_id,
+           CASE WHEN lag(event_type) OVER w IS NULL
+                  OR lag(event_type) OVER w <> event_type
+                THEN 1 ELSE 0 END AS chg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+islands AS (
+    SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+    FROM flagged
+),
+iv AS (
+    SELECT user_id, island, state,
+           min(us) AS valid_from_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM islands GROUP BY 1, 2, 3
+)
+SELECT user_id, state, valid_from_us,
+       lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us) AS valid_to_us,
+       n_events,
+       lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us) IS NULL AS is_current
+FROM iv
+"""

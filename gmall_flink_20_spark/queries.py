@@ -2608,6 +2608,34 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.markov_stationary(_events(spark, sf_dir))
 
 
+def parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominance skyline of the part catalog (operators/analytics.
+    skyline2d): the Pareto frontier minimizing (p_retailprice, p_size)
+    — no point is both cheaper and smaller. Decided with no pairwise
+    self-join: distinct-point collapse + a range-partitioned prefix-min,
+    the same two-phase shape as range_partitioned_rank."""
+    from .operators import analytics
+
+    p = load_table(spark, sf_dir, "part")
+    return analytics.skyline2d(p, "p_retailprice", "p_size", "p_partkey").select(
+        F.col("x").alias("p_retailprice"),
+        F.col("y").cast("long").alias("p_size"),
+        F.col("n_rows").alias("n_parts"),
+        F.col("min_id").alias("min_partkey"),
+    )
+
+
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD validity intervals of each user's event-type state
+    (operators/analytics.scd2_intervals): gaps-and-islands collapse of
+    consecutive same-state events, each interval closed by the next
+    change, the last left open (is_current) — history queryable AS OF
+    any time, all under one key-partition exchange."""
+    from .operators import analytics
+
+    return analytics.scd2_intervals(_events(spark, sf_dir))
+
+
 def orders_repeat_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rapid repeat-order pairs by the same customer within 7 days with
     exact/near amount flags (operators/analytics.rapid_repeat_orders) —
@@ -2839,6 +2867,8 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_theta_overlap": events_theta_overlap,
     "docs_source_minhash_sim": docs_source_minhash_sim,
     "events_markov_stationary": events_markov_stationary,
+    "parts_skyline": parts_skyline,
+    "events_scd2_intervals": events_scd2_intervals,
 }
 
 # --- CORRECTNESS window (driver gates the FIRST 50 entries in dict
@@ -2871,6 +2901,8 @@ R7_NEW: list[str] = [
     "events_theta_overlap",
     "docs_source_minhash_sim",
     "events_markov_stationary",
+    "parts_skyline",
+    "events_scd2_intervals",
 ]
 # latest driver row = round 3 (from CORRECTNESS_r0{1..6}.json), sorted;
 # 47 entries — with |R7_NEW| new ops only 50-|R7_NEW| fit this round

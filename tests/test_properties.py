@@ -685,3 +685,28 @@ def test_gif_lzw_roundtrip_property(spark, data):
     from gmall_flink_20_spark.operators import multimodal as M
 
     assert M._gif_lzw_decode(M._gif_lzw_encode(data or b"\x00")) == (data or b"\x00")
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)), min_size=1, max_size=20
+    )
+)
+def test_skyline_matches_bruteforce(spark, pts):
+    from gmall_flink_20_spark.operators import analytics as A
+
+    df = spark.createDataFrame(
+        [(i, float(x), int(y)) for i, (x, y) in enumerate(pts)],
+        "pid long, x double, y long",
+    )
+    got = sorted((r.x, r.y) for r in A.skyline2d(df, "x", "y", "pid").collect())
+    uniq = set((float(x), y) for x, y in pts)
+    exp = sorted(
+        p
+        for p in uniq
+        if not any(
+            q[0] <= p[0] and q[1] <= p[1] and q != p for q in uniq
+        )
+    )
+    assert got == exp

@@ -514,3 +514,76 @@ def test_markov_stationary_sums_to_one(spark):
     rows = [(u, t, s) for u in range(3) for t, s in enumerate(["x", "y", "z", "x", "y"])]
     got = analytics.markov_stationary(_events(spark, rows)).collect()
     assert sum(r.stationary_prob for r in got) == pytest.approx(1.0, abs=1e-5)
+
+
+# ----------------------------------------------------------------- skyline
+
+
+def _pts(spark, rows):
+    return spark.createDataFrame(
+        [(i, float(x), int(y)) for i, (x, y) in enumerate(rows)],
+        "pid long, x double, y long",
+    )
+
+
+def test_skyline_basic_frontier(spark):
+    rows = [(1, 5), (2, 3), (3, 1), (2, 6), (3, 3)]
+    got = sorted(
+        (r.x, r.y) for r in analytics.skyline2d(_pts(spark, rows), "x", "y", "pid").collect()
+    )
+    assert got == [(1.0, 1), (2.0, 3)] or got == [(1.0, 5), (2.0, 3), (3.0, 1)]
+    # disambiguate: (1,5),(2,3),(3,1) are mutually non-dominated
+    assert got == [(1.0, 5), (2.0, 3), (3.0, 1)]
+
+
+def test_skyline_equal_coordinate_ties(spark):
+    # (1,4) dominates (1,5) (equal x, smaller y); duplicates of the
+    # surviving point collapse with n_rows
+    rows = [(1, 5), (1, 4), (1, 4)]
+    got = analytics.skyline2d(_pts(spark, rows), "x", "y", "pid").collect()
+    assert len(got) == 1
+    assert (got[0].x, got[0].y, got[0].n_rows) == (1.0, 4, 2)
+    assert got[0].min_id == 1
+
+
+def test_skyline_single_point(spark):
+    got = analytics.skyline2d(_pts(spark, [(7, 7)]), "x", "y", "pid").collect()
+    assert len(got) == 1 and (got[0].x, got[0].y) == (7.0, 7)
+
+
+# --------------------------------------------------------------- scd2
+
+
+def test_scd2_islands_collapse_and_chain(spark):
+    rows = [(1, 10, "a"), (1, 20, "a"), (1, 30, "b"), (1, 40, "a")]
+    got = sorted(
+        analytics.scd2_intervals(_events(spark, rows)).collect(),
+        key=lambda r: r.valid_from_us,
+    )
+    assert [(r.state, r.n_events) for r in got] == [("a", 2), ("b", 1), ("a", 1)]
+    assert got[0].valid_to_us == got[1].valid_from_us
+    assert got[1].valid_to_us == got[2].valid_from_us
+    assert got[2].valid_to_us is None and got[2].is_current
+    assert not got[0].is_current and not got[1].is_current
+    assert got[0].valid_from_us == 10_000_000
+
+
+def test_scd2_tiebreak_on_equal_ts(spark):
+    # two events at the same timestamp order by event_id: a(id0) then
+    # b(id1) => two intervals, not one
+    rows = [(1, 10, "a"), (1, 10, "b")]
+    got = sorted(
+        analytics.scd2_intervals(_events(spark, rows)).collect(),
+        key=lambda r: (r.valid_from_us, r.state),
+    )
+    assert [(r.state, r.is_current) for r in got] == [("a", False), ("b", True)]
+
+
+def test_scd2_per_key_independent(spark):
+    rows = [(1, 10, "a"), (2, 10, "b"), (1, 20, "b"), (2, 20, "b")]
+    got = analytics.scd2_intervals(_events(spark, rows)).collect()
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert len(by_user[1]) == 2 and len(by_user[2]) == 1
+    assert by_user[2][0].n_events == 2

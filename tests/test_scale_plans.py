@@ -644,3 +644,28 @@ def test_source_minhash_no_pairwise_data_join(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert len(re.findall(r"\n\(\d+\) [A-Za-z]*Join", plan)) == 1
     assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_skyline_no_self_join_bucketed_window(spark, sf_dir):
+    # the frontier is decided by range-bucketed prefix-mins: no pairwise
+    # self-join of the point set, the only unbucketed window runs on the
+    # <= nbuckets bucket-min frame, and the running-min window is
+    # PARTITIONED by the bucket
+    plan = plan_of(QUERIES["parts_skyline"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "hashpartitioning(_bucket" in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_scd2_single_key_exchange(spark, sf_dir):
+    # islands + interval chaining reuse ONE user_id partitioning: no
+    # partition key other than user_id appears in any exchange
+    import re
+
+    plan = plan_of(QUERIES["events_scd2_intervals"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # formatted mode puts the partition spec in the Arguments line, not
+    # on the Exchange node itself
+    keys = set(re.findall(r"hashpartitioning\((\w+)#", plan))
+    assert keys == {"user_id"}
+    assert plan.count("Location: InMemoryFileIndex") == 1
