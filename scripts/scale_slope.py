@@ -56,6 +56,11 @@ HEAVY = [
     "emb_sq8_recall",
     "emb_binary_recall",
     "docs_kl_divergence",
+    # round-7 second wave: per-source minhash (documents), theta overlap
+    # and SCD2 islands (events — doubled with offset user/event ids)
+    "docs_source_minhash_sim",
+    "events_theta_overlap",
+    "events_scd2_intervals",
 ]
 
 
@@ -85,9 +90,22 @@ def build_doubled(spark, src: str, dst: str) -> None:
     emb.unionByName(copy_emb).write.mode("overwrite").parquet(
         f"{dst}/embeddings.parquet"
     )
+    ev = spark.read.parquet(f"{src}/events.parquet")
+    max_ev = ev.agg(F.max("event_id")).first()[0] + 1
+    max_u = ev.agg(F.max("user_id")).first()[0] + 1
+    copy_ev = ev.select(
+        (F.col("event_id") + max_ev).alias("event_id"),
+        "ts",
+        (F.col("user_id") + max_u).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+    ev.unionByName(copy_ev).write.mode("overwrite").parquet(f"{dst}/events.parquet")
+
     # remaining tables: link through so loaders resolve them
     for t in Path(src).glob("*.parquet"):
-        if t.name not in ("documents.parquet", "embeddings.parquet"):
+        if t.name not in ("documents.parquet", "embeddings.parquet", "events.parquet"):
             target = Path(dst) / t.name
             if not target.exists():
                 shutil.copytree(t, target) if t.is_dir() else shutil.copy(t, target)
@@ -105,6 +123,8 @@ def time_query(spark, name: str, sf_dir: str, runs: int) -> float:
 
 def main() -> None:
     runs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    only = set(sys.argv[2:])
+    heavy = [q for q in HEAVY if not only or q in only]
     spark = get_spark()
     dbl = tempfile.mkdtemp(prefix="sf_double_")
     print("building doubled corpus at", dbl, file=sys.stderr)
@@ -116,7 +136,7 @@ def main() -> None:
         ("sf0.1×2", dbl, 20.0),
     ]
     results: dict[str, dict[str, float]] = {}
-    for name in HEAVY:
+    for name in heavy:
         results[name] = {}
         for label, d, _ in points:
             results[name][label] = time_query(spark, name, d, runs)
@@ -124,7 +144,7 @@ def main() -> None:
 
     print("| query | sf0.01 s | sf0.1 s | sf0.1×2 s | e(0.01→0.1) | e(0.1→×2) |")
     print("|---|---|---|---|---|---|")
-    for name in HEAVY:
+    for name in heavy:
         r = results[name]
         e1 = math.log(r["sf0.1"] / r["sf0.01"]) / math.log(10)
         e2 = math.log(r["sf0.1×2"] / r["sf0.1"]) / math.log(2)
