@@ -710,3 +710,40 @@ def test_skyline_matches_bruteforce(spark, pts):
         )
     )
     assert got == exp
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(0, 60), min_size=1, max_size=60),
+    st.lists(st.integers(30, 99), min_size=1, max_size=60),
+)
+def test_theta_overlap_matches_python_kmv(spark, ids_a, ids_b):
+    # full determinism: a plain-python KMV replica (same md5-prefix hash,
+    # same k-min / theta / estimate arithmetic) reproduces every Spark
+    # estimate to within the round(,3) quantum, saturated or not
+    import hashlib
+
+    from gmall_flink_20_spark.operators import sketches as S
+
+    K = 8
+    rows = [("a", u) for u in ids_a] + [("b", u) for u in ids_b]
+    df = spark.createDataFrame(rows, "grp string, uid long")
+    r = S.theta_overlap(df, "grp", "uid", k=K).collect()[0]
+
+    def h(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+
+    M = float(16**15)
+    ha, hb = sorted({h(u) for u in ids_a}), sorted({h(u) for u in ids_b})
+    ta = float(16**15) if len(ha) < K else ha[K - 1]
+    tb = float(16**15) if len(hb) < K else hb[K - 1]
+    sa, sb = [x for x in ha[:K] if x < ta], [x for x in hb[:K] if x < tb]
+    tab = min(ta, tb)
+    saa, sbb = {x for x in sa if x < tab}, {x for x in sb if x < tab}
+    q = 5.1e-4  # round(,3) quantum slack
+    assert r.n_a == len(ha) and r.n_b == len(hb)
+    assert abs(r.est_a - len(sa) * M / ta) <= q
+    assert abs(r.est_b - len(sb) * M / tb) <= q
+    assert abs(r.est_inter - len(saa & sbb) * M / tab) <= q
+    assert abs(r.est_union - len(saa | sbb) * M / tab) <= q
+    assert r.exact_inter == len(set(ha) & set(hb))
