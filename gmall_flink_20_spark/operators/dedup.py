@@ -1122,9 +1122,9 @@ def source_minhash_sim(
     shingle-set Jaccard between whole sub-corpora. The sketch-rate
     complement to text.cross_source_contamination's exact 5-gram overlap
     matrix: that one pays a gram-key equi-join; this one needs NO
-    pairwise join over data at all — the single shuffle carries
-    (source, shingle-hash) pairs and collapses them into |sources|
-    signatures of O(num_hashes) state, then the |sources|² pair
+    pairwise join over data at all — the single (map-side-combined)
+    shuffle ships |sources|·num_hashes partial minima per partition and
+    collapses to |sources| signatures, then the |sources|² pair
     expansion runs on a KB-scale frame.
 
     Deterministic (same md5-derived permutations as the doc-level
@@ -1133,12 +1133,16 @@ def source_minhash_sim(
     est_jaccard).
     """
     rows = shingle_rows_from_text(df, n, text_col, id_col=source_col)
+    # NO distinct: min() over the shingle multiset equals min() over the
+    # set (same argument as minhash_signature_permuted), so the only
+    # shuffle is the map-side-combined 64-min aggregate — each partition
+    # ships |sources| partial rows, never shingles
     base = rows.select(
         F.col(source_col),
         F.expr(
             f"CAST(conv(substr(md5(shingle), 1, 15), 16, 10) AS BIGINT) % {MINHASH_P}"
         ).alias("b0"),
-    ).distinct()
+    )
     consts = minhash_perm_consts(num_hashes)
     hash_cols = [
         ((F.lit(a) * F.col("b0") + F.lit(c)) % MINHASH_P).alias(f"h{s}")
