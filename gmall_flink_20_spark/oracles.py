@@ -1346,8 +1346,11 @@ ORACLES["user_sessions"] = f"""
 WITH e AS (SELECT user_id, {_TS} AS ts_s FROM events),
 m AS (
     SELECT user_id, ts_s,
+           -- STRICT >: Spark's session_window merges events exactly gap
+           -- apart (boundary-inclusive; verified empirically, and first
+           -- hit by real data at sf0.1 — user 511's 1800 s gap)
            CASE WHEN lag(ts_s) OVER w IS NULL
-                  OR ts_s - lag(ts_s) OVER w >= 1800 THEN 1 ELSE 0 END AS brk
+                  OR ts_s - lag(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS brk
     FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)
 ),
 s AS (
@@ -3027,9 +3030,10 @@ SELECT doc_id, content_hash FROM (
 """
 
 # streaming incremental dedup: the stream-static anti-join against an
-# index augmented with copies of every 5th new-shard doc; texts are
-# unique so the within-stream dedup passes everything through and the
-# batch equivalent is a plain anti-join
+# index augmented with copies of every 5th new-shard doc, plus the
+# within-stream first-keeper — the watermark delay exceeds the stream
+# span, so dropDuplicatesWithinWatermark keeps exactly the first arrival
+# (= min doc_id; the sf0.1 corpus has same-text pairs inside the shard)
 ORACLES["docs_dedup_incremental_streaming"] = """
 WITH hashed AS (
     SELECT doc_id, md5(text) AS content_hash,
@@ -3042,9 +3046,12 @@ idx AS (
     SELECT content_hash FROM hashed WHERE shard = 0 AND doc_id % 5 = 0
 ),
 base AS (SELECT DISTINCT content_hash FROM idx)
-SELECT n.doc_id, n.content_hash
-FROM hashed n LEFT JOIN base b USING (content_hash)
-WHERE n.shard = 0 AND b.content_hash IS NULL
+SELECT doc_id, content_hash FROM (
+    SELECT n.doc_id, n.content_hash,
+           row_number() OVER (PARTITION BY n.content_hash ORDER BY n.doc_id ASC) AS rn
+    FROM hashed n LEFT JOIN base b USING (content_hash)
+    WHERE n.shard = 0 AND b.content_hash IS NULL
+) WHERE rn = 1
 """
 
 # containment on LSH candidates: same candidate CTEs as neardup_verified,

@@ -1916,8 +1916,14 @@ def docs_dedup_incremental_streaming(spark: SparkSession, sf_dir: str) -> DataFr
     within-stream dedup (``dropDuplicatesWithinWatermark``). The static
     index is augmented with copies of every 5th new-shard document, so
     the anti-join does real work; stream arrival order is doc-id order
-    (replay position = epoch + doc_id seconds). Oracle: the same
-    augmented-index anti-join in batch SQL. Excluded from bench."""
+    (replay position = epoch + doc_id seconds). The dedup watermark
+    delay (12 h) exceeds the stream's whole event-time span, so the
+    within-stream dedup is GLOBAL by construction — first arrival (= min
+    doc_id) survives deterministically even for duplicate texts that the
+    sf0.1 corpus places hours apart (a 10 min delay left those pairs'
+    fate to state-eviction timing). Oracle: the same augmented-index
+    anti-join plus the first-keeper window in batch SQL. Excluded from
+    bench."""
     from .streaming import replay
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1940,7 +1946,7 @@ def docs_dedup_incremental_streaming(spark: SparkSession, sf_dir: str) -> DataFr
         .distinct()
     )
     stream = replay.replay_stream(spark, new, "ts", num_chunks=replay.REPLAY_CHUNKS)
-    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+    deduped = stream.withWatermark("ts", "12 hours").dropDuplicatesWithinWatermark(
         ["content_hash"]
     )
     out = deduped.join(base_idx, "content_hash", "left_anti").select(

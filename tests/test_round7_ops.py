@@ -587,3 +587,24 @@ def test_scd2_per_key_independent(spark):
         by_user.setdefault(r.user_id, []).append(r)
     assert len(by_user[1]) == 2 and len(by_user[2]) == 1
     assert by_user[2][0].n_events == 2
+
+
+# ------------------------------------------------- session gap boundary
+
+
+def test_session_window_merges_at_exact_gap(spark):
+    # Spark's session_window is boundary-INCLUSIVE: events exactly gap
+    # apart merge; one second past the gap splits. The oracle's break
+    # condition must be strictly >, not >= — the >= form survived three
+    # rounds until sf0.1 produced a real 1800 s gap (user 511) and the
+    # full-sf0.1 parity sweep caught it.
+    from gmall_flink_20_spark.operators.windows import session_count
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (1, 1800.0), (2, 0.0), (2, 1801.0)], "user_id long, t double"
+    ).select("user_id", F.col("t").cast("timestamp").alias("ts"))
+    got = {}
+    for r in session_count(df, "ts", 1800, "user_id").collect():
+        got.setdefault(r.user_id, []).append(r)
+    assert len(got[1]) == 1 and got[1][0].n_events == 2
+    assert len(got[2]) == 2
