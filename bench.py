@@ -223,6 +223,7 @@ BENCH_QUERIES = [
     "events_markov_stationary",
     "parts_skyline",
     "events_scd2_intervals",
+    "items_kcore",
 ]
 
 

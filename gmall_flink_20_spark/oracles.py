@@ -4969,3 +4969,127 @@ SELECT user_id, state, valid_from_us,
        lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us) IS NULL AS is_current
 FROM iv
 """
+
+
+# k-core peeling (graph.kcore): 30 unrolled MATERIALIZED peel rounds
+# (idempotent past the fixpoint) at the adaptive k = max_degree // 2 + 1
+ORACLES["items_kcore"] = """
+WITH ui AS (
+    SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id,
+           count(*) AS cnt
+    FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+capped AS (
+    SELECT user_id, item_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY cnt DESC, item_id ASC) AS r
+        FROM ui
+    ) WHERE r <= 50
+),
+e0 AS MATERIALIZED (
+    SELECT a.item_id AS a, b.item_id AS b
+    FROM capped a JOIN capped b
+      ON a.user_id = b.user_id AND a.item_id < b.item_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+),
+kk AS MATERIALIZED (
+    SELECT CAST(max(c) // 2 + 1 AS BIGINT) AS k FROM (
+        SELECT node, count(*) AS c FROM
+        (SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0) GROUP BY 1
+    )
+),
+d1 AS MATERIALIZED (SELECT node, count(*) AS c FROM (SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0) GROUP BY 1),
+a1 AS MATERIALIZED (SELECT node FROM d1 WHERE c >= (SELECT k FROM kk)),
+e1 AS MATERIALIZED (SELECT e.a, e.b FROM e0 e JOIN a1 x ON e.a = x.node JOIN a1 y ON e.b = y.node),
+d2 AS MATERIALIZED (SELECT node, count(*) AS c FROM (SELECT a AS node FROM e1 UNION ALL SELECT b AS node FROM e1) GROUP BY 1),
+a2 AS MATERIALIZED (SELECT node FROM d2 WHERE c >= (SELECT k FROM kk)),
+e2 AS MATERIALIZED (SELECT e.a, e.b FROM e1 e JOIN a2 x ON e.a = x.node JOIN a2 y ON e.b = y.node),
+d3 AS MATERIALIZED (SELECT node, count(*) AS c FROM (SELECT a AS node FROM e2 UNION ALL SELECT b AS node FROM e2) GROUP BY 1),
+a3 AS MATERIALIZED (SELECT node FROM d3 WHERE c >= (SELECT k FROM kk)),
+e3 AS MATERIALIZED (SELECT e.a, e.b FROM e2 e JOIN a3 x ON e.a = x.node JOIN a3 y ON e.b = y.node),
+d4 AS MATERIALIZED (SELECT node, count(*) AS c FROM (SELECT a AS node FROM e3 UNION ALL SELECT b AS node FROM e3) GROUP BY 1),
+a4 AS MATERIALIZED (SELECT node FROM d4 WHERE c >= (SELECT k FROM kk)),
+e4 AS MATERIALIZED (SELECT e.a, e.b FROM e3 e JOIN a4 x ON e.a = x.node JOIN a4 y ON e.b = y.node),
+d5 AS MATERIALIZED (SELECT node, count(*) AS c FROM (SELECT a AS node FROM e4 UNION ALL SELECT b AS node FROM e4) GROUP BY 1),
+a5 AS MATERIALIZED (SELECT node FROM d5 WHERE c >= (SELECT k FROM kk)),
+e5 AS MATERIALIZED (SELECT e.a, e.b FROM e4 e JOIN a5 x ON e.a = x.node JOIN a5 y ON e.b = y.node),
+d6 AS MATERIALIZED (SELECT node, count(*) AS c FROM (SELECT a AS node FROM e5 UNION ALL SELECT b AS node FROM e5) GROUP BY 1),
+a6 AS MATERIALIZED (SELECT node FROM d6 WHERE c >= (SELECT k FROM kk)),
+e6 AS MATERIALIZED (SELECT e.a, e.b FROM e5 e JOIN a6 x ON e.a = x.node JOIN a6 y ON e.b = y.node),
+d7 AS MATERIALIZED (SELECT node, count(*) AS c FROM (SELECT a AS node FROM e6 UNION ALL SELECT b AS node FROM e6) GROUP BY 1),
+a7 AS MATERIALIZED (SELECT node FROM d7 WHERE c >= (SELECT k FROM kk)),
+e7 AS MATERIALIZED (SELECT e.a, e.b FROM e6 e JOIN a7 x ON e.a = x.node JOIN a7 y ON e.b = y.node),
+d8 AS MATERIALIZED (SELECT node, count(*) AS c FROM (SELECT a AS node FROM e7 UNION ALL SELECT b AS node FROM e7) GROUP BY 1),
+a8 AS MATERIALIZED (SELECT node FROM d8 WHERE c >= (SELECT k FROM kk)),
+e8 AS MATERIALIZED (SELECT e.a, e.b FROM e7 e JOIN a8 x ON e.a = x.node JOIN a8 y ON e.b = y.node),
+d9 AS MATERIALIZED (SELECT node, count(*) AS c FROM (SELECT a AS node FROM e8 UNION ALL SELECT b AS node FROM e8) GROUP BY 1),
+a9 AS MATERIALIZED (SELECT node FROM d9 WHERE c >= (SELECT k FROM kk)),
+e9 AS MATERIALIZED (SELECT e.a, e.b FROM e8 e JOIN a9 x ON e.a = x.node JOIN a9 y ON e.b = y.node),
+d10 AS MATERIALIZED (SELECT node, count(*) AS c FROM (SELECT a AS node FROM e9 UNION ALL SELECT b AS node FROM e9) GROUP BY 1),
+a10 AS MATERIALIZED (SELECT node FROM d10 WHERE c >= (SELECT k FROM kk)),
+e10 AS MATERIALIZED (SELECT e.a, e.b FROM e9 e JOIN a10 x ON e.a = x.node JOIN a10 y ON e.b = y.node),
+d11 AS MATERIALIZED (SELECT node, count(*) AS c FROM (SELECT a AS node FROM e10 UNION ALL SELECT b AS node FROM e10) GROUP BY 1),
+a11 AS MATERIALIZED (SELECT node FROM d11 WHERE c >= (SELECT k FROM kk)),
+e11 AS MATERIALIZED (SELECT e.a, e.b FROM e10 e JOIN a11 x ON e.a = x.node JOIN a11 y ON e.b = y.node),
+d12 AS MATERIALIZED (SELECT node, count(*) AS c FROM (SELECT a AS node FROM e11 UNION ALL SELECT b AS node FROM e11) GROUP BY 1),
+a12 AS MATERIALIZED (SELECT node FROM d12 WHERE c >= (SELECT k FROM kk)),
+e12 AS MATERIALIZED (SELECT e.a, e.b FROM e11 e JOIN a12 x ON e.a = x.node JOIN a12 y ON e.b = y.node),
+d13 AS MATERIALIZED (SELECT node, count(*) AS c FROM (SELECT a AS node FROM e12 UNION ALL SELECT b AS node FROM e12) GROUP BY 1),
+a13 AS MATERIALIZED (SELECT node FROM d13 WHERE c >= (SELECT k FROM kk)),
+e13 AS MATERIALIZED (SELECT e.a, e.b FROM e12 e JOIN a13 x ON e.a = x.node JOIN a13 y ON e.b = y.node),
+d14 AS MATERIALIZED (SELECT node, count(*) AS c FROM (SELECT a AS node FROM e13 UNION ALL SELECT b AS node FROM e13) GROUP BY 1),
+a14 AS MATERIALIZED (SELECT node FROM d14 WHERE c >= (SELECT k FROM kk)),
+e14 AS MATERIALIZED (SELECT e.a, e.b FROM e13 e JOIN a14 x ON e.a = x.node JOIN a14 y ON e.b = y.node),
+d15 AS MATERIALIZED (SELECT node, count(*) AS c FROM (SELECT a AS node FROM e14 UNION ALL SELECT b AS node FROM e14) GROUP BY 1),
+a15 AS MATERIALIZED (SELECT node FROM d15 WHERE c >= (SELECT k FROM kk)),
+e15 AS MATERIALIZED (SELECT e.a, e.b FROM e14 e JOIN a15 x ON e.a = x.node JOIN a15 y ON e.b = y.node),
+d16 AS MATERIALIZED (SELECT node, count(*) AS c FROM (SELECT a AS node FROM e15 UNION ALL SELECT b AS node FROM e15) GROUP BY 1),
+a16 AS MATERIALIZED (SELECT node FROM d16 WHERE c >= (SELECT k FROM kk)),
+e16 AS MATERIALIZED (SELECT e.a, e.b FROM e15 e JOIN a16 x ON e.a = x.node JOIN a16 y ON e.b = y.node),
+d17 AS MATERIALIZED (SELECT node, count(*) AS c FROM (SELECT a AS node FROM e16 UNION ALL SELECT b AS node FROM e16) GROUP BY 1),
+a17 AS MATERIALIZED (SELECT node FROM d17 WHERE c >= (SELECT k FROM kk)),
+e17 AS MATERIALIZED (SELECT e.a, e.b FROM e16 e JOIN a17 x ON e.a = x.node JOIN a17 y ON e.b = y.node),
+d18 AS MATERIALIZED (SELECT node, count(*) AS c FROM (SELECT a AS node FROM e17 UNION ALL SELECT b AS node FROM e17) GROUP BY 1),
+a18 AS MATERIALIZED (SELECT node FROM d18 WHERE c >= (SELECT k FROM kk)),
+e18 AS MATERIALIZED (SELECT e.a, e.b FROM e17 e JOIN a18 x ON e.a = x.node JOIN a18 y ON e.b = y.node),
+d19 AS MATERIALIZED (SELECT node, count(*) AS c FROM (SELECT a AS node FROM e18 UNION ALL SELECT b AS node FROM e18) GROUP BY 1),
+a19 AS MATERIALIZED (SELECT node FROM d19 WHERE c >= (SELECT k FROM kk)),
+e19 AS MATERIALIZED (SELECT e.a, e.b FROM e18 e JOIN a19 x ON e.a = x.node JOIN a19 y ON e.b = y.node),
+d20 AS MATERIALIZED (SELECT node, count(*) AS c FROM (SELECT a AS node FROM e19 UNION ALL SELECT b AS node FROM e19) GROUP BY 1),
+a20 AS MATERIALIZED (SELECT node FROM d20 WHERE c >= (SELECT k FROM kk)),
+e20 AS MATERIALIZED (SELECT e.a, e.b FROM e19 e JOIN a20 x ON e.a = x.node JOIN a20 y ON e.b = y.node),
+d21 AS MATERIALIZED (SELECT node, count(*) AS c FROM (SELECT a AS node FROM e20 UNION ALL SELECT b AS node FROM e20) GROUP BY 1),
+a21 AS MATERIALIZED (SELECT node FROM d21 WHERE c >= (SELECT k FROM kk)),
+e21 AS MATERIALIZED (SELECT e.a, e.b FROM e20 e JOIN a21 x ON e.a = x.node JOIN a21 y ON e.b = y.node),
+d22 AS MATERIALIZED (SELECT node, count(*) AS c FROM (SELECT a AS node FROM e21 UNION ALL SELECT b AS node FROM e21) GROUP BY 1),
+a22 AS MATERIALIZED (SELECT node FROM d22 WHERE c >= (SELECT k FROM kk)),
+e22 AS MATERIALIZED (SELECT e.a, e.b FROM e21 e JOIN a22 x ON e.a = x.node JOIN a22 y ON e.b = y.node),
+d23 AS MATERIALIZED (SELECT node, count(*) AS c FROM (SELECT a AS node FROM e22 UNION ALL SELECT b AS node FROM e22) GROUP BY 1),
+a23 AS MATERIALIZED (SELECT node FROM d23 WHERE c >= (SELECT k FROM kk)),
+e23 AS MATERIALIZED (SELECT e.a, e.b FROM e22 e JOIN a23 x ON e.a = x.node JOIN a23 y ON e.b = y.node),
+d24 AS MATERIALIZED (SELECT node, count(*) AS c FROM (SELECT a AS node FROM e23 UNION ALL SELECT b AS node FROM e23) GROUP BY 1),
+a24 AS MATERIALIZED (SELECT node FROM d24 WHERE c >= (SELECT k FROM kk)),
+e24 AS MATERIALIZED (SELECT e.a, e.b FROM e23 e JOIN a24 x ON e.a = x.node JOIN a24 y ON e.b = y.node),
+d25 AS MATERIALIZED (SELECT node, count(*) AS c FROM (SELECT a AS node FROM e24 UNION ALL SELECT b AS node FROM e24) GROUP BY 1),
+a25 AS MATERIALIZED (SELECT node FROM d25 WHERE c >= (SELECT k FROM kk)),
+e25 AS MATERIALIZED (SELECT e.a, e.b FROM e24 e JOIN a25 x ON e.a = x.node JOIN a25 y ON e.b = y.node),
+d26 AS MATERIALIZED (SELECT node, count(*) AS c FROM (SELECT a AS node FROM e25 UNION ALL SELECT b AS node FROM e25) GROUP BY 1),
+a26 AS MATERIALIZED (SELECT node FROM d26 WHERE c >= (SELECT k FROM kk)),
+e26 AS MATERIALIZED (SELECT e.a, e.b FROM e25 e JOIN a26 x ON e.a = x.node JOIN a26 y ON e.b = y.node),
+d27 AS MATERIALIZED (SELECT node, count(*) AS c FROM (SELECT a AS node FROM e26 UNION ALL SELECT b AS node FROM e26) GROUP BY 1),
+a27 AS MATERIALIZED (SELECT node FROM d27 WHERE c >= (SELECT k FROM kk)),
+e27 AS MATERIALIZED (SELECT e.a, e.b FROM e26 e JOIN a27 x ON e.a = x.node JOIN a27 y ON e.b = y.node),
+d28 AS MATERIALIZED (SELECT node, count(*) AS c FROM (SELECT a AS node FROM e27 UNION ALL SELECT b AS node FROM e27) GROUP BY 1),
+a28 AS MATERIALIZED (SELECT node FROM d28 WHERE c >= (SELECT k FROM kk)),
+e28 AS MATERIALIZED (SELECT e.a, e.b FROM e27 e JOIN a28 x ON e.a = x.node JOIN a28 y ON e.b = y.node),
+d29 AS MATERIALIZED (SELECT node, count(*) AS c FROM (SELECT a AS node FROM e28 UNION ALL SELECT b AS node FROM e28) GROUP BY 1),
+a29 AS MATERIALIZED (SELECT node FROM d29 WHERE c >= (SELECT k FROM kk)),
+e29 AS MATERIALIZED (SELECT e.a, e.b FROM e28 e JOIN a29 x ON e.a = x.node JOIN a29 y ON e.b = y.node),
+d30 AS MATERIALIZED (SELECT node, count(*) AS c FROM (SELECT a AS node FROM e29 UNION ALL SELECT b AS node FROM e29) GROUP BY 1),
+a30 AS MATERIALIZED (SELECT node FROM d30 WHERE c >= (SELECT k FROM kk)),
+e30 AS MATERIALIZED (SELECT e.a, e.b FROM e29 e JOIN a30 x ON e.a = x.node JOIN a30 y ON e.b = y.node)
+SELECT node AS item_id, CAST(count(*) AS BIGINT) AS degree_in_core,
+       (SELECT k FROM kk) AS k_used
+FROM (SELECT a AS node FROM e30 UNION ALL SELECT b AS node FROM e30)
+GROUP BY 1
+"""

@@ -2303,6 +2303,19 @@ def items_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.triangle_stats(edges)
 
 
+def items_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-core extraction of the co-click item graph
+    (operators/graph.kcore): iterative peeling at the adaptive
+    threshold k = max_degree // 2 + 1 until fixpoint — the cohesive
+    subgraph the triangle census and pagerank scores don't isolate.
+    Same capped item_pairs edge builder as items_triangle_stats."""
+    from .operators import analytics, graph
+
+    ev = _clicks(spark, sf_dir).select("user_id", _item_id())
+    edges = analytics.item_pairs(ev, cap=50, min_support=2)
+    return graph.kcore(edges)
+
+
 def customers_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Acquisition-cohort LTV curves (operators/analytics.cohort_ltv):
     first-order-month cohorts × age, integer-cent revenue, cumulative
@@ -2875,6 +2888,7 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_markov_stationary": events_markov_stationary,
     "parts_skyline": parts_skyline,
     "events_scd2_intervals": events_scd2_intervals,
+    "items_kcore": items_kcore,
 }
 
 # --- CORRECTNESS window (driver gates the FIRST 50 entries in dict
@@ -2909,6 +2923,7 @@ R7_NEW: list[str] = [
     "events_markov_stationary",
     "parts_skyline",
     "events_scd2_intervals",
+    "items_kcore",
 ]
 # latest driver row = round 3 (from CORRECTNESS_r0{1..6}.json), sorted;
 # 47 entries — with |R7_NEW| new ops only 50-|R7_NEW| fit this round

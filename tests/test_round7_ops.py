@@ -608,3 +608,49 @@ def test_session_window_merges_at_exact_gap(spark):
         got.setdefault(r.user_id, []).append(r)
     assert len(got[1]) == 1 and got[1][0].n_events == 2
     assert len(got[2]) == 2
+
+
+# ------------------------------------------------------------------ k-core
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "item_a long, item_b long"
+    )
+
+
+def test_kcore_path_has_no_2core(spark):
+    from gmall_flink_20_spark.operators.graph import kcore
+
+    # a path peels from both ends, one layer per round — multi-round
+    # cascade ending empty
+    path = [(i, i + 1) for i in range(6)]
+    assert kcore(_edges(spark, path), k=2).collect() == []
+
+
+def test_kcore_cycle_is_its_own_2core(spark):
+    from gmall_flink_20_spark.operators.graph import kcore
+
+    cyc = [(0, 1), (1, 2), (2, 3), (0, 3)]
+    got = {r.item_id: r for r in kcore(_edges(spark, cyc), k=2).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert all(r.degree_in_core == 2 and r.k_used == 2 for r in got.values())
+
+
+def test_kcore_triangle_survives_chain_cascades(spark):
+    from gmall_flink_20_spark.operators.graph import kcore
+
+    # triangle {0,1,2} + tail 2-3-4-5: the tail peels over multiple
+    # rounds (5 first, then 4, then 3); the triangle is the 2-core
+    g = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5)]
+    got = {r.item_id for r in kcore(_edges(spark, g), k=2).collect()}
+    assert got == {0, 1, 2}
+
+
+def test_kcore_adaptive_k_star_collapses(spark):
+    from gmall_flink_20_spark.operators.graph import kcore
+
+    # star: center degree 6, leaves 1 -> adaptive k = 4 -> leaves die,
+    # then the center has degree 0 -> empty core
+    star = [(0, i) for i in range(1, 7)]
+    assert kcore(_edges(spark, star)).collect() == []
