@@ -2044,13 +2044,21 @@ def survival_km(
     |distinct days| frame (window cumsums on a single tiny partition —
     |days| rows, not data-sized). No self-join of the stream.
     """
-    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
-        F.min(F.unix_micros(F.col(ts_col))).alias("entry_us"),
-        F.min(
-            F.when(F.col(state_col) == convert_type, F.unix_micros(F.col(ts_col)))
-        ).alias("conv_us"),
-        F.max(F.unix_micros(F.col(ts_col))).alias("umax_us"),
-    ).persist()
+    from ._cache import eager_persist
+
+    # eager, not lazy (ADVICE r7): per_user feeds BOTH the tmax branch
+    # and the durs branch of the crossJoin — a lazy persist lets the two
+    # sides race to populate the cache and each recompute the full
+    # stream scan, breaking the one-scan claim above
+    per_user = eager_persist(
+        events.groupBy(F.col(user_col).alias("u")).agg(
+            F.min(F.unix_micros(F.col(ts_col))).alias("entry_us"),
+            F.min(
+                F.when(F.col(state_col) == convert_type, F.unix_micros(F.col(ts_col)))
+            ).alias("conv_us"),
+            F.max(F.unix_micros(F.col(ts_col))).alias("umax_us"),
+        )
+    )
     tmax = per_user.agg(F.max("umax_us").alias("tmax_us"))
     us_day = 86400 * 1000 * 1000
     durs = per_user.crossJoin(F.broadcast(tmax)).select(

@@ -171,7 +171,7 @@ def kcore(
     k: int | None = None,
     src: str = "item_a",
     dst: str = "item_b",
-    max_iter: int = 30,
+    max_iter: int = 31,
     materialize=None,
 ) -> DataFrame:
     """k-core decomposition by iterative peeling: repeatedly drop nodes
@@ -193,6 +193,15 @@ def kcore(
     node dies only with its incident edges, so count-stable ⇔
     fixpoint); rounds are bounded by the peeling depth, max_iter guards
     pathological chains.
+
+    Budget alignment (ADVICE r7): the loop needs one confirming
+    no-change round, so max_iter=31 supports exactly 30 PRODUCTIVE
+    peels — the same bound as the items_kcore oracle, which unrolls 30
+    MATERIALIZED peel rounds (idempotent past the fixpoint but silently
+    non-fixpoint beyond 30). A graph needing a 31st productive peel
+    raises here rather than silently diverging from the oracle;
+    tests/test_graph_ops.py pins both sides of the boundary with a
+    pendant-chain cascade.
     """
     if materialize is None:
         materialize = lambda df: df.localCheckpoint(eager=True)  # noqa: E731

@@ -658,15 +658,36 @@ def decode_png(media: DataFrame) -> DataFrame:
 # Round-7 addition, same reasoning as the PNG tier: GIF87a needs nothing
 # beyond the stdlib — the only compression is GIF-flavored LZW (variable
 # 3..12-bit codes, LSB-first bit packing, CLEAR/EOI codes, dictionary
-# reset at 4096) — so it joins the REAL codec tier. The encoder emits a
-# 256-entry grayscale global color table and enough pixels that the code
-# width grows past its initial size and at least one CLEAR is exercised
-# on the widest images; a decoder that mishandles code-width growth, the
-# KwKwK case, sub-block reassembly, or palette lookup fails the
-# closed-form oracle. JPEG/MP4 remain gated (entropy coding / container
-# demux genuinely need external libs).
+# reset at 4096) — so it joins the REAL codec tier. Image size and pixel
+# pattern are TIERED by the media id (ADVICE r7: the original flat 9x6
+# grid kept every payload far below the ~254 table additions needed to
+# widen past 9 bits, so the oracle gate never saw width growth or CLEAR):
+#   - default        9x6, linear pattern  — 53 additions, 9-bit only
+#   - id % 17 == 0   40x24, linear        — 586 additions, 9→10-bit growth
+#   - id % 101 == 0  96x64, +7xy swirl    — 5655 additions, full 9→12-bit
+#                    ladder AND one mid-stream CLEAR/dict-reset
+# (measured; the swirl term breaks the row-shift self-similarity that
+# lets LZW phrase-match the linear grid). A decoder that mishandles the
+# code-width schedule, the dict reset, the KwKwK case, sub-block
+# reassembly, or palette lookup now fails the closed-form oracle on the
+# tiered payloads, not only in the direct LZW unit tests. JPEG/MP4
+# remain gated (entropy coding / container demux genuinely need
+# external libs).
 
-_GIF_W, _GIF_H = 9, 6
+_GIF_W, _GIF_H = 9, 6  # base tier
+_GIF_MID_W, _GIF_MID_H = 40, 24  # id % 17: 9→10-bit width growth
+_GIF_BIG_W, _GIF_BIG_H = 96, 64  # id % 101: 12-bit + CLEAR
+
+
+def _gif_geometry(mid: int) -> tuple[int, int, int]:
+    """(width, height, swirl) for a media id — swirl is the 7xy
+    coefficient (0 on the linear tiers). % 101 wins over % 17 so the
+    tier is a function, mirrored exactly by the oracle's CASE."""
+    if mid % 101 == 0:
+        return _GIF_BIG_W, _GIF_BIG_H, 7
+    if mid % 17 == 0:
+        return _GIF_MID_W, _GIF_MID_H, 0
+    return _GIF_W, _GIF_H, 0
 
 
 def _gif_lzw_encode(indices: bytes, min_code: int = 8) -> bytes:
@@ -766,11 +787,15 @@ def _gif_lzw_decode(data: bytes, min_code: int = 8) -> bytes:
 
 def _gif_encode(mid: int) -> bytes:
     """GIF87a, 256-entry grayscale GCT, pixel index (x,y) =
-    (mid + 5x + 11y) % 256."""
+    (mid + 5x + 11y + swirl·xy) % 256 over the tiered geometry
+    (see _gif_geometry)."""
     import struct
 
+    w, h, swirl = _gif_geometry(mid)
     indices = bytes(
-        (mid + 5 * x + 11 * y) % 256 for y in range(_GIF_H) for x in range(_GIF_W)
+        (mid + 5 * x + 11 * y + swirl * x * y) % 256
+        for y in range(h)
+        for x in range(w)
     )
     lzw = _gif_lzw_encode(indices, 8)
     blocks = bytearray()
@@ -782,10 +807,10 @@ def _gif_encode(mid: int) -> bytes:
     gct = bytes(v for i in range(256) for v in (i, i, i))
     return (
         b"GIF87a"
-        + struct.pack("<HHBBB", _GIF_W, _GIF_H, 0xF7, 0, 0)  # GCT, 8-bit, 256
+        + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT, 8-bit, 256
         + gct
         + b"\x2c"
-        + struct.pack("<HHHHB", 0, 0, _GIF_W, _GIF_H, 0)  # no local table
+        + struct.pack("<HHHHB", 0, 0, w, h, 0)  # no local table
         + b"\x08"  # LZW min code size
         + bytes(blocks)
         + b"\x3b"

@@ -4729,15 +4729,41 @@ WHERE abs(date_diff('day', CAST(a.o_orderdate AS DATE),
 
 
 # GIF87a round-trip (multimodal.encode_gif -> decode_gif): closed-form
-# features from the media id (pixel index = (id+5x+11y) % 256 over a
-# 9x6 grid, grayscale palette -> channel sum = 3 * sum(index)); the
-# Spark side must reproduce them by actually LZW-decoding the stream
+# features from the media id (pixel index = (id+5x+11y+swirl*xy) % 256
+# over the TIERED geometry — 9x6 linear default, 40x24 linear on
+# id%17=0 to force 9->10-bit code growth, 96x64 with the 7xy swirl on
+# id%101=0 to force the full 12-bit ladder plus a mid-stream CLEAR;
+# grayscale palette -> channel sum = 3 * sum(index)). Per-tier grids
+# (not one max-size grid filtered) keep the oracle linear in pixels.
+# The Spark side must reproduce every sum by actually LZW-decoding.
 ORACLES["media_gif_roundtrip"] = """
+WITH small AS (
+    SELECT doc_id FROM documents WHERE doc_id % 101 <> 0 AND doc_id % 17 <> 0
+), mid AS (
+    SELECT doc_id FROM documents WHERE doc_id % 101 <> 0 AND doc_id % 17 = 0
+), big AS (
+    SELECT doc_id FROM documents WHERE doc_id % 101 = 0
+)
 SELECT d.doc_id AS media_id,
        CAST(9 AS INTEGER) AS width,
        CAST(6 AS INTEGER) AS height,
        CAST(3 * sum((d.doc_id + 5 * g1.x + 11 * g2.y) % 256) AS BIGINT) AS content_sum
-FROM documents d, generate_series(0, 8) g1(x), generate_series(0, 5) g2(y)
+FROM small d, generate_series(0, 8) g1(x), generate_series(0, 5) g2(y)
+GROUP BY 1
+UNION ALL
+SELECT d.doc_id AS media_id,
+       CAST(40 AS INTEGER) AS width,
+       CAST(24 AS INTEGER) AS height,
+       CAST(3 * sum((d.doc_id + 5 * g1.x + 11 * g2.y) % 256) AS BIGINT) AS content_sum
+FROM mid d, generate_series(0, 39) g1(x), generate_series(0, 23) g2(y)
+GROUP BY 1
+UNION ALL
+SELECT d.doc_id AS media_id,
+       CAST(96 AS INTEGER) AS width,
+       CAST(64 AS INTEGER) AS height,
+       CAST(3 * sum((d.doc_id + 5 * g1.x + 11 * g2.y + 7 * g1.x * g2.y) % 256)
+            AS BIGINT) AS content_sum
+FROM big d, generate_series(0, 95) g1(x), generate_series(0, 63) g2(y)
 GROUP BY 1
 """
 

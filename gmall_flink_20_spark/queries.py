@@ -2405,9 +2405,13 @@ def media_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF87a decode (operators/multimodal.encode_gif → decode_gif):
     stdlib-only GIF — header/LSD/GCT parse, sub-block reassembly, and a
     full GIF-LZW decoder (variable 9→12-bit codes, LSB-first packing,
-    CLEAR/EOI, the KwKwK case). The oracle recomputes width/height/
-    channel-sum in closed form from the media id, so a mis-parse of the
-    code-width schedule, palette, or block framing fails the hash gate.
+    CLEAR/EOI, the KwKwK case). Payload geometry is TIERED by media id
+    (9x6 base; 40x24 on id%17=0 forcing 9→10-bit growth; 96x64 swirl on
+    id%101=0 forcing the full 12-bit ladder plus a mid-stream CLEAR —
+    ADVICE r7), so the oracle gate itself exercises the variable-width
+    and dict-reset paths. The oracle recomputes width/height/channel-sum
+    in closed form from the media id, so a mis-parse of the code-width
+    schedule, palette, or block framing fails the hash gate.
     Third rung of the real-codec tier (BMP/WAV → PNG → GIF); JPEG/MP4
     stay gated on PIL/ffmpeg."""
     docs = load_table(spark, sf_dir, "documents")

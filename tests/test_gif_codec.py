@@ -12,13 +12,40 @@ import pytest
 from gmall_flink_20_spark.operators import multimodal as M
 
 
-@pytest.mark.parametrize("mid", [0, 1, 7, 200, 255, 4096])
+# 0: big tier (0%101==0 → 96x64 swirl, 12-bit + CLEAR); 17: mid tier
+# (40x24, 9→10-bit growth); 101/202: big tier; rest: base 9x6
+@pytest.mark.parametrize("mid", [0, 1, 7, 17, 34, 101, 200, 202, 255, 4096])
 def test_roundtrip_closed_form(mid):
     w, h, cs = M._gif_decode(M._gif_encode(mid))
+    ew, eh, swirl = M._gif_geometry(mid)
     exp = 3 * sum(
-        (mid + 5 * x + 11 * y) % 256 for y in range(M._GIF_H) for x in range(M._GIF_W)
+        (mid + 5 * x + 11 * y + swirl * x * y) % 256
+        for y in range(eh)
+        for x in range(ew)
     )
-    assert (w, h, cs) == (M._GIF_W, M._GIF_H, exp)
+    assert (w, h, cs) == (ew, eh, exp)
+
+
+def test_gif_tiers_exercise_width_growth_and_clear():
+    # ADVICE r7: the oracle-gated payloads themselves must hit the
+    # variable-width and dict-reset paths, not only the unit tests.
+    # Count CLEAR codes in the encoded stream (beyond the leading one)
+    # by decoding with an instrumented reader: assert via stream size —
+    # the big tier compresses to >2 sub-blocks and the mid tier's LZW
+    # byte length exceeds what a 9-bit-only stream of 586 codes allows.
+    big = M._gif_encode(101)
+    mid = M._gif_encode(17)
+    base = M._gif_encode(1)
+    assert len(base) < len(mid) < len(big)
+    # geometry tiers honored in the header
+    import struct as _s
+
+    assert _s.unpack_from("<HH", big, 6) == (M._GIF_BIG_W, M._GIF_BIG_H)
+    assert _s.unpack_from("<HH", mid, 6) == (M._GIF_MID_W, M._GIF_MID_H)
+    # the swirl payload is near-incompressible: > 1 byte/pixel at
+    # 12-bit codes only happens after the width ladder is climbed
+    n_px = M._GIF_BIG_W * M._GIF_BIG_H
+    assert len(big) > 13 + 768 + n_px  # LZW stream exceeds raw pixels
 
 
 def test_lzw_long_stream_dict_reset():
@@ -82,14 +109,15 @@ def test_gif_header_fields():
 
 
 def test_encode_decode_dataframe_path(spark):
-    df = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    df = spark.range(0, 120).withColumnRenamed("id", "doc_id")
     out = {r.media_id: r for r in M.decode_gif(M.encode_gif(df)).collect()}
-    assert len(out) == 40
-    for mid in (0, 17, 39):
+    assert len(out) == 120
+    for mid in (0, 17, 39, 101):  # one of each tier incl. both big-tier ids
+        ew, eh, swirl = M._gif_geometry(mid)
         exp = 3 * sum(
-            (mid + 5 * x + 11 * y) % 256
-            for y in range(M._GIF_H)
-            for x in range(M._GIF_W)
+            (mid + 5 * x + 11 * y + swirl * x * y) % 256
+            for y in range(eh)
+            for x in range(ew)
         )
         assert out[mid].content_sum == exp
-        assert (out[mid].width, out[mid].height) == (M._GIF_W, M._GIF_H)
+        assert (out[mid].width, out[mid].height) == (ew, eh)

@@ -654,3 +654,82 @@ def test_kcore_adaptive_k_star_collapses(spark):
     # then the center has degree 0 -> empty core
     star = [(0, i) for i in range(1, 7)]
     assert kcore(_edges(spark, star)).collect() == []
+
+
+def _duckdb_kcore_unrolled(pairs, rounds=30):
+    """Replica of the items_kcore oracle's fixed-depth unrolled peel
+    (adaptive k = max_degree // 2 + 1) over a literal edge list — the
+    DuckDB engine side of the peel-depth boundary tests."""
+    import duckdb
+
+    values = ", ".join(f"({a}, {b})" for a, b in pairs)
+    ctes = [
+        f"e0 AS MATERIALIZED (SELECT a, b FROM (VALUES {values}) t(a, b))",
+        "kk AS MATERIALIZED (SELECT CAST(max(c) // 2 + 1 AS BIGINT) AS k FROM ("
+        "SELECT node, count(*) AS c FROM (SELECT a AS node FROM e0 "
+        "UNION ALL SELECT b AS node FROM e0) GROUP BY 1))",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT node, count(*) AS c FROM "
+            f"(SELECT a AS node FROM e{p} UNION ALL SELECT b AS node FROM e{p}) "
+            "GROUP BY 1)"
+        )
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT node FROM d{i} "
+            "WHERE c >= (SELECT k FROM kk))"
+        )
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT e.a, e.b FROM e{p} e "
+            f"JOIN a{i} x ON e.a = x.node JOIN a{i} y ON e.b = y.node)"
+        )
+    sql = (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT node AS item_id, CAST(count(*) AS BIGINT) AS degree_in_core,"
+        f" (SELECT k FROM kk) AS k_used FROM (SELECT a AS node FROM e{rounds}"
+        f" UNION ALL SELECT b AS node FROM e{rounds}) GROUP BY 1"
+    )
+    return duckdb.sql(sql).fetchall()
+
+
+def _chain_graph(chain_len):
+    # triangle {0,1,2} + pendant chain off node 2: junction degree 3 →
+    # adaptive k = 3 // 2 + 1 = 2; the chain tip (degree 1) dies one
+    # node per round — peel depth == chain_len, the cascade boundary
+    # instrument (VERDICT r7 item 6)
+    tri = [(0, 1), (1, 2), (0, 2)]
+    chain = [(2 + i, 3 + i) for i in range(chain_len)]
+    return tri + chain
+
+
+def test_kcore_depth30_boundary_parity(spark):
+    # 30 productive peels: the MAXIMUM both engines support — Spark's
+    # max_iter=31 budget (30 peels + 1 confirming round) must converge,
+    # and the oracle's 30 unrolled rounds must land on the same fixpoint
+    from gmall_flink_20_spark.operators.graph import kcore
+
+    g = _chain_graph(30)
+    got = sorted(
+        (r.item_id, r.degree_in_core, r.k_used)
+        for r in kcore(_edges(spark, g)).collect()
+    )
+    exp = sorted(_duckdb_kcore_unrolled(g))
+    assert got == exp == [(0, 2, 2), (1, 2, 2), (2, 2, 2)]
+
+
+def test_kcore_depth31_raises_where_oracle_goes_silent(spark):
+    # ONE peel past the budget: Spark raises (the documented divergence
+    # guard) while the oracle's fixed 30-round unroll silently emits a
+    # non-fixpoint result (a degree-1 chain remnant) — the asymmetry
+    # the kcore docstring documents
+    import pytest as _pytest
+
+    from gmall_flink_20_spark.operators.graph import kcore
+
+    g = _chain_graph(31)
+    silent = {r[0] for r in _duckdb_kcore_unrolled(g)}
+    assert 3 in silent  # non-fixpoint: chain node 3 still present
+    with _pytest.raises(RuntimeError, match="did not stabilize"):
+        kcore(_edges(spark, g)).collect()
