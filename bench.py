@@ -224,6 +224,14 @@ BENCH_QUERIES = [
     "parts_skyline",
     "events_scd2_intervals",
     "items_kcore",
+    # round-8 additions
+    "items_communities",
+    "events_dwell_time",
+    "events_abandoned_cart",
+    "events_stickiness",
+    "docs_bloom_dedup",
+    "media_wav_features",
+    "docs_oov_rate",
 ]
 
 

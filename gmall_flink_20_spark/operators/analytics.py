@@ -56,6 +56,9 @@ __all__ = [
     "inter_event_gaps",
     "fulfillment_latency",
     "seasonality_profile",
+    "dwell_time",
+    "cart_abandonment",
+    "stickiness",
 ]
 
 
@@ -2482,3 +2485,175 @@ def scd2_intervals(
         F.lead("valid_from_us").over(w_next).alias("valid_to_us"),
         "n_events",
     ).withColumn("is_current", F.col("valid_to_us").isNull())
+
+
+def dwell_time(
+    events: DataFrame,
+    cap_s: int = 1800,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-on-event profile: each event's dwell is the gap to the SAME
+    user's next event of ANY type (total (ts, event_id) order), capped
+    at ``cap_s`` — the standard web-analytics page-dwell estimator
+    (the cap stands in for "walked away"; a user's last event has no
+    successor and is excluded rather than guessed). The cross-type
+    complement to inter_event_gaps, which measures same-type cadence.
+
+    Per event type: dwell count, how many hit the cap, exact total
+    dwell in microseconds (BIGINT — no float accumulation), and mean
+    seconds (one double division, rounded 6).
+
+    Plan shape: ONE exchange on user for the lead window (the
+    attributing event's type rides along — no second join), then a
+    map-side-combined per-type aggregate. At 100 TB the user partition
+    is the natural key — bounded per-user history, no skew beyond what
+    bot screening already flags.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(time_col).asc(), F.col(id_col).asc()
+    )
+    us = F.unix_micros(F.col(time_col))
+    cap_us = int(cap_s) * 1_000_000
+    d = (
+        events.select(type_col, user_col, time_col, id_col)
+        .withColumn("_next_us", F.lead(us).over(w))
+        .filter(F.col("_next_us").isNotNull())
+        .select(
+            F.col(type_col),
+            F.least(F.col("_next_us") - us, F.lit(cap_us)).alias("_dwell_us"),
+        )
+    )
+    return d.groupBy(type_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dwells"),
+        F.sum((F.col("_dwell_us") == cap_us).cast("long"))
+        .cast("long")
+        .alias("n_capped"),
+        F.sum("_dwell_us").cast("long").alias("total_dwell_us"),
+        (
+            F.round(
+                F.sum("_dwell_us").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1e6),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("mean_dwell_s"),
+    )
+
+
+def cart_abandonment(
+    events: DataFrame,
+    horizon_s: int = 1800,
+    item_expr: str = "get_json_object(props, '$.k')",
+    user_col: str = "user_id",
+    time_col: str = "ts",
+) -> DataFrame:
+    """Cart-abandonment screen: clicks on an item with NO purchase of
+    the SAME item by the SAME user within ``horizon_s`` seconds after
+    the click — the e-commerce funnel leak the reference's order-timeout
+    CEP watches from the payment side, measured here from the browse
+    side. Per item: click count, abandoned count, abandonment rate.
+
+    Plan shape: equi-join on (user, item) with the time residual as a
+    join condition — the J1 interval-join skeleton in its ANTI variant,
+    so Spark hash-joins on the composite key and applies the range
+    filter inside the join, never materializing matched pairs. At
+    scale the horizon bounds state exactly like the streaming interval
+    join's watermark does.
+    """
+    item = F.expr(item_expr).cast("long")
+    us = F.unix_micros(F.col(time_col))
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col(user_col).alias("u"), item.alias("item_id"), us.alias("c_us")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col(user_col).alias("u"), item.alias("item_id"), us.alias("p_us")
+    )
+    horizon_us = int(horizon_s) * 1_000_000
+    abandoned = clicks.join(
+        purchases,
+        [
+            clicks["u"] == purchases["u"],
+            clicks["item_id"] == purchases["item_id"],
+            purchases["p_us"] > clicks["c_us"],
+            purchases["p_us"] <= clicks["c_us"] + F.lit(horizon_us),
+        ],
+        "left_anti",
+    )
+    n_clicks = clicks.groupBy("item_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clicks")
+    )
+    n_aband = abandoned.groupBy("item_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_abandoned")
+    )
+    return (
+        n_clicks.join(n_aband, "item_id", "left")
+        .select(
+            "item_id",
+            "n_clicks",
+            F.coalesce(F.col("n_abandoned"), F.lit(0)).cast("long").alias(
+                "n_abandoned"
+            ),
+        )
+        .withColumn(
+            "abandon_rate",
+            F.round(
+                F.col("n_abandoned").cast("double")
+                / F.col("n_clicks").cast("double"),
+                6,
+            )
+            + F.lit(0.0),
+        )
+    )
+
+
+def stickiness(
+    events: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+) -> DataFrame:
+    """DAU / WAU stickiness per day: distinct daily actives over
+    distinct trailing-``window_days`` actives — the canonical "do users
+    come back" ratio. Output: one row per calendar day with events —
+    (day, dau, wau, stickiness).
+
+    Plan shape: the event stream collapses ONCE to distinct (user, day)
+    pairs (map-side combined); each pair then fans out to the
+    ``window_days`` target days it supports via an exploded literal
+    sequence — a bounded 7× row blowup on the ALREADY-collapsed pair
+    frame, not the stream — and one count_distinct per target day.
+    This is the scale-safe alternative to the oracle's range join
+    (days × user-days), which is quadratic-ish in calendar span; the
+    explode keys the shuffle by target day with constant fan-out.
+    Trailing days beyond the data's end are clipped by the inner join
+    with the DAU frame (a WAU with no same-day actives is not a day).
+    """
+    day = F.to_date(F.col(time_col))
+    ud = (
+        events.select(F.col(user_col).alias("u"), day.alias("d"))
+        .distinct()
+    )
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    fan = ud.select(
+        "u",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), int(window_days) - 1))
+        ).alias("td"),
+    )
+    wau = fan.groupBy("td").agg(F.count_distinct("u").cast("long").alias("wau"))
+    return (
+        dau.join(wau, dau["d"] == wau["td"])
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            (
+                F.round(F.col("dau").cast("double") / F.col("wau").cast("double"), 6)
+                + F.lit(0.0)
+            ).alias("stickiness"),
+        )
+    )

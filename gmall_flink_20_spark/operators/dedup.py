@@ -45,6 +45,7 @@ def minhash_perm_consts(num_hashes: int) -> list[tuple[int, int]]:
     return out
 
 __all__ = [
+    "bloom_membership_report",
     "source_minhash_sim",
     "neardup_threshold_sweep",
     "dup_provenance",
@@ -1169,4 +1170,108 @@ def source_minhash_sim(
         F.round(matches.cast("double") / F.lit(float(num_hashes)), 6).alias(
             "est_jaccard"
         ),
+    )
+
+
+def bloom_membership_report(
+    df: DataFrame,
+    bits_per_key: int = 6,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-filter membership accounting for incremental dedup: index
+    the even-id half of the corpus in a Bloom filter (m = bits_per_key ×
+    |index|, ``k`` positions per key via double hashing h1 + j·h2 — the
+    Kirsch–Mitzenmacher construction), probe the odd-id half, and report
+    the exact true-dup / bloom-hit / false-positive ledger — the sizing
+    study that tells you what an approximate pre-filter would save the
+    exact anti-join (docs_dedup_incremental) at a given bit budget.
+
+    Bloom semantics done as RELATIONAL algebra so DuckDB can replay it
+    bit-for-bit: the filter IS the distinct set of set bit positions; a
+    probe hits iff every one of its distinct positions is present
+    (per-key position self-collisions therefore count once on both
+    sides). At 100 TB you'd materialize the position set as a real
+    broadcast bitmap — Spark's own runtime bloom-join filter or
+    df.stat.bloomFilter, same tree-aggregated construction — but the
+    position-set join keeps the semantics exact and oracle-checkable;
+    the shuffle carries (doc, position) pairs, k per doc, never text.
+
+    bits_per_key=6 / k=3 put the fill factor near 40% so the
+    false-positive path is actually EXERCISED (~6% FP rate) rather than
+    vanishing at test scale the way a production-sized 10-bits-per-key
+    filter would.
+    """
+    fp = F.md5(F.col(text_col).cast("binary"))
+    halves = df.select(
+        F.col(id_col).alias("_id"), fp.alias("fp"), (F.col(id_col) % 2).alias("_par")
+    )
+    idx = halves.filter(F.col("_par") == 0)
+    prb = halves.filter(F.col("_par") == 1)
+    from ._cache import eager_persist
+
+    idx = eager_persist(idx)
+    prb = eager_persist(prb)
+    m = idx.agg((F.lit(int(bits_per_key)) * F.count(F.lit(1))).alias("m"))
+
+    def positions(frame: DataFrame) -> DataFrame:
+        h1 = F.expr("CAST(conv(substr(md5(concat(fp, ':b1')), 1, 15), 16, 10) AS BIGINT)")
+        h2 = F.expr("CAST(conv(substr(md5(concat(fp, ':b2')), 1, 15), 16, 10) AS BIGINT)")
+        return (
+            frame.crossJoin(F.broadcast(m))
+            .select(
+                "_id",
+                F.explode(
+                    F.array(*[((h1 + F.lit(j) * h2) % F.col("m")) for j in range(k)])
+                ).alias("pos"),
+            )
+            .distinct()
+        )
+    ipos = eager_persist(positions(idx).select("pos").distinct())
+    ppos = positions(prb)
+    hit_docs = (
+        ppos.join(ipos.select("pos", F.lit(1).alias("_in")), "pos", "left")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.coalesce(F.col("_in"), F.lit(0))).alias("_matched"),
+        )
+        .filter(F.col("_n") == F.col("_matched"))
+        .select("_id")
+    )
+    true_dups = prb.join(
+        idx.select("fp").distinct(), "fp", "semi"
+    ).select("_id")
+    counts = (
+        idx.agg(F.count(F.lit(1)).cast("long").alias("n_index"))
+        .crossJoin(prb.agg(F.count(F.lit(1)).cast("long").alias("n_probe")))
+        .crossJoin(m.select(F.col("m").cast("long").alias("m_bits")))
+        .crossJoin(ipos.agg(F.count(F.lit(1)).cast("long").alias("n_bits_set")))
+        .crossJoin(
+            hit_docs.agg(F.count(F.lit(1)).cast("long").alias("n_bloom_hits"))
+        )
+        .crossJoin(
+            true_dups.agg(F.count(F.lit(1)).cast("long").alias("n_true_dups"))
+        )
+    )
+    return counts.select(
+        "n_index",
+        "n_probe",
+        "m_bits",
+        F.lit(int(k)).cast("long").alias("k_hashes"),
+        "n_bits_set",
+        "n_bloom_hits",
+        "n_true_dups",
+        (F.col("n_bloom_hits") - F.col("n_true_dups")).cast("long").alias(
+            "n_false_pos"
+        ),
+        (
+            F.round(
+                (F.col("n_bloom_hits") - F.col("n_true_dups")).cast("double")
+                / (F.col("n_probe") - F.col("n_true_dups")).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("fp_rate"),
     )

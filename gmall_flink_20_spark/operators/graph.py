@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_stats"]
+__all__ = ["pagerank", "triangle_stats", "kcore", "label_propagation"]
 
 
 def pagerank(
@@ -242,4 +242,75 @@ def kcore(
         .groupBy("item_id")
         .agg(F.count(F.lit(1)).cast("long").alias("degree_in_core"))
         .withColumn("k_used", F.lit(int(k)).cast("long"))
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 5,
+    src: str = "item_a",
+    dst: str = "item_b",
+    materialize=None,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (LPA) over
+    an undirected edge list — the fourth graph fixpoint here, beside
+    pagerank (value iteration), connected-components (star contraction)
+    and kcore (peeling). Each node starts labeled with its own id; each
+    round every node adopts the most frequent label among its neighbors
+    AND itself (the self-vote damps the 2-coloring oscillation plain
+    synchronous LPA exhibits on bipartite structures), ties broken by
+    the MINIMUM label. A FIXED round count with that total tie-break
+    makes the result a pure function of the graph, so the DuckDB oracle
+    can replay the identical schedule as unrolled CTEs — the pagerank /
+    Lloyd determinism contract, not a convergence test.
+
+    Output: (item_id, community, community_size) — the final label per
+    node plus how many nodes share it.
+
+    Plan per round: the label frame (|nodes| rows) joins the persisted
+    edge frame twice (once per direction), one map-side-combined
+    count per (node, label), one min(struct) argmin — no row ever
+    carries more than (node, label), and the edge frame is built and
+    persisted ONCE (the loop invariant, as in pagerank). Labels are
+    localCheckpoint-materialized per round to truncate lineage; the
+    driver never collects anything.
+    """
+    if materialize is None:
+        materialize = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
+    from ._cache import eager_persist
+
+    e = eager_persist(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
+    labels = materialize(
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+    )
+    for _ in range(rounds):
+        votes = (
+            e.join(labels.select(F.col("node").alias("b"), "lbl"), "b")
+            .select(F.col("a").alias("node"), "lbl")
+            .unionAll(
+                e.join(labels.select(F.col("node").alias("a"), "lbl"), "a").select(
+                    F.col("b").alias("node"), "lbl"
+                )
+            )
+            .unionAll(labels.select("node", "lbl"))
+        )
+        labels = materialize(
+            votes.groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("node")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), "lbl")).alias("m"))
+            .select("node", F.col("m.lbl").alias("lbl"))
+        )
+    from pyspark.sql import Window
+
+    return labels.select(
+        F.col("node").alias("item_id"),
+        F.col("lbl").cast("long").alias("community"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("lbl"))
+        .cast("long")
+        .alias("community_size"),
     )

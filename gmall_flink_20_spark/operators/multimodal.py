@@ -47,6 +47,7 @@ from pyspark.sql.types import (
 )
 
 __all__ = [
+    "wav_frame_features",
     "REAL_MEDIA_SCHEMA",
     "DECODED_SCHEMA",
     "PNG_DECODED_SCHEMA",
@@ -900,3 +901,76 @@ def decode_gif(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(_dec, schema=PNG_DECODED_SCHEMA)
+
+
+WAV_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+        StructField("n_zero_crossings", LongType(), True),
+        StructField("max_frame_energy", LongType(), True),
+        StructField("min_frame_energy", LongType(), True),
+    ]
+)
+
+
+def wav_frame_features(media: DataFrame, frame_len: int = 8) -> DataFrame:
+    """REAL audio feature extraction over the WAV tier: parse the PCM16
+    payload, frame the samples (``frame_len`` per frame), and emit the
+    classic first-pass DSP features — zero-crossing count (a sign
+    change between consecutive samples, the cheap pitch/noisiness
+    proxy) and per-frame energy extrema (sum of squared samples, exact
+    integer) — the "feature-extract" stage of the multimodal pipeline
+    pattern, downstream of decode. Non-audio rows are filtered.
+
+    Row-local in mapInPandas (Arrow-batched, no shuffle); the oracle
+    recomputes every feature in closed form from the media id's sample
+    formula, so a mis-parse of the WAV container, sign handling, or
+    framing fails the hash gate.
+    """
+    import struct as _struct
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "audio":
+                    continue
+                with wave.open(io.BytesIO(payload), "rb") as w:
+                    rate, n = w.getframerate(), w.getnframes()
+                    raw = w.readframes(n)
+                smp = _struct.unpack(f"<{n}h", raw)
+                zc = sum(
+                    1
+                    for i in range(1, n)
+                    if (smp[i - 1] < 0) != (smp[i] < 0)
+                )
+                energies = [
+                    sum(s * s for s in smp[f : f + frame_len])
+                    for f in range(0, n, frame_len)
+                ]
+                rows.append(
+                    (
+                        int(mid),
+                        rate,
+                        len(energies),
+                        zc,
+                        max(energies),
+                        min(energies),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_frames",
+                    "n_zero_crossings", "max_frame_energy", "min_frame_energy",
+                ],
+            )
+
+    return media.mapInPandas(_feat, schema=WAV_FEATURES_SCHEMA)

@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "oov_rate",
     "pii_stats",
     "tokenizer_fertility",
     "cross_source_contamination",
@@ -1401,4 +1402,56 @@ def pii_redact(
         emails.alias("n_emails"),
         phones.alias("n_phones"),
         F.md5(redacted.cast("binary")).alias("redacted_md5"),
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Out-of-vocabulary rate per source against the corpus-global
+    top-``vocab_size`` vocabulary (count desc, term asc — the stable
+    order vocabulary() uses): what fraction of a source's token
+    OCCURRENCES a tokenizer trained on the whole corpus would map to
+    <unk>. The drift screen run before mixing a new source into a
+    training corpus — high OOV = vocabulary mismatch that token
+    statistics (docs_token_quantiles) don't see.
+
+    Plan shape: one explode collapses immediately to (source, term)
+    counts (map-side combined); the global vocabulary derives from a
+    second roll-up of that SAME frame (no second corpus scan), and the
+    ranking window runs on the distinct-term frame only — bounded by
+    vocabulary size, never corpus size (the vocabulary() argument).
+    The membership join broadcasts the top-k term list.
+    """
+    terms = df.select(
+        F.col(group_col),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    st = terms.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("c"))
+    gl = st.groupBy("term").agg(F.sum("c").alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    vocab = (
+        gl.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(vocab_size))
+        .select("term", F.lit(1).alias("_in_v"))
+    )
+    return (
+        st.join(F.broadcast(vocab), "term", "left")
+        .groupBy(group_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_in_v").isNull(), F.col("c")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"), 6
+            )
+            + F.lit(0.0),
+        )
     )

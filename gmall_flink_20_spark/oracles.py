@@ -2228,6 +2228,35 @@ SELECT term, cnt,
 FROM counts WHERE cnt >= 5
 """
 
+# per-source OOV occurrence rate (text.oov_rate): global top-1000
+# vocabulary by (count desc, term asc), same [^a-z]+ lowercase split as
+# docs_vocabulary; OOV = occurrences of terms outside the top-k
+ORACLES["docs_oov_rate"] = r"""
+WITH st AS (
+    SELECT source, term, count(*) AS c
+    FROM (SELECT source,
+                 unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                    x -> x <> '')) AS term
+          FROM documents)
+    GROUP BY 1, 2
+), gl AS (
+    SELECT term, sum(c) AS cnt FROM st GROUP BY 1
+), vocab AS (
+    SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY cnt DESC, term ASC) AS rn
+        FROM gl
+    ) WHERE rn <= 1000
+)
+SELECT st.source,
+       CAST(sum(st.c) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.term IS NULL THEN st.c ELSE 0 END) AS BIGINT)
+           AS n_oov,
+       round(CAST(sum(CASE WHEN v.term IS NULL THEN st.c ELSE 0 END) AS DOUBLE)
+             / CAST(sum(st.c) AS DOUBLE), 6) + 0.0 AS oov_rate
+FROM st LEFT JOIN vocab v ON st.term = v.term
+GROUP BY 1
+"""
+
 ORACLES["events_rate_anomaly"] = """
 WITH counts AS (
     SELECT event_type,
@@ -3951,6 +3980,40 @@ LEFT JOIN aud USING (media_id)
 LEFT JOIN vid USING (media_id)
 """
 
+# WAV framing features (multimodal.wav_frame_features): closed-form
+# from the sample formula s_i = ((7*id + 13*i) % 256 - 128) * 256 —
+# sign(s) < 0 iff the pre-offset byte < 128; 8 frames of 8 samples
+ORACLES["media_wav_features"] = """
+WITH ids AS (
+    SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 1
+), s AS (
+    SELECT i.media_id, g.i,
+           (((i.media_id * 7 + 13 * g.i) % 256) - 128) * 256 AS smp
+    FROM ids i, generate_series(0, 63) g(i)
+), lagged AS (
+    SELECT media_id, smp,
+           lag(smp) OVER (PARTITION BY media_id ORDER BY i ASC) AS prv,
+           i // 8 AS f
+    FROM s
+), zc AS (
+    SELECT media_id,
+           CAST(sum(CASE WHEN prv IS NOT NULL AND (prv < 0) <> (smp < 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_crossings
+    FROM lagged GROUP BY 1
+), fe AS (
+    SELECT media_id, f, sum(smp * smp) AS e FROM lagged GROUP BY 1, 2
+), fagg AS (
+    SELECT media_id, CAST(count(*) AS INTEGER) AS n_frames,
+           CAST(max(e) AS BIGINT) AS max_frame_energy,
+           CAST(min(e) AS BIGINT) AS min_frame_energy
+    FROM fe GROUP BY 1
+)
+SELECT z.media_id, CAST(8000 AS INTEGER) AS sample_rate, fagg.n_frames,
+       z.n_zero_crossings, fagg.max_frame_energy, fagg.min_frame_energy
+FROM zc z JOIN fagg ON z.media_id = fagg.media_id
+"""
+
+
 # dedup threshold tuning curve (dedup.neardup_threshold_sweep): one
 # scored-pair pass sliced by broadcast threshold literals
 ORACLES["docs_threshold_sweep"] = f"""
@@ -5118,4 +5181,188 @@ SELECT node AS item_id, CAST(count(*) AS BIGINT) AS degree_in_core,
        (SELECT k FROM kk) AS k_used
 FROM (SELECT a AS node FROM e30 UNION ALL SELECT b AS node FROM e30)
 GROUP BY 1
+"""
+
+
+# Label-propagation communities (graph.label_propagation): 5 synchronous
+# rounds, each node votes its neighbors' labels PLUS its own, new label
+# = argmax count with MIN-label tie-break — a pure function of the
+# graph, so the oracle replays the identical schedule as unrolled CTEs
+# (built by the loop below; same co-click edge builder as items_kcore).
+def _lpa_oracle(rounds: int) -> str:
+    ctes = [
+        """ui AS (
+    SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id,
+           count(*) AS cnt
+    FROM events WHERE event_type = 'click' GROUP BY 1, 2
+)""",
+        """capped AS (
+    SELECT user_id, item_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY cnt DESC, item_id ASC) AS r
+        FROM ui
+    ) WHERE r <= 50
+)""",
+        """e0 AS MATERIALIZED (
+    SELECT a.item_id AS a, b.item_id AS b
+    FROM capped a JOIN capped b
+      ON a.user_id = b.user_id AND a.item_id < b.item_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+)""",
+        "l0 AS MATERIALIZED (SELECT node, node AS lbl FROM "
+        "(SELECT a AS node FROM e0 UNION SELECT b AS node FROM e0))",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"v{i} AS (SELECT e.a AS node, l.lbl FROM e0 e "
+            f"JOIN l{p} l ON e.b = l.node "
+            f"UNION ALL SELECT e.b AS node, l.lbl FROM e0 e "
+            f"JOIN l{p} l ON e.a = l.node "
+            f"UNION ALL SELECT node, lbl FROM l{p})"
+        )
+        ctes.append(
+            f"l{i} AS MATERIALIZED (SELECT node, lbl FROM ("
+            f"SELECT node, lbl, row_number() OVER (PARTITION BY node "
+            f"ORDER BY c DESC, lbl ASC) AS rn FROM ("
+            f"SELECT node, lbl, count(*) AS c FROM v{i} GROUP BY 1, 2)"
+            f") WHERE rn = 1)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node AS item_id, CAST(lbl AS BIGINT) AS community,
+       CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT) AS community_size
+FROM l{rounds}
+"""
+    )
+
+
+ORACLES["items_communities"] = _lpa_oracle(5)
+
+
+# per-type dwell time (analytics.dwell_time): lead over the user's full
+# event sequence (any type), capped at 30 min, attributed to the
+# PRECEDING event's type; exact µs totals, one double division at the end
+ORACLES["events_dwell_time"] = """
+WITH g AS (
+    -- filter the NULL lead BEFORE least(): DuckDB's least() skips
+    -- NULLs (returns the non-null side), which would silently give
+    -- every user's last event a full-cap dwell
+    SELECT event_type,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC)
+           - epoch_us(ts) AS gap_us
+    FROM events
+), d AS (
+    SELECT event_type, least(gap_us, 1800000000) AS dwell_us
+    FROM g WHERE gap_us IS NOT NULL
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_dwells,
+       CAST(count(*) FILTER (dwell_us = 1800000000) AS BIGINT) AS n_capped,
+       CAST(sum(dwell_us) AS BIGINT) AS total_dwell_us,
+       round(CAST(sum(dwell_us) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6,
+             6) + 0.0 AS mean_dwell_s
+FROM d WHERE dwell_us IS NOT NULL
+GROUP BY 1
+"""
+
+
+# cart abandonment (analytics.cart_abandonment): clicks with no
+# same-user same-item purchase in (click, click+30min]; NOT EXISTS is
+# the oracle's form of the Spark anti-join with range residual
+ORACLES["events_abandoned_cart"] = """
+WITH c AS (
+    SELECT user_id AS u,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id,
+           epoch_us(ts) AS c_us
+    FROM events WHERE event_type = 'click'
+), p AS (
+    SELECT user_id AS u,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id,
+           epoch_us(ts) AS p_us
+    FROM events WHERE event_type = 'purchase'
+), nc AS (
+    SELECT item_id, count(*) AS n_clicks FROM c GROUP BY 1
+), na AS (
+    SELECT item_id, count(*) AS n_abandoned FROM c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p WHERE p.u = c.u AND p.item_id = c.item_id
+          AND p.p_us > c.c_us AND p.p_us <= c.c_us + 1800000000
+    )
+    GROUP BY 1
+)
+SELECT nc.item_id,
+       CAST(nc.n_clicks AS BIGINT) AS n_clicks,
+       CAST(coalesce(na.n_abandoned, 0) AS BIGINT) AS n_abandoned,
+       round(CAST(coalesce(na.n_abandoned, 0) AS DOUBLE)
+             / CAST(nc.n_clicks AS DOUBLE), 6) + 0.0 AS abandon_rate
+FROM nc LEFT JOIN na ON nc.item_id = na.item_id
+"""
+
+
+# bloom membership ledger (dedup.bloom_membership_report): the filter
+# IS the distinct set-bit position set (Kirsch-Mitzenmacher h1 + j*h2,
+# m = 6*|index|); a probe hits iff ALL its distinct positions are
+# present. Same md5-hex-to-60-bit-int idiom as the minhash oracles.
+ORACLES["docs_bloom_dedup"] = """
+WITH idx AS (
+    SELECT doc_id AS id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 0
+), prb AS (
+    SELECT doc_id AS id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 1
+), mm AS (
+    SELECT 6 * count(*) AS m FROM idx
+), ipos AS (
+    SELECT DISTINCT
+        (CAST(concat('0x', substr(md5(fp || ':b1'), 1, 15)) AS BIGINT)
+         + g.j * CAST(concat('0x', substr(md5(fp || ':b2'), 1, 15)) AS BIGINT))
+        % (SELECT m FROM mm) AS pos
+    FROM idx, generate_series(0, 2) g(j)
+), ppos AS (
+    SELECT DISTINCT id,
+        (CAST(concat('0x', substr(md5(fp || ':b1'), 1, 15)) AS BIGINT)
+         + g.j * CAST(concat('0x', substr(md5(fp || ':b2'), 1, 15)) AS BIGINT))
+        % (SELECT m FROM mm) AS pos
+    FROM prb, generate_series(0, 2) g(j)
+), hits AS (
+    SELECT p.id FROM ppos p LEFT JOIN ipos i ON p.pos = i.pos
+    GROUP BY 1 HAVING count(*) = count(i.pos)
+), dups AS (
+    SELECT id FROM prb WHERE fp IN (SELECT fp FROM idx)
+)
+SELECT CAST((SELECT count(*) FROM idx) AS BIGINT) AS n_index,
+       CAST((SELECT count(*) FROM prb) AS BIGINT) AS n_probe,
+       CAST((SELECT m FROM mm) AS BIGINT) AS m_bits,
+       CAST(3 AS BIGINT) AS k_hashes,
+       CAST((SELECT count(*) FROM ipos) AS BIGINT) AS n_bits_set,
+       CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_bloom_hits,
+       CAST((SELECT count(*) FROM dups) AS BIGINT) AS n_true_dups,
+       CAST((SELECT count(*) FROM hits) - (SELECT count(*) FROM dups)
+            AS BIGINT) AS n_false_pos,
+       round(CAST((SELECT count(*) FROM hits) - (SELECT count(*) FROM dups)
+                  AS DOUBLE)
+             / CAST((SELECT count(*) FROM prb) - (SELECT count(*) FROM dups)
+                    AS DOUBLE), 6) + 0.0 AS fp_rate
+"""
+
+
+# DAU/WAU stickiness (analytics.stickiness): the oracle's range join
+# (days x user-days) is semantically identical to Spark's bounded
+# 7-day explode; inner join with DAU clips trailing no-event days
+ORACLES["events_stickiness"] = """
+WITH ud AS (
+    SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events
+), dau AS (
+    SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+), wau AS (
+    SELECT t.d AS d, CAST(count(DISTINCT u.u) AS BIGINT) AS wau
+    FROM dau t JOIN ud u ON u.d BETWEEN t.d - 6 AND t.d
+    GROUP BY 1
+)
+SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+       round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6) + 0.0
+           AS stickiness
+FROM dau JOIN wau ON wau.d = dau.d
 """

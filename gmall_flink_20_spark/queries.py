@@ -2316,6 +2316,87 @@ def items_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.kcore(edges)
 
 
+def items_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the co-click item graph (operators/graph.
+    label_propagation): 5 synchronous LPA rounds with self-vote and
+    min-label tie-break — a pure function of the graph, replayed by the
+    oracle as unrolled CTEs (VERDICT r7 item 7). Completes the graph
+    family: pagerank (importance), triangles (cohesion), kcore (dense
+    core), connected components (reachability), LPA (mesoscale
+    structure). Same capped item_pairs edge builder as the others."""
+    from .operators import analytics, graph
+
+    ev = _clicks(spark, sf_dir).select("user_id", _item_id())
+    edges = analytics.item_pairs(ev, cap=50, min_support=2)
+    return graph.label_propagation(edges, rounds=5)
+
+
+def events_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type time-on-event profile (operators/analytics.dwell_time):
+    gap to the same user's next event of ANY type, capped at 30 min,
+    attributed to the preceding event's type — the cross-type complement
+    to events_gap_stats' same-type cadence. One user-partition window
+    exchange; exact µs totals."""
+    from .operators import analytics
+
+    return analytics.dwell_time(load_events(spark, sf_dir))
+
+
+def events_abandoned_cart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cart-abandonment screen (operators/analytics.cart_abandonment):
+    clicks with no same-user same-item purchase within 30 min — the J1
+    interval-join skeleton in its ANTI variant, measuring the funnel
+    leak the reference's order-timeout CEP watches from the payment
+    side (OrderTimeOutStateApp) from the browse side instead."""
+    from .operators import analytics
+
+    return analytics.cart_abandonment(load_events(spark, sf_dir))
+
+
+def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day (operators/analytics.stickiness):
+    distinct dailies over trailing-7-day distinct actives via a bounded
+    7× explode of the collapsed (user, day) frame — the scale-safe
+    shape; the oracle uses the equivalent range join."""
+    from .operators import analytics
+
+    return analytics.stickiness(load_events(spark, sf_dir))
+
+
+def docs_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom pre-filter sizing ledger (operators/dedup.
+    bloom_membership_report): even-id half indexed at 6 bits/key, k=3
+    double hashing; odd-id half probed — exact true-dup / bloom-hit /
+    false-positive accounting for the approximate front of
+    docs_dedup_incremental. Bloom-as-relational-algebra so the oracle
+    replays the bit positions exactly."""
+    from .operators import dedup
+
+    return dedup.bloom_membership_report(load_table(spark, sf_dir, "documents"))
+
+
+def media_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction (operators/multimodal.
+    wav_frame_features): parse the PCM16 WAV tier payloads, frame into
+    8-sample windows, emit zero-crossing count and exact-integer
+    per-frame energy extrema — the feature-extract stage downstream of
+    media_decode_roundtrip's decode, closed-form oracle from the sample
+    formula."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.wav_frame_features(multimodal.encode_media(docs))
+
+
+def docs_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source out-of-vocabulary occurrence rate against the
+    corpus-global top-1000 vocabulary (operators/text.oov_rate): the
+    tokenizer-drift screen run before mixing a source into a training
+    corpus. One explode collapsed to (source, term) counts; the rank
+    window sees only the distinct-term frame."""
+    from .operators import text
+
+    return text.oov_rate(load_table(spark, sf_dir, "documents"))
+
+
 def customers_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Acquisition-cohort LTV curves (operators/analytics.cohort_ltv):
     first-order-month cohorts × age, integer-cent revenue, cumulative
@@ -2893,6 +2974,14 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parts_skyline": parts_skyline,
     "events_scd2_intervals": events_scd2_intervals,
     "items_kcore": items_kcore,
+    # round-8 additions (gated on first appearance)
+    "items_communities": items_communities,
+    "events_dwell_time": events_dwell_time,
+    "events_abandoned_cart": events_abandoned_cart,
+    "events_stickiness": events_stickiness,
+    "docs_bloom_dedup": docs_bloom_dedup,
+    "media_wav_features": media_wav_features,
+    "docs_oov_rate": docs_oov_rate,
 }
 
 # --- CORRECTNESS window (driver gates the FIRST 50 entries in dict

@@ -1,0 +1,250 @@
+"""Round-8 operators: label-propagation communities, bloom-filter
+dedup accounting, dwell time, cart abandonment, WAV framing features,
+OOV rate, DAU/WAU stickiness."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "item_a long, item_b long"
+    )
+
+
+# ------------------------------------------------- label propagation
+
+
+def test_lpa_two_triangles_bridge(spark):
+    # two triangles joined by one bridge edge: LPA should find the two
+    # triangle communities (the bridge is outvoted on both sides)
+    from gmall_flink_20_spark.operators.graph import label_propagation
+
+    g = [(0, 1), (1, 2), (0, 2), (5, 6), (6, 7), (5, 7), (2, 5)]
+    got = {r.item_id: r for r in label_propagation(_edges(spark, g)).collect()}
+    assert {got[i].community for i in (0, 1, 2)} == {0}
+    assert {got[i].community for i in (5, 6, 7)} == {5}
+    assert all(r.community_size == 3 for r in got.values())
+
+
+def test_lpa_single_edge_min_label_wins(spark):
+    # one edge {3,9}: after round 1, each node sees votes {own:1,
+    # other:1} — tie broken by MIN label, so both land on 3
+    from gmall_flink_20_spark.operators.graph import label_propagation
+
+    got = {r.item_id: r for r in label_propagation(_edges(spark, [(3, 9)])).collect()}
+    assert got[3].community == got[9].community == 3
+    assert got[3].community_size == 2
+
+
+def test_lpa_self_vote_damps_bipartite_oscillation(spark):
+    # path 1-2: plain synchronous LPA (neighbors only) would swap
+    # labels forever on a 2-node graph; the self-vote + min tie-break
+    # converges to the min label and STAYS there for any round count
+    from gmall_flink_20_spark.operators.graph import label_propagation
+
+    for rounds in (1, 2, 5):
+        got = {
+            r.item_id: r.community
+            for r in label_propagation(_edges(spark, [(1, 2)]), rounds=rounds).collect()
+        }
+        assert got == {1: 1, 2: 1}
+
+
+def test_lpa_isolated_components_keep_min_labels(spark):
+    from gmall_flink_20_spark.operators.graph import label_propagation
+
+    g = [(10, 11), (20, 21), (21, 22)]
+    got = {r.item_id: r.community for r in label_propagation(_edges(spark, g)).collect()}
+    assert got[10] == got[11] == 10
+    assert got[20] == got[21] == got[22] == 20
+
+
+# ------------------------------------------------------- dwell time
+
+
+def test_dwell_time_cap_and_last_event_excluded(spark):
+    from gmall_flink_20_spark.operators.analytics import dwell_time
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, 0.0, "view"),
+            (2, 10, 10.0, "click"),
+            (3, 10, 4000.0, "view"),  # last event: no dwell
+            (4, 20, 0.0, "click"),  # user 20's only event: no dwell
+        ],
+        "event_id long, user_id long, t double, event_type string",
+    ).select(
+        "event_id", "user_id", F.col("t").cast("timestamp").alias("ts"), "event_type"
+    )
+    got = {r.event_type: r for r in dwell_time(df).collect()}
+    assert set(got) == {"view", "click"}
+    # view@0 -> next at 10 => 10s; click@10 -> next at 4000 => capped 1800
+    assert got["view"].n_dwells == 1 and got["view"].total_dwell_us == 10_000_000
+    assert got["view"].n_capped == 0
+    assert got["click"].n_dwells == 1
+    assert got["click"].total_dwell_us == 1800 * 1_000_000
+    assert got["click"].n_capped == 1
+    assert got["click"].mean_dwell_s == 1800.0
+
+
+def test_dwell_time_ties_break_by_event_id(spark):
+    from gmall_flink_20_spark.operators.analytics import dwell_time
+
+    # two events at the SAME timestamp: order is (ts, event_id), so
+    # e1's dwell is 0 (to e2) and e2's dwell is 5s (to e3)
+    df = spark.createDataFrame(
+        [(1, 7, 0.0, "a"), (2, 7, 0.0, "b"), (3, 7, 5.0, "c")],
+        "event_id long, user_id long, t double, event_type string",
+    ).select(
+        "event_id", "user_id", F.col("t").cast("timestamp").alias("ts"), "event_type"
+    )
+    got = {r.event_type: r for r in dwell_time(df).collect()}
+    assert got["a"].total_dwell_us == 0
+    assert got["b"].total_dwell_us == 5_000_000
+
+
+# -------------------------------------------------- cart abandonment
+
+
+def test_cart_abandonment_variants(spark):
+    from gmall_flink_20_spark.operators.analytics import cart_abandonment
+
+    rows = [
+        # u1 clicks item 5 then buys it within 30 min -> converted
+        (1, 100.0, 1, "click", '{"k": 5}'),
+        (2, 200.0, 1, "purchase", '{"k": 5}'),
+        # u2 clicks item 5, buys DIFFERENT item -> abandoned
+        (3, 100.0, 2, "click", '{"k": 5}'),
+        (4, 200.0, 2, "purchase", '{"k": 9}'),
+        # u3 clicks item 7, buys it but AFTER the 30-min horizon
+        (5, 100.0, 3, "click", '{"k": 7}'),
+        (6, 100.0 + 1801.0, 3, "purchase", '{"k": 7}'),
+        # u4 buys item 7 BEFORE clicking it -> the click is abandoned
+        (7, 50.0, 4, "purchase", '{"k": 7}'),
+        (8, 100.0, 4, "click", '{"k": 7}'),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, t double, user_id long, event_type string, props string"
+    ).select(
+        "event_id", F.col("t").cast("timestamp").alias("ts"), "user_id",
+        "event_type", "props",
+    )
+    got = {r.item_id: r for r in cart_abandonment(df).collect()}
+    assert got[5].n_clicks == 2 and got[5].n_abandoned == 1
+    assert got[7].n_clicks == 2 and got[7].n_abandoned == 2
+    assert got[7].abandon_rate == 1.0
+
+
+def test_cart_abandonment_boundary_inclusive(spark):
+    from gmall_flink_20_spark.operators.analytics import cart_abandonment
+
+    # purchase at exactly click + 30 min counts as converted (<=)
+    rows = [
+        (1, 0.0, 1, "click", '{"k": 3}'),
+        (2, 1800.0, 1, "purchase", '{"k": 3}'),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, t double, user_id long, event_type string, props string"
+    ).select(
+        "event_id", F.col("t").cast("timestamp").alias("ts"), "user_id",
+        "event_type", "props",
+    )
+    got = cart_abandonment(df).collect()
+    assert got[0].n_abandoned == 0
+
+
+# ------------------------------------------------------- stickiness
+
+
+def test_stickiness_dau_wau(spark):
+    from gmall_flink_20_spark.operators.analytics import stickiness
+
+    # u1 active day 0 and day 3; u2 active day 3 only
+    day = 86400.0
+    df = spark.createDataFrame(
+        [(1, 0.0), (1, 3 * day), (2, 3 * day), (2, 3 * day + 1)],
+        "user_id long, t double",
+    ).select("user_id", F.col("t").cast("timestamp").alias("ts"))
+    got = {r.day: r for r in stickiness(df).collect()}
+    assert set(got) == {"1970-01-01", "1970-01-04"}
+    assert got["1970-01-01"].dau == 1 and got["1970-01-01"].wau == 1
+    # day 3: both users daily-active; trailing week saw both too
+    assert got["1970-01-04"].dau == 2 and got["1970-01-04"].wau == 2
+    assert got["1970-01-04"].stickiness == 1.0
+
+
+def test_stickiness_window_clips_at_seven_days(spark):
+    from gmall_flink_20_spark.operators.analytics import stickiness
+
+    day = 86400.0
+    # u1 active day 0; u2 active day 7 — day 7's trailing window is
+    # [day1..day7], so u1 no longer counts
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, 7 * day)], "user_id long, t double"
+    ).select("user_id", F.col("t").cast("timestamp").alias("ts"))
+    got = {r.day: r for r in stickiness(df).collect()}
+    assert got["1970-01-08"].wau == 1
+
+
+# ------------------------------------------------------ bloom dedup
+
+
+def test_bloom_true_dups_always_hit(spark):
+    from gmall_flink_20_spark.operators.dedup import bloom_membership_report
+
+    # doc 1 (probe, odd) duplicates doc 0 (index, even): a Bloom filter
+    # can never miss it, so n_true_dups == 1 and hits >= dups
+    rows = [(i, f"unique text {i}") for i in range(0, 40, 2)]
+    rows += [(1, "unique text 0"), (3, "only in probe")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = bloom_membership_report(df).collect()[0]
+    assert r.n_true_dups == 1
+    assert r.n_bloom_hits >= r.n_true_dups
+    assert r.n_false_pos == r.n_bloom_hits - r.n_true_dups
+    assert r.m_bits == 6 * r.n_index
+
+
+# ------------------------------------------------------ wav features
+
+
+def test_wav_features_closed_form(spark):
+    from gmall_flink_20_spark.operators import multimodal as M
+
+    df = spark.createDataFrame([(1,), (4,), (7,)], "doc_id long")
+    out = {
+        r.media_id: r
+        for r in M.wav_frame_features(M.encode_media(df)).collect()
+    }
+    assert set(out) == {1, 4, 7}  # ids % 3 == 1 are audio
+    for mid in out:
+        smp = [((mid * 7 + 13 * i) % 256 - 128) * 256 for i in range(64)]
+        zc = sum((smp[i - 1] < 0) != (smp[i] < 0) for i in range(1, 64))
+        es = [sum(s * s for s in smp[f : f + 8]) for f in range(0, 64, 8)]
+        r = out[mid]
+        assert (r.n_zero_crossings, r.max_frame_energy, r.min_frame_energy) == (
+            zc, max(es), min(es),
+        )
+        assert r.n_frames == 8 and r.sample_rate == 8000
+
+
+# --------------------------------------------------------- OOV rate
+
+
+def test_oov_rate_tiny_vocab(spark):
+    from gmall_flink_20_spark.operators.text import oov_rate
+
+    df = spark.createDataFrame(
+        [
+            ("a", "cat cat dog"),
+            ("b", "cat bird"),
+        ],
+        "source string, text string",
+    )
+    # counts: cat=3, dog=1, bird=1 -> top-2 = {cat, bird (term asc)}
+    got = {r.source: r for r in oov_rate(df, vocab_size=2).collect()}
+    assert got["a"].n_tokens == 3 and got["a"].n_oov == 1  # dog
+    assert got["b"].n_tokens == 2 and got["b"].n_oov == 0
+    assert got["a"].oov_rate == round(1 / 3, 6)
