@@ -5059,6 +5059,9 @@ SELECT user_id, state, valid_from_us,
 FROM iv
 """
 
+# streaming form shares the batch oracle: streaming == batch is the gate
+ORACLES["events_scd2_intervals_streaming"] = ORACLES["events_scd2_intervals"]
+
 
 # k-core peeling (graph.kcore): 30 unrolled MATERIALIZED peel rounds
 # (idempotent past the fixpoint) at the adaptive k = max_degree // 2 + 1

