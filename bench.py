@@ -226,6 +226,7 @@ BENCH_QUERIES = [
     "items_kcore",
     # round-8 additions
     "items_communities",
+    "items_modularity",
     "events_dwell_time",
     "events_abandoned_cart",
     "events_stickiness",

@@ -57,12 +57,38 @@ def _ensure_session_conf(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+# Resolved-plan cache: `spark.read.parquet` pays ~0.1 s of file listing
+# + footer schema read over Py4J EVERY call — pure fixed overhead that
+# dominates sub-second queries (measured: ~25% of a cheap query's wall
+# time at sf0.1). The returned DataFrame is an immutable logical plan
+# whose FileIndex Spark itself caches per instance, so reusing it per
+# (session, dir, table) is exactly the catalog/metadata caching a real
+# engine does. The test tables are static; a changed directory needs a
+# new sf_dir (or clear_table_cache()). Keyed on the SparkSession object
+# so a restarted session never sees plans bound to a dead JVM handle.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_CACHE_SESSION: list = [None]  # current session; reset drops old plans
+
+
+def clear_table_cache() -> None:
+    _TABLE_CACHE.clear()
+    _CACHE_SESSION[0] = None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-generated parquet table, normalizing types."""
+    if _CACHE_SESSION[0] is not spark:
+        _TABLE_CACHE.clear()
+        _CACHE_SESSION[0] = spark
+    key = (id(spark), sf_dir, name)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
     _ensure_session_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = _normalize_events(df)
+    _TABLE_CACHE[key] = df
     return df
 
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_stats", "kcore", "label_propagation"]
+__all__ = ["pagerank", "triangle_stats", "kcore", "label_propagation", "modularity"]
 
 
 def pagerank(
@@ -313,4 +313,74 @@ def label_propagation(
         .over(Window.partitionBy("lbl"))
         .cast("long")
         .alias("community_size"),
+    )
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "item_a",
+    dst: str = "item_b",
+) -> DataFrame:
+    """Newman modularity Q of a node partition over an undirected edge
+    list: Q = Σ_c [ e_c/m − (d_c/2m)² ] — the standard "is this
+    community structure better than chance" score (positive ⇒ denser
+    inside communities than a degree-preserving random rewiring).
+    ``labels`` is (item_id, community), e.g. label_propagation output.
+
+    One row: (n_communities, n_edges, intra_edges, modularity).
+
+    Plan shape: two broadcast-joinable label lookups against the edge
+    list (the label frame is |nodes| ≪ |edges| at scale), one map-side
+    combined per-community aggregate of (intra-edge count, degree sum),
+    then a one-row reduce. All counts integer-exact; Q is assembled in
+    one double expression with a fixed operation order, mirrored by the
+    oracle, rounded 6.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    la = labels.select(F.col("item_id").alias("a"), F.col("community").alias("ca"))
+    lb = labels.select(F.col("item_id").alias("b"), F.col("community").alias("cb"))
+    tagged = e.join(la, "a").join(lb, "b")
+    # per-community degree sum: each edge endpoint contributes 1
+    deg = (
+        tagged.select(F.col("ca").alias("c"))
+        .unionAll(tagged.select(F.col("cb").alias("c")))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("d_c"))
+    )
+    intra = (
+        tagged.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_c"))
+    )
+    per_c = deg.join(intra, "c", "left").select(
+        "c",
+        "d_c",
+        F.coalesce(F.col("e_c"), F.lit(0)).cast("long").alias("e_c"),
+    )
+    m = e.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    return (
+        per_c.crossJoin(F.broadcast(m))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+            F.max("m").cast("long").alias("n_edges"),
+            F.sum("e_c").cast("long").alias("intra_edges"),
+            (
+                F.round(
+                    F.sum(
+                        F.col("e_c").cast("double") / F.col("m").cast("double")
+                        - (
+                            F.col("d_c").cast("double")
+                            / (F.lit(2.0) * F.col("m").cast("double"))
+                        )
+                        * (
+                            F.col("d_c").cast("double")
+                            / (F.lit(2.0) * F.col("m").cast("double"))
+                        )
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("modularity"),
+        )
     )

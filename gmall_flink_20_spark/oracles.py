@@ -5245,6 +5245,49 @@ FROM l{rounds}
 ORACLES["items_communities"] = _lpa_oracle(5)
 
 
+# Newman modularity of the LPA partition (graph.modularity over
+# label_propagation): Q = sum_c [e_c/m - (d_c/2m)^2], exact integer
+# counts, the Q terms assembled with the identical expression tree.
+# Reuses the LPA unroll: everything up to l5, then the per-community
+# aggregate — one WITH chain, no second edge build.
+def _modularity_oracle(rounds: int) -> str:
+    base = _lpa_oracle(rounds)
+    head = base[: base.index("\nSELECT node AS item_id")]
+    return (
+        head
+        + f""",
+tagged AS (
+    SELECT e.a, e.b, la.lbl AS ca, lb.lbl AS cb
+    FROM e0 e JOIN l{rounds} la ON e.a = la.node
+              JOIN l{rounds} lb ON e.b = lb.node
+),
+deg AS (
+    SELECT c, count(*) AS d_c FROM (
+        SELECT ca AS c FROM tagged UNION ALL SELECT cb AS c FROM tagged
+    ) GROUP BY 1
+),
+intra AS (
+    SELECT ca AS c, count(*) AS e_c FROM tagged WHERE ca = cb GROUP BY 1
+),
+mm AS (SELECT count(*) AS m FROM e0)
+SELECT CAST(count(*) AS BIGINT) AS n_communities,
+       CAST((SELECT m FROM mm) AS BIGINT) AS n_edges,
+       CAST(sum(coalesce(i.e_c, 0)) AS BIGINT) AS intra_edges,
+       round(sum(CAST(coalesce(i.e_c, 0) AS DOUBLE)
+                 / CAST((SELECT m FROM mm) AS DOUBLE)
+                 - (CAST(d.d_c AS DOUBLE)
+                    / (2.0 * CAST((SELECT m FROM mm) AS DOUBLE)))
+                 * (CAST(d.d_c AS DOUBLE)
+                    / (2.0 * CAST((SELECT m FROM mm) AS DOUBLE)))),
+             6) + 0.0 AS modularity
+FROM deg d LEFT JOIN intra i ON d.c = i.c
+"""
+    )
+
+
+ORACLES["items_modularity"] = _modularity_oracle(5)
+
+
 # per-type dwell time (analytics.dwell_time): lead over the user's full
 # event sequence (any type), capped at 30 min, attributed to the
 # PRECEDING event's type; exact µs totals, one double division at the end

@@ -2331,6 +2331,19 @@ def items_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.label_propagation(edges, rounds=5)
 
 
+def items_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA partition on the co-click graph
+    (operators/graph.modularity ∘ label_propagation): Q = Σ_c [e_c/m −
+    (d_c/2m)²] — the partition-quality score that tells you whether
+    items_communities found real structure or noise. Exact integer
+    edge/degree counts; one double expression at the end."""
+    from .operators import analytics, graph
+
+    ev = _clicks(spark, sf_dir).select("user_id", _item_id())
+    edges = analytics.item_pairs(ev, cap=50, min_support=2)
+    return graph.modularity(edges, graph.label_propagation(edges, rounds=5))
+
+
 def events_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type time-on-event profile (operators/analytics.dwell_time):
     gap to the same user's next event of ANY type, capped at 30 min,
@@ -3050,6 +3063,7 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "items_kcore": items_kcore,
     # round-8 additions (gated on first appearance)
     "items_communities": items_communities,
+    "items_modularity": items_modularity,
     "events_dwell_time": events_dwell_time,
     "events_abandoned_cart": events_abandoned_cart,
     "events_stickiness": events_stickiness,
@@ -3136,6 +3150,7 @@ assert len(_R7_ROLLOVER) == 21
 # ---- round 8 window
 R8_NEW: list[str] = [
     "items_communities",
+    "items_modularity",
     "events_dwell_time",
     "events_abandoned_cart",
     "events_stickiness",

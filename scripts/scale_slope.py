@@ -61,6 +61,17 @@ HEAVY = [
     "docs_source_minhash_sim",
     "events_theta_overlap",
     "events_scd2_intervals",
+    # round-8: the graph fixpoint (co-click edges from doubled events),
+    # the bloom position-set join, the OOV vocab roll-up, and the three
+    # events-window/join shapes; wav decode is the per-row Python tier
+    "items_communities",
+    "items_modularity",
+    "docs_bloom_dedup",
+    "docs_oov_rate",
+    "events_dwell_time",
+    "events_abandoned_cart",
+    "events_stickiness",
+    "media_wav_features",
 ]
 
 

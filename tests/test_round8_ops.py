@@ -248,3 +248,25 @@ def test_oov_rate_tiny_vocab(spark):
     assert got["a"].n_tokens == 3 and got["a"].n_oov == 1  # dog
     assert got["b"].n_tokens == 2 and got["b"].n_oov == 0
     assert got["a"].oov_rate == round(1 / 3, 6)
+
+
+# ------------------------------------------------------- modularity
+
+
+def test_modularity_two_triangles_bridge(spark):
+    from gmall_flink_20_spark.operators.graph import label_propagation, modularity
+
+    g = [(0, 1), (1, 2), (0, 2), (5, 6), (6, 7), (5, 7), (2, 5)]
+    r = modularity(_edges(spark, g), label_propagation(_edges(spark, g))).collect()[0]
+    # two communities, 6/7 intra; Q = 6/7 - 2*(7/14)^2 = 0.357143
+    assert (r.n_communities, r.n_edges, r.intra_edges) == (2, 7, 6)
+    assert r.modularity == 0.357143
+
+
+def test_modularity_single_community_is_zero(spark):
+    from gmall_flink_20_spark.operators.graph import label_propagation, modularity
+
+    # one triangle, one community: e_c/m = 1, (d_c/2m)^2 = 1 -> Q = 0
+    g = [(0, 1), (1, 2), (0, 2)]
+    r = modularity(_edges(spark, g), label_propagation(_edges(spark, g))).collect()[0]
+    assert r.n_communities == 1 and r.modularity == 0.0

@@ -669,3 +669,59 @@ def test_scd2_single_key_exchange(spark, sf_dir):
     keys = set(re.findall(r"hashpartitioning\((\w+)#", plan))
     assert keys == {"user_id"}
     assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_round8_batch_plans(spark, sf_dir):
+    import re
+
+    # dwell: ONE user exchange for the lead window plus the final
+    # per-type aggregate exchange — nothing else, no Python anywhere
+    plan = plan_of(QUERIES["events_dwell_time"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    keys = set(re.findall(r"hashpartitioning\((\w+)#", plan))
+    assert keys == {"user_id", "event_type"}
+
+    # abandoned cart: the anti join is a real (user, item) equi-join
+    # with the horizon as a range residual — no cartesian/BNL product
+    plan = plan_of(QUERIES["events_abandoned_cart"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    # stickiness: the WAU side is the bounded 7-day EXPLODE of the
+    # collapsed pair frame (no range join), one events scan feeding both
+    # DAU and WAU branches is acceptable (two scans of one file max)
+    plan = plan_of(QUERIES["events_stickiness"](spark, sf_dir))
+    assert "explode(sequence(" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    # OOV: the top-k membership list is BROADCAST to the per-source
+    # count frame; the rank window runs on the collapsed term frame
+    plan = plan_of(QUERIES["docs_oov_rate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_round8_bloom_positions_not_text(spark, sf_dir):
+    # the bloom probe join carries (doc, position) pairs — the text
+    # column must not survive past the fingerprint projection into any
+    # exchange (the shuffle carries hashes, never payloads)
+    plan = plan_of(QUERIES["docs_bloom_dedup"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for ex in plan.split("Exchange")[1:]:
+        first_line = ex.split("\n")[0]
+        assert "text#" not in first_line
+
+
+def test_round8_lpa_edges_built_once(spark, sf_dir):
+    # LPA's loop invariant: the co-click edge frame is persisted once —
+    # the final-round plan reads the cached edges (InMemoryTableScan),
+    # not a rebuilt pair join, and the driver never collects anything
+    # beyond the eager-persist count
+    df = QUERIES["items_communities"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "InMemoryTableScan" in plan or "Scan ExistingRDD" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
