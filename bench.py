@@ -227,6 +227,9 @@ BENCH_QUERIES = [
     # round-8 additions
     "items_communities",
     "items_modularity",
+    "events_temporal_join",
+    "events_ivm_merge",
+    "events_quantiles_approx",
     "events_dwell_time",
     "events_abandoned_cart",
     "events_stickiness",

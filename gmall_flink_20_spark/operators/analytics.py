@@ -57,6 +57,8 @@ __all__ = [
     "fulfillment_latency",
     "seasonality_profile",
     "dwell_time",
+    "temporal_join",
+    "incremental_agg_refresh",
     "cart_abandonment",
     "stickiness",
 ]
@@ -2655,5 +2657,100 @@ def stickiness(
                 F.round(F.col("dau").cast("double") / F.col("wau").cast("double"), 6)
                 + F.lit(0.0)
             ).alias("stickiness"),
+        )
+    )
+
+
+def temporal_join(
+    facts: DataFrame,
+    dim_intervals: DataFrame,
+    key: str,
+    fact_us_col: str,
+    carry: dict[str, str],
+    how: str = "left",
+) -> DataFrame:
+    """Event-time temporal table join — Flink's versioned-dim enrichment
+    (the reference's dim-join pattern in BaseDbApp/OrderWide, done
+    event-time-correct instead of processing-time lookup): each fact
+    row joins the dim VERSION valid at its event time, i.e. the
+    interval row with ``valid_from_us <= t < valid_to_us`` (open
+    current version = NULL valid_to). ``dim_intervals`` is an SCD2
+    frame (scd2_intervals output or any (key, valid_from_us,
+    valid_to_us, ...) history); ``carry`` maps dim column → output
+    alias.
+
+    Plan shape: hash equi-join on ``key`` with the containment
+    predicate as a join residual — Spark keeps it a HashJoin (never a
+    cartesian) because the equi key is extractable; per-key fan-out is
+    bounded by that key's VERSION count (state changes, not events).
+    The intervals partition by the same key the facts shuffle on, so
+    at scale this is one co-partitioned exchange each side — the
+    sort-merge-free alternative to asof_join when validity is already
+    materialized as intervals.
+    """
+    d = dim_intervals.select(
+        F.col(key).alias("_k"),
+        F.col("valid_from_us").alias("_from"),
+        F.col("valid_to_us").alias("_to"),
+        *[F.col(src).alias(dst) for src, dst in carry.items()],
+    )
+    cond = (
+        (facts[key] == d["_k"])
+        & (d["_from"] <= facts[fact_us_col])
+        & (d["_to"].isNull() | (facts[fact_us_col] < d["_to"]))
+    )
+    return facts.join(d, cond, how).drop("_k", "_from", "_to")
+
+
+def incremental_agg_refresh(
+    events: DataFrame,
+    num_shards: int = 10,
+    delta_shard: int = 0,
+    type_col: str = "event_type",
+    time_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Incremental view maintenance (IVM) for an additive aggregate: the
+    stored view is the (event_type, day) count/revenue roll-up over the
+    BASE corpus; a DELTA batch (a deterministic salted-hash shard of the
+    ids, standing in for "today's CDC batch") refreshes it by MERGING
+    partial aggregates — the view is never recomputed from the base.
+
+    merged(g) = base_view(g) ⊎ delta_view(g), where ⊎ sums the additive
+    measures per group (count and cents are both associative-commutative
+    monoids, so merge-of-partials ≡ recompute-from-scratch — which is
+    exactly what the DuckDB oracle does from the full table, making the
+    driver's hash gate a PROOF of the merge law on real data).
+
+    Scale shape: the refresh only scans the delta; the base side enters
+    as its aggregate (group-cardinality-sized — in production the stored
+    view itself). The merge is a union of two pre-aggregated frames and
+    one re-aggregation on the group key: no join, no base rescan.
+    """
+    from .sampling import sample_hash
+
+    shard = F.pmod(sample_hash(id_col, "ivm"), F.lit(num_shards))
+    day = F.date_format(F.to_date(F.col(time_col)), "yyyy-MM-dd")
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+
+    def view(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.col(type_col), day.alias("day"), cents.alias("_c"))
+            .groupBy(type_col, "day")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum("_c").cast("long").alias("total_cents"),
+            )
+        )
+
+    base_view = view(events.filter(shard != delta_shard))
+    delta_view = view(events.filter(shard == delta_shard))
+    return (
+        base_view.unionByName(delta_view)
+        .groupBy(type_col, "day")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("total_cents").cast("long").alias("total_cents"),
         )
     )

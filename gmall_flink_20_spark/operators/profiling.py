@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
-__all__ = ["profile_table", "equiwidth_histogram", "check_constraints"]
+__all__ = ["profile_table", "equiwidth_histogram", "check_constraints", "approx_quantiles_checked"]
 
 
 def profile_table(
@@ -146,3 +146,74 @@ def check_constraints(
         F.col("n_violations").cast("long").alias("n_violations"),
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def approx_quantiles_checked(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    accuracy: int = 1000,
+) -> DataFrame:
+    """Exact per-group p50/p90/p99 plus booleans asserting the
+    Greenwald-Khanna ``percentile_approx`` sketch landed inside its
+    RANK-error guarantee — the WA6 error-bound-gate pattern applied to
+    quantiles (the estimate itself is estimator-specific, but the bound
+    IS oracle-checkable: the SQL oracle emits the exact quantiles and
+    literal TRUE, so a hash match proves the guarantee held).
+
+    The guarantee is on RANKS (error <= n/accuracy), so the gate checks
+    ranks directly rather than value bands (a value band from
+    interpolated quantiles is ill-posed when the group is small and
+    neighboring values are far apart): the count of group values
+    strictly below / at-or-below the sketch's answer must intersect
+    [(p - d)n - 1, (p + d)n + 1], d = 1/accuracy (the +-1 covers the
+    floor/ceiling convention at the band edges). Two aggregates over
+    the group: one builds the sketch answers (and the exact quantiles),
+    a second counts ranks against the broadcast answers. At 100 TB the
+    sketch is the only viable path (exact percentile sorts the group);
+    this query certifies it against exact rank arithmetic.
+    """
+    d = 1.0 / float(accuracy)
+    ps = {"50": 0.5, "90": 0.9, "99": 0.99}
+    first = [
+        (F.round(F.percentile(F.col("_v"), F.lit(p)), 6) + F.lit(0.0)).alias(
+            f"p{name}"
+        )
+        for name, p in ps.items()
+    ] + [
+        F.percentile_approx(F.col("_v"), F.lit(p), F.lit(int(accuracy)))
+        .cast("double")
+        .alias(f"_a{name}")
+        for name, p in ps.items()
+    ]
+    base = df.select(F.col(group_col), F.col(value_col).alias("_v"))
+    heads = base.groupBy(group_col).agg(*first)
+    joined = base.join(F.broadcast(heads), group_col)
+    rank_aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for name in ps:
+        rank_aggs.append(
+            F.sum((F.col("_v") < F.col(f"_a{name}")).cast("long")).alias(
+                f"_lt{name}"
+            )
+        )
+        rank_aggs.append(
+            F.sum((F.col("_v") <= F.col(f"_a{name}")).cast("long")).alias(
+                f"_le{name}"
+            )
+        )
+    ranked = joined.groupBy(
+        group_col, *[f"p{n}" for n in ps]
+    ).agg(*rank_aggs)
+    out_cols = [group_col] + [f"p{n}" for n in ps]
+    flags = []
+    for name, p in ps.items():
+        n = F.col("_n").cast("double")
+        lo = (F.lit(p - d) * n) - F.lit(1.0)
+        hi = (F.lit(p + d) * n) + F.lit(1.0)
+        flags.append(
+            (
+                (F.col(f"_lt{name}").cast("double") <= hi)
+                & (F.col(f"_le{name}").cast("double") >= lo)
+            ).alias(f"q{name}_ok")
+        )
+    return ranked.select(*out_cols, *flags)

@@ -5063,6 +5063,77 @@ FROM iv
 ORACLES["events_scd2_intervals_streaming"] = ORACLES["events_scd2_intervals"]
 
 
+# sketch-certified quantiles (profiling.approx_quantiles_checked): the
+# oracle emits exact quantile_cont (same h=(n-1)p interpolation as
+# Spark percentile) and literal TRUE bound flags — a hash match proves
+# percentile_approx's rank-error guarantee held per group
+ORACLES["events_quantiles_approx"] = """
+SELECT event_type,
+       round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5), 6) + 0.0 AS p50,
+       round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.9), 6) + 0.0 AS p90,
+       round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.99), 6) + 0.0 AS p99,
+       TRUE AS q50_ok, TRUE AS q90_ok, TRUE AS q99_ok
+FROM events GROUP BY 1
+"""
+
+
+# IVM merge proof (analytics.incremental_agg_refresh): the oracle
+# recomputes the (type, day) roll-up from the FULL table — equality
+# with Spark's base-view ⊎ delta-partial merge proves the merge law
+ORACLES["events_ivm_merge"] = """
+SELECT event_type,
+       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+# event-time temporal table join (analytics.temporal_join): purchases
+# enrich with the browse-state SCD2 VERSION valid at purchase time
+# (valid_from <= t < valid_to, open current version); purchases before
+# any browse state fall back to 'none'
+ORACLES["events_temporal_join"] = """
+WITH flagged AS (
+    SELECT user_id, event_type AS state, epoch_us(ts) AS us, event_id,
+           CASE WHEN lag(event_type) OVER w IS NULL
+                  OR lag(event_type) OVER w <> event_type
+                THEN 1 ELSE 0 END AS chg
+    FROM events WHERE event_type <> 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+islands AS (
+    SELECT *, sum(chg) OVER (PARTITION BY user_id
+                             ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS island
+    FROM flagged
+),
+iv AS (
+    SELECT user_id, island, state, min(us) AS valid_from_us
+    FROM islands GROUP BY 1, 2, 3
+),
+dim AS (
+    SELECT user_id, state, valid_from_us,
+           lead(valid_from_us) OVER (PARTITION BY user_id
+                                     ORDER BY valid_from_us) AS valid_to_us
+    FROM iv
+),
+facts AS (
+    SELECT user_id, epoch_us(ts) AS ts_us,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT coalesce(d.state, 'none') AS state_at_purchase,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(f.cents) AS BIGINT) AS total_cents
+FROM facts f LEFT JOIN dim d
+  ON f.user_id = d.user_id
+ AND d.valid_from_us <= f.ts_us
+ AND (d.valid_to_us IS NULL OR f.ts_us < d.valid_to_us)
+GROUP BY 1
+"""
+
+
 # k-core peeling (graph.kcore): 30 unrolled MATERIALIZED peel rounds
 # (idempotent past the fixpoint) at the adaptive k = max_degree // 2 + 1
 ORACLES["items_kcore"] = """

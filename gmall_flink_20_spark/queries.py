@@ -2331,6 +2331,67 @@ def items_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.label_propagation(edges, rounds=5)
 
 
+def events_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time temporal table join (operators/analytics.
+    temporal_join): each purchase enriches with the user's browse-state
+    VERSION valid at purchase time — the SCD2 intervals built from the
+    user's non-purchase events play the versioned dim (Flink's temporal
+    table join, the reference's BaseDbApp dim-enrichment pattern done
+    event-time-correct). Purchases before any browse state carry
+    'none'. Output: per state-at-purchase, purchase count + cents."""
+    from .operators import analytics
+
+    ev = _events(spark, sf_dir)
+    dim = analytics.scd2_intervals(ev.filter(F.col("event_type") != "purchase"))
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    joined = analytics.temporal_join(
+        facts, dim, "user_id", "ts_us", {"state": "state_at_purchase"}
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("state_at_purchase"), F.lit("none")).alias(
+                "state_at_purchase"
+            ),
+            "cents",
+        )
+        .groupBy("state_at_purchase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+def events_ivm_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators/analytics.
+    incremental_agg_refresh): the (type, day) roll-up refreshed by
+    MERGING the stored base view with a salted-hash delta shard's
+    partial aggregate — never rescanning the base. The oracle
+    recomputes from the full table, so the hash gate proves the
+    merge-of-partials law on real data."""
+    from .operators import analytics
+
+    return analytics.incremental_agg_refresh(load_events(spark, sf_dir))
+
+
+def events_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-certified quantiles (operators/profiling.
+    approx_quantiles_checked): exact per-type p50/p90/p99 of the value
+    cents plus booleans asserting percentile_approx landed inside its
+    rank-error guarantee — the WA6 error-bound-gate pattern applied to
+    the quantile sketch that replaces exact sorting at 100 TB."""
+    from .operators import profiling
+
+    ev = load_events(spark, sf_dir).select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("cents")
+    )
+    return profiling.approx_quantiles_checked(ev, "cents", "event_type")
+
+
 def items_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity of the LPA partition on the co-click graph
     (operators/graph.modularity ∘ label_propagation): Q = Σ_c [e_c/m −
@@ -3064,6 +3125,9 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-8 additions (gated on first appearance)
     "items_communities": items_communities,
     "items_modularity": items_modularity,
+    "events_temporal_join": events_temporal_join,
+    "events_ivm_merge": events_ivm_merge,
+    "events_quantiles_approx": events_quantiles_approx,
     "events_dwell_time": events_dwell_time,
     "events_abandoned_cart": events_abandoned_cart,
     "events_stickiness": events_stickiness,
@@ -3151,6 +3215,9 @@ assert len(_R7_ROLLOVER) == 21
 R8_NEW: list[str] = [
     "items_communities",
     "items_modularity",
+    "events_temporal_join",
+    "events_ivm_merge",
+    "events_quantiles_approx",
     "events_dwell_time",
     "events_abandoned_cart",
     "events_stickiness",
