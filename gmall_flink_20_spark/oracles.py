@@ -5088,6 +5088,9 @@ SELECT event_type,
 FROM events GROUP BY 1, 2
 """
 
+# continuous maintenance shares the full-recompute oracle
+ORACLES["events_ivm_streaming"] = ORACLES["events_ivm_merge"]
+
 
 # event-time temporal table join (analytics.temporal_join): purchases
 # enrich with the browse-state SCD2 VERSION valid at purchase time

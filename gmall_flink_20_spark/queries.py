@@ -2392,6 +2392,46 @@ def events_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profiling.approx_quantiles_checked(ev, "cents", "event_type")
 
 
+def events_ivm_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVM roll-up maintained CONTINUOUSLY — the third maintenance
+    mode of the same view (full recompute = the oracle; batch
+    delta-merge = events_ivm_merge; streaming = this): a streaming
+    groupBy aggregation in update mode where every micro-batch IS the
+    delta, upserted into the parquet append-log store. Gated by the
+    same full-recompute oracle — continuous maintenance ≡ recompute.
+    Excluded from bench (it measures the replay harness)."""
+    import tempfile
+
+    from .streaming import replay
+    from .streaming import topn as stopn
+
+    ev = _events(spark, sf_dir).select(
+        "ts",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    stream = replay.replay_stream(spark, ev, "ts", num_chunks=replay.REPLAY_CHUNKS)
+    view = (
+        stream.withColumn(
+            "day", F.date_format(F.to_date(F.col("ts")), "yyyy-MM-dd")
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+    )
+    store = stopn.ParquetUpsertStore(
+        tempfile.mkdtemp(prefix="ivm_store_") + "/log", "event_type", "day"
+    )
+    with replay.replay_shuffle(spark):
+        q = stopn.topn_upsert_sink(view, store).trigger(availableNow=True).start()
+        q.awaitTermination()
+    return store.snapshot(spark).select(
+        "event_type", "day", "n_events", "total_cents"
+    )
+
+
 def items_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity of the LPA partition on the co-click graph
     (operators/graph.modularity ∘ label_propagation): Q = Σ_c [e_c/m −
@@ -3128,6 +3168,7 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_temporal_join": events_temporal_join,
     "events_ivm_merge": events_ivm_merge,
     "events_quantiles_approx": events_quantiles_approx,
+    "events_ivm_streaming": events_ivm_streaming,
     "events_dwell_time": events_dwell_time,
     "events_abandoned_cart": events_abandoned_cart,
     "events_stickiness": events_stickiness,
@@ -3218,6 +3259,7 @@ R8_NEW: list[str] = [
     "events_temporal_join",
     "events_ivm_merge",
     "events_quantiles_approx",
+    "events_ivm_streaming",
     "events_dwell_time",
     "events_abandoned_cart",
     "events_stickiness",
