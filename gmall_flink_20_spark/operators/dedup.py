@@ -1266,12 +1266,16 @@ def bloom_membership_report(
         (F.col("n_bloom_hits") - F.col("n_true_dups")).cast("long").alias(
             "n_false_pos"
         ),
-        (
+        # NULL when every probe is a true dup (no FP-eligible probes):
+        # a bare division would raise under ANSI mode; the oracle's
+        # CASE emits the same NULL
+        F.when(
+            F.col("n_probe") > F.col("n_true_dups"),
             F.round(
                 (F.col("n_bloom_hits") - F.col("n_true_dups")).cast("double")
                 / (F.col("n_probe") - F.col("n_true_dups")).cast("double"),
                 6,
             )
-            + F.lit(0.0)
+            + F.lit(0.0),
         ).alias("fp_rate"),
     )

@@ -5461,10 +5461,13 @@ SELECT CAST((SELECT count(*) FROM idx) AS BIGINT) AS n_index,
        CAST((SELECT count(*) FROM dups) AS BIGINT) AS n_true_dups,
        CAST((SELECT count(*) FROM hits) - (SELECT count(*) FROM dups)
             AS BIGINT) AS n_false_pos,
-       round(CAST((SELECT count(*) FROM hits) - (SELECT count(*) FROM dups)
-                  AS DOUBLE)
-             / CAST((SELECT count(*) FROM prb) - (SELECT count(*) FROM dups)
-                    AS DOUBLE), 6) + 0.0 AS fp_rate
+       CASE WHEN (SELECT count(*) FROM prb) > (SELECT count(*) FROM dups)
+            THEN round(CAST((SELECT count(*) FROM hits)
+                            - (SELECT count(*) FROM dups) AS DOUBLE)
+                       / CAST((SELECT count(*) FROM prb)
+                              - (SELECT count(*) FROM dups) AS DOUBLE),
+                       6) + 0.0
+       END AS fp_rate
 """
 
 

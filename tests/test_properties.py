@@ -747,3 +747,125 @@ def test_theta_overlap_matches_python_kmv(spark, ids_a, ids_b):
     assert abs(r.est_inter - len(saa & sbb) * M / tab) <= q
     assert abs(r.est_union - len(saa | sbb) * M / tab) <= q
     assert r.exact_inter == len(set(ha) & set(hb))
+
+
+def _lpa_python(edges, rounds=5):
+    """Plain-python replica of the LPA schedule (self-vote, min-label
+    tie-break, synchronous) — the reference implementation the Spark
+    operator must match exactly."""
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    nodes = sorted(set(x for e in edges for x in e))
+    lbl = {n: n for n in nodes}
+    for _ in range(rounds):
+        nxt = {}
+        for n in nodes:
+            votes: dict[int, int] = {}
+            for m in adj.get(n, []):
+                votes[lbl[m]] = votes.get(lbl[m], 0) + 1
+            votes[lbl[n]] = votes.get(lbl[n], 0) + 1
+            best = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+            nxt[n] = best[0]
+        lbl = nxt
+    return lbl
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(EDGE_LISTS)
+def test_label_propagation_matches_python_replica(spark, edges):
+    from gmall_flink_20_spark.operators.graph import label_propagation
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "item_a long, item_b long")
+    got = {r.item_id: r.community for r in label_propagation(df).collect()}
+    exp = _lpa_python(edges)
+    # Spark's vote counts a node once per incident edge (parallel edges
+    # in the input frame vote multiple times); the python replica
+    # dedups adjacency per pair only when the input has no duplicate
+    # edges — restrict to the deduped case for exactness
+    if len(set(map(tuple, map(sorted, edges)))) == len(edges):
+        assert got == exp
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.text(alphabet="ab", min_size=0, max_size=6), min_size=2, max_size=30)
+)
+def test_bloom_never_misses_a_true_dup(spark, texts):
+    """The defining Bloom property: zero false negatives — every probe
+    doc whose fingerprint exists in the index half MUST be a bloom hit,
+    for any corpus."""
+    from gmall_flink_20_spark.operators.dedup import bloom_membership_report
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = bloom_membership_report(df).collect()[0]
+    assert r.n_bloom_hits >= r.n_true_dups
+    assert r.n_false_pos == r.n_bloom_hits - r.n_true_dups
+    assert r.n_false_pos >= 0
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # user
+            st.integers(min_value=0, max_value=50),  # minute
+            st.sampled_from(["view", "click", "error"]),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+)
+def test_temporal_join_containment_property(spark, dim_events, facts):
+    """For every fact, the joined version (if any) must CONTAIN the
+    fact's timestamp, and a version must exist whenever the user has
+    any dim event at or before the fact."""
+    from gmall_flink_20_spark.operators.analytics import scd2_intervals, temporal_join
+
+    rows = [
+        (i, u, float(m * 60), s) for i, (u, m, s) in enumerate(dim_events)
+    ]
+    from pyspark.sql import functions as F
+
+    dim_df = spark.createDataFrame(
+        rows, "event_id long, user_id long, t double, event_type string"
+    ).select(
+        "event_id", "user_id", F.col("t").cast("timestamp").alias("ts"), "event_type"
+    )
+    iv = scd2_intervals(dim_df)
+    f_df = spark.createDataFrame(
+        [(u, m * 60 * 1_000_000) for u, m in facts], "user_id long, ts_us long"
+    )
+    out = temporal_join(
+        f_df,
+        iv,
+        "user_id",
+        "ts_us",
+        {"state": "st", "valid_from_us": "vf", "valid_to_us": "vt"},
+    ).collect()
+    earliest = {}
+    for _, u, t, _s in rows:
+        us = int(t * 1_000_000)
+        earliest[u] = min(earliest.get(u, us), us)
+    for r in out:
+        if r.st is None:
+            # no version can cover: user has no dim event <= fact time
+            assert r.user_id not in earliest or r.ts_us < earliest[r.user_id]
+        else:
+            assert r.vf <= r.ts_us
+            assert r.vt is None or r.ts_us < r.vt
