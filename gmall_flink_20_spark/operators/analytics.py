@@ -2566,10 +2566,18 @@ def cart_abandonment(
     scale the horizon bounds state exactly like the streaming interval
     join's watermark does.
     """
+    from ._cache import eager_persist
+
     item = F.expr(item_expr).cast("long")
     us = F.unix_micros(F.col(time_col))
-    clicks = events.filter(F.col("event_type") == "click").select(
-        F.col(user_col).alias("u"), item.alias("item_id"), us.alias("c_us")
+    # clicks feed BOTH the (u, item)-keyed anti-join and the item-keyed
+    # n_clicks aggregate — different exchanges, no ReusedExchange, so an
+    # unpersisted frame scans the events source twice (the _cache.py
+    # multi-consumer discipline)
+    clicks = eager_persist(
+        events.filter(F.col("event_type") == "click").select(
+            F.col(user_col).alias("u"), item.alias("item_id"), us.alias("c_us")
+        )
     )
     purchases = events.filter(F.col("event_type") == "purchase").select(
         F.col(user_col).alias("u"), item.alias("item_id"), us.alias("p_us")

@@ -1203,6 +1203,11 @@ def bloom_membership_report(
     vanishing at test scale the way a production-sized 10-bits-per-key
     filter would.
     """
+    # k <= 8 keeps h1 + (k-1)*h2 < 2^63 (h1, h2 < 16^15 ≈ 1.15e18):
+    # k=9 would overflow BIGINT under ANSI mode / wrap under non-ANSI,
+    # silently diverging from the oracle's exact arithmetic
+    if not 1 <= int(k) <= 8:
+        raise ValueError(f"k must be in [1, 8] (int64 position arithmetic), got {k}")
     fp = F.md5(F.col(text_col).cast("binary"))
     halves = df.select(
         F.col(id_col).alias("_id"), fp.alias("fp"), (F.col(id_col) % 2).alias("_par")
@@ -1213,6 +1218,10 @@ def bloom_membership_report(
 
     idx = eager_persist(idx)
     prb = eager_persist(prb)
+    # the eager persist already ran the count — reuse it to fail fast on
+    # an empty index half (m = 0 would be a modulo-by-zero downstream)
+    if idx.count() == 0:
+        raise ValueError("bloom index half is empty — no even ids to index")
     m = idx.agg((F.lit(int(bits_per_key)) * F.count(F.lit(1))).alias("m"))
 
     def positions(frame: DataFrame) -> DataFrame:

@@ -330,6 +330,14 @@ def modularity(
 
     One row: (n_communities, n_edges, intra_edges, modularity).
 
+    Coverage contract: Q is computed over the LABELED subgraph — m,
+    the degree sums, and the intra counts all derive from the same
+    tagged edge frame, so a ``labels`` input that misses some endpoint
+    yields a self-consistent Q of the covered subgraph rather than an
+    inconsistent mix of full-graph m with partial-graph terms (with
+    label_propagation over the same edge frame, coverage is total and
+    the two readings coincide).
+
     Plan shape: two broadcast-joinable label lookups against the edge
     list (the label frame is |nodes| ≪ |edges| at scale), one map-side
     combined per-community aggregate of (intra-edge count, degree sum),
@@ -358,7 +366,7 @@ def modularity(
         "d_c",
         F.coalesce(F.col("e_c"), F.lit(0)).cast("long").alias("e_c"),
     )
-    m = e.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    m = tagged.agg(F.count(F.lit(1)).cast("long").alias("m"))
     return (
         per_c.crossJoin(F.broadcast(m))
         .agg(

@@ -943,7 +943,14 @@ def wav_frame_features(media: DataFrame, frame_len: int = 8) -> DataFrame:
                 if kind != "audio":
                     continue
                 with wave.open(io.BytesIO(payload), "rb") as w:
+                    if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                        raise ValueError(
+                            "wav_frame_features supports mono PCM16 only, got "
+                            f"{w.getnchannels()}ch/{w.getsampwidth() * 8}-bit"
+                        )
                     rate, n = w.getframerate(), w.getnframes()
+                    if n == 0:
+                        raise ValueError("empty WAV payload (0 frames)")
                     raw = w.readframes(n)
                 smp = _struct.unpack(f"<{n}h", raw)
                 zc = sum(

@@ -1050,10 +1050,14 @@ def scd2_stream(events: DataFrame, key_buckets: int | None = None) -> DataFrame:
         for uid in users.keys() | fresh.keys():
             fmax, froz, pend = users.get(uid, (-1, [], []))
             arrivals = fresh.get(uid, [])
-            if any(a[0] < fmax for a in arrivals):
+            # <= not <: an arrival at EXACTLY the last frozen timestamp
+            # is equally late — batch order would place it by (ts,
+            # event_id) possibly BEFORE the frozen event, so appending
+            # it after would silently diverge instead of raising
+            if any(a[0] <= fmax for a in arrivals) and fmax >= 0:
                 raise RuntimeError(
-                    "scd2_stream: event below the fold horizon — replay "
-                    "disorder exceeded the watermark delay"
+                    "scd2_stream: event at or below the fold horizon — "
+                    "replay disorder exceeded the watermark delay"
                 )
             pend.extend(arrivals)
             pend.sort()

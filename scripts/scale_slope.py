@@ -72,6 +72,10 @@ HEAVY = [
     "events_abandoned_cart",
     "events_stickiness",
     "media_wav_features",
+    # round-8 third wave
+    "events_temporal_join",
+    "events_ivm_merge",
+    "events_quantiles_approx",
 ]
 
 

@@ -784,13 +784,11 @@ def test_label_propagation_matches_python_replica(spark, edges):
         return
     df = spark.createDataFrame(edges, "item_a long, item_b long")
     got = {r.item_id: r.community for r in label_propagation(df).collect()}
-    exp = _lpa_python(edges)
-    # Spark's vote counts a node once per incident edge (parallel edges
-    # in the input frame vote multiple times); the python replica
-    # dedups adjacency per pair only when the input has no duplicate
-    # edges — restrict to the deduped case for exactness
-    if len(set(map(tuple, map(sorted, edges)))) == len(edges):
-        assert got == exp
+    # both sides count parallel edges with MULTIPLICITY (the replica
+    # appends adjacency once per edge occurrence, exactly as Spark's
+    # per-row vote does), so equality holds for duplicate and
+    # reversed-duplicate edges too — no deduped-input restriction
+    assert got == _lpa_python(edges)
 
 
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))

@@ -370,3 +370,62 @@ def test_quantiles_rank_gate_fails_on_planted_bad_estimate(spark):
     # ranks: flags must hold AND the exact quantiles be right
     assert r.q50_ok and r.q90_ok and r.q99_ok
     assert r.p50 == 499.5 and r.p90 == 899.1
+
+
+def test_bloom_guards(spark):
+    import pytest as _pytest
+
+    from gmall_flink_20_spark.operators.dedup import bloom_membership_report
+
+    df = spark.createDataFrame([(0, "a"), (1, "b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match=r"k must be in \[1, 8\]"):
+        bloom_membership_report(df, k=9)
+    odd_only = spark.createDataFrame([(1, "a"), (3, "b")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="index half is empty"):
+        bloom_membership_report(odd_only)
+
+
+def test_wav_features_rejects_degenerate_payloads(spark):
+    import io
+    import wave
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from gmall_flink_20_spark.operators import multimodal as M
+
+    def wav_bytes(nch, width, frames):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(width)
+            w.setframerate(8000)
+            w.writeframes(frames)
+        return buf.getvalue()
+
+    stereo = wav_bytes(2, 2, b"\x00\x00\x00\x00")
+    empty = wav_bytes(1, 2, b"")
+    for payload, msg in ((stereo, "mono PCM16 only"), (empty, "0 frames")):
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"media_id": [1], "kind": ["audio"], "payload": [payload]}
+            )
+        )
+        with _pytest.raises(Exception, match=msg):
+            M.wav_frame_features(df).collect()
+
+
+def test_modularity_partial_labels_self_consistent(spark):
+    # labels missing a node: Q derives entirely from the LABELED
+    # subgraph (m excludes the uncovered edge), keeping the score
+    # self-consistent rather than mixing graph scopes
+    from gmall_flink_20_spark.operators.graph import modularity
+
+    edges = _edges(spark, [(0, 1), (1, 2), (2, 9)])  # node 9 unlabeled
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0)], "item_id long, community long"
+    )
+    r = modularity(edges, labels).collect()[0]
+    assert r.n_edges == 2  # the (2,9) edge is outside the labeled scope
+    assert r.intra_edges == 2
+    assert r.modularity == 0.0  # single community over its own subgraph
