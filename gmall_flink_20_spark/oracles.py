@@ -5136,6 +5136,10 @@ FROM facts f LEFT JOIN dim d
 GROUP BY 1
 """
 
+# streaming form shares the batch oracle: exactly-once decisions over
+# a disordered replay must aggregate to the batch join
+ORACLES["events_temporal_join_streaming"] = ORACLES["events_temporal_join"]
+
 
 # k-core peeling (graph.kcore): 30 unrolled MATERIALIZED peel rounds
 # (idempotent past the fixpoint) at the adaptive k = max_degree // 2 + 1

@@ -2432,6 +2432,49 @@ def events_ivm_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_temporal_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The event-time temporal table join as a LIVE stream (streaming/
+    stateful.temporal_join_stream) — the 20th Structured-Streaming run
+    and a capability Flink ships natively while Spark has no built-in:
+    facts join the dim VERSION valid at their event time, decided
+    exactly once as the watermark passes them, on a ±5 min disordered
+    replay. Dim-version state prunes to the disorder horizon plus one
+    shadow version (the Flink temporal-join state bound). Gated by the
+    SAME oracle as the batch form. Excluded from bench."""
+    from .streaming import replay, stateful
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        "ts",
+    )
+    s1, s2, _ = replay.sentinel_pair(spark, ev)
+    stream = replay.replay_stream(
+        spark,
+        ev,
+        "ts",
+        num_chunks=replay.REPLAY_CHUNKS,
+        disorder_s=300,
+        extra_chunks=[s1, s2],
+    )
+    out = stateful.temporal_join_stream(stream.withWatermark("ts", "660 seconds"))
+    res = replay.run_to_completion(out).filter(F.col("user_id") >= 0)
+    return (
+        res.select(
+            F.coalesce(F.col("state_at"), F.lit("none")).alias("state_at_purchase"),
+            "cents",
+        )
+        .groupBy("state_at_purchase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
 def items_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity of the LPA partition on the co-click graph
     (operators/graph.modularity ∘ label_propagation): Q = Σ_c [e_c/m −
@@ -3169,6 +3212,7 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_ivm_merge": events_ivm_merge,
     "events_quantiles_approx": events_quantiles_approx,
     "events_ivm_streaming": events_ivm_streaming,
+    "events_temporal_join_streaming": events_temporal_join_streaming,
     "events_dwell_time": events_dwell_time,
     "events_abandoned_cart": events_abandoned_cart,
     "events_stickiness": events_stickiness,
@@ -3260,6 +3304,7 @@ R8_NEW: list[str] = [
     "events_ivm_merge",
     "events_quantiles_approx",
     "events_ivm_streaming",
+    "events_temporal_join_streaming",
     "events_dwell_time",
     "events_abandoned_cart",
     "events_stickiness",

@@ -51,6 +51,7 @@ __all__ = [
     "rate_anomaly_stream",
     "funnel_stream",
     "scd2_stream",
+    "temporal_join_stream",
     "STATE_BUCKETS",
     "pin_state_buckets",
 ]
@@ -1107,4 +1108,148 @@ def scd2_stream(events: DataFrame, key_buckets: int | None = None) -> DataFrame:
     )
     return keyed.applyInPandasWithState(
         fn, _SCD2_OUT, _BLOB_STATE, "append", GroupStateTimeout.EventTimeTimeout
+    )
+
+
+# -------------------------------------------------- temporal join
+
+
+_TJOIN_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("cents", LongType()),
+        StructField("state_at", StringType()),
+    ]
+)
+
+
+def temporal_join_stream(
+    events: DataFrame, fact_type: str = "purchase", key_buckets: int | None = None
+) -> DataFrame:
+    """STREAMING event-time temporal table join — the capability Flink
+    ships natively (temporal table join / versioned dim enrichment)
+    and Spark has no built-in for: facts join the dim VERSION valid at
+    their event time, decided exactly once, on one unified stream.
+
+    Input: one stream carrying both roles per user — rows with
+    ``event_type == fact_type`` are facts, everything else is a dim
+    version change (the batch twin events_temporal_join builds the dim
+    as SCD2 intervals of the non-fact events; this operator maintains
+    those versions as GroupState instead).
+
+    Decision rule: a fact at time t is decidable once the watermark
+    passes t — every dim change with ts ≤ t has then arrived (the
+    bounded-disorder contract), so "the version valid at t" is final.
+    Per-user state: the dim version list [(ts_us, tiebreak, state)] and
+    the undecided fact buffer. On each batch: append arrivals, decide
+    every buffered fact below the watermark against the sorted version
+    list (last version at-or-before the fact under the (ts, event_id)
+    total order — matching the batch SCD2 build), emit, and PRUNE dim
+    versions: everything strictly older than the newest version at or
+    below the watermark can never be the answer for a future fact
+    (future facts decide at ts ≥ wm, and a newer version ≤ wm shadows
+    the older ones), so state is bounded by the disorder horizon plus
+    ONE shadow version — the same bound Flink's temporal join state
+    keeps. No timers: the final sentinel-advanced watermark decides
+    every remaining fact.
+
+    Sharded like the other state machines; per-user algorithm identical
+    in the B=0 layout.
+    """
+    b = STATE_BUCKETS if key_buckets is None else key_buckets
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        # blob: [[uid, [[ts, eid, state], ...], [[ts, eid, cents], ...]], ...]
+        users: dict[int, tuple[list, list]] = {}
+        if state.exists:
+            (blob,) = state.get
+            for uid, vers, facts in json.loads(blob):
+                users[int(uid)] = (
+                    [[int(t), int(e), s] for t, e, s in vers],
+                    [[int(t), int(e), int(c)] for t, e, c in facts],
+                )
+        fresh_v: dict[int, list] = {}
+        fresh_f: dict[int, list] = {}
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for uid, us, eid, et, cents in zip(
+                    pdf["user_id"].astype("int64").tolist(),
+                    pdf["ts_us"].astype("int64").tolist(),
+                    pdf["event_id"].astype("int64").tolist(),
+                    pdf["event_type"].tolist(),
+                    pdf["cents"].astype("int64").tolist(),
+                ):
+                    if et == fact_type:
+                        fresh_f.setdefault(uid, []).append([us, eid, cents])
+                    else:
+                        fresh_v.setdefault(uid, []).append([us, eid, et])
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        out: list[tuple[int, int, int, str | None]] = []
+        nxt: dict[int, tuple[list, list]] = {}
+        for uid in users.keys() | fresh_v.keys() | fresh_f.keys():
+            vers, facts = users.get(uid, ([], []))
+            vers.extend(fresh_v.get(uid, []))
+            facts.extend(fresh_f.get(uid, []))
+            vers.sort()
+            facts.sort()
+            still = []
+            for t, eid, cents in facts:
+                if t >= wm_us:
+                    still.append([t, eid, cents])
+                    continue
+                # last version at-or-before (t, eid) in total order;
+                # consecutive same-state versions collapse exactly as
+                # the batch SCD2 islands do (same state either way)
+                st = None
+                for vt, veid, vs in vers:
+                    if (vt, veid) <= (t, eid):
+                        st = vs
+                    else:
+                        break
+                out.append((uid, t, cents, st))
+            # prune: keep versions >= wm, plus the newest one below it
+            # (the shadow version future facts may still resolve to)
+            keep_from = 0
+            for i, (vt, _ve, _vs) in enumerate(vers):
+                if vt < wm_us:
+                    keep_from = i
+                else:
+                    break
+            vers = vers[keep_from:]
+            if vers or still:
+                nxt[uid] = (vers, still)
+        if nxt:
+            state.update(
+                (json.dumps([[u, v, f] for u, (v, f) in nxt.items()]),)
+            )
+            # without a timer a shard with buffered facts but no further
+            # arrivals is never re-invoked and its facts never decide
+            # (the sentinel batches only reach the reserved key's
+            # shard): arm the event-time timeout at the earliest
+            # undecided fact so the watermark passing it triggers the
+            # decision pass — the order_timeout/login_fail discipline
+            pend = [f[0][0] for _, f in nxt.values() if f]
+            if pend:
+                state.setTimeoutTimestamp(
+                    max(min(pend) // 1000 + 1, wm_us // 1000 + 1)
+                )
+        else:
+            state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [r[0] for r in out],
+                "ts_us": [r[1] for r in out],
+                "cents": [r[2] for r in out],
+                "state_at": [r[3] for r in out],
+            }
+        ).astype({"user_id": "int64", "ts_us": "int64", "cents": "int64"})
+
+    keyed = _with_shard(events, b).groupBy("_kb") if b > 0 else events.groupBy(
+        "user_id"
+    )
+    return keyed.applyInPandasWithState(
+        fn, _TJOIN_OUT, _BLOB_STATE, "append", GroupStateTimeout.EventTimeTimeout
     )
