@@ -230,6 +230,7 @@ BENCH_QUERIES = [
     "events_temporal_join",
     "events_ivm_merge",
     "events_quantiles_approx",
+    "docs_jsonl_roundtrip",
     "events_dwell_time",
     "events_abandoned_cart",
     "events_stickiness",

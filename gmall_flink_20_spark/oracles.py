@@ -5493,3 +5493,17 @@ SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau,
            AS stickiness
 FROM dau JOIN wau ON wau.d = dau.d
 """
+
+
+# JSONL round-trip (docs_jsonl_roundtrip): the oracle reads the parquet
+# DIRECTLY — the Spark side must reproduce identical per-source counts,
+# char sums, and md5 checksums AFTER a JSON write+read cycle, so any
+# escaping loss in the JSON path fails the hash gate
+ORACLES["docs_jsonl_roundtrip"] = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(bit_xor(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT))
+            AS BIGINT) AS text_checksum
+FROM documents GROUP BY 1
+"""

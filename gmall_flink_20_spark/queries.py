@@ -2475,6 +2475,48 @@ def events_temporal_join_streaming(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def docs_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source round-trip: write the documents table as JSON lines
+    (executor-side df.write.json) and read it back through the JSON
+    source with an explicit schema, then prove byte-exactness with a
+    per-source doc count, n_chars sum, and an md5-of-text checksum sum
+    — any JSON escaping loss (quotes, backslashes, unicode, newlines in
+    text) breaks the hash gate against the parquet-direct oracle.
+    Widens S1 (file scan) to the JSON format tier; the streaming twin
+    is sources/connectors.json_lines_to_rows over a text stream."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="jsonl_rt_") + "/docs"
+    docs.write.mode("overwrite").json(path)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(path)
+    # md5 hex -> 15 hex chars as int64, BIT_XOR-aggregated: order-free
+    # AND overflow-free (a SUM of 1e18-scale hashes overflows int64
+    # within ~10 rows under ANSI mode); both engines ship bit_xor
+    h = "CAST(conv(substr(md5(cast(text AS binary)), 1, 15), 16, 10) AS BIGINT)"
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.expr(f"bit_xor({h})").cast("long").alias("text_checksum"),
+    )
+
+
 def items_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity of the LPA partition on the co-click graph
     (operators/graph.modularity ∘ label_propagation): Q = Σ_c [e_c/m −
@@ -3213,6 +3255,7 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_quantiles_approx": events_quantiles_approx,
     "events_ivm_streaming": events_ivm_streaming,
     "events_temporal_join_streaming": events_temporal_join_streaming,
+    "docs_jsonl_roundtrip": docs_jsonl_roundtrip,
     "events_dwell_time": events_dwell_time,
     "events_abandoned_cart": events_abandoned_cart,
     "events_stickiness": events_stickiness,
@@ -3305,6 +3348,7 @@ R8_NEW: list[str] = [
     "events_quantiles_approx",
     "events_ivm_streaming",
     "events_temporal_join_streaming",
+    "docs_jsonl_roundtrip",
     "events_dwell_time",
     "events_abandoned_cart",
     "events_stickiness",
