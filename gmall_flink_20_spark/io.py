@@ -63,10 +63,12 @@ def _ensure_session_conf(spark: SparkSession) -> None:
 # time at sf0.1). The returned DataFrame is an immutable logical plan
 # whose FileIndex Spark itself caches per instance, so reusing it per
 # (session, dir, table) is exactly the catalog/metadata caching a real
-# engine does. The test tables are static; a changed directory needs a
-# new sf_dir (or clear_table_cache()). Keyed on the SparkSession object
-# so a restarted session never sees plans bound to a dead JVM handle.
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# engine does. Keyed on the SparkSession object (a restarted session
+# never sees plans bound to a dead JVM handle) AND on a cheap directory
+# fingerprint (mtime+size of the .parquet path — ADVICE r8: a table
+# regenerated at the same path within one session must invalidate its
+# cached FileIndex, or the plan would read dropped files).
+_TABLE_CACHE: dict[tuple[int, str, str], tuple[tuple, DataFrame]] = {}
 _CACHE_SESSION: list = [None]  # current session; reset drops old plans
 
 
@@ -75,20 +77,33 @@ def clear_table_cache() -> None:
     _CACHE_SESSION[0] = None
 
 
+def _dir_fingerprint(path: str) -> tuple:
+    """One stat() call: catches in-place regeneration (new mtime) and
+    file-count/size drift of a parquet directory or single file. Not
+    recursive by design — rewriting a parquet dir rewrites the dir
+    entry itself (files are added/replaced), which bumps its mtime."""
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return ("missing",)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-generated parquet table, normalizing types."""
     if _CACHE_SESSION[0] is not spark:
         _TABLE_CACHE.clear()
         _CACHE_SESSION[0] = spark
     key = (id(spark), sf_dir, name)
+    fp = _dir_fingerprint(f"{sf_dir}/{name}.parquet")
     hit = _TABLE_CACHE.get(key)
-    if hit is not None:
-        return hit
+    if hit is not None and hit[0] == fp:
+        return hit[1]
     _ensure_session_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = _normalize_events(df)
-    _TABLE_CACHE[key] = df
+    _TABLE_CACHE[key] = (fp, df)
     return df
 
 

@@ -2479,7 +2479,14 @@ def scd2_intervals(
         F.min("_us").alias("valid_from_us"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
-    w_next = Window.partitionBy(key_col).orderBy("valid_from_us")
+    # _island tiebreak: islands are numbered in (ts, tiebreak) event
+    # order, so two islands sharing a valid_from (same-µs state churn)
+    # close deterministically — the earlier-numbered one becomes the
+    # zero-width interval no fact can match, and the later one is the
+    # version ts-only containment picks (the streaming twin's rule;
+    # see tests/test_temporal_join_tiebreak.py). Tie-free data is
+    # unaffected.
+    w_next = Window.partitionBy(key_col).orderBy("valid_from_us", "_island")
     return iv.select(
         F.col(key_col),
         "state",

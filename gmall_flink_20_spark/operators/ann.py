@@ -1335,3 +1335,137 @@ def pq_code_balance(
             ).alias("imbalance"),
         )
     )
+
+
+# ---------------------------------------------------------------- persisted IVF
+
+
+def ivf_index_write(
+    emb: DataFrame,
+    path: str,
+    nlist: int = 16,
+    train_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> None:
+    """Persist a trained IVF index to disk (VERDICT r8 item 2): the
+    production shape where a corpus builds its index ONCE and query
+    batches consume it for weeks — FAISS's write_index, expressed as
+    parquet the whole cluster can read.
+
+    Layout under ``path``:
+      - ``centroids`` — the trained coarse quantizer, nlist rows
+        (cid, cv). KB-scale; a reader collects it like any trained
+        artifact.
+      - ``postings`` — the corpus as inverted lists, PARTITIONED BY
+        list_id (io_sinks.write_partitioned): each row carries the raw
+        vector and its precomputed norm, so a probe-time scan touches
+        only nprobe/nlist of the files via directory pruning — the
+        on-disk realization of "write the corpus bucketed BY list_id
+        once" from ann_ivf_topk's scale note.
+      - ``meta`` — one row (nlist, train_iters, dim) so a reader can
+        validate compatibility.
+
+    Training and assignment are byte-identical to the in-session
+    trained path (same memoized quantizer, same Arrow assignment), so
+    reload ≡ retrain exactly (tested; gated by the emb_ann_ivf_trained
+    oracle through the emb_index_persist registry entry).
+    """
+    from ..io_sinks import write_partitioned
+
+    base = with_unit(emb.select(F.col(id_col), F.col(vec_col)), vec_col, dim)
+    cents = kmeans_centroids_local(
+        base.select(F.col(id_col), F.col("_av").alias(vec_col)),
+        nlist,
+        train_iters,
+        id_col,
+        vec_col,
+        dim=dim,
+        normalize=False,
+    )
+    spark = emb.sparkSession
+    spark.createDataFrame(
+        [(c, v) for c, v in cents], "cid int, cv array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [(nlist, train_iters, dim)], "nlist int, train_iters int, dim int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    assigned = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        norm(F.col(vec_col)).alias("nn"),
+        _assign_udf(cents)(F.col("_av")).alias("list_id"),
+    )
+    write_partitioned(assigned, f"{path}/postings", ["list_id"])
+
+
+def ivf_index_load_centroids(spark, path: str) -> list[tuple[int, list[float]]]:
+    """Reload the coarse quantizer from a persisted index — one tiny
+    job over the nlist-row centroids parquet."""
+    rows = spark.read.parquet(f"{path}/centroids").collect()
+    return sorted((int(r["cid"]), [float(x) for x in r["cv"]]) for r in rows)
+
+
+def ann_ivf_persisted_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    query_ids: list[int],
+    k: int,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Query a persisted IVF index: reload the quantizer, probe each
+    query's ``nprobe`` nearest cells, and scan ONLY those cells'
+    postings partitions.
+
+    Plan shape (the point of persisting): the probed cell ids collect
+    to the driver first (≤ |queries| × nprobe ints — index-metadata
+    scale, the same class as the centroids themselves), so the postings
+    read carries a STATIC ``list_id IN (...)`` partition filter —
+    directory pruning at the source, no data-file I/O outside the
+    probed cells (tests assert via inputFiles()). At 100 TB this is
+    the difference between reading nprobe/nlist of the corpus and all
+    of it. Probing and scoring reuse the exact kernels of the
+    in-session trained path (same _probe_udf, same fold-order cosine),
+    so results are bit-identical to ann_ivf_topk(train_iters>0) with
+    equal params — and gate on the same SQL oracle.
+    """
+    cents = ivf_index_load_centroids(spark, path)
+    qbase = with_unit(
+        queries.filter(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col), F.col(vec_col)
+        ),
+        vec_col,
+        dim,
+    )
+    probes = qbase.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(F.col(vec_col)).alias("qn"),
+        F.explode(_probe_udf(cents, nprobe)(F.col("_av"))).alias("list_id"),
+    )
+    probes = eager_persist(probes)
+    probed = sorted(
+        {int(r["list_id"]) for r in probes.select("list_id").distinct().collect()}
+    )
+    postings = spark.read.parquet(f"{path}/postings").filter(
+        F.col("list_id").isin(probed)
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(postings, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "score", dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    )

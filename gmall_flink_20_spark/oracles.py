@@ -5507,3 +5507,9 @@ SELECT source,
             AS BIGINT) AS text_checksum
 FROM documents GROUP BY 1
 """
+
+
+# persisted-IVF round-trip: identical params + kernels to the trained
+# in-session IVF, answered from the reloaded on-disk index — sharing
+# the exact oracle makes the driver's hash gate a reload≡retrain proof
+ORACLES["emb_index_persist"] = ORACLES["emb_ann_ivf_trained"]

@@ -2596,6 +2596,26 @@ def docs_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.oov_rate(load_table(spark, sf_dir, "documents"))
 
 
+def emb_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVF round-trip (operators/ann.ivf_index_write /
+    ann_ivf_persisted_topk — VERDICT r8 item 2): train the coarse
+    quantizer, write centroids + list_id-partitioned postings + meta to
+    parquet, then answer top-5 for queries 0..9 FROM THE RELOADED index
+    — probing collects only the ≤40 probed cell ids, so the postings
+    scan is statically partition-pruned to nprobe/nlist of the files
+    (inputFiles-gated in tests). Same params as emb_ann_ivf_trained and
+    bit-identical kernels, so it gates on that entry's exact SQL oracle:
+    a hash match PROVES reload ≡ retrain."""
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_index_") + "/index"
+    ann.ivf_index_write(emb, path, nlist=16, train_iters=3)
+    return ann.ann_ivf_persisted_topk(
+        spark, path, emb, list(range(10)), 5, nprobe=4
+    )
+
+
 def customers_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Acquisition-cohort LTV curves (operators/analytics.cohort_ltv):
     first-order-month cohorts × age, integer-cent revenue, cumulative
@@ -3262,6 +3282,8 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_bloom_dedup": docs_bloom_dedup,
     "media_wav_features": media_wav_features,
     "docs_oov_rate": docs_oov_rate,
+    # round-9 additions (gated on first appearance)
+    "emb_index_persist": emb_index_persist,
 }
 
 # --- CORRECTNESS window (driver gates the FIRST 50 entries in dict

@@ -551,7 +551,7 @@ def test_temporal_join_stream_recovers_from_checkpoint(spark, sf_dir):
     # doubled (offsets + state recovered together)
     assert len(got) == len(decidable)
     # and each decision matches the batch rule: last non-purchase event
-    # at-or-before the purchase under the (ts, event_id) total order
+    # with ts at-or-before the purchase's ts (ts-only containment)
     per_user_hist = {}
     for r in rows:
         if r.event_type != "purchase":
@@ -563,8 +563,10 @@ def test_temporal_join_stream_recovers_from_checkpoint(spark, sf_dir):
         got_map.setdefault((g.user_id, g.ts_us), []).append(g.state_at)
     for f in decidable:
         exp = None
-        for vt, ve, vs in sorted(per_user_hist.get(f.user_id, [])):
-            if (vt, ve) <= (f.ts_us, f.event_id):
+        # ts-only containment — the batch join's valid_from_us <= ts_us
+        # convention (ADVICE r8); same-ts versions resolve sorted-last
+        for vt, _ve, vs in sorted(per_user_hist.get(f.user_id, [])):
+            if vt <= f.ts_us:
                 exp = vs
             else:
                 break
