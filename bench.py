@@ -237,6 +237,9 @@ BENCH_QUERIES = [
     "docs_bloom_dedup",
     "media_wav_features",
     "docs_oov_rate",
+    # round-9 batch additions
+    "emb_index_persist",
+    "emb_index_append",
 ]
 
 
@@ -322,7 +325,11 @@ def main() -> None:
         # bench wall-clock; anything skipped is recorded, not silent
         budget = float(os.environ.get("SPARK_GRAFT_BENCH_STREAMING_BUDGET", "420"))
         t_section = time.perf_counter()
-        for name in sorted(n for n in QUERIES if n.endswith("_streaming")):
+        for name in sorted(
+            n
+            for n in QUERIES
+            if n.endswith("_streaming") or n.endswith("_2stream")
+        ):
             if time.perf_counter() - t_section > budget:
                 stream_skipped.append(name)
                 continue

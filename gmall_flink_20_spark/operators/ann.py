@@ -1384,27 +1384,65 @@ def ivf_index_write(
         dim=dim,
         normalize=False,
     )
-    spark = emb.sparkSession
-    spark.createDataFrame(
-        [(c, v) for c, v in cents], "cid int, cv array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    spark.createDataFrame(
-        [(nlist, train_iters, dim)], "nlist int, train_iters int, dim int"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    # centroids + meta are KB-scale driver artifacts (the memoized
+    # quantizer literal) — write them as plain parquet via pyarrow, no
+    # Spark job; spark.read.parquet reads the directories identically
+    _write_small_parquet(
+        f"{path}/centroids",
+        {"cid": [c for c, _ in cents], "cv": [list(v) for _, v in cents]},
+        "cid: int32, cv: list<double>",
+    )
+    _write_small_parquet(
+        f"{path}/meta",
+        {"nlist": [nlist], "train_iters": [train_iters], "dim": [dim]},
+        "int32s",
+    )
     assigned = base.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("nv"),
         norm(F.col(vec_col)).alias("nn"),
         _assign_udf(cents)(F.col("_av")).alias("list_id"),
     )
-    write_partitioned(assigned, f"{path}/postings", ["list_id"])
+    # one shuffle ON THE PARTITION KEY before the write: without it every
+    # input task writes a sliver into each of the nlist directories
+    # (tasks × nlist small files — the classic partitioned-write
+    # anti-pattern); with it each cell is one tidy file. Build-time-only
+    # cost, exactly the layout job a 100 TB corpus runs once.
+    write_partitioned(
+        assigned.repartition("list_id"), f"{path}/postings", ["list_id"]
+    )
+
+
+def _write_small_parquet(dirpath: str, cols: dict, kind: str) -> None:
+    """Driver-side parquet writer for KB-scale index artifacts (the
+    quantizer + meta). ``kind`` selects the schema: the centroid frame
+    (int32 cid + list<double> cv) or an all-int32 meta row."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dirpath, exist_ok=True)
+    if kind.startswith("cid"):
+        schema = pa.schema(
+            [("cid", pa.int32()), ("cv", pa.list_(pa.float64()))]
+        )
+    else:
+        schema = pa.schema([(k, pa.int32()) for k in cols])
+    table = pa.table(cols, schema=schema)
+    pq.write_table(table, os.path.join(dirpath, "part-00000.parquet"))
 
 
 def ivf_index_load_centroids(spark, path: str) -> list[tuple[int, list[float]]]:
-    """Reload the coarse quantizer from a persisted index — one tiny
-    job over the nlist-row centroids parquet."""
-    rows = spark.read.parquet(f"{path}/centroids").collect()
-    return sorted((int(r["cid"]), [float(x) for x in r["cv"]]) for r in rows)
+    """Reload the coarse quantizer from a persisted index — a driver-
+    side pyarrow read of the nlist-row centroids parquet (KB-scale
+    artifact; no Spark job, same class as the trained-quantizer memo)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{path}/centroids").to_pydict()
+    return sorted(
+        (int(c), [float(x) for x in v]) for c, v in zip(t["cid"], t["cv"])
+    )
 
 
 def ann_ivf_persisted_topk(
@@ -1434,24 +1472,43 @@ def ann_ivf_persisted_topk(
     so results are bit-identical to ann_ivf_topk(train_iters>0) with
     equal params — and gate on the same SQL oracle.
     """
+    import numpy as np
+
     cents = ivf_index_load_centroids(spark, path)
-    qbase = with_unit(
-        queries.filter(F.col(id_col).isin(query_ids)).select(
-            F.col(id_col), F.col(vec_col)
-        ),
-        vec_col,
-        dim,
+    # ONE job fetches the query batch (|queries| rows — client-scale,
+    # like any ANN request): raw vector + its Spark-computed unit copy
+    # (same fold-order division as with_unit, so probing sees the exact
+    # doubles the in-session path saw)
+    qrows = (
+        queries.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.transform(
+                F.col(vec_col),
+                lambda x: x.cast("double") / norm(F.col(vec_col)),
+            ).alias("_av"),
+        )
+        .collect()
     )
-    probes = qbase.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        norm(F.col(vec_col)).alias("qn"),
-        F.explode(_probe_udf(cents, nprobe)(F.col("_av"))).alias("list_id"),
+    # probe DRIVER-SIDE with the identical numpy kernel as _probe_udf
+    # (lexsort on (d2, cid)) — FAISS clients do exactly this against the
+    # coarse quantizer before touching the index
+    ids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    C = np.array([cv for _, cv in cents], dtype=np.float64)
+    V = np.array([list(r["_av"]) for r in qrows], dtype=np.float64)
+    d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    probe_rows = []
+    for r, row_d2 in zip(qrows, d2):
+        order = np.lexsort((ids, row_d2))[:nprobe]
+        for lid in ids[order]:
+            probe_rows.append(
+                (int(r[id_col]), [float(x) for x in r[vec_col]], int(lid))
+            )
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, qv array<double>, list_id int"
     )
-    probes = eager_persist(probes)
-    probed = sorted(
-        {int(r["list_id"]) for r in probes.select("list_id").distinct().collect()}
-    )
+    probed = sorted({p[2] for p in probe_rows})
     postings = spark.read.parquet(f"{path}/postings").filter(
         F.col("list_id").isin(probed)
     )
@@ -1460,7 +1517,8 @@ def ann_ivf_persisted_topk(
         .join(postings, "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
-            "score", dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
+            "score",
+            dot(F.col("qv"), F.col("nv")) / (norm(F.col("qv")) * F.col("nn")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
@@ -1468,4 +1526,47 @@ def ann_ivf_persisted_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def ivf_index_append(
+    delta: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> None:
+    """Incremental maintenance of a persisted IVF index — FAISS's
+    ``add()`` semantics on the parquet layout: assign the delta batch
+    with the FROZEN on-disk quantizer (reloaded, never retrained) and
+    APPEND its rows to the matching ``list_id=`` postings partitions.
+
+    This is the daily-ingest path a growing corpus needs: training cost
+    is paid once on the base; each append is one row-local Arrow
+    assignment pass over the delta plus a partitioned write — no
+    shuffle, no touch of existing postings files (parquet append adds
+    files inside the affected partition directories only). Readers see
+    base and delta rows identically; ann_ivf_persisted_topk output over
+    write(base)+append(delta) is bit-equal to an index built from the
+    concatenated corpus under the same frozen centroids (append order
+    invariant — tested), and gates against the base-trained SQL oracle
+    via emb_index_append."""
+    from ..io_sinks import write_partitioned
+
+    spark = delta.sparkSession
+    cents = ivf_index_load_centroids(spark, path)
+    base = with_unit(delta.select(F.col(id_col), F.col(vec_col)), vec_col, dim)
+    assigned = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        norm(F.col(vec_col)).alias("nn"),
+        _assign_udf(cents)(F.col("_av")).alias("list_id"),
+    )
+    # same key-shuffle-before-write as ivf_index_write: one file per
+    # touched cell per append, not one per (task × cell)
+    write_partitioned(
+        assigned.repartition("list_id"),
+        f"{path}/postings",
+        ["list_id"],
+        mode="append",
     )

@@ -16,7 +16,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
-__all__ = ["profile_table", "equiwidth_histogram", "check_constraints", "approx_quantiles_checked"]
+__all__ = [
+    "profile_table",
+    "equiwidth_histogram",
+    "check_constraints",
+    "approx_quantiles_checked",
+    "certify_quantile_answers",
+]
 
 
 def profile_table(
@@ -217,3 +223,64 @@ def approx_quantiles_checked(
             ).alias(f"q{name}_ok")
         )
     return ranked.select(*out_cols, *flags)
+
+
+def certify_quantile_answers(
+    base: DataFrame,
+    answers: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    accuracy: int = 1000,
+) -> DataFrame:
+    """Certify EXTERNALLY-computed quantile-sketch answers against
+    exact rank arithmetic — the second half of
+    ``approx_quantiles_checked``, factored out so the answers can come
+    from a STREAMING percentile_approx aggregation (whose merged
+    per-micro-batch sketch state carries the same 1/accuracy rank
+    guarantee as the batch partial-merge path this band was calibrated
+    on).
+
+    ``answers``: one row per group with ``_a50/_a90/_a99`` (the
+    sketch's p50/p90/p99 answers). Output: ``group_cols`` + exact
+    p50/p90/p99 (round-6, oracle-comparable) + ``q*_ok`` booleans —
+    the count of group values strictly below / at-or-below each answer
+    must intersect [(p-d)n - 1, (p+d)n + 1], d = 1/accuracy. One
+    broadcast join (answers are group-cardinality-sized) and ONE
+    aggregation computing exact quantiles and rank counts together —
+    a single scan of the group data.
+    """
+    d = 1.0 / float(accuracy)
+    ps = {"50": 0.5, "90": 0.9, "99": 0.99}
+    joined = base.select(
+        *group_cols, F.col(value_col).alias("_v")
+    ).join(F.broadcast(answers), group_cols)
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for name, p in ps.items():
+        aggs.append(
+            (F.round(F.percentile(F.col("_v"), F.lit(p)), 6) + F.lit(0.0)).alias(
+                f"p{name}"
+            )
+        )
+        aggs.append(
+            F.sum((F.col("_v") < F.col(f"_a{name}")).cast("long")).alias(
+                f"_lt{name}"
+            )
+        )
+        aggs.append(
+            F.sum((F.col("_v") <= F.col(f"_a{name}")).cast("long")).alias(
+                f"_le{name}"
+            )
+        )
+    ranked = joined.groupBy(*group_cols, *[f"_a{n}" for n in ps]).agg(*aggs)
+    flags = []
+    for name, p in ps.items():
+        n = F.col("_n").cast("double")
+        lo = (F.lit(p - d) * n) - F.lit(1.0)
+        hi = (F.lit(p + d) * n) + F.lit(1.0)
+        flags.append(
+            (
+                (F.col(f"_lt{name}").cast("double") <= hi)
+                & (F.col(f"_le{name}").cast("double") >= lo)
+            ).alias(f"q{name}_ok")
+        )
+    return ranked.select(*group_cols, *[f"p{n}" for n in ps], *flags)

@@ -1224,12 +1224,18 @@ SELECT query_id, neighbor_id, rank FROM (
 ) WHERE rank <= 5
 """
 
-def _kmeans_ctes(nlist: int | str, iters: int, dim: int) -> tuple[list[str], str]:
+def _kmeans_ctes(
+    nlist: int | str, iters: int, dim: int, train_where: str | None = None
+) -> tuple[list[str], str]:
     """Shared unrolled spherical-Lloyd CTE chain (mirrors
     operators/ann.kmeans_centroids(normalize=True): round(mean, 6)
     determinism contract, empty-cell carry-forward). Returns (ctes, the
     per-row squared-L2 expression against alias c). ``nlist`` may be an
-    int literal or a SQL scalar-subquery string (the derived-k form)."""
+    int literal or a SQL scalar-subquery string (the derived-k form).
+    ``train_where`` restricts the TRAINING corpus (init + Lloyd
+    iterations) to a subset while `u` keeps all vectors — the
+    incremental-index form where the quantizer is frozen on the base
+    corpus and later batches are only assigned, never trained on."""
     unit = (
         "list_transform(embedding, x -> CAST(x AS DOUBLE) / "
         f"sqrt({_DDOT.format(a='embedding', b='embedding')}))"
@@ -1241,15 +1247,21 @@ def _kmeans_ctes(nlist: int | str, iters: int, dim: int) -> tuple[list[str], str
     means = ", ".join(f"round(avg(uv[{i + 1}]), 6)" for i in range(dim))
     ctes = [
         f"u AS (SELECT vec_id, embedding, {unit} AS uv FROM embeddings)",
-        f"cents0 AS (SELECT vec_id AS cid, uv AS cv FROM u WHERE vec_id < {nlist})",
     ]
+    tr = "u"
+    if train_where is not None:
+        tr = "tr"
+        ctes.append(f"tr AS (SELECT * FROM u WHERE {train_where})")
+    ctes.append(
+        f"cents0 AS (SELECT vec_id AS cid, uv AS cv FROM {tr} WHERE vec_id < {nlist})"
+    )
     for t in range(1, iters + 1):
         ctes.append(
             f"""a{t} AS (
     SELECT vec_id, uv, cid FROM (
         SELECT u.vec_id, u.uv, c.cid,
                row_number() OVER (PARTITION BY u.vec_id ORDER BY {dl2} ASC, c.cid ASC) AS rn
-        FROM u, cents{t - 1} c) WHERE rn = 1
+        FROM {tr} AS u, cents{t - 1} c) WHERE rn = 1
 )"""
         )
         ctes.append(
@@ -1262,10 +1274,19 @@ def _kmeans_ctes(nlist: int | str, iters: int, dim: int) -> tuple[list[str], str
     return ctes, dl2
 
 
-def _ivf_trained_sql(nlist: int = 16, nprobe: int = 4, iters: int = 3, dim: int = 64, k: int = 5) -> str:
+def _ivf_trained_sql(
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    dim: int = 64,
+    k: int = 5,
+    train_where: str | None = None,
+) -> str:
     """Trained-IVF oracle: spherical Lloyd k-means unrolled as CTE chain
-    feeding the ann_ivf_topk probe/scan shape."""
-    ctes, dl2 = _kmeans_ctes(nlist, iters, dim)
+    feeding the ann_ivf_topk probe/scan shape. With ``train_where`` the
+    quantizer trains on the base subset only while assignment/probe/scan
+    still cover every vector (the incremental-index-append form)."""
+    ctes, dl2 = _kmeans_ctes(nlist, iters, dim, train_where)
     final = f"""assigned AS (
     SELECT vec_id AS neighbor_id, embedding AS nv, cid AS list_id FROM (
         SELECT u.vec_id, u.embedding, c.cid,
@@ -5513,3 +5534,34 @@ FROM documents GROUP BY 1
 # in-session IVF, answered from the reloaded on-disk index — sharing
 # the exact oracle makes the driver's hash gate a reload≡retrain proof
 ORACLES["emb_index_persist"] = ORACLES["emb_ann_ivf_trained"]
+
+
+# two-source temporal join: separate fact/dim streams must aggregate
+# to the same batch join — shares the batch oracle like the 1-stream form
+ORACLES["events_temporal_join_2stream"] = ORACLES["events_temporal_join"]
+
+
+# streaming windowed percentiles: exact per-(day, type) quantiles +
+# TRUE flags — the streamed merged sketch must land inside its rank
+# band for the hash to match (same gate pattern as the batch entry)
+ORACLES["events_quantiles_streaming"] = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       event_type,
+       round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5), 6) + 0.0 AS p50,
+       round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.9), 6) + 0.0 AS p90,
+       round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.99), 6) + 0.0 AS p99,
+       TRUE AS q50_ok, TRUE AS q90_ok, TRUE AS q99_ok
+FROM events GROUP BY 1, 2
+"""
+
+
+# incremental index append: the quantizer is FROZEN on the 90% base
+# split (salted-hash % 10 <> 0); the delta batch is assigned with it,
+# never trained on — probe/scan then cover the full corpus. Equality
+# with the Spark write(base)+append(delta) index proves add-without-
+# retrain preserves exact IVF semantics.
+_IVF_BASE_WHERE = (
+    "CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR) || ':ivfbase'), "
+    "1, 15)) AS BIGINT) % 10 <> 0"
+)
+ORACLES["emb_index_append"] = _ivf_trained_sql(train_where=_IVF_BASE_WHERE)

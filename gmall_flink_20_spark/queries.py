@@ -2616,6 +2616,140 @@ def emb_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance (operators/ann.ivf_index_append):
+    the quantizer trains ONCE on the 90% base split (salted-hash
+    ``% 10 != 0``), the 10% delta batch is assigned with the frozen
+    reloaded centroids and APPENDED to the postings partitions — no
+    retraining, no rewrite of existing files — then queries 0..9 probe
+    the grown index. The oracle unrolls the same base-only Lloyd
+    training in SQL and scans the full corpus, so the hash gate proves
+    add-without-retrain preserves exact IVF semantics."""
+    import tempfile
+
+    from .operators import sampling
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    split = F.pmod(sampling.sample_hash("vec_id", "ivfbase"), F.lit(10))
+    base = emb.filter(split != 0)
+    delta = emb.filter(split == 0)
+    path = tempfile.mkdtemp(prefix="ivf_append_") + "/index"
+    ann.ivf_index_write(base, path, nlist=16, train_iters=3)
+    ann.ivf_index_append(delta, path)
+    return ann.ann_ivf_persisted_topk(
+        spark, path, emb, list(range(10)), 5, nprobe=4
+    )
+
+
+def events_temporal_join_2stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The temporal table join fed by TWO SEPARATE streams (streaming/
+    stateful.temporal_join_two_streams — VERDICT r8 item 5): purchases
+    replay as the fact stream, non-purchase events as the versioned-dim
+    stream, each with its own disorder, watermark, and flush sentinels
+    — Flink's real `FOR SYSTEM_TIME AS OF` shape and the reference's
+    connect two-input pattern (PayReceiptWithConnectApp.java:62-65).
+    The union takes the MIN watermark across sources (Flink's two-input
+    rule), so decisions stay exactly-once. Gated by the SAME oracle as
+    the batch and one-stream forms. Excluded from bench."""
+    from .streaming import replay, stateful
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        "ts",
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    dims = ev.filter(F.col("event_type") != "purchase").drop("cents")
+    f1, f2, _ = replay.sentinel_pair(
+        spark, facts, overrides={"cents": 0}
+    )
+    d1, d2, _ = replay.sentinel_pair(spark, dims)
+    fact_stream = replay.replay_stream(
+        spark, facts, "ts", num_chunks=3, disorder_s=300, extra_chunks=[f1, f2]
+    ).withWatermark("ts", "660 seconds")
+    dim_stream = replay.replay_stream(
+        spark, dims, "ts", num_chunks=3, disorder_s=300, extra_chunks=[d1, d2]
+    ).withWatermark("ts", "660 seconds")
+    out = stateful.temporal_join_two_streams(fact_stream, dim_stream)
+    res = replay.run_to_completion(out).filter(F.col("user_id") >= 0)
+    return (
+        res.select(
+            F.coalesce(F.col("state_at"), F.lit("none")).alias("state_at_purchase"),
+            "cents",
+        )
+        .groupBy("state_at_purchase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+def events_quantiles_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed STREAMING percentiles, rank-error certified (VERDICT r8
+    item 8 — the sketch family's streaming story): percentile_approx
+    runs as the streaming aggregation state itself — per (day window ×
+    event_type) group, each micro-batch merges its partial
+    Greenwald-Khanna sketch into the state store and update mode
+    re-emits the refined answers, which upsert into the parquet
+    append-log store (last write per group = the sketch's answer over
+    ALL the group's rows). A batch pass then certifies every final
+    answer against exact rank arithmetic (operators/profiling.
+    certify_quantile_answers, the same ±n/accuracy band the batch
+    events_quantiles_approx entry calibrated) and emits the EXACT
+    quantiles the oracle recomputes — so the driver's hash gate proves
+    the streamed, merged sketch honored its guarantee in every window.
+    Excluded from bench (it measures the replay harness)."""
+    import tempfile
+
+    from .operators import profiling
+    from .streaming import replay
+    from .streaming import topn as stopn
+
+    ev = _events(spark, sf_dir).select(
+        "ts",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    stream = replay.replay_stream(spark, ev, "ts", num_chunks=replay.REPLAY_CHUNKS)
+    est = (
+        stream.withWatermark("ts", "2 seconds")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.percentile_approx(
+                "cents",
+                F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+                F.lit(1000),
+            ).alias("qs")
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.col("qs")[0].cast("double").alias("_a50"),
+            F.col("qs")[1].cast("double").alias("_a90"),
+            F.col("qs")[2].cast("double").alias("_a99"),
+        )
+    )
+    store = stopn.ParquetUpsertStore(
+        tempfile.mkdtemp(prefix="q_stream_store_") + "/log", "day", "event_type"
+    )
+    with replay.replay_shuffle(spark):
+        q = stopn.topn_upsert_sink(est, store).trigger(availableNow=True).start()
+        q.awaitTermination()
+    answers = store.snapshot(spark)
+    base = ev.select(
+        F.date_format(F.to_date(F.col("ts")), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "cents",
+    )
+    return profiling.certify_quantile_answers(
+        base, answers, "cents", ["day", "event_type"], accuracy=1000
+    )
+
+
 def customers_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Acquisition-cohort LTV curves (operators/analytics.cohort_ltv):
     first-order-month cohorts × age, integer-cent revenue, cumulative
@@ -3284,6 +3418,9 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_oov_rate": docs_oov_rate,
     # round-9 additions (gated on first appearance)
     "emb_index_persist": emb_index_persist,
+    "emb_index_append": emb_index_append,
+    "events_temporal_join_2stream": events_temporal_join_2stream,
+    "events_quantiles_streaming": events_quantiles_streaming,
 }
 
 # --- CORRECTNESS window (driver gates the FIRST 50 entries in dict
@@ -3416,8 +3553,54 @@ assert set(_R8_WINDOW) | set(_R8_ROLLOVER) == set(_R8_POOL)
 _stale_in = [n for n in _STALE_R4 if n in set(_R8_WINDOW)]
 assert _stale_in == _STALE_R4[: len(_stale_in)], "stale gating must be oldest-first"
 
+# ---- round 9 window (VERDICT r8 item 1: front the ENTIRE 32-entry
+# _R8_ROLLOVER — the r4-latest cohort — then the oldest-first prefix of
+# the next-stalest cohort, the 49 round-5-latest rows)
+R9_NEW: list[str] = [
+    "emb_index_persist",
+    "emb_index_append",
+    "events_temporal_join_2stream",
+    "events_quantiles_streaming",
+]
+# latest driver row = round 5 (from CORRECTNESS_r0{1..8}.json), sorted;
+# 49 entries — 50 - |R9_NEW| - |_R8_ROLLOVER| = 15 fit this round
+_STALE_R5: list[str] = [
+    "customers_cohort_ltv", "customers_ltv_dist",
+    "customers_revenue_pareto_dist", "docs_bigram_lm", "docs_corpus_select",
+    "docs_cross_source_contamination", "docs_dedup_exact",
+    "docs_dedup_savings", "docs_dup_provenance", "docs_fingerprint",
+    "docs_lang_id", "docs_minhash_calibration", "docs_ngram_jaccard",
+    "docs_phrase_census", "docs_pii_stats", "docs_quality", "docs_simhash",
+    "docs_simhash_neardup", "docs_threshold_sweep", "docs_token_count",
+    "docs_token_count_bpe", "docs_tokenizer_fertility", "docs_vocab_gini",
+    "docs_winnowing", "emb_ann_ivf", "emb_ann_lsh", "emb_ann_nprobe_pareto",
+    "emb_ann_topk", "emb_cosine_neardup", "emb_mahalanobis",
+    "emb_pq_code_balance", "events_bot_score", "events_seasonal_anomaly",
+    "events_seasonality", "events_seasonality_streaming",
+    "events_session_stats", "items_triangle_stats", "lineitem_price_audit",
+    "media_decode_roundtrip", "media_features", "orders_backlog",
+    "orders_fulfillment_latency", "parts_supplier_hhi", "tpch_q14",
+    "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22", "tpch_referential_audit",
+]
+
+_R9_POOL: list[str] = _dedup_keep_order(R9_NEW + _R8_ROLLOVER + _STALE_R5)
+_R9_WINDOW: list[str] = _R9_POOL[:WINDOW_SIZE]
+# everything pooled but not gated this round — fronts round 10's window
+_R9_ROLLOVER: list[str] = _R9_POOL[WINDOW_SIZE:]
+assert len(_R9_WINDOW) == WINDOW_SIZE
+assert set(R9_NEW) <= set(_R9_WINDOW), "new ops gate on first appearance"
+# VERDICT r8 item 1: the ENTIRE previous rollover gates this round —
+# this zeroes the r4-latest cohort (nothing older than r5 remains)
+assert set(_R8_ROLLOVER) <= set(_R9_WINDOW), "r8 rollover must all gate in r9"
+# ADVICE r6: no silent composition loss — every pooled name is either
+# in-window or explicitly named as rollover, and the stale cohort in the
+# window is exactly the oldest-first prefix of _STALE_R5
+assert set(_R9_WINDOW) | set(_R9_ROLLOVER) == set(_R9_POOL)
+_stale_in9 = [n for n in _STALE_R5 if n in set(_R9_WINDOW)]
+assert _stale_in9 == _STALE_R5[: len(_stale_in9)], "stale gating must be oldest-first"
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    name: _ALL[name] for name in _R8_WINDOW
+    name: _ALL[name] for name in _R9_WINDOW
 }
 QUERIES.update((k, v) for k, v in _ALL.items() if k not in QUERIES)
 assert len(QUERIES) == len(_ALL)

@@ -76,6 +76,21 @@ HEAVY = [
     "events_temporal_join",
     "events_ivm_merge",
     "events_quantiles_approx",
+    # round-9: the persisted-index build+probe round-trip
+    "emb_index_persist",
+]
+
+# Iteration-bound graph family (VERDICT r8 item 4): at ×2 these read
+# flat because per-round stage scheduling dominates, leaving the
+# data-growth term unmeasured — a ×4 corpus separates the two
+# (iteration count is fixed; only the per-round join cost should grow).
+# Measured at sf0.1 / ×2 / ×4 with e(×2→×4) reported; anything over
+# ~1.0 means the per-round label frame needs coarsening.
+GRAPH4 = [
+    "items_communities",
+    "items_modularity",
+    "items_kcore",
+    "items_pagerank",
 ]
 
 
@@ -140,10 +155,21 @@ def main() -> None:
     runs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     only = set(sys.argv[2:])
     heavy = [q for q in HEAVY if not only or q in only]
+    graph4 = [q for q in GRAPH4 if not only or q in only]
     spark = get_spark()
     dbl = tempfile.mkdtemp(prefix="sf_double_")
     print("building doubled corpus at", dbl, file=sys.stderr)
     build_doubled(spark, "/root/testdata/sf0.1", dbl)
+    quad = None
+    if graph4:
+        # ×4 = double the doubled corpus. Its documents contain verbatim
+        # re-duplicates (reverse∘reverse = identity), which would make
+        # dedup slopes pathological — so ONLY the graph family (which
+        # reads events-derived edges; ids stay distinct under the
+        # offset-union) is timed on it.
+        quad = tempfile.mkdtemp(prefix="sf_quad_")
+        print("building quadrupled corpus at", quad, file=sys.stderr)
+        build_doubled(spark, dbl, quad)
 
     points = [
         ("sf0.01", "/root/testdata/sf0.01", 1.0),
@@ -167,7 +193,32 @@ def main() -> None:
             f"| `{name}` | {r['sf0.01']:.2f} | {r['sf0.1']:.2f} "
             f"| {r['sf0.1×2']:.2f} | {e1:.2f} | {e2:.2f} |"
         )
+    if graph4:
+        gpoints = [
+            ("sf0.1", "/root/testdata/sf0.1"),
+            ("sf0.1×2", dbl),
+            ("sf0.1×4", quad),
+        ]
+        gres: dict[str, dict[str, float]] = {}
+        for name in graph4:
+            gres[name] = {}
+            for label, d in gpoints:
+                gres[name][label] = time_query(spark, name, d, runs)
+                print(f"{name} @ {label}: {gres[name][label]:.2f}s", file=sys.stderr)
+        print()
+        print("| graph query | sf0.1 s | ×2 s | ×4 s | e(1→×2) | e(×2→×4) |")
+        print("|---|---|---|---|---|---|")
+        for name in graph4:
+            r = gres[name]
+            e1 = math.log(r["sf0.1×2"] / r["sf0.1"]) / math.log(2)
+            e2 = math.log(r["sf0.1×4"] / r["sf0.1×2"]) / math.log(2)
+            print(
+                f"| `{name}` | {r['sf0.1']:.2f} | {r['sf0.1×2']:.2f} "
+                f"| {r['sf0.1×4']:.2f} | {e1:.2f} | {e2:.2f} |"
+            )
     shutil.rmtree(dbl, ignore_errors=True)
+    if quad:
+        shutil.rmtree(quad, ignore_errors=True)
 
 
 if __name__ == "__main__":
