@@ -15,33 +15,33 @@ from gmall_flink_20_spark.operators import analytics, ann, lm, text
 
 
 def test_window_is_exactly_fifty():
-    assert len(Q._R8_WINDOW) == Q.WINDOW_SIZE == 50
-    assert len(set(Q._R8_WINDOW)) == 50
+    assert len(Q._R9_WINDOW) == Q.WINDOW_SIZE == 50
+    assert len(set(Q._R9_WINDOW)) == 50
 
 
 def test_window_leads_the_registry():
-    assert list(Q.QUERIES)[:50] == Q._R8_WINDOW
+    assert list(Q.QUERIES)[:50] == Q._R9_WINDOW
 
 
-def test_round8_new_ops_are_in_window():
-    assert set(Q.R8_NEW) <= set(Q._R8_WINDOW)
+def test_round9_new_ops_are_in_window():
+    assert set(Q.R9_NEW) <= set(Q._R9_WINDOW)
 
 
-def test_round7_rollover_fully_fronted():
-    # VERDICT r7 item 1: ALL 21 rolled-over entries (16 round-3-stale +
-    # 5 canaries) gate in round 8 — the stale-green backlog hits zero
-    assert len(Q._R7_ROLLOVER) == 21
-    assert set(Q._R7_ROLLOVER) <= set(Q._R8_WINDOW)
+def test_round8_rollover_fully_fronted():
+    # VERDICT r8 item 1: ALL 32 rolled-over entries (the r4-latest
+    # cohort) gate in round 9 — nothing older than r5 remains
+    assert len(Q._R8_ROLLOVER) == 32
+    assert set(Q._R8_ROLLOVER) <= set(Q._R9_WINDOW)
 
 
 def test_window_rotation_fronts_stalest():
-    # round-8 rotation: the stale cohort in-window is the oldest-first
-    # PREFIX of the round-4-stale list, and nothing pooled is silently
-    # dropped — what doesn't fit is named in _R8_ROLLOVER (ADVICE r6)
-    stale_in = [n for n in Q._STALE_R4 if n in set(Q._R8_WINDOW)]
-    assert stale_in == Q._STALE_R4[: len(stale_in)]
-    assert set(Q._R8_WINDOW) | set(Q._R8_ROLLOVER) == set(Q._R8_POOL)
-    assert not (set(Q._R8_WINDOW) & set(Q._R8_ROLLOVER))
+    # round-9 rotation: the stale cohort in-window is the oldest-first
+    # PREFIX of the round-5-stale list, and nothing pooled is silently
+    # dropped — what doesn't fit is named in _R9_ROLLOVER (ADVICE r6)
+    stale_in = [n for n in Q._STALE_R5 if n in set(Q._R9_WINDOW)]
+    assert stale_in == Q._STALE_R5[: len(stale_in)]
+    assert set(Q._R9_WINDOW) | set(Q._R9_ROLLOVER) == set(Q._R9_POOL)
+    assert not (set(Q._R9_WINDOW) & set(Q._R9_ROLLOVER))
 
 
 def test_registry_complete():
