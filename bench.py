@@ -240,6 +240,7 @@ BENCH_QUERIES = [
     # round-9 batch additions
     "emb_index_persist",
     "emb_index_append",
+    "emb_index_compact",
 ]
 
 

@@ -1570,3 +1570,34 @@ def ivf_index_append(
         ["list_id"],
         mode="append",
     )
+
+
+def ivf_index_compact(spark, path: str) -> int:
+    """Index maintenance after appends — the compaction pass a
+    daily-ingest deployment schedules: every ivf_index_append adds one
+    file per touched cell, so a long-lived index accumulates
+    appends×cells small files whose open/footer overhead comes to
+    dominate probe scans. Rewrites the postings one-file-per-cell
+    (key shuffle + partitioned write into a sibling dir, then a rename
+    swap) and returns the final data-file count.
+
+    Query results are INVARIANT (row set unchanged; doubles round-trip
+    parquet exactly) — proven by the emb_index_compact registry entry
+    gating on the same base-trained oracle as emb_index_append, and by
+    the pre/post equality test. Partition pruning semantics are
+    untouched: the hive layout (list_id= dirs) is preserved."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    from ..io_sinks import write_partitioned
+
+    src = f"{path}/postings"
+    tmp = f"{path}/postings_compacting"
+    df = spark.read.parquet(src)
+    write_partitioned(df.repartition("list_id"), tmp, ["list_id"])
+    old = f"{path}/postings_pre_compact"
+    os.rename(src, old)
+    os.rename(tmp, src)
+    shutil.rmtree(old)
+    return sum(1 for _ in Path(src).rglob("*.parquet"))

@@ -5565,3 +5565,8 @@ _IVF_BASE_WHERE = (
     "1, 15)) AS BIGINT) % 10 <> 0"
 )
 ORACLES["emb_index_append"] = _ivf_trained_sql(train_where=_IVF_BASE_WHERE)
+
+
+# compaction invariance: build + 3 appends + compact must answer
+# exactly like the uncompacted appended index — same oracle
+ORACLES["emb_index_compact"] = ORACLES["emb_index_append"]

@@ -2641,6 +2641,33 @@ def emb_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index compaction invariance (operators/ann.ivf_index_compact):
+    build the base index, append the delta in THREE separate batches
+    (each append leaves one file per touched cell — the daily-ingest
+    accumulation), compact to one file per cell, and answer queries
+    0..9 from the compacted index. Gated by the SAME base-trained
+    oracle as emb_index_append: a hash match proves the maintenance
+    pass is result-invariant while the file count drops (tested)."""
+    import tempfile
+
+    from .operators import sampling
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    split = F.pmod(sampling.sample_hash("vec_id", "ivfbase"), F.lit(10))
+    base = emb.filter(split != 0)
+    delta = emb.filter(split == 0)
+    path = tempfile.mkdtemp(prefix="ivf_compact_") + "/index"
+    ann.ivf_index_write(base, path, nlist=16, train_iters=3)
+    third = F.pmod(F.col("vec_id"), F.lit(3))
+    for j in range(3):
+        ann.ivf_index_append(delta.filter(third == j), path)
+    ann.ivf_index_compact(spark, path)
+    return ann.ann_ivf_persisted_topk(
+        spark, path, emb, list(range(10)), 5, nprobe=4
+    )
+
+
 def events_temporal_join_2stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The temporal table join fed by TWO SEPARATE streams (streaming/
     stateful.temporal_join_two_streams — VERDICT r8 item 5): purchases
@@ -3419,6 +3446,7 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-9 additions (gated on first appearance)
     "emb_index_persist": emb_index_persist,
     "emb_index_append": emb_index_append,
+    "emb_index_compact": emb_index_compact,
     "events_temporal_join_2stream": events_temporal_join_2stream,
     "events_quantiles_streaming": events_quantiles_streaming,
 }
@@ -3559,6 +3587,7 @@ assert _stale_in == _STALE_R4[: len(_stale_in)], "stale gating must be oldest-fi
 R9_NEW: list[str] = [
     "emb_index_persist",
     "emb_index_append",
+    "emb_index_compact",
     "events_temporal_join_2stream",
     "events_quantiles_streaming",
 ]

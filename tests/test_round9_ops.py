@@ -346,3 +346,46 @@ def test_ivf_index_append_covers_delta(spark, sf_dir):
         delta.select(F.col("vec_id").alias("neighbor_id")), "neighbor_id"
     ).count()
     assert got == n_delta
+
+
+def test_ivf_index_compact_is_result_invariant(spark, sf_dir):
+    """3 appends leave multiple files per touched cell; compaction must
+    drop to one file per cell and change NOTHING about query answers."""
+    import tempfile
+    from pathlib import Path as _P
+
+    from gmall_flink_20_spark.operators import sampling
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    split = F.pmod(sampling.sample_hash("vec_id", "ivfbase"), F.lit(10))
+    base, delta = emb.filter(split != 0), emb.filter(split == 0)
+    path = tempfile.mkdtemp(prefix="ivf_cmp_t_") + "/index"
+    ann.ivf_index_write(base, path, nlist=16, train_iters=3)
+    third = F.pmod(F.col("vec_id"), F.lit(3))
+    for j in range(3):
+        ann.ivf_index_append(delta.filter(third == j), path)
+
+    def files_per_cell():
+        cells = {}
+        for f in _P(f"{path}/postings").rglob("*.parquet"):
+            cells.setdefault(f.parent.name, 0)
+            cells[f.parent.name] += 1
+        return cells
+
+    def answers():
+        return {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in ann.ann_ivf_persisted_topk(
+                spark, path, emb, list(range(10)), 5, nprobe=4
+            ).collect()
+        }
+
+    before_files = files_per_cell()
+    assert max(before_files.values()) > 1, "appends must fragment cells"
+    before = answers()
+    n_rows = spark.read.parquet(f"{path}/postings").count()
+    n = ann.ivf_index_compact(spark, path)
+    after_files = files_per_cell()
+    assert n == len(after_files) and set(after_files.values()) == {1}
+    assert spark.read.parquet(f"{path}/postings").count() == n_rows
+    assert answers() == before
