@@ -1437,8 +1437,15 @@ def ivf_index_load_centroids(spark, path: str) -> list[tuple[int, list[float]]]:
     """Reload the coarse quantizer from a persisted index — a driver-
     side pyarrow read of the nlist-row centroids parquet (KB-scale
     artifact; no Spark job, same class as the trained-quantizer memo)."""
+    import os
+
     import pyarrow.parquet as pq
 
+    if not os.path.isdir(f"{path}/centroids"):
+        raise FileNotFoundError(
+            f"no IVF index at {path!r}: centroids/ missing — build one "
+            "with ivf_index_write before loading or appending"
+        )
     t = pq.read_table(f"{path}/centroids").to_pydict()
     return sorted(
         (int(c), [float(x) for x in v]) for c, v in zip(t["cid"], t["cv"])
@@ -1491,6 +1498,13 @@ def ann_ivf_persisted_topk(
         )
         .collect()
     )
+    if not qrows:
+        # no query id present in the corpus: empty result with the
+        # contract schema (matches the in-session operators, whose
+        # isin() filter yields the same empty frame)
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank long"
+        )
     # probe DRIVER-SIDE with the identical numpy kernel as _probe_udf
     # (lexsort on (d2, cid)) — FAISS clients do exactly this against the
     # coarse quantizer before touching the index
@@ -1585,7 +1599,12 @@ def ivf_index_compact(spark, path: str) -> int:
     parquet exactly) — proven by the emb_index_compact registry entry
     gating on the same base-trained oracle as emb_index_append, and by
     the pre/post equality test. Partition pruning semantics are
-    untouched: the hive layout (list_id= dirs) is preserved."""
+    untouched: the hive layout (list_id= dirs) is preserved.
+
+    Single-writer maintenance pass (schedule like a table OPTIMIZE):
+    the swap is two renames, so a reader that resolved its FileIndex
+    before the swap must re-resolve after it — plans built through
+    io.load_table do, via the directory fingerprint."""
     import os
     import shutil
     from pathlib import Path

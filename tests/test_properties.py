@@ -867,3 +867,98 @@ def test_temporal_join_containment_property(spark, dim_events, facts):
         else:
             assert r.vf <= r.ts_us
             assert r.vt is None or r.ts_us < r.vt
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.integers(min_value=-1000, max_value=1000),
+        min_size=5,
+        max_size=60,
+    )
+)
+def test_certify_quantiles_accepts_truth_rejects_junk(spark, vals):
+    """The rank-band certifier must accept the data's own exact
+    quantiles and reject an answer below every value (impossible rank),
+    for any input."""
+    import numpy as np
+
+    from gmall_flink_20_spark.operators.profiling import certify_quantile_answers
+
+    base = spark.createDataFrame(
+        [("g", float(v)) for v in vals], "grp string, v double"
+    )
+    a50, a90, a99 = (float(np.percentile(vals, p)) for p in (50, 90, 99))
+    good = spark.createDataFrame(
+        [("g", a50, a90, a99)],
+        "grp string, _a50 double, _a90 double, _a99 double",
+    )
+    r = certify_quantile_answers(base, good, "v", ["grp"]).collect()[0]
+    assert r.q50_ok and r.q90_ok and r.q99_ok
+    junk = spark.createDataFrame(
+        [("g", float(min(vals) - 1), a90, a99)],
+        "grp string, _a50 double, _a90 double, _a99 double",
+    )
+    j = certify_quantile_answers(base, junk, "v", ["grp"]).collect()[0]
+    # an answer below every value has zero at-or-below rank; the p50
+    # lower band is (0.5-d)n-1 >= 1.5 for n >= 5 -> must flag
+    assert j.q50_ok is False
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # user
+            st.integers(min_value=0, max_value=8),  # coarse ts -> collisions
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=8),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_temporal_join_ts_only_rule_matches_model(spark, dim_events, facts):
+    """The batch temporal join must resolve every fact to the state of
+    the user's LAST dim event (in (ts, event_id) order) with ts <= fact
+    ts — the ts-only containment convention (ADVICE r8) — on arbitrary
+    data INCLUDING same-timestamp churn (the coarse ts domain forces
+    collisions between dim versions and facts)."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_20_spark.operators.analytics import scd2_intervals, temporal_join
+
+    rows = [(i, u, t * 60.0, s) for i, (u, t, s) in enumerate(dim_events)]
+    dim_df = spark.createDataFrame(
+        rows, "event_id long, user_id long, t double, event_type string"
+    ).select(
+        "event_id", "user_id", F.col("t").cast("timestamp").alias("ts"), "event_type"
+    )
+    iv = scd2_intervals(dim_df)
+    f_df = spark.createDataFrame(
+        [(u, t * 60 * 1_000_000) for u, t in facts], "user_id long, ts_us long"
+    )
+    got = {}
+    for r in temporal_join(f_df, iv, "user_id", "ts_us", {"state": "st"}).collect():
+        got.setdefault((r.user_id, r.ts_us), set()).add(r.st)
+    model = {}
+    for u, t in facts:
+        t_us = t * 60 * 1_000_000
+        hist = sorted(
+            (int(x[2] * 1_000_000), x[0], x[3]) for x in rows if x[1] == u
+        )
+        st_at = None
+        for vt, _eid, vs in hist:
+            if vt <= t_us:
+                st_at = vs
+            else:
+                break
+        model.setdefault((u, t_us), set()).add(st_at)
+    assert got == model
