@@ -241,6 +241,8 @@ BENCH_QUERIES = [
     "emb_index_persist",
     "emb_index_append",
     "emb_index_compact",
+    "docs_lsh_index_persist",
+    "emb_ivf_cell_stats",
 ]
 
 

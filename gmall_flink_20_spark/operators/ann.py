@@ -1620,3 +1620,40 @@ def ivf_index_compact(spark, path: str) -> int:
     os.rename(tmp, src)
     shutil.rmtree(old)
     return sum(1 for _ in Path(src).rglob("*.parquet"))
+
+
+def ivf_index_cell_stats(spark, path: str) -> DataFrame:
+    """Inverted-list health report over a persisted IVF index — the
+    observability pass an ANN deployment runs after builds/appends:
+    FAISS's imbalance factor for IVF lists, IF = nlist·Σs²/N² (1.0 =
+    perfectly balanced; the expected probe-time slowdown factor under
+    uniform queries), plus cell-size extrema and coverage.
+
+    Plan shape: the cell sizes come from a groupBy on the PARTITION
+    column, so the postings scan reads ZERO data columns (ReadSchema is
+    the empty struct — directory listing + row counts, plan-gated in
+    tests). One tiny two-level aggregate; the index's meta supplies
+    nlist without a Spark job."""
+    import pyarrow.parquet as pq
+
+    meta = pq.read_table(f"{path}/meta").to_pydict()
+    nlist = int(meta["nlist"][0])
+    post = spark.read.parquet(f"{path}/postings")
+    sizes = post.groupBy("list_id").agg(
+        F.count(F.lit(1)).cast("long").alias("s")
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells_used"),
+        F.sum("s").cast("long").alias("n_vectors"),
+        F.min("s").cast("long").alias("min_cell"),
+        F.max("s").cast("long").alias("max_cell"),
+        (
+            F.round(
+                F.lit(nlist)
+                * F.sum(F.col("s") * F.col("s")).cast("double")
+                / (F.sum("s").cast("double") * F.sum("s").cast("double")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("imbalance"),
+    )

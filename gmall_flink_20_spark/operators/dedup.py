@@ -66,6 +66,8 @@ __all__ = [
     "neardup_verified",
     "neardup_edit_verified",
     "novelty_rate",
+    "lsh_index_write",
+    "lsh_index_query_incremental",
 ]
 
 
@@ -1287,4 +1289,117 @@ def bloom_membership_report(
             )
             + F.lit(0.0),
         ).alias("fp_rate"),
+    )
+
+
+# ------------------------------------------------ persisted LSH index
+
+
+def lsh_index_write(
+    df: DataFrame,
+    path: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    parallelism: int | None = None,
+) -> None:
+    """Persist the MinHash/LSH dedup index of a curated base corpus —
+    the 'stored index built when the base was curated' that
+    ``neardup_incremental``'s docstring promises (and the dedup twin of
+    ``ann.ivf_index_write``). Layout under ``path``:
+
+      - ``bands`` — (doc_id, band_key) PARTITIONED BY band_id: the
+        bucket join key, laid out so each band's bucket lookup scans
+        only its own slice and index maintenance (re-banding, band
+        addition) rewrites bands independently;
+      - ``shingles`` — (doc_id, shingles array<bigint>): the exact
+        60-bit n-gram hash sets the verification phase intersects, so
+        an incremental query never re-reads base TEXT.
+
+    Both frames are row-local functions of the base corpus (signature
+    and shingle expressions identical to the in-session operators), so
+    querying the index is byte-equal to recomputing — the
+    docs_lsh_index_persist entry gates that against
+    docs_neardup_incremental's exact oracle."""
+    sig = minhash_signature_permuted(df, n, num_hashes, text_col, id_col, parallelism)
+    banded = band_keys(sig, bands, rows_per_band, id_col)
+    (
+        banded.repartition("band_id")
+        .write.mode("overwrite")
+        .partitionBy("band_id")
+        .parquet(f"{path}/bands")
+    )
+    hashed_shingle_sets(df, n, text_col, id_col).write.mode("overwrite").parquet(
+        f"{path}/shingles"
+    )
+
+
+def lsh_index_query_incremental(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    threshold: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Fuzzy-deduplicate a NEW ingest shard against the PERSISTED LSH
+    index — the daily-crawl production path: the new shard's signatures
+    and band keys compute row-locally, base candidates come from one
+    equi-join against the stored (band_id, band_key) buckets, new-vs-new
+    candidates from bucket pairs WITHIN the shard, and exact-Jaccard
+    verification intersects the new shard's computed shingle sets with
+    the index's STORED ones (base text never re-read, base signatures
+    never recomputed — cost tracks ingest size, not corpus size).
+
+    Keeper rule identical to ``neardup_incremental``: a new doc drops
+    iff it has a verified Jaccard ≥ threshold neighbor that is any base
+    doc or a lower-id new doc. Emits (id, kept 0/1) per new-shard doc —
+    byte-equal to running neardup_incremental over base ∪ new with the
+    same parameters (the shared oracle proves it)."""
+    sig = minhash_signature_permuted(
+        new_df, n, num_hashes, text_col, id_col, parallelism
+    )
+    nb = band_keys(sig, bands, rows_per_band, id_col).select(
+        F.col(id_col).alias("doc_a"), "band_id", "band_key"
+    )
+    idx = spark.read.parquet(f"{path}/bands").select(
+        F.col(id_col).alias("doc_b"), "band_id", "band_key"
+    )
+    new_base = nb.join(idx, ["band_id", "band_key"]).select("doc_a", "doc_b").distinct()
+    new_new = lsh_candidate_pairs(sig, bands, rows_per_band, id_col, from_array=True)
+    new_sh = hashed_shingle_sets(new_df, n, text_col, id_col)
+    base_sh = spark.read.parquet(f"{path}/shingles")
+    arr = new_sh.unionByName(base_sh)
+    # drops: any verified base neighbor kills the new doc (doc_a = new);
+    # within the shard the higher id of a verified pair drops (doc_a <
+    # doc_b by construction) — first-copy-wins, as in the in-session op
+    dropped = (
+        jaccard_verify(new_base, arr, threshold, id_col)
+        .select(F.col("doc_a").alias(id_col))
+        .unionAll(
+            jaccard_verify(new_new, arr, threshold, id_col).select(
+                F.col("doc_b").alias(id_col)
+            )
+        )
+        .distinct()
+        .withColumn("_d", F.lit(1))
+    )
+    return (
+        new_df.select(F.col(id_col))
+        .join(dropped, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("_d").isNotNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("kept"),
+        )
     )

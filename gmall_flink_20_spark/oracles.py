@@ -5570,3 +5570,33 @@ ORACLES["emb_index_append"] = _ivf_trained_sql(train_where=_IVF_BASE_WHERE)
 # compaction invariance: build + 3 appends + compact must answer
 # exactly like the uncompacted appended index — same oracle
 ORACLES["emb_index_compact"] = ORACLES["emb_index_append"]
+
+
+# persisted LSH index: querying the stored band/shingle index with a
+# new shard must equal recomputing incremental near-dup from scratch
+ORACLES["docs_lsh_index_persist"] = ORACLES["docs_neardup_incremental"]
+
+
+def _ivf_cell_stats_sql(nlist: int = 16, iters: int = 3, dim: int = 64) -> str:
+    """Cell-size stats of the trained-IVF assignment: unrolled Lloyd
+    CTEs -> per-cell counts -> FAISS imbalance factor nlist*Σs²/N²."""
+    ctes, dl2 = _kmeans_ctes(nlist, iters, dim)
+    final = f"""assigned AS (
+    SELECT vec_id, cid FROM (
+        SELECT u.vec_id, c.cid,
+               row_number() OVER (PARTITION BY u.vec_id ORDER BY {dl2} ASC, c.cid ASC) AS rn
+        FROM u, cents{iters} c) WHERE rn = 1
+),
+sizes AS (SELECT cid, count(*) AS s FROM assigned GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_cells_used,
+       CAST(sum(s) AS BIGINT) AS n_vectors,
+       CAST(min(s) AS BIGINT) AS min_cell,
+       CAST(max(s) AS BIGINT) AS max_cell,
+       round({nlist} * CAST(sum(s * s) AS DOUBLE)
+             / (CAST(sum(s) AS DOUBLE) * CAST(sum(s) AS DOUBLE)), 6) + 0.0
+           AS imbalance
+FROM sizes"""
+    return "WITH " + ",\n".join(ctes) + ",\n" + final
+
+
+ORACLES["emb_ivf_cell_stats"] = _ivf_cell_stats_sql()

@@ -2668,6 +2668,45 @@ def emb_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index health (operators/ann.ivf_index_cell_stats): build the
+    trained full-corpus index once (memoized quantizer, same params as
+    emb_index_persist), then report inverted-list balance — cell
+    coverage, size extrema, and FAISS's imbalance factor nlist·Σs²/N²
+    (the expected probe slowdown under uniform queries). The cell sizes
+    aggregate the PARTITION column only, so the postings scan reads
+    zero data columns (plan-gated). Oracle unrolls the same trained
+    assignment in SQL."""
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_stats_") + "/index"
+    ann.ivf_index_write(emb, path, nlist=16, train_iters=3)
+    return ann.ivf_index_cell_stats(spark, path)
+
+
+def docs_lsh_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted LSH dedup index (operators/dedup.lsh_index_write /
+    lsh_index_query_incremental): the base corpus's band buckets and
+    shingle sets are WRITTEN ONCE (bands partitioned by band_id), then
+    the new-crawl shard dedups against the stored index — base text
+    never re-read, base signatures never recomputed. Same salted shard
+    split and parameters as docs_neardup_incremental and gated by ITS
+    exact oracle: a hash match proves querying the stored index is
+    byte-equal to recomputing from the full corpus."""
+    import tempfile
+
+    from .operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.pmod(sampling.sample_hash("doc_id", "incr"), F.lit(4))
+    base = docs.filter(shard != 0)
+    new = docs.filter(shard == 0)
+    path = tempfile.mkdtemp(prefix="lsh_index_") + "/index"
+    dedup.lsh_index_write(base, path)
+    return dedup.lsh_index_query_incremental(spark, path, new)
+
+
 def events_temporal_join_2stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The temporal table join fed by TWO SEPARATE streams (streaming/
     stateful.temporal_join_two_streams — VERDICT r8 item 5): purchases
@@ -3447,6 +3486,8 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_index_persist": emb_index_persist,
     "emb_index_append": emb_index_append,
     "emb_index_compact": emb_index_compact,
+    "docs_lsh_index_persist": docs_lsh_index_persist,
+    "emb_ivf_cell_stats": emb_ivf_cell_stats,
     "events_temporal_join_2stream": events_temporal_join_2stream,
     "events_quantiles_streaming": events_quantiles_streaming,
 }
@@ -3588,6 +3629,8 @@ R9_NEW: list[str] = [
     "emb_index_persist",
     "emb_index_append",
     "emb_index_compact",
+    "docs_lsh_index_persist",
+    "emb_ivf_cell_stats",
     "events_temporal_join_2stream",
     "events_quantiles_streaming",
 ]

@@ -389,3 +389,90 @@ def test_ivf_index_compact_is_result_invariant(spark, sf_dir):
     assert n == len(after_files) and set(after_files.values()) == {1}
     assert spark.read.parquet(f"{path}/postings").count() == n_rows
     assert answers() == before
+
+
+# ------------------------------------------------ persisted LSH index
+
+
+def test_lsh_index_query_equals_in_session(spark, sf_dir):
+    """Querying the stored band/shingle index must return the identical
+    kept-set as neardup_incremental over the unified corpus."""
+    import tempfile
+
+    from gmall_flink_20_spark.operators import dedup, sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.pmod(sampling.sample_hash("doc_id", "incr"), F.lit(4))
+    base, new = docs.filter(shard != 0), docs.filter(shard == 0)
+    path = tempfile.mkdtemp(prefix="lsh_idx_t_") + "/index"
+    dedup.lsh_index_write(base, path)
+    got = {
+        (r.doc_id, r.kept)
+        for r in dedup.lsh_index_query_incremental(spark, path, new).collect()
+    }
+    exp = {(r.doc_id, r.kept) for r in dedup.neardup_incremental(docs).collect()}
+    assert got == exp and len(got) > 0
+    assert any(k == 0 for _, k in got), "shard must contain at least one dup"
+
+
+def test_lsh_index_layout(spark, sf_dir):
+    import tempfile
+    from pathlib import Path as _P
+
+    from gmall_flink_20_spark.operators import dedup, sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.pmod(sampling.sample_hash("doc_id", "incr"), F.lit(4))
+    base = docs.filter(shard != 0)
+    path = tempfile.mkdtemp(prefix="lsh_idx_l_") + "/index"
+    dedup.lsh_index_write(base, path)
+    bands = {p.name for p in _P(f"{path}/bands").iterdir() if p.is_dir()}
+    assert bands == {f"band_id={b}" for b in range(4)}
+    sh = spark.read.parquet(f"{path}/shingles")
+    # every base doc with >= n tokens has its stored shingle set
+    n_expected = base.filter(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
+    ).count()
+    assert sh.count() == n_expected
+
+
+# --------------------------------------------------- IVF cell stats
+
+
+def test_cell_stats_scan_reads_no_data_columns(spark, sf_dir):
+    """The cell-size aggregate groups on the PARTITION column, so the
+    postings scan must read the empty struct — pure directory metadata,
+    the plan every 100 TB index-health job wants."""
+    emb, path = _index(spark, sf_dir)
+    df = ann.ivf_index_cell_stats(spark, path)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "struct<>" in read
+    assert "nv" not in read and "nn" not in read
+
+
+def test_cell_stats_imbalance_formula(spark, sf_dir):
+    """IF = nlist * sum(s^2) / N^2 on a hand-built index layout."""
+    import tempfile
+
+    from gmall_flink_20_spark.operators.ann import (
+        _write_small_parquet,
+        ivf_index_cell_stats,
+    )
+
+    path = tempfile.mkdtemp(prefix="ivf_stats_t_") + "/index"
+    _write_small_parquet(
+        f"{path}/meta",
+        {"nlist": [4], "train_iters": [0], "dim": [2]},
+        "int32s",
+    )
+    rows = [(i, [1.0], 1.0, c) for i, c in enumerate([0, 0, 0, 1, 2, 2])]
+    spark.createDataFrame(
+        rows, "neighbor_id long, nv array<double>, nn double, list_id int"
+    ).repartition("list_id").write.partitionBy("list_id").parquet(f"{path}/postings")
+    r = ivf_index_cell_stats(spark, path).collect()[0]
+    assert (r.n_cells_used, r.n_vectors, r.min_cell, r.max_cell) == (3, 6, 1, 3)
+    # IF = 4 * (9 + 1 + 4) / 36 = 1.555556
+    assert r.imbalance == 1.555556
