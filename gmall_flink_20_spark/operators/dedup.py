@@ -68,6 +68,7 @@ __all__ = [
     "novelty_rate",
     "lsh_index_write",
     "lsh_index_query_incremental",
+    "lsh_index_append",
 ]
 
 
@@ -1402,4 +1403,36 @@ def lsh_index_query_incremental(
             .cast("long")
             .alias("kept"),
         )
+    )
+
+
+def lsh_index_append(
+    df: DataFrame,
+    path: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    parallelism: int | None = None,
+) -> None:
+    """Grow a persisted LSH index with a processed batch's bands and
+    shingle sets (parquet append into the band partitions) — the
+    between-crawls maintenance step: once a crawl batch has been
+    deduplicated, indexing it makes every LATER batch dedup against it
+    exactly like against the original base. Appends are idempotent for
+    correctness (a retried batch duplicates index rows, but candidate
+    pairs and drop decisions pass through distinct()), which is what a
+    foreachBatch retry needs."""
+    sig = minhash_signature_permuted(df, n, num_hashes, text_col, id_col, parallelism)
+    banded = band_keys(sig, bands, rows_per_band, id_col)
+    (
+        banded.repartition("band_id")
+        .write.mode("append")
+        .partitionBy("band_id")
+        .parquet(f"{path}/bands")
+    )
+    hashed_shingle_sets(df, n, text_col, id_col).write.mode("append").parquet(
+        f"{path}/shingles"
     )

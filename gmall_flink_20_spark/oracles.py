@@ -5600,3 +5600,8 @@ FROM sizes"""
 
 
 ORACLES["emb_ivf_cell_stats"] = _ivf_cell_stats_sql()
+
+
+# streaming crawl-ingest dedup vs the stored index: id-ordered replay
+# + per-batch index append reproduces exactly the batch keeper rule
+ORACLES["docs_lsh_index_streaming"] = ORACLES["docs_neardup_incremental"]

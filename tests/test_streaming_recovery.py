@@ -575,3 +575,68 @@ def test_temporal_join_stream_recovers_from_checkpoint(spark, sf_dir):
             for x in got_map[(f.user_id, f.ts_us)]
         ]  # parquet NULL state_at reads back as NaN
         assert exp in states
+
+
+def test_lsh_index_stream_recovers_from_checkpoint(spark, sf_dir):
+    """Kill-and-resume for the continuous crawl-ingest dedup: the
+    mid-stream state is the INDEX DIRECTORY itself (appended bands +
+    shingles, outside the checkpoint) plus the upsert store; a restart
+    must resume after the processed prefix and the final decisions must
+    equal the batch keeper rule over the whole shard."""
+    import tempfile
+
+    from gmall_flink_20_spark.io import load_table
+    from gmall_flink_20_spark.operators import dedup, sampling
+    from gmall_flink_20_spark.streaming import topn as stopn
+
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.pmod(sampling.sample_hash("doc_id", "incr"), F.lit(4))
+    base = docs.filter(shard != 0)
+    new = docs.filter(shard == 0).select("doc_id", "text").orderBy("doc_id")
+    rows = new.collect()
+    half = len(rows) // 2
+    schema = new.schema
+
+    root = Path(tempfile.mkdtemp(prefix="recov_lsh_"))
+    src = root / "src"
+    src.mkdir()
+    ckpt = str(root / "ckpt")
+    idx = str(root / "index")
+    dedup.lsh_index_write(base, idx)
+    store = stopn.ParquetUpsertStore(str(root / "log"), "doc_id", "kept")
+
+    def handle(batch, epoch_id):
+        b = batch.persist()
+        try:
+            if b.count() == 0:
+                return
+            store.upsert(dedup.lsh_index_query_incremental(spark, idx, b), epoch_id)
+            dedup.lsh_index_append(b, idx)
+        finally:
+            b.unpersist()
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # id-ordered halves: chunk 0 = lower ids, chunk 1 = higher ids
+    _write_chunk(spark.createDataFrame(rows[:half], schema), src, 0, 1_000_000_000)
+    run_once()
+    _write_chunk(spark.createDataFrame(rows[half:], schema), src, 1, 1_000_000_001)
+    run_once()
+
+    got = {
+        (r.doc_id, r.kept) for r in store.snapshot(spark).collect()
+    }
+    exp = {(r.doc_id, r.kept) for r in dedup.neardup_incremental(docs).collect()}
+    assert got == exp and len(got) == len(rows)
