@@ -76,8 +76,10 @@ HEAVY = [
     "events_temporal_join",
     "events_ivm_merge",
     "events_quantiles_approx",
-    # round-9: the persisted-index build+probe round-trip
+    # round-9: the persisted-index build+probe round-trip and the
+    # persisted LSH dedup index (build + incremental query)
     "emb_index_persist",
+    "docs_lsh_index_persist",
 ]
 
 # Iteration-bound graph family (VERDICT r8 item 4): at ×2 these read
