@@ -179,50 +179,21 @@ def approx_quantiles_checked(
     sketch is the only viable path (exact percentile sorts the group);
     this query certifies it against exact rank arithmetic.
     """
-    d = 1.0 / float(accuracy)
     ps = {"50": 0.5, "90": 0.9, "99": 0.99}
-    first = [
-        (F.round(F.percentile(F.col("_v"), F.lit(p)), 6) + F.lit(0.0)).alias(
-            f"p{name}"
-        )
-        for name, p in ps.items()
-    ] + [
-        F.percentile_approx(F.col("_v"), F.lit(p), F.lit(int(accuracy)))
-        .cast("double")
-        .alias(f"_a{name}")
-        for name, p in ps.items()
-    ]
-    base = df.select(F.col(group_col), F.col(value_col).alias("_v"))
-    heads = base.groupBy(group_col).agg(*first)
-    joined = base.join(F.broadcast(heads), group_col)
-    rank_aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
-    for name in ps:
-        rank_aggs.append(
-            F.sum((F.col("_v") < F.col(f"_a{name}")).cast("long")).alias(
-                f"_lt{name}"
-            )
-        )
-        rank_aggs.append(
-            F.sum((F.col("_v") <= F.col(f"_a{name}")).cast("long")).alias(
-                f"_le{name}"
-            )
-        )
-    ranked = joined.groupBy(
-        group_col, *[f"p{n}" for n in ps]
-    ).agg(*rank_aggs)
-    out_cols = [group_col] + [f"p{n}" for n in ps]
-    flags = []
-    for name, p in ps.items():
-        n = F.col("_n").cast("double")
-        lo = (F.lit(p - d) * n) - F.lit(1.0)
-        hi = (F.lit(p + d) * n) + F.lit(1.0)
-        flags.append(
-            (
-                (F.col(f"_lt{name}").cast("double") <= hi)
-                & (F.col(f"_le{name}").cast("double") >= lo)
-            ).alias(f"q{name}_ok")
-        )
-    return ranked.select(*out_cols, *flags)
+    answers = df.groupBy(group_col).agg(
+        *[
+            F.percentile_approx(F.col(value_col), F.lit(p), F.lit(int(accuracy)))
+            .cast("double")
+            .alias(f"_a{name}")
+            for name, p in ps.items()
+        ]
+    )
+    # the rank-band verification is shared with the streaming form
+    # (events_quantiles_streaming certifies sketch answers that arrive
+    # from the state store instead of the first aggregate)
+    return certify_quantile_answers(
+        df, answers, value_col, [group_col], accuracy=accuracy
+    )
 
 
 def certify_quantile_answers(
