@@ -1374,7 +1374,22 @@ def lsh_index_query_incremental(
     idx = spark.read.parquet(f"{path}/bands").select(
         F.col(id_col).alias("doc_b"), "band_id", "band_key"
     )
-    new_base = nb.join(idx, ["band_id", "band_key"]).select("doc_a", "doc_b").distinct()
+    # anti-join the index side against the querying batch's OWN ids: in
+    # a clean run base and new are disjoint so this is a no-op, but a
+    # foreachBatch RETRY that crashed after lsh_index_append has its own
+    # bands in the index — without this, every retried doc would match
+    # ITSELF (Jaccard 1) and same-batch higher ids would masquerade as
+    # base neighbors. With it, a retry computes exactly the original
+    # decisions (tested: test_lsh_index_retry_sees_itself_safely).
+    new_ids = new_df.select(F.col(id_col).alias("doc_b"))
+    new_base = (
+        nb.join(idx, ["band_id", "band_key"])
+        # no broadcast hint: a streaming micro-batch's id set is tiny
+        # (AQE broadcasts it), a bulk ingest shard may not be
+        .join(new_ids, "doc_b", "left_anti")
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
     new_new = lsh_candidate_pairs(sig, bands, rows_per_band, id_col, from_array=True)
     new_sh = hashed_shingle_sets(new_df, n, text_col, id_col)
     base_sh = spark.read.parquet(f"{path}/shingles")
@@ -1421,10 +1436,13 @@ def lsh_index_append(
     shingle sets (parquet append into the band partitions) — the
     between-crawls maintenance step: once a crawl batch has been
     deduplicated, indexing it makes every LATER batch dedup against it
-    exactly like against the original base. Appends are idempotent for
-    correctness (a retried batch duplicates index rows, but candidate
-    pairs and drop decisions pass through distinct()), which is what a
-    foreachBatch retry needs."""
+    exactly like against the original base. Retry-safe in combination
+    with the query side: duplicate index rows from a double-append only
+    duplicate candidate pairs (distinct()-collapsed), and a retried
+    batch finding its OWN rows in the index is neutralized by the
+    query's anti-join on the batch's ids (see
+    lsh_index_query_incremental; pinned by
+    test_lsh_index_retry_sees_itself_safely)."""
     sig = minhash_signature_permuted(df, n, num_hashes, text_col, id_col, parallelism)
     banded = band_keys(sig, bands, rows_per_band, id_col)
     (

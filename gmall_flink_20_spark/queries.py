@@ -2721,8 +2721,11 @@ def docs_lsh_index_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     earlier-processed ∪ same-batch-lower-id' is EXACTLY the batch
     rule 'base or lower-id new' — so this streams byte-equal to
     docs_neardup_incremental and gates on its oracle. foreachBatch
-    retries are safe: index appends are idempotent for correctness
-    (candidates and drops pass through distinct()). Excluded from
+    retries are safe: a retried batch that already appended its own
+    bands is neutralized by the query's anti-join on the batch's ids
+    (self/same-batch index matches excluded — retry recomputes the
+    original decisions exactly), and duplicate index rows only
+    duplicate candidates, which pass through distinct(). Excluded from
     bench (it measures the replay harness)."""
     import tempfile
 

@@ -476,3 +476,31 @@ def test_cell_stats_imbalance_formula(spark, sf_dir):
     assert (r.n_cells_used, r.n_vectors, r.min_cell, r.max_cell) == (3, 6, 1, 3)
     # IF = 4 * (9 + 1 + 4) / 36 = 1.555556
     assert r.imbalance == 1.555556
+
+
+def test_lsh_index_retry_sees_itself_safely(spark, sf_dir):
+    """foreachBatch retry contract: if a batch's own bands were already
+    appended (crash after append, before offset commit), re-querying the
+    SAME batch must return the original decisions — self-matches and
+    same-batch index matches are excluded, base matches still count."""
+    import tempfile
+
+    from gmall_flink_20_spark.operators import dedup, sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.pmod(sampling.sample_hash("doc_id", "incr"), F.lit(4))
+    base, new = docs.filter(shard != 0), docs.filter(shard == 0)
+    path = tempfile.mkdtemp(prefix="lsh_retry_t_") + "/index"
+    dedup.lsh_index_write(base, path)
+    clean = {
+        (r.doc_id, r.kept)
+        for r in dedup.lsh_index_query_incremental(spark, path, new).collect()
+    }
+    # simulate the crashed-after-append retry: the batch is IN the index
+    dedup.lsh_index_append(new, path)
+    retry = {
+        (r.doc_id, r.kept)
+        for r in dedup.lsh_index_query_incremental(spark, path, new).collect()
+    }
+    assert retry == clean
+    assert any(k == 0 for _, k in clean)  # non-vacuous: real drops exist
