@@ -1604,7 +1604,11 @@ def ivf_index_compact(spark, path: str) -> int:
     Single-writer maintenance pass (schedule like a table OPTIMIZE):
     the swap is two renames, so a reader that resolved its FileIndex
     before the swap must re-resolve after it — plans built through
-    io.load_table do, via the directory fingerprint."""
+    io.load_table do, via the directory fingerprint. Crash window:
+    a failure between the two renames leaves ``postings`` absent and
+    the data intact under ``postings_pre_compact`` — recovery is one
+    rename back (no data-loss window; the compacted copy in
+    ``postings_compacting`` is also complete at that point)."""
     import os
     import shutil
     from pathlib import Path
