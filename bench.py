@@ -243,6 +243,8 @@ BENCH_QUERIES = [
     "emb_index_compact",
     "docs_lsh_index_persist",
     "emb_ivf_cell_stats",
+    "docs_orc_roundtrip",
+    "docs_lsh_index_compact",
 ]
 
 

@@ -69,6 +69,7 @@ __all__ = [
     "lsh_index_write",
     "lsh_index_query_incremental",
     "lsh_index_append",
+    "lsh_index_compact",
 ]
 
 
@@ -1453,4 +1454,49 @@ def lsh_index_append(
     )
     hashed_shingle_sets(df, n, text_col, id_col).write.mode("append").parquet(
         f"{path}/shingles"
+    )
+
+
+def lsh_index_compact(spark, path: str) -> int:
+    """Maintenance pass for a persisted LSH index after appends — the
+    dedup twin of ``ann.ivf_index_compact``: every append adds one file
+    per band (plus one shingles file), so a long-lived crawl index
+    accumulates appends×bands small files. Rewrites the bands
+    one-file-per-band (key shuffle + partitioned rewrite + rename swap)
+    and size-compacts the shingles store (io_sinks.compact_small_files
+    + the same swap). Returns the final data-file count; query results
+    are invariant (row sets unchanged — proven by the
+    docs_lsh_index_compact entry gating on the shared oracle). Same
+    single-writer contract and crash-window recovery as the IVF
+    compactor (a ``*_pre_compact`` dir left behind is the intact
+    original — rename it back)."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    from ..io_sinks import compact_small_files
+
+    src = f"{path}/bands"
+    tmp = f"{path}/bands_compacting"
+    df = spark.read.parquet(src)
+    (
+        df.repartition("band_id")
+        .write.mode("overwrite")
+        .partitionBy("band_id")
+        .parquet(tmp)
+    )
+    old = f"{path}/bands_pre_compact"
+    os.rename(src, old)
+    os.rename(tmp, src)
+    shutil.rmtree(old)
+
+    src2 = f"{path}/shingles"
+    tmp2 = f"{path}/shingles_compacting"
+    compact_small_files(spark, src2, tmp2)
+    old2 = f"{path}/shingles_pre_compact"
+    os.rename(src2, old2)
+    os.rename(tmp2, src2)
+    shutil.rmtree(old2)
+    return sum(1 for _ in Path(src).rglob("*.parquet")) + sum(
+        1 for _ in Path(src2).rglob("*.parquet")
     )

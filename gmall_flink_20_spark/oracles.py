@@ -5605,3 +5605,12 @@ ORACLES["emb_ivf_cell_stats"] = _ivf_cell_stats_sql()
 # streaming crawl-ingest dedup vs the stored index: id-ordered replay
 # + per-batch index append reproduces exactly the batch keeper rule
 ORACLES["docs_lsh_index_streaming"] = ORACLES["docs_neardup_incremental"]
+
+
+# ORC round-trip shares the JSONL tier's parquet-direct checksum oracle
+ORACLES["docs_orc_roundtrip"] = ORACLES["docs_jsonl_roundtrip"]
+
+
+# LSH lifecycle: write(shards 2-3) + append(shard 1, two batches) +
+# compact + query(shard 0) must equal the from-scratch incremental rule
+ORACLES["docs_lsh_index_compact"] = ORACLES["docs_neardup_incremental"]

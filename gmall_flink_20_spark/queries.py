@@ -2475,6 +2475,54 @@ def events_temporal_join_streaming(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def docs_lsh_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH index lifecycle proof (operators/dedup.lsh_index_compact):
+    build the index on shards 2-3, APPEND shard 1 in two fragmenting
+    batches, COMPACT (one file per band + size-compacted shingles),
+    then dedup shard 0 against the grown, compacted index. Gated by
+    docs_neardup_incremental's oracle (base = shards 1-3 exactly as
+    the batch rule sees them), so one hash match proves append
+    composition AND compaction invariance AND query correctness."""
+    import tempfile
+
+    from .operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.pmod(sampling.sample_hash("doc_id", "incr"), F.lit(4))
+    path = tempfile.mkdtemp(prefix="lsh_compact_") + "/index"
+    dedup.lsh_index_write(docs.filter(shard.isin(2, 3)), path)
+    s1 = docs.filter(shard == 1)
+    half = F.pmod(F.col("doc_id"), F.lit(2))
+    dedup.lsh_index_append(s1.filter(half == 0), path)
+    dedup.lsh_index_append(s1.filter(half == 1), path)
+    dedup.lsh_index_compact(spark, path)
+    return dedup.lsh_index_query_incremental(
+        spark, path, docs.filter(shard == 0)
+    )
+
+
+def docs_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source round-trip — the third S1 format tier (parquet, JSON
+    lines, now ORC, Spark's other built-in columnar format): write the
+    documents table as ORC, read it back, and prove byte-exactness with
+    the same per-source count / n_chars sum / bit_xor md5 text checksum
+    gate as the JSONL tier (shares its parquet-direct oracle — any
+    encoding or string-truncation loss in the ORC writer/reader path
+    breaks the hash)."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="orc_rt_") + "/docs"
+    docs.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    h = "CAST(conv(substr(md5(cast(text AS binary)), 1, 15), 16, 10) AS BIGINT)"
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.expr(f"bit_xor({h})").cast("long").alias("text_checksum"),
+    )
+
+
 def docs_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL source round-trip: write the documents table as JSON lines
     (executor-side df.write.json) and read it back through the JSON
@@ -3550,6 +3598,8 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_lsh_index_persist": docs_lsh_index_persist,
     "emb_ivf_cell_stats": emb_ivf_cell_stats,
     "docs_lsh_index_streaming": docs_lsh_index_streaming,
+    "docs_orc_roundtrip": docs_orc_roundtrip,
+    "docs_lsh_index_compact": docs_lsh_index_compact,
     "events_temporal_join_2stream": events_temporal_join_2stream,
     "events_quantiles_streaming": events_quantiles_streaming,
 }
@@ -3694,6 +3744,8 @@ R9_NEW: list[str] = [
     "docs_lsh_index_persist",
     "emb_ivf_cell_stats",
     "docs_lsh_index_streaming",
+    "docs_orc_roundtrip",
+    "docs_lsh_index_compact",
     "events_temporal_join_2stream",
     "events_quantiles_streaming",
 ]

@@ -504,3 +504,46 @@ def test_lsh_index_retry_sees_itself_safely(spark, sf_dir):
     }
     assert retry == clean
     assert any(k == 0 for _, k in clean)  # non-vacuous: real drops exist
+
+
+def test_lsh_index_compact_reduces_files_invariantly(spark, sf_dir):
+    import tempfile
+    from pathlib import Path as _P
+
+    from gmall_flink_20_spark.operators import dedup, sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.pmod(sampling.sample_hash("doc_id", "incr"), F.lit(4))
+    path = tempfile.mkdtemp(prefix="lsh_cmp_t_") + "/index"
+    dedup.lsh_index_write(docs.filter(shard.isin(2, 3)), path)
+    s1 = docs.filter(shard == 1)
+    half = F.pmod(F.col("doc_id"), F.lit(2))
+    dedup.lsh_index_append(s1.filter(half == 0), path)
+    dedup.lsh_index_append(s1.filter(half == 1), path)
+
+    def nfiles(sub):
+        return sum(1 for _ in _P(f"{path}/{sub}").rglob("*.parquet"))
+
+    def answers():
+        return {
+            (r.doc_id, r.kept)
+            for r in dedup.lsh_index_query_incremental(
+                spark, path, docs.filter(shard == 0)
+            ).collect()
+        }
+
+    before = (nfiles("bands"), nfiles("shingles"))
+    exp = answers()
+    rows_before = (
+        spark.read.parquet(f"{path}/bands").count(),
+        spark.read.parquet(f"{path}/shingles").count(),
+    )
+    total = dedup.lsh_index_compact(spark, path)
+    assert nfiles("bands") == 4 and nfiles("bands") < before[0]
+    assert nfiles("shingles") <= before[1]
+    assert total == nfiles("bands") + nfiles("shingles")
+    assert (
+        spark.read.parquet(f"{path}/bands").count(),
+        spark.read.parquet(f"{path}/shingles").count(),
+    ) == rows_before
+    assert answers() == exp
