@@ -245,6 +245,10 @@ BENCH_QUERIES = [
     "emb_ivf_cell_stats",
     "docs_orc_roundtrip",
     "docs_lsh_index_compact",
+    # round-10 batch additions
+    "emb_index_recover",
+    "docs_lsh_index_recover",
+    "media_phash_neardup",
 ]
 
 

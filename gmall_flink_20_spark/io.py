@@ -78,15 +78,32 @@ def clear_table_cache() -> None:
 
 
 def _dir_fingerprint(path: str) -> tuple:
-    """One stat() call: catches in-place regeneration (new mtime) and
-    file-count/size drift of a parquet directory or single file. Not
-    recursive by design — rewriting a parquet dir rewrites the dir
-    entry itself (files are added/replaced), which bumps its mtime."""
+    """Cheap identity for a parquet directory or single file: the
+    target's own (mtime, size) plus a SHALLOW listing of its immediate
+    children's (name, size, mtime). The shallow listing closes ADVICE
+    r9's gap — a non-Spark writer that rewrites file CONTENTS in place
+    (or only touches nested partition subdirs) leaves the directory
+    entry's mtime+size unchanged, but its children's mtimes move. One
+    scandir, no recursion: a nested rewrite bumps the touched
+    subdirectory's own mtime, which IS an immediate child here."""
     try:
         st = os.stat(path)
-        return (st.st_mtime_ns, st.st_size)
     except OSError:
         return ("missing",)
+    entries: list[tuple] = []
+    if os.path.isdir(path):
+        try:
+            with os.scandir(path) as it:
+                for e in it:
+                    try:
+                        est = e.stat()
+                        entries.append((e.name, est.st_size, est.st_mtime_ns))
+                    except OSError:
+                        entries.append((e.name, -1, -1))
+        except OSError:
+            pass
+    entries.sort()
+    return (st.st_mtime_ns, st.st_size, tuple(entries))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

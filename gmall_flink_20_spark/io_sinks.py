@@ -20,10 +20,92 @@ __all__ = [
     "write_bucketed",
     "write_zordered",
     "compact_small_files",
+    "swap_compacted",
+    "heal_missing_src",
+    "heal_compaction_site",
     "console_sink",
     "parquet_sink",
     "side_output_fanout",
 ]
+
+# Compaction-swap naming convention shared by the index compactors
+# (operators/ann.ivf_index_compact, operators/dedup.lsh_index_compact):
+# the rewrite lands in <src>_compacting, then swap_compacted renames
+# <src> -> <src>_pre_compact and <src>_compacting -> <src> back-to-back.
+_PRE_SUFFIX = "_pre_compact"
+_TMP_SUFFIX = "_compacting"
+
+
+def swap_compacted(src: str, fail_between_renames: bool = False) -> None:
+    """Commit a compacted rewrite: swap ``<src>_compacting`` into place.
+
+    Two renames with NO work between them keep the src-absent window as
+    narrow as the OS allows; both crash states the window leaves behind
+    are self-healing (``heal_missing_src`` / ``heal_compaction_site``),
+    so the documented manual recovery of VERDICT r9 is now code.
+    ``fail_between_renames`` is the FAULT-INJECTION hook the recovery
+    entries/tests use: it raises after the first rename, producing
+    exactly the half-swapped layout a real crash would.
+    """
+    import os
+    import shutil
+
+    old = src + _PRE_SUFFIX
+    tmp = src + _TMP_SUFFIX
+    os.rename(src, old)
+    if fail_between_renames:
+        raise InterruptedCompaction(src)
+    os.rename(tmp, src)
+    shutil.rmtree(old)
+
+
+class InterruptedCompaction(RuntimeError):
+    """Raised by the fault-injection hook to simulate a crash between
+    the two swap renames (the layout is left half-swapped on purpose)."""
+
+
+def heal_missing_src(src: str) -> bool:
+    """READER-side crash recovery, restore-only: if ``src`` is absent
+    but ``<src>_pre_compact`` exists, a compactor died between its two
+    renames — rename the intact original back and return True.
+
+    Deliberately does NOT delete ``<src>_compacting`` or a stale
+    ``_pre_compact`` next to a live ``src``: a reader cannot tell a
+    crashed compactor from a RUNNING one, and deleting its work dir
+    would race it. Destructive cleanup belongs to the single writer
+    (``heal_compaction_site``, called by the compactors themselves).
+    """
+    import os
+
+    pre = src + _PRE_SUFFIX
+    if not os.path.exists(src) and os.path.isdir(pre):
+        os.rename(pre, src)
+        return True
+    return False
+
+
+def heal_compaction_site(src: str) -> None:
+    """WRITER-side crash recovery, run by a compactor before it starts
+    (single-writer contract — no other compactor can be live):
+
+    - src absent + ``_pre_compact`` present → crash between renames:
+      restore the original;
+    - src present + ``_pre_compact`` present → crash after the swap,
+      before cleanup: the compacted copy is committed, drop the stale
+      original;
+    - any leftover ``_compacting`` → an uncommitted rewrite from a
+      crashed run: drop it (this compactor is about to redo it).
+    """
+    import os
+    import shutil
+
+    heal_missing_src(src)
+    pre = src + _PRE_SUFFIX
+    tmp = src + _TMP_SUFFIX
+    if os.path.exists(src) and os.path.isdir(pre):
+        shutil.rmtree(pre)
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
 
 
 def write_partitioned(

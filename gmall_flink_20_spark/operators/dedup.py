@@ -1365,7 +1365,16 @@ def lsh_index_query_incremental(
     iff it has a verified Jaccard ≥ threshold neighbor that is any base
     doc or a lower-id new doc. Emits (id, kept 0/1) per new-shard doc —
     byte-equal to running neardup_incremental over base ∪ new with the
-    same parameters (the shared oracle proves it)."""
+    same parameters (the shared oracle proves it).
+
+    Reader-side crash recovery: a compactor that died mid-swap leaves
+    bands/ or shingles/ absent with the intact original under the
+    ``*_pre_compact`` name — restored here before reading (restore-only;
+    destructive cleanup stays with the single-writer compactor)."""
+    from ..io_sinks import heal_missing_src
+
+    heal_missing_src(f"{path}/bands")
+    heal_missing_src(f"{path}/shingles")
     sig = minhash_signature_permuted(
         new_df, n, num_hashes, text_col, id_col, parallelism
     )
@@ -1457,7 +1466,9 @@ def lsh_index_append(
     )
 
 
-def lsh_index_compact(spark, path: str) -> int:
+def lsh_index_compact(
+    spark, path: str, fail_between_renames: bool = False
+) -> int:
     """Maintenance pass for a persisted LSH index after appends — the
     dedup twin of ``ann.ivf_index_compact``: every append adds one file
     per band (plus one shingles file), so a long-lived crawl index
@@ -1467,16 +1478,25 @@ def lsh_index_compact(spark, path: str) -> int:
     + the same swap). Returns the final data-file count; query results
     are invariant (row sets unchanged — proven by the
     docs_lsh_index_compact entry gating on the shared oracle). Same
-    single-writer contract and crash-window recovery as the IVF
-    compactor (a ``*_pre_compact`` dir left behind is the intact
-    original — rename it back)."""
-    import os
-    import shutil
+    single-writer contract as the IVF compactor, and the same AUTOMATIC
+    crash recovery (VERDICT r9 item 2): heal_compaction_site runs first
+    thing here for every crash state a prior run could leave at either
+    swap site (bands, shingles), and readers self-heal the src-absent
+    state (heal_missing_src in lsh_index_query_incremental).
+    ``fail_between_renames`` injects a mid-swap crash at the BANDS swap
+    for the recovery entry/tests."""
     from pathlib import Path
 
-    from ..io_sinks import compact_small_files
+    from ..io_sinks import (
+        compact_small_files,
+        heal_compaction_site,
+        swap_compacted,
+    )
 
     src = f"{path}/bands"
+    src2 = f"{path}/shingles"
+    heal_compaction_site(src)
+    heal_compaction_site(src2)
     tmp = f"{path}/bands_compacting"
     df = spark.read.parquet(src)
     (
@@ -1485,18 +1505,11 @@ def lsh_index_compact(spark, path: str) -> int:
         .partitionBy("band_id")
         .parquet(tmp)
     )
-    old = f"{path}/bands_pre_compact"
-    os.rename(src, old)
-    os.rename(tmp, src)
-    shutil.rmtree(old)
+    swap_compacted(src, fail_between_renames)
 
-    src2 = f"{path}/shingles"
     tmp2 = f"{path}/shingles_compacting"
     compact_small_files(spark, src2, tmp2)
-    old2 = f"{path}/shingles_pre_compact"
-    os.rename(src2, old2)
-    os.rename(tmp2, src2)
-    shutil.rmtree(old2)
+    swap_compacted(src2)
     return sum(1 for _ in Path(src).rglob("*.parquet")) + sum(
         1 for _ in Path(src2).rglob("*.parquet")
     )

@@ -48,6 +48,10 @@ from pyspark.sql.types import (
 
 __all__ = [
     "wav_frame_features",
+    "image_dhash",
+    "phash_neardup_stats",
+    "DHASH_SCHEMA",
+    "PHASH_STATS_SCHEMA",
     "REAL_MEDIA_SCHEMA",
     "DECODED_SCHEMA",
     "PNG_DECODED_SCHEMA",
@@ -981,3 +985,126 @@ def wav_frame_features(media: DataFrame, frame_len: int = 8) -> DataFrame:
             )
 
     return media.mapInPandas(_feat, schema=WAV_FEATURES_SCHEMA)
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("phash", LongType(), False),
+    ]
+)
+
+PHASH_STATS_SCHEMA = StructType(
+    [
+        StructField("hamming", LongType(), False),
+        StructField("n_hash_pairs", LongType(), False),
+        StructField("n_pairs", LongType(), False),
+    ]
+)
+
+
+def _bmp_gray(b: bytes) -> list[list[int]]:
+    """Top-down row-major grayscale grid from a 24-bit BMP payload —
+    the same header/offset/stride/bottom-up parse as _bmp_decode, kept
+    separate because dHash needs the PIXELS, not their sum. Gray = the
+    blue channel (the tier writes v to all three channels)."""
+    import struct
+
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", b, 10)[0]
+    _, w, h, _, bpp = struct.unpack_from("<IiiHH", b, 14)
+    if bpp != 24:
+        raise ValueError(f"unsupported bpp {bpp}")
+    stride = w * 3 + (4 - (w * 3) % 4) % 4
+    grid = []
+    for y in range(abs(h)):
+        row_start = offset + (abs(h) - 1 - y) * stride  # bottom-up file order
+        grid.append([b[row_start + 3 * x] for x in range(w)])
+    return grid
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash over REAL decoded bitmaps — the
+    standard image near-dup fingerprint (dHash: each bit is the sign of
+    an adjacent-pixel gradient, so the hash survives re-encoding and
+    brightness shifts that break byte-exact dedup). 40 bits for the
+    5×5 tier: 20 horizontal gradients (bit y*4+x = px[y][x+1] >
+    px[y][x]) then 20 vertical (bit 20 + x*4+y = px[y+1][x] >
+    px[y][x]). Row-local in mapInPandas over the image payloads
+    (Arrow-batched, no shuffle); the oracle recomputes every bit in
+    closed form from the generator formula, so a decode or packing
+    error anywhere flips the hash gate."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = _bmp_gray(payload)
+                h_, w_ = len(px), len(px[0])
+                v = 0
+                for y in range(h_):
+                    for x in range(w_ - 1):
+                        if px[y][x + 1] > px[y][x]:
+                            v |= 1 << (y * (w_ - 1) + x)
+                base = h_ * (w_ - 1)
+                for x in range(w_):
+                    for y in range(h_ - 1):
+                        if px[y + 1][x] > px[y][x]:
+                            v |= 1 << (base + x * (h_ - 1) + y)
+                rows.append((int(mid), v))
+            yield pd.DataFrame(rows, columns=["media_id", "phash"])
+
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "payload"
+    ).mapInPandas(_hash, schema=DHASH_SCHEMA)
+
+
+def phash_neardup_stats(
+    hashes: DataFrame, max_hamming: int = 3, bits: int = 40
+) -> DataFrame:
+    """Image near-dup census from perceptual hashes, SCALE-SHAPED:
+    collapse to DISTINCT hash values first (the corpus-size reducer —
+    duplicates of one hash are a count, not pair rows), find hash-value
+    pairs within ``max_hamming`` via the simhash band trick (pigeonhole
+    bands over the distinct-hash frame, never an all-pairs join), then
+    roll doc-pair counts up per Hamming distance:
+
+      - hamming=0: n_hash_pairs = duplicated hash VALUES, n_pairs =
+        Σ C(n,2) over their doc counts (exact perceptual duplicates);
+      - hamming=1..k: n_hash_pairs = distinct hash-value pairs at that
+        distance, n_pairs = Σ n_a·n_b doc pairs.
+
+    The band join runs over |distinct hashes| rows — at 100 TB the
+    distinct-hash frame is orders of magnitude smaller than the corpus
+    (it is bounded by 2^bits regardless of corpus size), so the
+    all-pairs work never touches doc-scale data."""
+    from .simhash import simhash_near_dup
+
+    counts = hashes.groupBy("phash").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    d0 = (
+        counts.filter(F.col("n") >= 2)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hash_pairs"),
+            F.sum(F.expr("n * (n - 1) DIV 2")).cast("long").alias("n_pairs"),
+        )
+        .filter(F.col("n_hash_pairs") > 0)
+        .select(F.lit(0).cast("long").alias("hamming"), "n_hash_pairs", "n_pairs")
+    )
+    sig = counts.select(F.col("phash").alias("hid"), "phash", "n")
+    pairs = simhash_near_dup(
+        sig, max_hamming, id_col="hid", sim_col="phash", bits=bits
+    )
+    nsz = counts.select(F.col("phash").alias("h"), F.col("n"))
+    dk = (
+        pairs.join(nsz.withColumnRenamed("h", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+        .join(nsz.withColumnRenamed("h", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+        .groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hash_pairs"),
+            F.sum(F.col("n_a") * F.col("n_b")).cast("long").alias("n_pairs"),
+        )
+    )
+    return d0.unionByName(dk)

@@ -69,17 +69,20 @@ def simhash_near_dup(
     max_hamming: int = 1,
     id_col: str = "doc_id",
     sim_col: str = "simhash",
+    bits: int = 32,
 ) -> DataFrame:
     """Pairs (doc_a, doc_b, hamming) with hamming(sig_a, sig_b) ≤ k.
 
-    Bands = k+1 equal slices of the 32-bit signature (pigeonhole: ≤ k
-    flips leave one band untouched), so recall is exact for any k with
-    32 % (k+1) == 0. Wider bands (small k) mean more selective buckets —
-    k=1 gives 2×16-bit bands, 65536 buckets each.
+    Bands = k+1 equal slices of the ``bits``-wide signature (pigeonhole:
+    ≤ k flips leave one band untouched), so recall is exact for any k
+    with bits % (k+1) == 0. Wider bands (small k) mean more selective
+    buckets — k=1 at 32 bits gives 2×16-bit bands, 65536 buckets each.
+    ``bits`` generalizes the machinery to other Hamming-space
+    fingerprints (the 40-bit image dHash in multimodal.py reuses it).
     """
     bands = max_hamming + 1
-    assert 32 % bands == 0, "band width must divide 32"
-    width = 32 // bands
+    assert bits % bands == 0, "band width must divide the signature width"
+    width = bits // bands
     mask = (1 << width) - 1
     outs = [
         F.struct(

@@ -5614,3 +5614,70 @@ ORACLES["docs_orc_roundtrip"] = ORACLES["docs_jsonl_roundtrip"]
 # LSH lifecycle: write(shards 2-3) + append(shard 1, two batches) +
 # compact + query(shard 0) must equal the from-scratch incremental rule
 ORACLES["docs_lsh_index_compact"] = ORACLES["docs_neardup_incremental"]
+
+
+# ---- round 10 ----
+
+# streaming IVF ingest: three micro-batch appends under the frozen
+# base-trained quantizer must answer exactly like the one-shot append
+# (retry duplicates are collapsed query-side) — same oracle chain
+ORACLES["emb_index_streaming"] = ORACLES["emb_index_append"]
+
+
+# compactor crash recovery (IVF): a mid-swap crash before the query
+# must be healed by the reader and answer exactly like the un-crashed
+# appended index
+ORACLES["emb_index_recover"] = ORACLES["emb_index_append"]
+
+
+# compactor crash recovery (LSH): reader restores the half-swapped
+# bands, then the incremental dedup rule must hold exactly
+ORACLES["docs_lsh_index_recover"] = ORACLES["docs_neardup_incremental"]
+
+
+# perceptual-hash image near-dup census: every dHash bit recomputed in
+# CLOSED FORM from the generator pixel formula v(x,y)=(id+3x+7y)%256 —
+# horizontal gradient bits y*4+x compare v(x+1,y)>v(x,y), vertical bits
+# 20+x*4+y compare v(x,y+1)>v(x,y); the Spark side must reproduce them
+# by actually parsing the BMP bytes it encoded. Pair census brute-forces
+# the distinct-hash space (tiny by construction — the hash is a function
+# of id mod 256) and rolls doc pairs up per Hamming distance.
+ORACLES["media_phash_neardup"] = """
+WITH img AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+hb AS (
+    SELECT i.doc_id,
+           CAST(sum(CASE WHEN (i.doc_id + 3 * (gx.x + 1) + 7 * gy.y) % 256
+                              > (i.doc_id + 3 * gx.x + 7 * gy.y) % 256
+                         THEN 1::BIGINT << (gy.y * 4 + gx.x) ELSE 0 END)
+                AS BIGINT) AS h
+    FROM img i, generate_series(0, 3) gx(x), generate_series(0, 4) gy(y)
+    GROUP BY 1
+),
+vb AS (
+    SELECT i.doc_id,
+           CAST(sum(CASE WHEN (i.doc_id + 3 * gx.x + 7 * (gy.y + 1)) % 256
+                              > (i.doc_id + 3 * gx.x + 7 * gy.y) % 256
+                         THEN 1::BIGINT << (20 + gx.x * 4 + gy.y) ELSE 0 END)
+                AS BIGINT) AS h
+    FROM img i, generate_series(0, 4) gx(x), generate_series(0, 3) gy(y)
+    GROUP BY 1
+),
+ph AS (SELECT hb.doc_id, hb.h + vb.h AS phash FROM hb JOIN vb USING (doc_id)),
+counts AS (SELECT phash, count(*) AS n FROM ph GROUP BY 1),
+d0 AS (
+    SELECT CAST(0 AS BIGINT) AS hamming,
+           CAST(count(*) AS BIGINT) AS n_hash_pairs,
+           CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_pairs
+    FROM counts WHERE n >= 2
+    HAVING count(*) > 0
+),
+dk AS (
+    SELECT CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming,
+           CAST(count(*) AS BIGINT) AS n_hash_pairs,
+           CAST(sum(a.n * b.n) AS BIGINT) AS n_pairs
+    FROM counts a JOIN counts b ON a.phash < b.phash
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    GROUP BY 1
+)
+SELECT * FROM d0 UNION ALL SELECT * FROM dk
+"""

@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import scratch
 from .io import load_events, load_table
 from .operators import (
     ann,
@@ -315,7 +316,6 @@ def _topn_streaming(
     """Shared body for the streaming Top-N entries: replay → update-mode
     sliding-window count → per-micro-batch upsert into a distributed
     parquet append-log store → rank the merged snapshot."""
-    import tempfile
 
     from .streaming import replay
     from .streaming import topn as stopn
@@ -326,7 +326,7 @@ def _topn_streaming(
         stream, "ts", "2 seconds", size, slide, key_col
     )
     store = stopn.ParquetUpsertStore(
-        tempfile.mkdtemp(prefix="topn_store_") + "/log", "window_end_s", key_col
+        scratch.scratch_dir("topn_store_") + "/log", "window_end_s", key_col
     )
     with replay.replay_shuffle(spark):
         q = stopn.topn_upsert_sink(counts, store).trigger(availableNow=True).start()
@@ -444,7 +444,6 @@ def unique_visitors_approx_streaming(spark: SparkSession, sf_dir: str) -> DataFr
     the exact batch UV, so a hash match proves the bound held for every
     window (operators/distinct.approx_unique_count_checked docstring).
     Excluded from bench (it measures the replay harness)."""
-    import tempfile
 
     from .streaming import replay
     from .streaming import topn as stopn
@@ -463,7 +462,7 @@ def unique_visitors_approx_streaming(spark: SparkSession, sf_dir: str) -> DataFr
         )
     )
     store = stopn.ParquetUpsertStore(
-        tempfile.mkdtemp(prefix="uv_hll_store_") + "/log", "window_end_s", "k"
+        scratch.scratch_dir("uv_hll_store_") + "/log", "window_end_s", "k"
     )
     with replay.replay_shuffle(spark):
         q = stopn.topn_upsert_sink(est, store).trigger(availableNow=True).start()
@@ -1168,7 +1167,6 @@ def events_latest_state_streaming(spark: SparkSession, sf_dir: str) -> DataFrame
     Gated by the batch oracle: the snapshot must equal the batch
     latest-state compaction row-for-row. Excluded from bench (it
     measures the replay harness)."""
-    import tempfile
 
     from .streaming import replay
     from .streaming import topn as stopn
@@ -1203,7 +1201,7 @@ def events_latest_state_streaming(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     store = stopn.ParquetUpsertStore(
-        tempfile.mkdtemp(prefix="cdc_store_") + "/log", "user_id", "k"
+        scratch.scratch_dir("cdc_store_") + "/log", "user_id", "k"
     )
     with replay.replay_shuffle(spark):
         q = stopn.topn_upsert_sink(latest, store).trigger(availableNow=True).start()
@@ -2253,7 +2251,6 @@ def events_seasonality_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     family), then the independence-lift post-processing runs in batch on
     the ≤168-row snapshot — gated by the identical SQL oracle as the
     batch form. Excluded from bench (replay harness)."""
-    import tempfile
 
     from .operators import analytics
     from .streaming import replay
@@ -2267,7 +2264,7 @@ def events_seasonality_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
     store = stopn.ParquetUpsertStore(
-        tempfile.mkdtemp(prefix="season_store_") + "/log", "dow", "hour"
+        scratch.scratch_dir("season_store_") + "/log", "dow", "hour"
     )
     with replay.replay_shuffle(spark):
         q = stopn.topn_upsert_sink(cells, store).trigger(availableNow=True).start()
@@ -2400,7 +2397,6 @@ def events_ivm_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta, upserted into the parquet append-log store. Gated by the
     same full-recompute oracle — continuous maintenance ≡ recompute.
     Excluded from bench (it measures the replay harness)."""
-    import tempfile
 
     from .streaming import replay
     from .streaming import topn as stopn
@@ -2422,7 +2418,7 @@ def events_ivm_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     store = stopn.ParquetUpsertStore(
-        tempfile.mkdtemp(prefix="ivm_store_") + "/log", "event_type", "day"
+        scratch.scratch_dir("ivm_store_") + "/log", "event_type", "day"
     )
     with replay.replay_shuffle(spark):
         q = stopn.topn_upsert_sink(view, store).trigger(availableNow=True).start()
@@ -2482,15 +2478,14 @@ def docs_lsh_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     then dedup shard 0 against the grown, compacted index. Gated by
     docs_neardup_incremental's oracle (base = shards 1-3 exactly as
     the batch rule sees them), so one hash match proves append
-    composition AND compaction invariance AND query correctness."""
-    import tempfile
-
-    from .operators import sampling
-
+    composition AND compaction invariance AND query correctness. The
+    shards-2-3 base build is memoized; appends/compaction mutate a
+    private fresh_copy."""
     docs = load_table(spark, sf_dir, "documents")
     shard = F.pmod(sampling.sample_hash("doc_id", "incr"), F.lit(4))
-    path = tempfile.mkdtemp(prefix="lsh_compact_") + "/index"
-    dedup.lsh_index_write(docs.filter(shard.isin(2, 3)), path)
+    path = scratch.fresh_copy(
+        _lsh_base_index(spark, sf_dir, (2, 3)), "lsh_compact_"
+    )
     s1 = docs.filter(shard == 1)
     half = F.pmod(F.col("doc_id"), F.lit(2))
     dedup.lsh_index_append(s1.filter(half == 0), path)
@@ -2509,10 +2504,9 @@ def docs_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate as the JSONL tier (shares its parquet-direct oracle — any
     encoding or string-truncation loss in the ORC writer/reader path
     breaks the hash)."""
-    import tempfile
 
     docs = load_table(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="orc_rt_") + "/docs"
+    path = scratch.scratch_dir("orc_rt_") + "/docs"
     docs.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
     h = "CAST(conv(substr(md5(cast(text AS binary)), 1, 15), 16, 10) AS BIGINT)"
@@ -2532,7 +2526,6 @@ def docs_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     text) breaks the hash gate against the parquet-direct oracle.
     Widens S1 (file scan) to the JSON format tier; the streaming twin
     is sources/connectors.json_lines_to_rows over a text stream."""
-    import tempfile
 
     from pyspark.sql.types import (
         LongType,
@@ -2542,7 +2535,7 @@ def docs_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="jsonl_rt_") + "/docs"
+    path = scratch.scratch_dir("jsonl_rt_") + "/docs"
     docs.write.mode("overwrite").json(path)
     schema = StructType(
         [
@@ -2644,6 +2637,62 @@ def docs_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.oov_rate(load_table(spark, sf_dir, "documents"))
 
 
+# ---- shared memoized BASE index builds (VERDICT r9 item 3): each
+# lifecycle entry still exercises its OWN append/compact/recover/query
+# path, but the base build — the expensive train+assign+write jobs —
+# happens once per (input, params) per session. The first entry to run
+# pays it (so the write path is still exercised end-to-end every
+# session); mutating entries take a fresh_copy and never touch the
+# shared dir. Semantically invisible: builds are pure functions of
+# (input, params) — proven by test_index_memo_determinism.
+
+
+def _ivf_full_index(spark: SparkSession, sf_dir: str) -> str:
+    """Full-corpus IVF index (nlist=16, iters=3) — read-only consumers:
+    emb_index_persist, emb_ivf_cell_stats."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return scratch.memoized_index(
+        "ivf_full",
+        emb,
+        ("nlist", 16, "iters", 3),
+        lambda p: ann.ivf_index_write(emb, p, nlist=16, train_iters=3),
+    )
+
+
+def _ivf_base90_split(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    split = F.pmod(sampling.sample_hash("vec_id", "ivfbase"), F.lit(10))
+    return emb, emb.filter(split != 0), emb.filter(split == 0)
+
+
+def _ivf_base90_index(spark: SparkSession, sf_dir: str) -> str:
+    """IVF index over the 90% salted-hash base split — the frozen-
+    quantizer base that emb_index_append / _compact / _recover /
+    _streaming grow (each via its own fresh_copy)."""
+    _, base, _ = _ivf_base90_split(spark, sf_dir)
+    return scratch.memoized_index(
+        "ivf_base90",
+        base,
+        ("nlist", 16, "iters", 3),
+        lambda p: ann.ivf_index_write(base, p, nlist=16, train_iters=3),
+    )
+
+
+def _lsh_base_index(spark: SparkSession, sf_dir: str, shards: tuple) -> str:
+    """LSH index over the given salted shards of documents (default
+    params). shards=(1,2,3) is the docs_neardup_incremental base;
+    (2,3) is the compaction entry's pre-append base."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.pmod(sampling.sample_hash("doc_id", "incr"), F.lit(4))
+    base = docs.filter(shard.isin(*shards))
+    return scratch.memoized_index(
+        "lsh_base",
+        base,
+        ("shards",) + shards,
+        lambda p: dedup.lsh_index_write(base, p),
+    )
+
+
 def emb_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted-IVF round-trip (operators/ann.ivf_index_write /
     ann_ivf_persisted_topk — VERDICT r8 item 2): train the coarse
@@ -2653,12 +2702,10 @@ def emb_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan is statically partition-pruned to nprobe/nlist of the files
     (inputFiles-gated in tests). Same params as emb_ann_ivf_trained and
     bit-identical kernels, so it gates on that entry's exact SQL oracle:
-    a hash match PROVES reload ≡ retrain."""
-    import tempfile
-
+    a hash match PROVES reload ≡ retrain. The build is memoized per
+    (input, params) and shared read-only with emb_ivf_cell_stats."""
     emb = load_table(spark, sf_dir, "embeddings")
-    path = tempfile.mkdtemp(prefix="ivf_index_") + "/index"
-    ann.ivf_index_write(emb, path, nlist=16, train_iters=3)
+    path = _ivf_full_index(spark, sf_dir)
     return ann.ann_ivf_persisted_topk(
         spark, path, emb, list(range(10)), 5, nprobe=4
     )
@@ -2672,17 +2719,10 @@ def emb_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     retraining, no rewrite of existing files — then queries 0..9 probe
     the grown index. The oracle unrolls the same base-only Lloyd
     training in SQL and scans the full corpus, so the hash gate proves
-    add-without-retrain preserves exact IVF semantics."""
-    import tempfile
-
-    from .operators import sampling
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    split = F.pmod(sampling.sample_hash("vec_id", "ivfbase"), F.lit(10))
-    base = emb.filter(split != 0)
-    delta = emb.filter(split == 0)
-    path = tempfile.mkdtemp(prefix="ivf_append_") + "/index"
-    ann.ivf_index_write(base, path, nlist=16, train_iters=3)
+    add-without-retrain preserves exact IVF semantics. The base build
+    is memoized; the append mutates a private fresh_copy."""
+    emb, _, delta = _ivf_base90_split(spark, sf_dir)
+    path = scratch.fresh_copy(_ivf_base90_index(spark, sf_dir), "ivf_append_")
     ann.ivf_index_append(delta, path)
     return ann.ann_ivf_persisted_topk(
         spark, path, emb, list(range(10)), 5, nprobe=4
@@ -2696,17 +2736,10 @@ def emb_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulation), compact to one file per cell, and answer queries
     0..9 from the compacted index. Gated by the SAME base-trained
     oracle as emb_index_append: a hash match proves the maintenance
-    pass is result-invariant while the file count drops (tested)."""
-    import tempfile
-
-    from .operators import sampling
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    split = F.pmod(sampling.sample_hash("vec_id", "ivfbase"), F.lit(10))
-    base = emb.filter(split != 0)
-    delta = emb.filter(split == 0)
-    path = tempfile.mkdtemp(prefix="ivf_compact_") + "/index"
-    ann.ivf_index_write(base, path, nlist=16, train_iters=3)
+    pass is result-invariant while the file count drops (tested). The
+    base build is memoized; appends/compaction mutate a fresh_copy."""
+    emb, _, delta = _ivf_base90_split(spark, sf_dir)
+    path = scratch.fresh_copy(_ivf_base90_index(spark, sf_dir), "ivf_compact_")
     third = F.pmod(F.col("vec_id"), F.lit(3))
     for j in range(3):
         ann.ivf_index_append(delta.filter(third == j), path)
@@ -2724,13 +2757,8 @@ def emb_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the expected probe slowdown under uniform queries). The cell sizes
     aggregate the PARTITION column only, so the postings scan reads
     zero data columns (plan-gated). Oracle unrolls the same trained
-    assignment in SQL."""
-    import tempfile
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    path = tempfile.mkdtemp(prefix="ivf_stats_") + "/index"
-    ann.ivf_index_write(emb, path, nlist=16, train_iters=3)
-    return ann.ivf_index_cell_stats(spark, path)
+    assignment in SQL. Shares emb_index_persist's memoized build."""
+    return ann.ivf_index_cell_stats(spark, _ivf_full_index(spark, sf_dir))
 
 
 def docs_lsh_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2741,17 +2769,12 @@ def docs_lsh_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     never re-read, base signatures never recomputed. Same salted shard
     split and parameters as docs_neardup_incremental and gated by ITS
     exact oracle: a hash match proves querying the stored index is
-    byte-equal to recomputing from the full corpus."""
-    import tempfile
-
-    from .operators import sampling
-
+    byte-equal to recomputing from the full corpus. The base build is
+    memoized and shared read-only with the streaming/recover entries."""
     docs = load_table(spark, sf_dir, "documents")
     shard = F.pmod(sampling.sample_hash("doc_id", "incr"), F.lit(4))
-    base = docs.filter(shard != 0)
     new = docs.filter(shard == 0)
-    path = tempfile.mkdtemp(prefix="lsh_index_") + "/index"
-    dedup.lsh_index_write(base, path)
+    path = _lsh_base_index(spark, sf_dir, (1, 2, 3))
     return dedup.lsh_index_query_incremental(spark, path, new)
 
 
@@ -2775,7 +2798,6 @@ def docs_lsh_index_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     original decisions exactly), and duplicate index rows only
     duplicate candidates, which pass through distinct(). Excluded from
     bench (it measures the replay harness)."""
-    import tempfile
 
     from .operators import sampling
     from .streaming import replay
@@ -2783,14 +2805,19 @@ def docs_lsh_index_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     shard = F.pmod(sampling.sample_hash("doc_id", "incr"), F.lit(4))
-    base = docs.filter(shard != 0)
     new = docs.filter(shard == 0).select(
         "doc_id", "text", F.timestamp_seconds(F.col("doc_id")).alias("ts")
     )
-    path = tempfile.mkdtemp(prefix="lsh_stream_") + "/index"
-    dedup.lsh_index_write(base, path)
+    # per-batch appends mutate the index: grow a private copy of the
+    # memoized base build, never the shared dir
+    path = scratch.fresh_copy(
+        _lsh_base_index(spark, sf_dir, (1, 2, 3)), "lsh_stream_"
+    )
+    # keyed on doc_id ALONE (ADVICE r9): kept is the VALUE, so the
+    # latest write for a doc always wins — (doc_id, kept) keys would
+    # keep both rows if a retry ever recomputed a different decision
     store = stopn.ParquetUpsertStore(
-        tempfile.mkdtemp(prefix="lsh_stream_store_") + "/log", "doc_id", "kept"
+        scratch.scratch_dir("lsh_stream_store_") + "/log", "doc_id"
     )
     stream = replay.replay_stream(spark, new, "ts", num_chunks=3)
 
@@ -2814,6 +2841,122 @@ def docs_lsh_index_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return store.snapshot(spark).select("doc_id", "kept")
+
+
+def emb_index_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous embedding ingest against the persisted IVF index —
+    the streaming half of the index-lifecycle symmetry (VERDICT r9
+    item 4; the dedup family got its stream in round 9): the 10% delta
+    split replays as a stream in three micro-batches; each batch is
+    assigned with the FROZEN on-disk quantizer and appended to the
+    postings partitions (operators/ann.ivf_index_append — FAISS add()
+    per micro-batch, the reference's two-input dim-maintenance pattern
+    PayReceiptWithConnectApp.java:62-65 applied to the index artifact).
+    The final probe runs with dedup_postings=True — the relational
+    retry neutralizer: an at-least-once foreachBatch retry re-appends
+    byte-identical rows (assignment is deterministic), and the distinct
+    over the PRUNED probe slice collapses them, so retries cannot
+    change answers (pinned by test_ivf_index_retry_dedup). Gates on
+    emb_index_append's exact oracle: streaming ingest ≡ one-shot
+    append ≡ base-trained full-corpus IVF. Excluded from bench (it
+    measures the replay harness)."""
+    from .streaming import replay
+
+    emb, _, delta = _ivf_base90_split(spark, sf_dir)
+    path = scratch.fresh_copy(_ivf_base90_index(spark, sf_dir), "ivf_stream_")
+    delta_s = delta.select(
+        "vec_id",
+        "embedding",
+        F.timestamp_seconds(F.col("vec_id")).alias("ts"),
+    )
+    stream = replay.replay_stream(spark, delta_s, "ts", num_chunks=3)
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        b = batch.select("vec_id", "embedding").persist()
+        try:
+            if b.count() == 0:
+                return
+            ann.ivf_index_append(b, path)
+        finally:
+            b.unpersist()
+
+    with replay.replay_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return ann.ann_ivf_persisted_topk(
+        spark, path, emb, list(range(10)), 5, nprobe=4, dedup_postings=True
+    )
+
+
+def emb_index_recover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compactor crash recovery, driver-proven (VERDICT r9 item 2):
+    grow the base index with the delta, then CRASH the compactor
+    between its two swap renames (the fault-injection hook produces
+    exactly the half-swapped layout — postings/ absent, the intact
+    original under postings_pre_compact/). The query that follows
+    self-heals (io_sinks.heal_missing_src inside
+    ann_ivf_persisted_topk) and must answer byte-equal to
+    emb_index_append's oracle — one hash match proves the documented
+    crash window now recovers in code, with no manual rename."""
+    from .io_sinks import InterruptedCompaction
+
+    emb, _, delta = _ivf_base90_split(spark, sf_dir)
+    path = scratch.fresh_copy(_ivf_base90_index(spark, sf_dir), "ivf_recover_")
+    ann.ivf_index_append(delta, path)
+    try:
+        ann.ivf_index_compact(spark, path, fail_between_renames=True)
+    except InterruptedCompaction:
+        pass
+    return ann.ann_ivf_persisted_topk(
+        spark, path, emb, list(range(10)), 5, nprobe=4
+    )
+
+
+def docs_lsh_index_recover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH compactor crash recovery, driver-proven — the dedup twin of
+    emb_index_recover: crash lsh_index_compact between the bands-swap
+    renames (bands/ absent, original under bands_pre_compact/), then
+    dedup the new shard against the half-swapped index. The reader
+    restores the bands before scanning (heal_missing_src in
+    lsh_index_query_incremental) and must reproduce
+    docs_neardup_incremental's oracle exactly."""
+    from .io_sinks import InterruptedCompaction
+
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.pmod(sampling.sample_hash("doc_id", "incr"), F.lit(4))
+    path = scratch.fresh_copy(
+        _lsh_base_index(spark, sf_dir, (1, 2, 3)), "lsh_recover_"
+    )
+    try:
+        dedup.lsh_index_compact(spark, path, fail_between_renames=True)
+    except InterruptedCompaction:
+        pass
+    return dedup.lsh_index_query_incremental(
+        spark, path, docs.filter(shard == 0)
+    )
+
+
+def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup census — multimodal dedup over
+    the REAL codec tier (operators/multimodal.image_dhash +
+    phash_neardup_stats): encode the image payloads, REALLY parse the
+    BMP bytes back to pixels, fingerprint each image with a 40-bit
+    dHash (adjacent-pixel gradient signs — survives re-encodes that
+    break byte-exact dedup), then count near-dup doc pairs per Hamming
+    distance ≤ 3 via the simhash band trick over the DISTINCT-hash
+    frame (bounded by 2^40 regardless of corpus size — never an
+    all-pairs or doc-scale join). Oracle recomputes every dHash bit in
+    closed form from the generator formula (the media_decode_roundtrip
+    pattern) and brute-forces the tiny distinct-hash pair space, so a
+    decode, packing, banding-recall, or rollup error all flip the
+    gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = multimodal.image_dhash(multimodal.encode_media(docs))
+    return multimodal.phash_neardup_stats(hashes, max_hamming=3, bits=40)
 
 
 def events_temporal_join_2stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2878,7 +3021,6 @@ def events_quantiles_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantiles the oracle recomputes — so the driver's hash gate proves
     the streamed, merged sketch honored its guarantee in every window.
     Excluded from bench (it measures the replay harness)."""
-    import tempfile
 
     from .operators import profiling
     from .streaming import replay
@@ -2909,7 +3051,7 @@ def events_quantiles_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     store = stopn.ParquetUpsertStore(
-        tempfile.mkdtemp(prefix="q_stream_store_") + "/log", "day", "event_type"
+        scratch.scratch_dir("q_stream_store_") + "/log", "day", "event_type"
     )
     with replay.replay_shuffle(spark):
         q = stopn.topn_upsert_sink(est, store).trigger(availableNow=True).start()
@@ -3277,7 +3419,6 @@ def events_scd2_intervals_streaming(spark: SparkSession, sf_dir: str) -> DataFra
     view, last-write-wins in the parquet upsert store. Gated by the
     SAME oracle as the batch form — streaming ≡ batch on an unsorted
     stream. Excluded from bench (it measures the replay harness)."""
-    import tempfile
 
     from .streaming import replay, stateful
     from .streaming import topn as stopn
@@ -3295,7 +3436,7 @@ def events_scd2_intervals_streaming(spark: SparkSession, sf_dir: str) -> DataFra
     out = stateful.scd2_stream(stream.withWatermark("ts", "660 seconds"))
     rows = out.filter(F.col("user_id") >= 0).withColumn("k", F.lit(0))
     store = stopn.ParquetUpsertStore(
-        tempfile.mkdtemp(prefix="scd2_store_") + "/log", "user_id", "k"
+        scratch.scratch_dir("scd2_store_") + "/log", "user_id", "k"
     )
     with replay.replay_shuffle(spark):
         # append mode: applyInPandasWithState emits append-only rows
@@ -3602,6 +3743,11 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_lsh_index_compact": docs_lsh_index_compact,
     "events_temporal_join_2stream": events_temporal_join_2stream,
     "events_quantiles_streaming": events_quantiles_streaming,
+    # round 10
+    "emb_index_streaming": emb_index_streaming,
+    "emb_index_recover": emb_index_recover,
+    "docs_lsh_index_recover": docs_lsh_index_recover,
+    "media_phash_neardup": media_phash_neardup,
 }
 
 # --- CORRECTNESS window (driver gates the FIRST 50 entries in dict
@@ -3786,8 +3932,70 @@ assert set(_R9_WINDOW) | set(_R9_ROLLOVER) == set(_R9_POOL)
 _stale_in9 = [n for n in _STALE_R5 if n in set(_R9_WINDOW)]
 assert _stale_in9 == _STALE_R5[: len(_stale_in9)], "stale gating must be oldest-first"
 
+# ---- round 10 window (VERDICT r9 item 1: front the ENTIRE 41-entry
+# _R9_ROLLOVER — the r5-latest cohort, zeroing the staleness backlog —
+# then the oldest-first prefix of the next-stalest cohort, the 50
+# round-6-latest rows)
+R10_NEW: list[str] = [
+    "emb_index_streaming",
+    "emb_index_recover",
+    "docs_lsh_index_recover",
+    "media_phash_neardup",
+]
+# latest driver row = round 6 (from CORRECTNESS_r0{1..9}.json), sorted;
+# 50 entries — 50 - |R10_NEW| - |_R9_ROLLOVER| = 5 fit this round
+_STALE_R6: list[str] = [
+    "blacklist_kept", "blacklist_kept_streaming", "blacklist_warnings",
+    "channel_behavior_pivot", "channel_stats", "channel_stats_cube",
+    "channel_stats_rollup", "docs_burstiness", "docs_dsir_weights",
+    "docs_perplexity", "docs_zipf_fit", "emb_matryoshka_recall",
+    "events_asof_attribution", "events_changepoint", "events_dedup_streaming",
+    "events_funnel", "events_next_prediction", "events_rate_anomaly",
+    "events_rate_anomaly_streaming", "events_retention",
+    "events_transition_matrix", "hot_urls_topn_streaming",
+    "items_association_rules", "login_fail_consecutive", "login_fail_horizon",
+    "login_fail_times3", "media_png_roundtrip", "order_timeout_streaming",
+    "page_views", "page_views_streaming", "pay_receipt_interval_join_streaming",
+    "pay_receipt_reconcile", "pay_receipt_reconcile_streaming",
+    "province_ad_clicks", "province_clicks_salted", "tpch_q10", "tpch_q11",
+    "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
+    "tpch_q8", "tpch_q9", "unique_visitors_approx", "unique_visitors_streaming",
+    "user_running_counts", "user_sessions", "user_sessions_streaming",
+]
+
+_R10_POOL: list[str] = _dedup_keep_order(R10_NEW + _R9_ROLLOVER + _STALE_R6)
+_R10_WINDOW: list[str] = _R10_POOL[:WINDOW_SIZE]
+# everything pooled but not gated this round — fronts round 11's window
+_R10_ROLLOVER: list[str] = _R10_POOL[WINDOW_SIZE:]
+assert len(_R10_WINDOW) == WINDOW_SIZE
+assert set(R10_NEW) <= set(_R10_WINDOW), "new ops gate on first appearance"
+# VERDICT r9 item 1: the ENTIRE previous rollover gates this round —
+# this zeroes the r5-latest cohort (nothing older than r6 remains)
+assert set(_R9_ROLLOVER) <= set(_R10_WINDOW), "r9 rollover must all gate in r10"
+# ADVICE r6: no silent composition loss — every pooled name is either
+# in-window or explicitly named as rollover, and the stale cohort in the
+# window is exactly the oldest-first prefix of _STALE_R6
+assert set(_R10_WINDOW) | set(_R10_ROLLOVER) == set(_R10_POOL)
+_stale_in10 = [n for n in _STALE_R6 if n in set(_R10_WINDOW)]
+assert _stale_in10 == _STALE_R6[: len(_stale_in10)], "stale gating must be oldest-first"
+
+# ---- staleness-bound policy (VERDICT r9 item 8, SURVEY §7.8): the
+# oldest-first rotation guarantees every entry re-gates within
+# ceil(pool/slots) rounds of its last row, where pool = registry minus
+# the always-fresh in-window new ops and slots = the window capacity
+# left after a round's new ops. Keep the worst case bounded BY
+# CONSTRUCTION, not by hoping rounds stay small: if this assert fires,
+# either new-op cadence outgrew the window (shrink R{N}_NEW) or the
+# registry needs the documented tiering fallback (SURVEY §7.8).
+_NEW_PER_ROUND = 10  # historical max of |R{7..10}_NEW|
+_STALENESS_BOUND_ROUNDS = -(-(len(_ALL) - WINDOW_SIZE) // (WINDOW_SIZE - _NEW_PER_ROUND))
+assert _STALENESS_BOUND_ROUNDS <= 6, (
+    f"registry {len(_ALL)} entries: worst-case re-gate latency "
+    f"{_STALENESS_BOUND_ROUNDS} rounds exceeds the 6-round policy bound"
+)
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    name: _ALL[name] for name in _R9_WINDOW
+    name: _ALL[name] for name in _R10_WINDOW
 }
 QUERIES.update((k, v) for k, v in _ALL.items() if k not in QUERIES)
 assert len(QUERIES) == len(_ALL)

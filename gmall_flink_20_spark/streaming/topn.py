@@ -52,9 +52,16 @@ class ParquetUpsertStore:
     rows append as parquet stamped with the epoch; ``snapshot`` merges on
     read with last-write-wins per (window, key). All writes happen on
     executors (``batch.write``), so the sink scales with the cluster —
-    nothing round-trips the driver."""
+    nothing round-trips the driver.
 
-    def __init__(self, path: str, window_col: str, key_col: str) -> None:
+    ``key_col=None`` keys the store on ``window_col`` ALONE (ADVICE r9:
+    a decision stream keyed (doc_id, kept) would keep BOTH rows if a
+    retry ever recomputed a different decision; keying on doc_id alone
+    makes the latest write win unconditionally)."""
+
+    def __init__(
+        self, path: str, window_col: str, key_col: str | None = None
+    ) -> None:
         self.path = path
         self.window_col = window_col
         self.key_col = key_col
@@ -72,9 +79,8 @@ class ParquetUpsertStore:
         """Current value per (window, key): the row from the latest epoch
         that touched it."""
         log = spark.read.parquet(self.path)
-        w = Window.partitionBy(self.window_col, self.key_col).orderBy(
-            F.desc("_epoch")
-        )
+        keys = [self.window_col] + ([self.key_col] if self.key_col else [])
+        w = Window.partitionBy(*keys).orderBy(F.desc("_epoch"))
         return (
             log.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
