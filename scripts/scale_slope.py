@@ -80,6 +80,10 @@ HEAVY = [
     # persisted LSH dedup index (build + incremental query)
     "emb_index_persist",
     "docs_lsh_index_persist",
+    # round-10: perceptual-hash image dedup (decode + distinct-hash
+    # band census; the distinct-hash frame is corpus-size-independent,
+    # so the slope should be the decode pass alone)
+    "media_phash_neardup",
 ]
 
 # Iteration-bound graph family (VERDICT r8 item 4): at ×2 these read

@@ -308,3 +308,78 @@ def test_dir_fingerprint_sees_in_place_child_rewrite(tmp_path):
     f.write_bytes(b"bbbb")  # same size, same dir entry set
     fp2 = _dir_fingerprint(str(d))
     assert fp1 != fp2
+
+
+def test_emb_index_streaming_kill_resume(spark, sf_dir, tmp_path):
+    """Checkpointed restart mid-ingest: half the delta lands, the query
+    'dies' (the availableNow run ends), the rest arrives, a SECOND run
+    resumes from the checkpoint — the grown index must answer exactly
+    like the one-shot batch append (index-directory-as-state survives
+    restarts; the same contract the LSH stream pinned in round 9)."""
+    import shutil
+    import uuid
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id", "embedding"
+    ).orderBy("vec_id")
+    rows = delta.collect()
+    half = len(rows) // 2
+    schema = delta.schema
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "index")
+    ann.ivf_index_write(base, idx, nlist=16, train_iters=3)
+
+    def write_chunk(df, j, mtime):
+        tmp = tmp_path / f"tmp_{uuid.uuid4().hex[:6]}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        for f in tmp.glob("*.parquet"):
+            dst = src / f"{j:05d}.parquet"
+            shutil.copy(f, dst)
+            os.utime(dst, (mtime, mtime))
+        shutil.rmtree(tmp)
+
+    def handle(batch, epoch_id):
+        b = batch.persist()
+        try:
+            if b.count() == 0:
+                return
+            ann.ivf_index_append(b, idx)
+        finally:
+            b.unpersist()
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_chunk(spark.createDataFrame(rows[:half], schema), 0, 1_000_000_000)
+    run_once()  # "crash" after the first half is ingested
+    write_chunk(spark.createDataFrame(rows[half:], schema), 1, 1_000_000_001)
+    run_once()  # resume from checkpoint: only the new chunk replays
+
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ann.ann_ivf_persisted_topk(
+            spark, idx, emb, list(range(10)), 5, nprobe=4,
+            dedup_postings=True,
+        ).collect()
+    }
+    oneshot = str(tmp_path / "oneshot")
+    ann.ivf_index_write(base, oneshot, nlist=16, train_iters=3)
+    ann.ivf_index_append(emb.filter(F.col("vec_id") % 10 == 0), oneshot)
+    exp = _ivf_rows(spark, oneshot, emb)
+    assert got == exp and len(got) > 0

@@ -20,28 +20,37 @@ def test_window_is_exactly_fifty():
 
 
 def test_window_leads_the_registry():
-    assert list(Q.QUERIES)[:50] == Q._R9_WINDOW
+    assert list(Q.QUERIES)[:50] == Q._R10_WINDOW
 
 
-def test_round9_new_ops_are_in_window():
-    assert set(Q.R9_NEW) <= set(Q._R9_WINDOW)
+def test_round10_new_ops_are_in_window():
+    assert set(Q.R10_NEW) <= set(Q._R10_WINDOW)
 
 
-def test_round8_rollover_fully_fronted():
-    # VERDICT r8 item 1: ALL 32 rolled-over entries (the r4-latest
-    # cohort) gate in round 9 — nothing older than r5 remains
-    assert len(Q._R8_ROLLOVER) == 32
-    assert set(Q._R8_ROLLOVER) <= set(Q._R9_WINDOW)
+def test_round9_rollover_fully_fronted():
+    # VERDICT r9 item 1: ALL 41 rolled-over entries (the r5-latest
+    # cohort — the entire staleness backlog) gate in round 10, so
+    # nothing older than r6 remains
+    assert len(Q._R9_ROLLOVER) == 41
+    assert set(Q._R9_ROLLOVER) <= set(Q._R10_WINDOW)
 
 
 def test_window_rotation_fronts_stalest():
-    # round-9 rotation: the stale cohort in-window is the oldest-first
-    # PREFIX of the round-5-stale list, and nothing pooled is silently
-    # dropped — what doesn't fit is named in _R9_ROLLOVER (ADVICE r6)
-    stale_in = [n for n in Q._STALE_R5 if n in set(Q._R9_WINDOW)]
-    assert stale_in == Q._STALE_R5[: len(stale_in)]
-    assert set(Q._R9_WINDOW) | set(Q._R9_ROLLOVER) == set(Q._R9_POOL)
-    assert not (set(Q._R9_WINDOW) & set(Q._R9_ROLLOVER))
+    # round-10 rotation: the stale cohort in-window is the oldest-first
+    # PREFIX of the round-6-stale list, and nothing pooled is silently
+    # dropped — what doesn't fit is named in _R10_ROLLOVER (ADVICE r6)
+    stale_in = [n for n in Q._STALE_R6 if n in set(Q._R10_WINDOW)]
+    assert stale_in == Q._STALE_R6[: len(stale_in)]
+    assert set(Q._R10_WINDOW) | set(Q._R10_ROLLOVER) == set(Q._R10_POOL)
+    assert not (set(Q._R10_WINDOW) & set(Q._R10_ROLLOVER))
+
+
+def test_staleness_bound_policy_enforced():
+    # SURVEY §7.8: worst-case re-gate latency, computed from the LIVE
+    # registry size, must stay inside the 6-round policy bound
+    n = len(Q._ALL)
+    bound = -(-(n - Q.WINDOW_SIZE) // (Q.WINDOW_SIZE - 10))
+    assert bound <= 6
 
 
 def test_registry_complete():

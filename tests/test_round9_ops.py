@@ -457,6 +457,8 @@ def test_cell_stats_imbalance_formula(spark, sf_dir):
     """IF = nlist * sum(s^2) / N^2 on a hand-built index layout."""
     import tempfile
 
+    import pyarrow as pa
+
     from gmall_flink_20_spark.operators.ann import (
         _write_small_parquet,
         ivf_index_cell_stats,
@@ -466,7 +468,7 @@ def test_cell_stats_imbalance_formula(spark, sf_dir):
     _write_small_parquet(
         f"{path}/meta",
         {"nlist": [4], "train_iters": [0], "dim": [2]},
-        "int32s",
+        pa.schema([(k, pa.int32()) for k in ("nlist", "train_iters", "dim")]),
     )
     rows = [(i, [1.0], 1.0, c) for i, c in enumerate([0, 0, 0, 1, 2, 2])]
     spark.createDataFrame(
