@@ -249,6 +249,8 @@ BENCH_QUERIES = [
     "emb_index_recover",
     "docs_lsh_index_recover",
     "media_phash_neardup",
+    "emb_index_pq_persist",
+    "media_phash_index_persist",
 ]
 
 

@@ -805,9 +805,21 @@ def ann_ivf_pq_topk(
         .select(id_col, vec_col)
         .collect()
     )
+    probes = emb.sparkSession.createDataFrame(
+        _pq_probe_rows(qrows, cents, books, nprobe, m, subdim, dim),
+        "query_id long, list_id int, dt array<double>",
+    )
+    return _adc_ranked(probes, encoded, k, m, ks)
+
+
+def _pq_probe_rows(qrows, cents, books, nprobe, m, subdim, dim):
+    """Driver-side IVF-PQ probe prep, shared bit-for-bit by the
+    in-session and persisted paths: nprobe nearest cells by
+    sequential-fold L2 (ties on cid) plus the flat ADC table
+    dt[j*ks + cid] = ||q_j − c_{j,cid}||² with the same fold order as
+    the oracle's list_sum."""
     probe_rows = []
     for qid, qv in qrows:
-        # nprobe nearest cells by sequential-fold L2 (ties on cid)
         cd = []
         for cid, cv in cents:
             s = 0.0
@@ -816,7 +828,6 @@ def ann_ivf_pq_topk(
                 s = s + d * d
             cd.append((s, cid))
         probe_cells = [cid for _, cid in sorted(cd)[:nprobe]]
-        # flat ADC table dt[j*ks + cid] = ||q_j - c_{j,cid}||², same fold
         dt = []
         for j in range(m):
             for cid, cv in books[j]:
@@ -827,10 +838,13 @@ def ann_ivf_pq_topk(
                 dt.append(s)
         for cell in probe_cells:
             probe_rows.append((qid, cell, dt))
-    probes = emb.sparkSession.createDataFrame(
-        probe_rows, "query_id long, list_id int, dt array<double>"
-    )
+    return probe_rows
 
+
+def _adc_ranked(probes: DataFrame, encoded: DataFrame, k: int, m: int, ks: int) -> DataFrame:
+    """Broadcast-probe ADC scan + per-query rank, shared by the
+    in-session and persisted IVF-PQ paths (ascending-subspace sum,
+    rank ties on neighbor_id)."""
     dist = None
     for j in range(m):
         term = F.element_at("dt", F.lit(j * ks) + F.element_at("codes", j + 1) + 1)
@@ -1689,3 +1703,156 @@ def ivf_index_cell_stats(spark, path: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("imbalance"),
     )
+
+
+def ivf_pq_index_write(
+    emb: DataFrame,
+    path: str,
+    nlist: int = 16,
+    coarse_iters: int = 2,
+    m: int = 8,
+    subdim: int = 8,
+    ks: int = 16,
+    pq_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> None:
+    """Persist a COMPRESSED IVF-PQ index — the layout a 100 TB corpus
+    actually stores, because raw vectors don't fit: the trained coarse
+    quantizer and PQ codebooks go to KB-scale driver-written parquet
+    (``centroids``, ``codebooks``, ``meta``), and the corpus is stored
+    as ``list_id=``-partitioned postings of (neighbor_id, codes) — m
+    one-byte codes per vector instead of dim doubles, the 32× shrink of
+    FAISS's write_index(IVFPQ). Training, encoding, and the partitioned
+    write discipline (one key shuffle, one file per cell) are identical
+    to ann_ivf_pq_topk / ivf_index_write, so the reloaded index answers
+    bit-equal to the in-session composite (shared oracle)."""
+    import pyarrow as pa
+
+    from ..io_sinks import write_partitioned
+
+    cents = kmeans_centroids_local(
+        emb.select(F.col(id_col), F.col(vec_col)),
+        nlist,
+        coarse_iters,
+        id_col,
+        vec_col,
+        dim=dim,
+        normalize=False,
+    )
+    books = pq_train_local(emb, m, subdim, ks, pq_iters, id_col, vec_col)
+    _write_small_parquet(
+        f"{path}/centroids",
+        {"cid": [c for c, _ in cents], "cv": [list(v) for _, v in cents]},
+        pa.schema([("cid", pa.int32()), ("cv", pa.list_(pa.float64()))]),
+    )
+    _write_small_parquet(
+        f"{path}/codebooks",
+        {
+            "j": [j for j in range(m) for _ in books[j]],
+            "cid": [cid for j in range(m) for cid, _ in books[j]],
+            "cv": [list(v) for j in range(m) for _, v in books[j]],
+        },
+        pa.schema(
+            [("j", pa.int32()), ("cid", pa.int32()), ("cv", pa.list_(pa.float64()))]
+        ),
+    )
+    _write_small_parquet(
+        f"{path}/meta",
+        {
+            "nlist": [nlist], "coarse_iters": [coarse_iters], "m": [m],
+            "subdim": [subdim], "ks": [ks], "pq_iters": [pq_iters],
+            "dim": [dim],
+        },
+        pa.schema(
+            [
+                (k_, pa.int32())
+                for k_ in (
+                    "nlist", "coarse_iters", "m", "subdim", "ks",
+                    "pq_iters", "dim",
+                )
+            ]
+        ),
+    )
+    encoded = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        _assign_udf(cents)(F.col(vec_col)).alias("list_id"),
+        _pq_encode_udf(books, m, subdim)(F.col(vec_col)).alias("codes"),
+    )
+    write_partitioned(
+        encoded.repartition("list_id"), f"{path}/postings", ["list_id"]
+    )
+
+
+def ivf_pq_index_load(spark, path: str):
+    """Reload the IVF-PQ trained artifacts (driver-side pyarrow reads,
+    KB-scale, no Spark job): (centroids, codebooks, meta dict)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if not os.path.isdir(f"{path}/centroids"):
+        raise FileNotFoundError(
+            f"no IVF-PQ index at {path!r}: centroids/ missing — build one "
+            "with ivf_pq_index_write first"
+        )
+    t = pq.read_table(f"{path}/centroids").to_pydict()
+    cents = sorted(
+        (int(c), [float(x) for x in v]) for c, v in zip(t["cid"], t["cv"])
+    )
+    b = pq.read_table(f"{path}/codebooks").to_pydict()
+    meta_t = pq.read_table(f"{path}/meta").to_pydict()
+    meta = {k_: int(v[0]) for k_, v in meta_t.items()}
+    books: list[list[tuple[int, list[float]]]] = [[] for _ in range(meta["m"])]
+    for j, cid, cv in zip(b["j"], b["cid"], b["cv"]):
+        books[int(j)].append((int(cid), [float(x) for x in cv]))
+    books = [sorted(cb) for cb in books]
+    return cents, books, meta
+
+
+def ann_ivf_pq_persisted_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF-PQ index: reload quantizer + codebooks,
+    probe and build ADC tables DRIVER-SIDE with the exact kernels of
+    the in-session path (_pq_probe_rows — the FAISS-client pattern),
+    then ADC-scan ONLY the probed cells' postings partitions under a
+    static ``list_id IN (...)`` filter. At 100 TB this is the full
+    economics of the format: IVF prunes I/O to nprobe/nlist of the
+    files, PQ means those files hold m-byte codes instead of raw
+    vectors. Bit-equal to ann_ivf_pq_topk under equal params (same
+    training, same folds, same tiebreaks) — gated by its exact oracle
+    through the emb_index_pq_persist entry. Reader-side crash healing
+    as in the uncompressed index."""
+    from ..io_sinks import heal_missing_src
+
+    heal_missing_src(f"{path}/postings")
+    cents, books, meta = ivf_pq_index_load(spark, path)
+    m, subdim, ks, dim = meta["m"], meta["subdim"], meta["ks"], meta["dim"]
+    qrows = sorted(
+        (int(r[id_col]), [float(x) for x in r[vec_col]])
+        for r in queries.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank long"
+        )
+    probe_rows = _pq_probe_rows(qrows, cents, books, nprobe, m, subdim, dim)
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, list_id int, dt array<double>"
+    )
+    probed = sorted({r[1] for r in probe_rows})
+    postings = spark.read.parquet(f"{path}/postings").filter(
+        F.col("list_id").isin(probed)
+    )
+    return _adc_ranked(probes, postings, k, m, ks)

@@ -50,6 +50,9 @@ __all__ = [
     "wav_frame_features",
     "image_dhash",
     "phash_neardup_stats",
+    "phash_index_write",
+    "phash_index_append",
+    "phash_index_query_incremental",
     "DHASH_SCHEMA",
     "PHASH_STATS_SCHEMA",
     "REAL_MEDIA_SCHEMA",
@@ -1108,3 +1111,111 @@ def phash_neardup_stats(
         )
     )
     return d0.unionByName(dk)
+
+
+def phash_index_write(hashes: DataFrame, path: str) -> None:
+    """Persist a perceptual-hash dedup index of the already-curated
+    image corpus: one (media_id, phash) parquet — the image twin of the
+    LSH text index's shingle store. Scale note: the index rows are ~16
+    bytes per image regardless of image size, so the 100 TB corpus's
+    index is GB-scale; the candidate machinery at query time operates
+    on its DISTINCT hash values (bounded by 2^bits), never on pixels."""
+    hashes.select("media_id", "phash").write.mode("overwrite").parquet(
+        f"{path}/hashes"
+    )
+
+
+def phash_index_append(hashes: DataFrame, path: str) -> None:
+    """Grow the persisted phash index with a processed batch (parquet
+    append). Retry-safe in combination with the query side: a retried
+    batch finding its OWN rows is neutralized by the query's anti-join
+    on the batch's ids, and duplicate rows only duplicate hash-set
+    members, which collapse in the DISTINCT the query takes."""
+    hashes.select("media_id", "phash").write.mode("append").parquet(
+        f"{path}/hashes"
+    )
+
+
+def phash_index_query_incremental(
+    spark,
+    path: str,
+    new_hashes: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 40,
+) -> DataFrame:
+    """Deduplicate a NEW image batch against the persisted phash index
+    — the ingest-time image dedup a multimodal pipeline runs: an image
+    is dropped iff some EARLIER image (any indexed one, or a lower-id
+    image in the same batch) is within ``max_hamming`` of its
+    perceptual hash. Emits (media_id, kept 0/1) per new image.
+
+    Relational shape, scale-true end to end: the index side anti-joins
+    the querying batch's own ids (the LSH retry neutralizer — a
+    retried batch that already appended itself recomputes its original
+    decisions exactly), collapses to DISTINCT hash values, and the
+    Hamming neighbor map comes from the banded pair join over the
+    distinct-hash frame (pigeonhole-exact, bounded by 2^bits). The
+    keeper rule reduces to one arithmetic: each hash's EARLIEST owner
+    (-1 if any indexed image holds it, else its min batch id) — a new
+    image drops iff some neighbor hash's earliest owner precedes it."""
+    from .simhash import simhash_near_dup
+
+    new = new_hashes.select("media_id", "phash")
+    store = spark.read.parquet(f"{path}/hashes")
+    base_h = (
+        store.join(new.select("media_id"), "media_id", "left_anti")
+        .select("phash")
+        .distinct()
+    )
+    all_h = base_h.unionByName(new.select("phash").distinct()).distinct()
+    pairs = simhash_near_dup(
+        all_h.select(F.col("phash").alias("hid"), "phash"),
+        max_hamming,
+        id_col="hid",
+        sim_col="phash",
+        bits=bits,
+    )
+    # symmetric neighbor map, self included (hamming 0 = same hash)
+    nmap = (
+        pairs.select(F.col("doc_a").alias("phash"), F.col("doc_b").alias("nh"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("phash"), F.col("doc_a").alias("nh"))
+        )
+        .unionByName(
+            all_h.select(F.col("phash"), F.col("phash").alias("nh"))
+        )
+    )
+    # earliest owner per hash value: any indexed image outranks the
+    # whole batch (-1), else the batch's min media_id
+    owners = (
+        base_h.select(
+            F.col("phash").alias("nh"), F.lit(-1).cast("long").alias("first_id")
+        )
+        .unionByName(
+            new.groupBy("phash").agg(F.min("media_id").alias("first_id")).select(
+                F.col("phash").alias("nh"), "first_id"
+            )
+        )
+        .groupBy("nh")
+        .agg(F.min("first_id").alias("first_id"))
+    )
+    dropped = (
+        new.join(nmap, "phash")
+        .join(owners, "nh")
+        .filter(F.col("first_id") < F.col("media_id"))
+        .select("media_id")
+        .distinct()
+        .withColumn("_d", F.lit(1))
+    )
+    return (
+        new.select("media_id")
+        .distinct()
+        .join(dropped, "media_id", "left")
+        .select(
+            "media_id",
+            F.when(F.col("_d").isNotNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("kept"),
+        )
+    )

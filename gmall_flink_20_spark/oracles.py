@@ -5681,3 +5681,74 @@ dk AS (
 )
 SELECT * FROM d0 UNION ALL SELECT * FROM dk
 """
+
+
+# persisted compressed IVF-PQ index: same training, same folds, same
+# tiebreaks as the in-session composite — reload ≡ retrain exactly
+ORACLES["emb_index_pq_persist"] = ORACLES["emb_ann_ivf_pq"]
+
+
+# ingest-time image dedup vs the persisted phash index: closed-form
+# dHash per image (the media_phash_neardup bit formulas), brute-forced
+# neighbor map over the distinct hashes, earliest-owner keeper rule —
+# an image drops iff an indexed or lower-id image is within Hamming 3
+ORACLES["media_phash_index_persist"] = """
+WITH img AS (
+    SELECT doc_id AS media_id,
+           CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':incr'),
+                                    1, 15)) AS BIGINT) % 4 AS shard
+    FROM documents WHERE doc_id % 3 = 0
+),
+hb AS (
+    SELECT i.media_id,
+           CAST(sum(CASE WHEN (i.media_id + 3 * (gx.x + 1) + 7 * gy.y) % 256
+                              > (i.media_id + 3 * gx.x + 7 * gy.y) % 256
+                         THEN 1::BIGINT << (gy.y * 4 + gx.x) ELSE 0 END)
+                AS BIGINT) AS h
+    FROM img i, generate_series(0, 3) gx(x), generate_series(0, 4) gy(y)
+    GROUP BY 1
+),
+vb AS (
+    SELECT i.media_id,
+           CAST(sum(CASE WHEN (i.media_id + 3 * gx.x + 7 * (gy.y + 1)) % 256
+                              > (i.media_id + 3 * gx.x + 7 * gy.y) % 256
+                         THEN 1::BIGINT << (20 + gx.x * 4 + gy.y) ELSE 0 END)
+                AS BIGINT) AS h
+    FROM img i, generate_series(0, 4) gx(x), generate_series(0, 3) gy(y)
+    GROUP BY 1
+),
+ph AS (
+    SELECT i.media_id, i.shard, hb.h + vb.h AS phash
+    FROM img i JOIN hb USING (media_id) JOIN vb USING (media_id)
+),
+bh AS (SELECT DISTINCT phash FROM ph WHERE shard <> 0),
+newi AS (SELECT media_id, phash FROM ph WHERE shard = 0),
+allh AS (SELECT DISTINCT phash FROM ph),
+nmap AS (
+    SELECT a.phash AS h, b.phash AS nh
+    FROM allh a JOIN allh b ON bit_count(xor(a.phash, b.phash)) <= 3
+),
+owners AS (
+    SELECT nh, min(first_id) AS first_id FROM (
+        SELECT phash AS nh, CAST(-1 AS BIGINT) AS first_id FROM bh
+        UNION ALL
+        SELECT phash AS nh, CAST(min(media_id) AS BIGINT) AS first_id
+        FROM newi GROUP BY 1
+    ) GROUP BY 1
+),
+dropped AS (
+    SELECT DISTINCT n.media_id
+    FROM newi n
+    JOIN nmap ON nmap.h = n.phash
+    JOIN owners o ON o.nh = nmap.nh
+    WHERE o.first_id < n.media_id
+)
+SELECT n.media_id,
+       CAST(CASE WHEN d.media_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM newi n LEFT JOIN dropped d USING (media_id)
+"""
+
+
+# streaming image ingest: id-ordered replay + per-batch index append
+# reproduces exactly the batch earliest-owner rule
+ORACLES["media_phash_index_streaming"] = ORACLES["media_phash_index_persist"]

@@ -2940,6 +2940,120 @@ def docs_lsh_index_recover(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_index_pq_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted COMPRESSED index (operators/ann.ivf_pq_index_write /
+    ann_ivf_pq_persisted_topk): the layout a 100 TB corpus actually
+    stores — quantizer + PQ codebooks as KB-scale artifacts, postings
+    as list_id-partitioned (neighbor_id, m-byte codes) rows, 32×
+    smaller than raw vectors. Queries reload the trained artifacts,
+    probe + build ADC tables driver-side with the in-session kernels,
+    and ADC-scan only the probed partitions (static list_id IN filter).
+    Bit-equal to ann_ivf_pq_topk under equal params, so it gates on
+    emb_ann_ivf_pq's exact oracle: one hash match proves compressed
+    reload ≡ in-session composite. Build memoized per (input, params)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = scratch.memoized_index(
+        "ivfpq_full",
+        emb,
+        ("nlist", 16, "m", 8, "ks", 16),
+        lambda p: ann.ivf_pq_index_write(emb, p),
+    )
+    return ann.ann_ivf_pq_persisted_topk(
+        spark, path, emb, list(range(10)), 5, nprobe=4
+    )
+
+
+def _phash_base_index(spark: SparkSession, sf_dir: str) -> str:
+    """Memoized perceptual-hash index over the base image shards
+    (salted shard != 0 — the same 'incr' split as the text dedup
+    family); shared read-only by the persist entry, copied by the
+    streaming entry."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.pmod(sampling.sample_hash("doc_id", "incr"), F.lit(4))
+    base = docs.filter(shard != 0)
+    return scratch.memoized_index(
+        "phash_base",
+        base,
+        ("dhash", 40),
+        lambda p: multimodal.phash_index_write(
+            multimodal.image_dhash(multimodal.encode_media(base)), p
+        ),
+    )
+
+
+def media_phash_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time image dedup against the persisted phash index
+    (operators/multimodal.phash_index_query_incremental): the base
+    image corpus's perceptual hashes persist ONCE; the new-crawl shard
+    decodes, hashes, and dedups against the stored index — an image
+    drops iff some EARLIER image (indexed, or lower-id in the shard) is
+    within Hamming ≤ 3 of its 40-bit dHash. The candidate machinery is
+    the banded join over DISTINCT hash values (2^40-bounded); the
+    keeper rule reduces to each hash's earliest-owner arithmetic.
+    Oracle recomputes the hashes in closed form and replays the same
+    rule over the brute-forced neighbor map."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.pmod(sampling.sample_hash("doc_id", "incr"), F.lit(4))
+    new = docs.filter(shard == 0)
+    nh = multimodal.image_dhash(multimodal.encode_media(new))
+    return multimodal.phash_index_query_incremental(
+        spark, _phash_base_index(spark, sf_dir), nh
+    )
+
+
+def media_phash_index_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous image-ingest dedup against the persisted phash index
+    — the multimodal family's streaming run (the LSH crawl-ingest
+    pattern applied to images): the new shard's image docs replay IN ID
+    ORDER (three micro-batches); each batch decodes + hashes its
+    payloads, dedups against the CURRENT on-disk index (covers base,
+    earlier batches, and same-batch lower ids via the earliest-owner
+    rule), upserts its (media_id, kept) decisions keyed on media_id
+    alone, then APPENDS its own hashes so later batches see it. Replay
+    order = id order makes this byte-equal to the batch rule, so it
+    gates on media_phash_index_persist's exact oracle. foreachBatch
+    retries are safe: the query anti-joins the index against the
+    batch's own ids, so a retried batch that already appended itself
+    recomputes its original decisions exactly. Excluded from bench
+    (it measures the replay harness)."""
+    from .streaming import replay
+    from .streaming import topn as stopn
+
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.pmod(sampling.sample_hash("doc_id", "incr"), F.lit(4))
+    new = docs.filter(shard == 0).filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.timestamp_seconds(F.col("doc_id")).alias("ts")
+    )
+    path = scratch.fresh_copy(_phash_base_index(spark, sf_dir), "phash_stream_")
+    store = stopn.ParquetUpsertStore(
+        scratch.scratch_dir("phash_stream_store_") + "/log", "media_id"
+    )
+    stream = replay.replay_stream(spark, new, "ts", num_chunks=3)
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        b = batch.select("doc_id")
+        hashes = multimodal.image_dhash(multimodal.encode_media(b)).persist()
+        try:
+            if hashes.count() == 0:
+                return
+            store.upsert(
+                multimodal.phash_index_query_incremental(spark, path, hashes),
+                epoch_id,
+            )
+            multimodal.phash_index_append(hashes, path)
+        finally:
+            hashes.unpersist()
+
+    with replay.replay_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return store.snapshot(spark).select("media_id", "kept")
+
+
 def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image near-dup census — multimodal dedup over
     the REAL codec tier (operators/multimodal.image_dhash +
@@ -3748,6 +3862,9 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_index_recover": emb_index_recover,
     "docs_lsh_index_recover": docs_lsh_index_recover,
     "media_phash_neardup": media_phash_neardup,
+    "emb_index_pq_persist": emb_index_pq_persist,
+    "media_phash_index_persist": media_phash_index_persist,
+    "media_phash_index_streaming": media_phash_index_streaming,
 }
 
 # --- CORRECTNESS window (driver gates the FIRST 50 entries in dict
@@ -3941,9 +4058,12 @@ R10_NEW: list[str] = [
     "emb_index_recover",
     "docs_lsh_index_recover",
     "media_phash_neardup",
+    "emb_index_pq_persist",
+    "media_phash_index_persist",
+    "media_phash_index_streaming",
 ]
 # latest driver row = round 6 (from CORRECTNESS_r0{1..9}.json), sorted;
-# 50 entries — 50 - |R10_NEW| - |_R9_ROLLOVER| = 5 fit this round
+# 50 entries — 50 - |R10_NEW| - |_R9_ROLLOVER| = 2 fit this round
 _STALE_R6: list[str] = [
     "blacklist_kept", "blacklist_kept_streaming", "blacklist_warnings",
     "channel_behavior_pivot", "channel_stats", "channel_stats_cube",

@@ -383,3 +383,103 @@ def test_emb_index_streaming_kill_resume(spark, sf_dir, tmp_path):
     ann.ivf_index_append(emb.filter(F.col("vec_id") % 10 == 0), oneshot)
     exp = _ivf_rows(spark, oneshot, emb)
     assert got == exp and len(got) > 0
+
+
+# ------------------------------------------------ persisted IVF-PQ
+
+
+def test_ivf_pq_persisted_equals_in_session(spark, sf_dir, tmp_path):
+    """Compressed-index reload ≡ in-session composite, bit for bit
+    (same training, same driver-side probe/ADC kernels)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfpq")
+    ann.ivf_pq_index_write(emb, path)
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ann.ann_ivf_pq_persisted_topk(
+            spark, path, emb, list(range(10)), 5
+        ).collect()
+    }
+    exp = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ann.ann_ivf_pq_topk(emb, list(range(10)), 5).collect()
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_ivf_pq_index_layout(spark, sf_dir, tmp_path):
+    """The stored postings carry CODES, not raw vectors — the
+    compression is real — and the layout is hive-partitioned."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfpq_layout")
+    ann.ivf_pq_index_write(emb, path)
+    post = spark.read.parquet(f"{path}/postings")
+    assert set(post.columns) == {"neighbor_id", "codes", "list_id"}
+    assert post.count() == emb.count()
+    row = post.limit(1).collect()[0]
+    assert len(row.codes) == 8 and all(0 <= c < 16 for c in row.codes)
+    cents, books, meta = ann.ivf_pq_index_load(spark, path)
+    assert len(cents) == 16 and len(books) == 8 and meta["ks"] == 16
+    dirs = {p.name for p in Path(f"{path}/postings").iterdir() if p.is_dir()}
+    assert dirs and all(d.startswith("list_id=") for d in dirs)
+
+
+# ------------------------------------------------ phash dedup index
+
+
+def test_phash_index_incremental_matches_brute_force(spark, sf_dir, tmp_path):
+    """The banded earliest-owner rule must equal the quadratic
+    definition: kept iff no EARLIER image within hamming <= 3."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.encode_media(docs)
+    hashes = {r.media_id: r.phash for r in multimodal.image_dhash(media).collect()}
+    base_ids = sorted(m for m in hashes if m % 4 != 0)
+    new_ids = sorted(m for m in hashes if m % 4 == 0)
+    base_df = spark.createDataFrame(
+        [(m, hashes[m]) for m in base_ids], "media_id long, phash long"
+    )
+    new_df = spark.createDataFrame(
+        [(m, hashes[m]) for m in new_ids], "media_id long, phash long"
+    )
+    path = str(tmp_path / "phidx")
+    multimodal.phash_index_write(base_df, path)
+    got = {
+        (r.media_id, r.kept)
+        for r in multimodal.phash_index_query_incremental(
+            spark, path, new_df
+        ).collect()
+    }
+    base_hashes = {hashes[m] for m in base_ids}
+    exp = set()
+    for i in new_ids:
+        dropped = any(
+            bin(hashes[i] ^ h).count("1") <= 3 for h in base_hashes
+        ) or any(
+            j < i and bin(hashes[i] ^ hashes[j]).count("1") <= 3
+            for j in new_ids
+        )
+        exp.add((i, 0 if dropped else 1))
+    assert got == exp and len(got) == len(new_ids)
+
+
+def test_phash_index_retry_sees_itself_safely(spark, sf_dir, tmp_path):
+    """A retried batch that already appended its own hashes must
+    recompute its ORIGINAL decisions (the anti-join neutralizer)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = multimodal.image_dhash(multimodal.encode_media(docs))
+    base = hashes.filter(F.col("media_id") % 4 != 0)
+    new = hashes.filter(F.col("media_id") % 4 == 0)
+    path = str(tmp_path / "phretry")
+    multimodal.phash_index_write(base, path)
+    first = {
+        (r.media_id, r.kept)
+        for r in multimodal.phash_index_query_incremental(spark, path, new).collect()
+    }
+    multimodal.phash_index_append(new, path)  # the batch lands
+    # ... and the foreachBatch RETRY re-runs the query with its own
+    # rows already in the index
+    retry = {
+        (r.media_id, r.kept)
+        for r in multimodal.phash_index_query_incremental(spark, path, new).collect()
+    }
+    assert retry == first
