@@ -250,6 +250,7 @@ BENCH_QUERIES = [
     "docs_lsh_index_recover",
     "media_phash_neardup",
     "emb_index_pq_persist",
+    "emb_index_pq_append",
     "media_phash_index_persist",
 ]
 

@@ -1856,3 +1856,38 @@ def ann_ivf_pq_persisted_topk(
         F.col("list_id").isin(probed)
     )
     return _adc_ranked(probes, postings, k, m, ks)
+
+
+def ivf_pq_index_append(
+    delta: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental maintenance of a persisted IVF-PQ index — FAISS
+    ``add()`` on the compressed layout: assign AND encode the delta
+    batch with the FROZEN on-disk artifacts (coarse quantizer + PQ
+    codebooks, reloaded, never retrained) and append the (neighbor_id,
+    codes) rows into the matching ``list_id=`` postings partitions.
+    Row-local Arrow passes + a partitioned append — no shuffle of
+    existing data, no touch of existing files. Compaction reuses
+    ivf_index_compact unchanged (the swap convention is layout-
+    agnostic). Gated through emb_index_pq_append against the
+    base-trained IVF-PQ oracle."""
+    from ..io_sinks import write_partitioned
+
+    spark = delta.sparkSession
+    cents, books, meta = ivf_pq_index_load(spark, path)
+    encoded = delta.select(
+        F.col(id_col).alias("neighbor_id"),
+        _assign_udf(cents)(F.col(vec_col)).alias("list_id"),
+        _pq_encode_udf(books, meta["m"], meta["subdim"])(F.col(vec_col)).alias(
+            "codes"
+        ),
+    )
+    write_partitioned(
+        encoded.repartition("list_id"),
+        f"{path}/postings",
+        ["list_id"],
+        mode="append",
+    )

@@ -2320,6 +2320,7 @@ def _ivf_pq_sql(
     dim: int = 64,
     k: int = 5,
     rerank: int = 0,
+    train_where: str | None = None,
 ) -> str:
     """IVF-PQ oracle (mirrors ann.ann_ivf_pq_topk): a raw-vector L2
     Lloyd CTE chain (the coarse quantizer), the _pq_sql codebook/code/
@@ -2327,7 +2328,16 @@ def _ivf_pq_sql(
     restricted to each query's nprobe nearest inverted lists.
     ``rerank`` > 0 appends the exact-L2 refine stage
     (ann.ann_ivf_pq_rerank_topk): ADC nominates ``rerank`` candidates,
-    true distance on the raw double-cast vectors orders the final k."""
+    true distance on the raw double-cast vectors orders the final k.
+    ``train_where`` restricts BOTH training chains (coarse init+Lloyd,
+    PQ codebook init+Lloyd) to the base subset while encode / assign /
+    probe / scan still cover every vector — the compressed
+    incremental-index-append form (FAISS add() on IVFPQ). NOTE the
+    caller must keep vec_id < max(nlist, ks) inside the base: codeword
+    ids double as ADC table positions on both engines, so the training
+    subset must contain the init ids for the code space to stay
+    contiguous (the id-ordered ingest split used by emb_index_pq_append
+    guarantees it)."""
     # ---- coarse quantizer: plain L2 Lloyd on the raw (double-cast) vectors
     cdl2 = (
         f"list_sum(list_transform(range(1, {dim + 1}), "
@@ -2336,15 +2346,21 @@ def _ivf_pq_sql(
     cmeans = ", ".join(f"round(avg(vv[{i + 1}]), 6)" for i in range(dim))
     ctes = [
         "v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv FROM embeddings)",
-        f"cc0 AS (SELECT vec_id AS cid, vv AS cv FROM v WHERE vec_id < {nlist})",
     ]
+    tv = "v"
+    if train_where is not None:
+        tv = "tv AS v"
+        ctes.append(f"tv AS (SELECT * FROM v WHERE {train_where})")
+    ctes.append(
+        f"cc0 AS (SELECT vec_id AS cid, vv AS cv FROM {tv.split(' ')[0]} WHERE vec_id < {nlist})"
+    )
     for t in range(1, coarse_iters + 1):
         ctes.append(
             f"""ca{t} AS (
     SELECT vec_id, vv, cid FROM (
         SELECT v.vec_id, v.vv, c.cid,
                row_number() OVER (PARTITION BY v.vec_id ORDER BY {cdl2} ASC, c.cid ASC) AS rn
-        FROM v, cc{t - 1} c) WHERE rn = 1
+        FROM {tv}, cc{t - 1} c) WHERE rn = 1
 )"""
         )
         ctes.append(f"cm{t} AS (SELECT cid, [{cmeans}] AS mv FROM ca{t} GROUP BY cid)")
@@ -2382,7 +2398,11 @@ def _ivf_pq_sql(
     FROM embeddings, generate_series(0, {m - 1}) AS g(j)
 )"""
     )
-    ctes.append(f"cents0 AS (SELECT j, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < {ks})")
+    tsub = "sub s"
+    if train_where is not None:
+        tsub = "tsub s"
+        ctes.append(f"tsub AS (SELECT * FROM sub WHERE {train_where})")
+    ctes.append(f"cents0 AS (SELECT j, vec_id AS cid, sv AS cv FROM {tsub.split(' ')[0]} WHERE vec_id < {ks})")
     for t in range(1, pq_iters + 1):
         ctes.append(
             f"""a{t} AS (
@@ -2390,7 +2410,7 @@ def _ivf_pq_sql(
         SELECT s.vec_id, s.j, s.sv, c.cid,
                row_number() OVER (PARTITION BY s.vec_id, s.j
                                   ORDER BY {dl2} ASC, c.cid ASC) AS rn
-        FROM sub s JOIN cents{t - 1} c ON s.j = c.j) WHERE rn = 1
+        FROM {tsub} JOIN cents{t - 1} c ON s.j = c.j) WHERE rn = 1
 )"""
         )
         ctes.append(f"m{t} AS (SELECT j, cid, [{means}] AS mv FROM a{t} GROUP BY j, cid)")
@@ -5752,3 +5772,15 @@ FROM newi n LEFT JOIN dropped d USING (media_id)
 # streaming image ingest: id-ordered replay + per-batch index append
 # reproduces exactly the batch earliest-owner rule
 ORACLES["media_phash_index_streaming"] = ORACLES["media_phash_index_persist"]
+
+
+# compressed incremental append: coarse + PQ training frozen on the
+# id-prefix 90% base (ids are ingest-ordered — the last 10% IS the new
+# batch; and the base must contain the init ids, see _ivf_pq_sql);
+# encode/assign/probe/scan cover the full corpus. Equality with the
+# Spark write(base)+append(delta)+compact index proves FAISS add() on
+# IVFPQ preserves exact composite semantics.
+_PQ_BASE_WHERE = (
+    "vec_id < (9 * ((SELECT max(vec_id) FROM embeddings) + 1)) // 10"
+)
+ORACLES["emb_index_pq_append"] = _ivf_pq_sql(train_where=_PQ_BASE_WHERE)

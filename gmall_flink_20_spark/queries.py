@@ -2963,6 +2963,57 @@ def emb_index_pq_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_id_cutoff(spark: SparkSession, sf_dir: str) -> int:
+    """Id-ordered 90/10 ingest split for the compressed-index append:
+    ids are ingest-ordered in a growing corpus, so 'the last 10%' IS
+    the new batch. Also structurally required: PQ codeword ids double
+    as ADC table positions on both engines, so the training base must
+    contain the init ids (vec_id < ks) — an id-prefix base guarantees
+    it, where a salted split could drop one."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mx = emb.agg(F.max("vec_id")).first()[0]
+    return (9 * (int(mx) + 1)) // 10
+
+
+def _ivf_pq_base_index(spark: SparkSession, sf_dir: str) -> str:
+    """Memoized IVF-PQ index over the id-prefix 90% base — the frozen
+    compressed base that emb_index_pq_append grows via fresh_copy."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cut = _pq_id_cutoff(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") < cut)
+    return scratch.memoized_index(
+        "ivfpq_base90",
+        base,
+        ("nlist", 16, "m", 8, "ks", 16),
+        lambda p: ann.ivf_pq_index_write(base, p),
+    )
+
+
+def emb_index_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-index incremental maintenance (operators/ann.
+    ivf_pq_index_append): the coarse quantizer AND PQ codebooks freeze
+    on the id-prefix 90% base; the newest 10% batch is assigned and
+    ENCODED with the reloaded artifacts and appended into the postings
+    partitions in two fragmenting halves, then ivf_index_compact (the
+    layout-agnostic maintenance pass) rewrites one-file-per-cell, and
+    queries 0..9 ADC-probe the grown, compacted index. One oracle hash
+    (base-trained coarse + PQ Lloyd unrolled in SQL, full-corpus
+    encode/scan) proves add-without-retrain, compaction invariance,
+    and query correctness for the COMPRESSED lifecycle — FAISS add()
+    on IVFPQ, exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cut = _pq_id_cutoff(spark, sf_dir)
+    delta = emb.filter(F.col("vec_id") >= cut)
+    path = scratch.fresh_copy(_ivf_pq_base_index(spark, sf_dir), "ivfpq_append_")
+    half = F.pmod(F.col("vec_id"), F.lit(2))
+    ann.ivf_pq_index_append(delta.filter(half == 0), path)
+    ann.ivf_pq_index_append(delta.filter(half == 1), path)
+    ann.ivf_index_compact(spark, path)
+    return ann.ann_ivf_pq_persisted_topk(
+        spark, path, emb, list(range(10)), 5, nprobe=4
+    )
+
+
 def _phash_base_index(spark: SparkSession, sf_dir: str) -> str:
     """Memoized perceptual-hash index over the base image shards
     (salted shard != 0 — the same 'incr' split as the text dedup
@@ -3863,6 +3914,7 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_lsh_index_recover": docs_lsh_index_recover,
     "media_phash_neardup": media_phash_neardup,
     "emb_index_pq_persist": emb_index_pq_persist,
+    "emb_index_pq_append": emb_index_pq_append,
     "media_phash_index_persist": media_phash_index_persist,
     "media_phash_index_streaming": media_phash_index_streaming,
 }
@@ -4059,11 +4111,12 @@ R10_NEW: list[str] = [
     "docs_lsh_index_recover",
     "media_phash_neardup",
     "emb_index_pq_persist",
+    "emb_index_pq_append",
     "media_phash_index_persist",
     "media_phash_index_streaming",
 ]
 # latest driver row = round 6 (from CORRECTNESS_r0{1..9}.json), sorted;
-# 50 entries — 50 - |R10_NEW| - |_R9_ROLLOVER| = 2 fit this round
+# 50 entries — 50 - |R10_NEW| - |_R9_ROLLOVER| = 1 fits this round
 _STALE_R6: list[str] = [
     "blacklist_kept", "blacklist_kept_streaming", "blacklist_warnings",
     "channel_behavior_pivot", "channel_stats", "channel_stats_cube",

@@ -483,3 +483,38 @@ def test_phash_index_retry_sees_itself_safely(spark, sf_dir, tmp_path):
         for r in multimodal.phash_index_query_incremental(spark, path, new).collect()
     }
     assert retry == first
+
+
+def test_ivf_pq_append_order_and_compaction_invariant(spark, sf_dir, tmp_path):
+    """Compressed add(): frozen-artifact appends must be order-
+    invariant, and the layout-agnostic compactor must leave answers
+    unchanged while cutting the file count."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mx = emb.agg(F.max("vec_id")).first()[0]
+    cut = (9 * (int(mx) + 1)) // 10
+    base = emb.filter(F.col("vec_id") < cut)
+    delta = emb.filter(F.col("vec_id") >= cut)
+
+    def build(name, parts):
+        path = str(tmp_path / name)
+        ann.ivf_pq_index_write(base, path)
+        for p in parts:
+            ann.ivf_pq_index_append(p, path)
+        return path
+
+    whole = build("pq_whole", [delta])
+    halves = build(
+        "pq_halves",
+        [delta.filter(F.pmod(F.col("vec_id"), F.lit(2)) == j) for j in (1, 0)],
+    )
+    q = lambda p: {  # noqa: E731
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ann.ann_ivf_pq_persisted_topk(
+            spark, p, emb, list(range(10)), 5
+        ).collect()
+    }
+    assert q(whole) == q(halves) and len(q(whole)) > 0
+    files_before = len(list(Path(f"{halves}/postings").rglob("*.parquet")))
+    n_after = ann.ivf_index_compact(spark, halves)
+    assert n_after < files_before
+    assert q(halves) == q(whole)
