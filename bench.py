@@ -252,6 +252,8 @@ BENCH_QUERIES = [
     "emb_index_pq_persist",
     "emb_index_pq_append",
     "media_phash_index_persist",
+    # round-11 batch additions
+    "unique_visitors_bitmap",
 ]
 
 

@@ -19,7 +19,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["unique_count", "approx_unique_count", "approx_unique_count_checked"]
+__all__ = [
+    "unique_count",
+    "approx_unique_count",
+    "approx_unique_count_checked",
+    "bitmap_fragments",
+    "bitmap_census",
+    "bitmap_unique_count",
+]
 
 
 def unique_count(
@@ -82,3 +89,61 @@ def approx_unique_count_checked(
         )
         .drop("w", "_hll")
     )
+
+
+def bitmap_fragments(
+    df: DataFrame, ts_col: str, size: str, id_col: str
+) -> DataFrame:
+    """EXACT-bitmap UV state: 64-bit bitmap fragments per (window,
+    bucket) — the distributed form of the reference's Redis bitmap
+    (UniqueVisitorApp2.java:93-146 does SETBIT(windowKey, userId) per
+    element and counts set bits per window). Here the id space shards
+    into 64-id buckets (bucket = id >> 6) and each fragment is one
+    long: bit (id & 63) set iff that id appeared in the window.
+
+    Exactness without a distinct aggregate: OR is idempotent, so
+    duplicate ids collapse bit-for-bit — the same reason SETBIT is
+    retry- and duplicate-safe. Fragments merge associatively (bit_or),
+    so partial bitmaps combine map-side, across micro-batches, and
+    across executors; state is |distinct ids|/64 longs per window
+    (the bitmap's memory bound), never a per-id hash set.
+
+    Requires non-negative ids (ours are synthetic non-negative longs;
+    Redis SETBIT has the same constraint — offsets are unsigned)."""
+    # SQL expr: the Python shiftleft() only takes a literal shift count
+    mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pmod({id_col}, 64) AS INT))")
+    return (
+        df.groupBy(
+            F.window(ts_col, size).alias("w"),
+            F.shiftright(F.col(id_col).cast("long"), 6).alias("bucket"),
+        )
+        .agg(F.bit_or(mask).alias("bits"))
+        .withColumn("window_end_s", F.col("w.end").cast("long"))
+        .drop("w")
+    )
+
+
+def bitmap_census(fragments: DataFrame, alias: str = "uv") -> DataFrame:
+    """Exact UV per window from bitmap fragments: OR-merge any
+    duplicate (window, bucket) fragments (append logs, retried
+    batches), then popcount-sum — Redis BITCOUNT over the sharded
+    bitmap. Both steps are one shuffle each on keys that shrink with
+    every stage."""
+    return (
+        fragments.groupBy("window_end_s", "bucket")
+        .agg(F.bit_or("bits").alias("bits"))
+        .groupBy("window_end_s")
+        .agg(F.sum(F.bit_count("bits")).cast("long").alias(alias))
+    )
+
+
+def bitmap_unique_count(
+    df: DataFrame, ts_col: str, size: str, id_col: str, alias: str = "uv"
+) -> DataFrame:
+    """WA6's Redis-bitmap UV, batch form: fragment + census in one
+    plan. Byte-equal to ``unique_count`` (gated against the exact UV
+    oracle) while carrying bitmap state instead of an id set: the
+    shuffle volume is one long per 64 ids per window — at 100 TB the
+    difference between shuffling every distinct id and 1/64th of
+    them, with partial aggregation collapsing repeats map-side."""
+    return bitmap_census(bitmap_fragments(df, ts_col, size, id_col), alias)

@@ -181,6 +181,9 @@ ORACLES["login_fail_streaming"] = ORACLES["login_fail_consecutive"]
 ORACLES["blacklist_kept_streaming"] = ORACLES["blacklist_kept"]
 ORACLES["page_views_streaming"] = ORACLES["page_views"]
 ORACLES["unique_visitors_streaming"] = ORACLES["unique_visitors"]
+# the bitmap forms are EXACT — bit-for-bit the countDistinct answer
+ORACLES["unique_visitors_bitmap"] = ORACLES["unique_visitors"]
+ORACLES["unique_visitors_bitmap_streaming"] = ORACLES["unique_visitors"]
 ORACLES["hot_items_topn_streaming"] = ORACLES["hot_items_topn"]
 ORACLES["hot_urls_topn_streaming"] = ORACLES["hot_urls_topn"]
 

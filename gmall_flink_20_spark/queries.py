@@ -3666,6 +3666,65 @@ def orders_repeat_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.rapid_repeat_orders(load_table(spark, sf_dir, "orders"))
 
 
+# ------------------------------------------------------ round-11 entries
+
+
+def unique_visitors_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WA6's Redis-bitmap UV made EXACT (UniqueVisitorApp2.java:93-146
+    — SETBIT(windowKey, userId) per element, BITCOUNT per window): the
+    id space shards into 64-id buckets, each (window, bucket) carries
+    one long of bits, and the census popcount-sums the OR-merged
+    fragments (operators/distinct.bitmap_unique_count). Closes the one
+    documented semantic substitution of the HLL entry: this IS the
+    external-bitmap semantics, distributed — and it gates against the
+    exact unique_visitors oracle, so a hash match proves bitmap ≡
+    countDistinct."""
+    return distinct.bitmap_unique_count(
+        _events(spark, sf_dir), "ts", "1 hour", "user_id"
+    ).select("window_end_s", "uv")
+
+
+def unique_visitors_bitmap_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WA6's Redis-bitmap UV as ACTUAL Structured Streaming — the
+    reference's per-element SETBIT into an external store, batched:
+    each micro-batch reduces its rows to (window, bucket) bitmap
+    fragments IN the batch (executor-side, one long per 64 ids) and
+    appends them to the persisted fragment log (the Redis analog the
+    sandbox can run — same store family as ParquetUpsertStore, but
+    OR-merge-on-read instead of last-write-wins, because bitmap state
+    accumulates across batches). The final census OR-merges per
+    (window, bucket) and popcount-sums — Redis BITCOUNT.
+
+    Retry-safe BY ALGEBRA, no batch-id ledger needed: a retried batch
+    re-appends byte-identical fragments and OR is idempotent, exactly
+    why the reference's SETBIT tolerates replays. No watermark either —
+    fragments are windowed facts, not event-time aggregation state, so
+    late rows just OR into their window's fragment whenever they
+    arrive. Gates against the exact unique_visitors oracle. Excluded
+    from bench (it measures the replay harness)."""
+    from .streaming import replay
+
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    stream = replay.replay_stream(spark, ev, "ts", num_chunks=replay.REPLAY_CHUNKS)
+    log = scratch.scratch_dir("uv_bitmap_store_") + "/log"
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        distinct.bitmap_fragments(batch, "ts", "1 hour", "user_id").write.mode(
+            "append"
+        ).parquet(log)
+
+    with replay.replay_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return distinct.bitmap_census(spark.read.parquet(log)).select(
+        "window_end_s", "uv"
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3927,6 +3986,8 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_index_pq_append": emb_index_pq_append,
     "media_phash_index_persist": media_phash_index_persist,
     "media_phash_index_streaming": media_phash_index_streaming,
+    "unique_visitors_bitmap": unique_visitors_bitmap,
+    "unique_visitors_bitmap_streaming": unique_visitors_bitmap_streaming,
 }
 
 # --- CORRECTNESS window (driver gates the FIRST 50 entries in dict

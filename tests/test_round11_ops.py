@@ -74,3 +74,58 @@ def test_phash_entries_encode_only_images(spark, sf_dir):
     enc = multimodal.encode_media(docs.filter(F.col("doc_id") % 3 == 0))
     kinds = [r.kind for r in enc.select("kind").distinct().collect()]
     assert kinds == ["image"]
+
+
+# ------------------------------------------------ exact-bitmap UV
+
+
+def test_bitmap_uv_equals_count_distinct(spark, sf_dir):
+    from gmall_flink_20_spark.operators import distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        (r.window_end_s, r.uv)
+        for r in distinct.unique_count(ev, "ts", "1 hour", "user_id").collect()
+    }
+    bitmap = {
+        (r.window_end_s, r.uv)
+        for r in distinct.bitmap_unique_count(ev, "ts", "1 hour", "user_id").collect()
+    }
+    assert bitmap == exact
+
+
+def test_bitmap_census_is_retry_idempotent(spark, sf_dir):
+    """A retried micro-batch re-appends byte-identical fragments; the
+    OR-merge census must be invariant under duplicated fragment rows."""
+    from gmall_flink_20_spark.operators import distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    frags = distinct.bitmap_fragments(ev, "ts", "1 hour", "user_id")
+    once = {
+        (r.window_end_s, r.uv)
+        for r in distinct.bitmap_census(frags).collect()
+    }
+    doubled = {
+        (r.window_end_s, r.uv)
+        for r in distinct.bitmap_census(frags.unionAll(frags)).collect()
+    }
+    assert doubled == once
+
+
+def test_bitmap_fragments_are_64x_smaller_than_ids(spark, sf_dir):
+    """The scale claim: fragment count per window is bounded by
+    ceil(|distinct ids| / 64) summed over buckets — never id-scale."""
+    from gmall_flink_20_spark.operators import distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    frags = distinct.bitmap_fragments(ev, "ts", "1 hour", "user_id")
+    n_frags = frags.count()
+    n_pairs = (
+        ev.select(F.date_trunc("hour", "ts").alias("h"), "user_id")
+        .distinct()
+        .count()
+    )
+    assert n_frags <= n_pairs
+    # every fragment covers at least one id, at most 64
+    total_bits = frags.select(F.sum(F.bit_count("bits"))).first()[0]
+    assert total_bits == n_pairs
