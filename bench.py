@@ -254,6 +254,8 @@ BENCH_QUERIES = [
     "media_phash_index_persist",
     # round-11 batch additions
     "unique_visitors_bitmap",
+    "emb_ann_opq",
+    "emb_index_opq_persist",
 ]
 
 

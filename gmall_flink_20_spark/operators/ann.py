@@ -1891,3 +1891,341 @@ def ivf_pq_index_append(
         ["list_id"],
         mode="append",
     )
+
+
+# ---------------------------------------------------------------- OPQ
+
+
+def opq_train_local(
+    emb: DataFrame,
+    m: int = 8,
+    subdim: int = 8,
+    ks: int = 16,
+    pq_iters: int = 4,
+    opq_iters: int = 4,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Optimized Product Quantization (Ge et al., CVPR'13 — FAISS's
+    OPQMatrix): learn an orthogonal rotation R that redistributes
+    variance across the PQ subspaces before encoding, by alternating
+    (a) Lloyd codebook training on the rotated sample and (b) the
+    orthogonal-Procrustes solve R = UVᵀ from SVD(XᵀX̂). Deterministic:
+    R initializes at IDENTITY, the sample is the ``sample`` lowest-id
+    vectors, Lloyd init is the ks lowest-id rows per subspace, ties
+    break low, and numpy SVD on a fixed matrix is reproducible — so the
+    artifact memoizes like every other trained quantizer here.
+
+    Training is SAMPLE-based, as FAISS's OPQ is in practice: the
+    rotation + codebooks are a KB-scale artifact of a bounded slice
+    (dim² + m·ks·subdim doubles), so training cost is independent of
+    corpus size — at 100 TB only the row-local encode pass sees every
+    row. Keep-best over the candidate ladder INCLUDING the R=I start
+    guarantees train-sample quantization error ≤ plain PQ trained the
+    same way (tested); returns (R, codebooks, opq_err, pq_err) with R
+    as a dim×dim nested list and codebooks in pq_train_local's
+    [(cid, centroid)] shape.
+    """
+    import numpy as np
+
+    memo_key = (
+        "opq", _memo_fingerprint(emb), m, subdim, ks, pq_iters, opq_iters,
+        sample, id_col, vec_col,
+    )
+    hit = _ARTIFACT_MEMO.get(memo_key)
+    if hit is not None:
+        R, books, e_opq, e_pq = hit
+        return (
+            [list(r) for r in R],
+            [[(cid, list(cv)) for cid, cv in book] for book in books],
+            e_opq,
+            e_pq,
+        )
+    dim = m * subdim
+    rows = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col))
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    n = X.shape[0]
+
+    def lloyd(Xr: "np.ndarray"):
+        """Per-subspace deterministic Lloyd; returns (m, ks, subdim)."""
+        C = np.stack(
+            [Xr[:ks, j * subdim : (j + 1) * subdim].copy() for j in range(m)]
+        )  # init: ks lowest-id rows' subvectors
+        S = Xr.reshape(n, m, subdim)
+        for _ in range(pq_iters):
+            # assign: (n, m) code per subspace, first-minimum ties
+            d2 = ((S[:, :, None, :] - C[None, :, :, :]) ** 2).sum(-1)
+            codes = np.argmin(d2, axis=2)
+            for j in range(m):
+                for c in range(ks):
+                    mask = codes[:, j] == c
+                    if mask.any():
+                        C[j, c] = S[mask, j].mean(axis=0)
+        return C
+
+    def err(Xr: "np.ndarray", C: "np.ndarray") -> float:
+        S = Xr.reshape(n, m, subdim)
+        d2 = ((S[:, :, None, :] - C[None, :, :, :]) ** 2).sum(-1)
+        return float(d2.min(axis=2).sum(axis=1).mean())
+
+    def recon(Xr: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+        S = Xr.reshape(n, m, subdim)
+        d2 = ((S[:, :, None, :] - C[None, :, :, :]) ** 2).sum(-1)
+        codes = np.argmin(d2, axis=2)  # (n, m)
+        out = np.empty_like(S)
+        for j in range(m):
+            out[:, j, :] = C[j, codes[:, j]]
+        return out.reshape(n, dim)
+
+    R = np.eye(dim)
+    C = lloyd(X)
+    pq_err = err(X, C)
+    best = (pq_err, R.copy(), C.copy())
+    for _ in range(opq_iters):
+        Xhat = recon(X @ R, C)  # reconstruction in rotated space
+        U, _, Vt = np.linalg.svd(X.T @ Xhat)
+        R = U @ Vt  # orthogonal Procrustes: argmin ||XR - Xhat||
+        C = lloyd(X @ R)
+        e = err(X @ R, C)
+        if e < best[0]:
+            best = (e, R.copy(), C.copy())
+    e_opq, R, C = best
+    books = [
+        [(cid, [float(x) for x in C[j, cid]]) for cid in range(ks)]
+        for j in range(m)
+    ]
+    Rl = [[float(x) for x in row] for row in R]
+    if len(_ARTIFACT_MEMO) >= _ARTIFACT_MEMO_CAP:
+        _ARTIFACT_MEMO.clear()
+    _ARTIFACT_MEMO[memo_key] = (
+        [list(r) for r in Rl],
+        [[(cid, list(cv)) for cid, cv in book] for book in books],
+        e_opq,
+        pq_err,
+    )
+    return Rl, books, e_opq, pq_err
+
+
+def _opq_encode_udf(R: list[list[float]], codebooks, m: int, subdim: int):
+    """Arrow-vectorized rotate-then-PQ-encode: embedding → array<int>
+    of m codes under the OPQ rotation. Row-local — R and the codebooks
+    are KB-scale literals in the closure; the corpus never shuffles."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    Rm = np.array(R, dtype=np.float64)
+    ids = np.array([[cid for cid, _ in cb] for cb in codebooks])
+    C = np.array([[cv for _, cv in cb] for cb in codebooks])
+
+    def encode(v):
+        X = np.array(v.tolist(), dtype=np.float64) @ Rm
+        V = X.reshape(len(v), m, subdim)
+        d2 = ((V[:, :, None, :] - C[None, :, :, :]) ** 2).sum(-1)
+        am = np.argmin(d2, axis=2)
+        codes = np.take_along_axis(
+            np.broadcast_to(ids, d2.shape[:2] + (ids.shape[1],)), am[:, :, None], 2
+        )
+        return pd.Series([row.astype("int32").tolist() for row in codes[:, :, 0]])
+
+    encode.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(encode, "array<int>")
+
+
+def _opq_adc_rank(
+    spark,
+    encoded: DataFrame,
+    qrows: list[tuple[int, list[float]]],
+    R: list[list[float]],
+    books,
+    k: int,
+    m: int,
+    subdim: int,
+    ks: int,
+) -> DataFrame:
+    """ADC scoring of OPQ codes: rotate each query driver-side, build
+    its flat m·ks distance table, broadcast, and rank with the same
+    fixed-order lookup-sum plan as ann_pq_topk."""
+    import numpy as np
+
+    Rm = np.array(R, dtype=np.float64)
+    qdt = []
+    for qid, qv in qrows:
+        q = np.array(qv, dtype=np.float64) @ Rm
+        dt = []
+        for j in range(m):
+            for _, cv in books[j]:
+                d = q[j * subdim : (j + 1) * subdim] - np.array(cv)
+                dt.append(float((d * d).sum()))
+        qdt.append((qid, dt))
+    queries = spark.createDataFrame(qdt, "query_id long, dt array<double>")
+    dist = None
+    for j in range(m):
+        term = F.element_at("dt", F.lit(j * ks) + F.element_at("codes", j + 1) + 1)
+        dist = term if dist is None else dist + term
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        encoded.crossJoin(F.broadcast(queries))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("dist", dist)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def ann_opq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    m: int = 8,
+    subdim: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """OPQ-ADC approximate top-k: train the rotation + codebooks on the
+    bounded sample (opq_train_local), encode the corpus row-locally
+    under the rotation, and score queries via broadcast distance
+    tables — ann_pq_topk's exact plan shape with a learned orthogonal
+    change of basis in front. Same 32× compression, better-conditioned
+    subspaces (error ≤ plain PQ on the train sample by construction)."""
+    R, books, _, _ = opq_train_local(emb, m, subdim, ks, id_col=id_col, vec_col=vec_col)
+    enc = _opq_encode_udf(R, books, m, subdim)
+    encoded = emb.select(F.col(id_col).alias("neighbor_id"), enc(F.col(vec_col)).alias("codes"))
+    qrows = sorted(
+        (int(r[id_col]), [float(x) for x in r[vec_col]])
+        for r in emb.filter(F.col(id_col).isin(query_ids)).select(id_col, vec_col).collect()
+    )
+    return _opq_adc_rank(emb.sparkSession, encoded, qrows, R, books, k, m, subdim, ks)
+
+
+def opq_recall_gate(
+    emb: DataFrame,
+    approx: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    min_batch_recall: float = 0.1,
+    opq_err: float = 0.0,
+    pq_err: float = 0.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Error-bound gate for a learned-rotation ANN (the WA6 pattern —
+    SVD-trained artifacts have no SQL-expressible twin, so the oracle
+    checks bounds instead of unrolling training): per query, the EXACT
+    cosine top-1 neighbor (SQL-computable, hash-gated) plus two batch
+    booleans — (a) OPQ's train-sample quantization error did not exceed
+    plain PQ's (the property the rotation exists to deliver; TRUE by
+    keep-best construction, asserted here so a regression flips the
+    gate), and (b) recall@k over the WHOLE query batch cleared
+    ``min_batch_recall``. Batch-level, not per-query: on this synthetic
+    near-uniform corpus individual queries legitimately score 0/k (an
+    8-byte code quantizes away near-ties), while the batch total is
+    stable at ~2-3× the bound across SFs (measured 11/50, 14/50, 13/50
+    at sf0.001/0.01/0.1). The oracle emits the exact top-1 and literal
+    TRUEs, so a hash match proves both bounds held."""
+    from .similarity import ann_bruteforce_topk
+
+    exact = ann_bruteforce_topk(emb, query_ids, k, id_col, vec_col)
+    total_hits = exact.join(approx, ["query_id", "neighbor_id"]).count()
+    need = int(min_batch_recall * k * len(query_ids) + 0.999999)
+    top1 = exact.filter(F.col("rank") == 1).select(
+        "query_id", F.col("neighbor_id").alias("exact_top1")
+    )
+    return top1.select(
+        "query_id",
+        "exact_top1",
+        F.lit(bool(opq_err <= pq_err)).alias("opq_err_le_pq_err"),
+        F.lit(bool(total_hits >= need)).alias("batch_recall_ok"),
+    ).orderBy("query_id")
+
+
+def opq_index_write(
+    emb: DataFrame,
+    path: str,
+    m: int = 8,
+    subdim: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist a trained OPQ index: the rotation matrix + codebooks
+    (KB-scale driver artifacts, like every quantizer here) and the
+    corpus as m-byte OPQ codes — FAISS's `OPQMatrix,PQ8` chain written
+    as parquet. The codes frame is the 32×-compressed corpus scan
+    target; reload ≡ retrain exactly (same memoized artifact, tested)."""
+    import pyarrow as pa
+
+    R, books, e_opq, e_pq = opq_train_local(
+        emb, m, subdim, ks, id_col=id_col, vec_col=vec_col
+    )
+    _write_small_parquet(
+        f"{path}/rotation",
+        {"i": list(range(len(R))), "rv": [list(r) for r in R]},
+        pa.schema([("i", pa.int32()), ("rv", pa.list_(pa.float64()))]),
+    )
+    _write_small_parquet(
+        f"{path}/codebooks",
+        {
+            "j": [j for j in range(m) for _ in books[j]],
+            "cid": [cid for j in range(m) for cid, _ in books[j]],
+            "cv": [list(cv) for j in range(m) for _, cv in books[j]],
+        },
+        pa.schema([("j", pa.int32()), ("cid", pa.int32()), ("cv", pa.list_(pa.float64()))]),
+    )
+    _write_small_parquet(
+        f"{path}/meta",
+        {"m": [m], "subdim": [subdim], "ks": [ks]},
+        pa.schema([(kk, pa.int32()) for kk in ("m", "subdim", "ks")]),
+    )
+    enc = _opq_encode_udf(R, books, m, subdim)
+    emb.select(F.col(id_col).alias("neighbor_id"), enc(F.col(vec_col)).alias("codes")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codes")
+
+
+def opq_index_load(spark, path: str):
+    """Reload the OPQ artifacts (rotation + codebooks + meta) — a
+    driver-side pyarrow read, no Spark job."""
+    import pyarrow.parquet as pq
+
+    meta = pq.read_table(f"{path}/meta").to_pydict()
+    m, subdim, ks = (int(meta[kk][0]) for kk in ("m", "subdim", "ks"))
+    rot = pq.read_table(f"{path}/rotation").to_pydict()
+    R = [list(rv) for _, rv in sorted(zip(rot["i"], rot["rv"]))]
+    cb = pq.read_table(f"{path}/codebooks").to_pydict()
+    books: list[list[tuple[int, list[float]]]] = [[] for _ in range(m)]
+    for j, cid, cv in sorted(zip(cb["j"], cb["cid"], cb["cv"])):
+        books[int(j)].append((int(cid), [float(x) for x in cv]))
+    return R, books, m, subdim, ks
+
+
+def ann_opq_persisted_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted OPQ index: reload rotation + codebooks, scan
+    the stored codes (never the raw vectors), ADC-rank. Bit-equal to
+    the in-session ann_opq_topk under the same artifacts (tested) —
+    the persisted path's whole read is m bytes/vector."""
+    R, books, m, subdim, ks = opq_index_load(spark, path)
+    qrows = sorted(
+        (int(r[id_col]), [float(x) for x in r[vec_col]])
+        for r in queries.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    encoded = spark.read.parquet(f"{path}/codes")
+    return _opq_adc_rank(spark, encoded, qrows, R, books, k, m, subdim, ks)

@@ -5787,3 +5787,30 @@ _PQ_BASE_WHERE = (
     "vec_id < (9 * ((SELECT max(vec_id) FROM embeddings) + 1)) // 10"
 )
 ORACLES["emb_index_pq_append"] = _ivf_pq_sql(train_where=_PQ_BASE_WHERE)
+
+
+# OPQ (round 11): the rotation is SVD-trained, which no SQL engine can
+# unroll — the WA6 bound-gate pattern applies. The oracle pins the
+# SQL-computable payload (exact cosine top-1 per query, the same kernel
+# as emb_ann_topk's oracle) and literal TRUE for the two bound booleans
+# the Spark side computes (train-sample err(OPQ) <= err(PQ); batch
+# recall@5 over the floor) — a hash match proves both bounds held.
+ORACLES["emb_ann_opq"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+scored AS (
+    SELECT q.query_id, c.neighbor_id,
+           (list_sum(list_transform(range(1, 65), i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.nv[i] AS DOUBLE)))) / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))) * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(c.nv[i] AS DOUBLE) * CAST(c.nv[i] AS DOUBLE))))) AS score
+    FROM q, c WHERE q.query_id <> c.neighbor_id
+)
+SELECT query_id, exact_top1, TRUE AS opq_err_le_pq_err, TRUE AS batch_recall_ok FROM (
+    SELECT query_id, neighbor_id AS exact_top1,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+    FROM scored
+) WHERE rank = 1
+ORDER BY query_id
+"""
+
+# persisted OPQ: identical artifacts (memoized training), identical
+# gate — reload ≡ retrain is unit-tested bit-exactly
+ORACLES["emb_index_opq_persist"] = ORACLES["emb_ann_opq"]

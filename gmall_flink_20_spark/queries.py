@@ -3725,6 +3725,56 @@ def unique_visitors_bitmap_streaming(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def emb_ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ ANN (operators/ann.opq_train_local / ann_opq_topk — Ge et
+    al. CVPR'13, FAISS's OPQMatrix,PQ chain): a learned orthogonal
+    rotation redistributes variance across the PQ subspaces before
+    encoding, then the corpus scans as 8-byte codes under broadcast ADC
+    tables — ann_pq_topk's exact plan shape with a better-conditioned
+    basis. Gated by the WA6-pattern bound oracle (SVD training has no
+    SQL twin): per query the exact cosine top-1 (hash-checked), plus
+    booleans that OPQ's train-sample quantization error ≤ plain PQ's
+    (the rotation's raison d'être, TRUE by keep-best construction) and
+    that batch recall@5 cleared the floor."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, _, e_opq, e_pq = ann.opq_train_local(emb)
+    approx = ann.ann_opq_topk(emb, list(range(10)), 5)
+    return ann.opq_recall_gate(
+        emb, approx, list(range(10)), 5, opq_err=e_opq, pq_err=e_pq
+    )
+
+
+def _opq_full_index(spark: SparkSession, sf_dir: str) -> str:
+    """Memoized persisted OPQ index over the full corpus; shared
+    read-only (no entry mutates it)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return scratch.memoized_index(
+        "opq_full",
+        emb,
+        ("opq", 8, 8, 16),
+        lambda p: ann.opq_index_write(emb, p),
+    )
+
+
+def emb_index_opq_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-OPQ round-trip (operators/ann.opq_index_write /
+    ann_opq_persisted_topk): rotation + codebooks + the 32×-compressed
+    code frame write once; queries reload the KB-scale artifacts and
+    ADC-scan the STORED codes — the raw vectors are never re-read
+    (8 bytes/vector is the whole query-path I/O, the next rung after
+    emb_index_pq_persist on the compression ladder). Same artifacts as
+    the in-session entry (memoized training), so it gates on the same
+    bound oracle; reload ≡ retrain is unit-tested exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, _, e_opq, e_pq = ann.opq_train_local(emb)
+    approx = ann.ann_opq_persisted_topk(
+        spark, _opq_full_index(spark, sf_dir), emb, list(range(10)), 5
+    )
+    return ann.opq_recall_gate(
+        emb, approx, list(range(10)), 5, opq_err=e_opq, pq_err=e_pq
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3988,6 +4038,8 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_phash_index_streaming": media_phash_index_streaming,
     "unique_visitors_bitmap": unique_visitors_bitmap,
     "unique_visitors_bitmap_streaming": unique_visitors_bitmap_streaming,
+    "emb_ann_opq": emb_ann_opq,
+    "emb_index_opq_persist": emb_index_opq_persist,
 }
 
 # --- CORRECTNESS window (driver gates the FIRST 50 entries in dict

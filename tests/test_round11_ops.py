@@ -129,3 +129,48 @@ def test_bitmap_fragments_are_64x_smaller_than_ids(spark, sf_dir):
     # every fragment covers at least one id, at most 64
     total_bits = frags.select(F.sum(F.bit_count("bits"))).first()[0]
     assert total_bits == n_pairs
+
+
+# ------------------------------------------------ OPQ
+
+
+def test_opq_rotation_is_orthogonal_and_beats_pq(spark, sf_dir):
+    import numpy as np
+
+    from gmall_flink_20_spark.operators import ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    R, books, e_opq, e_pq = ann.opq_train_local(emb)
+    Rm = np.array(R)
+    assert np.allclose(Rm @ Rm.T, np.eye(64), atol=1e-9)
+    # keep-best includes the R=I (plain PQ) start, so this holds by
+    # construction — a regression in the alternation flips it
+    assert e_opq <= e_pq
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+
+
+def test_opq_persisted_equals_in_session(spark, sf_dir, tmp_path):
+    from gmall_flink_20_spark.operators import ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "opq")
+    ann.opq_index_write(emb, path)
+    insess = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ann.ann_opq_topk(emb, list(range(10)), 5).collect()
+    }
+    reload = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ann.ann_opq_persisted_topk(spark, path, emb, list(range(10)), 5).collect()
+    }
+    assert insess == reload
+
+
+def test_opq_train_is_memoized_and_deterministic(spark, sf_dir):
+    from gmall_flink_20_spark.operators import ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = ann.opq_train_local(emb)
+    ann.clear_artifact_memo()
+    b = ann.opq_train_local(emb)
+    assert a == b
