@@ -256,6 +256,9 @@ BENCH_QUERIES = [
     "unique_visitors_bitmap",
     "emb_ann_opq",
     "emb_index_opq_persist",
+    "emb_index_query_during_append",
+    "docs_lsh_index_query_during_append",
+    "media_phash_index_query_during_append",
 ]
 
 

@@ -26,6 +26,12 @@ __all__ = [
     "console_sink",
     "parquet_sink",
     "side_output_fanout",
+    "stage_segment_dir",
+    "commit_segment",
+    "committed_segments",
+    "read_with_segments",
+    "write_absorbed_marker",
+    "purge_absorbed_segments",
 ]
 
 # Compaction-swap naming convention shared by the index compactors
@@ -174,6 +180,7 @@ def compact_small_files(
     target_file_bytes: int = 128 * 1024 * 1024,
     mode: str = "overwrite",
     n_files: int | None = None,
+    df: DataFrame | None = None,
 ) -> int:
     """Small-file compaction — the maintenance pass every long-running
     ingest needs: streaming/micro-batch writers leave thousands of tiny
@@ -191,7 +198,11 @@ def compact_small_files(
     """
     import os
 
-    df = spark.read.parquet(src_path)
+    # callers may hand a pre-built frame (e.g. a segment-aware union
+    # whose inputs extend past src_path); sizing still reads the actual
+    # on-disk bytes of whatever the frame scans
+    if df is None:
+        df = spark.read.parquet(src_path)
     if n_files is None:
         # on-disk bytes via the file index Spark already built for the scan
         total = 0
@@ -246,3 +257,127 @@ def side_output_fanout(
             batch.unpersist()
 
     return stream.writeStream.foreachBatch(handle)
+
+
+# ---------------------------------------------------------------- segments
+#
+# Atomic-visibility append protocol for the persisted indexes (VERDICT
+# r10 item 5 — the READER side of query-while-ingest): a plain parquet
+# append publishes its files over a multi-file job commit, so a reader
+# listing the directory mid-append can see a TORN view (some cells'
+# new files, not others). Segments close that window with the Lucene/
+# Iceberg move: the appender writes its whole delta under a hidden
+# staging dir (`<root>/.stage_<token>` — dot-prefixed, invisible to
+# readers), then publishes it with ONE os.rename to `<root>/seg_<token>`.
+# POSIX rename is atomic, so at any instant a reader sees each segment
+# fully or not at all — pre- or post-append, never torn.
+#
+# Readers fold committed segments in per FRAME (`postings`, `bands`,
+# `shingles`, `hashes`) via read_with_segments; each frame loads with
+# its own basePath, so partition pruning on hive keys (list_id=,
+# band_id=) survives the union. Compactors ABSORB segments: the
+# compacted rewrite carries an `_absorbed` marker (underscore files are
+# invisible to Spark's lister) naming the tokens it folded in, and the
+# marker rides the existing two-rename swap — so a crash between the
+# swap and the segment deletion leaves absorbed segments on disk but
+# readers skip them (no double counting at any crash point), and the
+# next maintenance pass purges them.
+
+_SEG_PREFIX = "seg_"
+_STAGE_PREFIX = ".stage_"
+_ABSORBED = "_absorbed"
+
+
+def stage_segment_dir(root: str, token: str) -> str:
+    """Staging location for an in-flight append — invisible to readers
+    (dot-prefixed; Spark's file lister also skips dot/underscore
+    paths). The appender writes its frames UNDER this dir."""
+    return f"{root}/{_STAGE_PREFIX}{token}"
+
+
+def commit_segment(root: str, token: str) -> str:
+    """Publish a staged append with one atomic rename. After this
+    returns, every new reader listing sees the whole segment."""
+    import os
+
+    dst = f"{root}/{_SEG_PREFIX}{token}"
+    os.rename(stage_segment_dir(root, token), dst)
+    return dst
+
+
+def _absorbed_tokens(frame_dir: str) -> set[str]:
+    import os
+
+    p = os.path.join(frame_dir, _ABSORBED)
+    if not os.path.isfile(p):
+        return set()
+    with open(p) as f:
+        return {line.strip() for line in f if line.strip()}
+
+
+def committed_segments(root: str, frame: str) -> list[tuple[str, str]]:
+    """(token, frame_subdir) for every committed segment carrying this
+    frame, excluding tokens the live frame has already absorbed."""
+    import os
+
+    absorbed = _absorbed_tokens(os.path.join(root, frame))
+    out: list[tuple[str, str]] = []
+    try:
+        names = sorted(os.listdir(root))
+    except OSError:
+        return out
+    for name in names:
+        if not name.startswith(_SEG_PREFIX):
+            continue
+        token = name[len(_SEG_PREFIX):]
+        if token in absorbed:
+            continue
+        sub = os.path.join(root, name, frame)
+        if os.path.isdir(sub):
+            out.append((token, sub))
+    return out
+
+
+def read_with_segments(spark, root: str, frame: str) -> DataFrame:
+    """The segment-aware reader: the base frame unioned with every
+    committed, not-yet-absorbed segment's copy of it. Each load keeps
+    its own FileIndex, so hive partition filters prune per branch; with
+    no segments this is exactly the plain read plus one listdir."""
+    df = spark.read.parquet(f"{root}/{frame}")
+    for _, sub in committed_segments(root, frame):
+        df = df.unionByName(spark.read.parquet(sub))
+    return df
+
+
+def write_absorbed_marker(tmp_frame_dir: str, tokens: list[str]) -> None:
+    """Record, INSIDE the compacted rewrite before it swaps live, which
+    segment tokens it folded in — the marker and the data commit in the
+    same rename."""
+    import os
+
+    if not tokens:
+        return
+    os.makedirs(tmp_frame_dir, exist_ok=True)
+    with open(os.path.join(tmp_frame_dir, _ABSORBED), "w") as f:
+        f.write("\n".join(sorted(tokens)) + "\n")
+
+
+def purge_absorbed_segments(root: str, frames: list[str]) -> int:
+    """Single-writer maintenance: delete segment dirs whose token is
+    absorbed by EVERY frame listed (a multi-frame index absorbs bands
+    and shingles in separate swaps; a segment may be deleted only once
+    no frame still needs it). Returns the number purged."""
+    import os
+    import shutil
+
+    absorbed_all: set[str] | None = None
+    for frame in frames:
+        toks = _absorbed_tokens(os.path.join(root, frame))
+        absorbed_all = toks if absorbed_all is None else (absorbed_all & toks)
+    n = 0
+    for token in sorted(absorbed_all or ()):
+        seg = f"{root}/{_SEG_PREFIX}{token}"
+        if os.path.isdir(seg):
+            shutil.rmtree(seg)
+            n += 1
+    return n

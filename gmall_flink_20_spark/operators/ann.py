@@ -1505,7 +1505,7 @@ def ann_ivf_persisted_topk(
     """
     import numpy as np
 
-    from ..io_sinks import heal_missing_src
+    from ..io_sinks import heal_missing_src, read_with_segments
 
     # reader-side crash recovery: a compactor that died between its two
     # swap renames leaves postings/ absent with the intact original
@@ -1553,7 +1553,11 @@ def ann_ivf_persisted_topk(
         probe_rows, "query_id long, qv array<double>, list_id int"
     )
     probed = sorted({p[2] for p in probe_rows})
-    postings = spark.read.parquet(f"{path}/postings").filter(
+    # segment-aware scan (io_sinks.read_with_segments): committed
+    # atomic-append segments fold in, each with its own pruned
+    # FileIndex; in-flight (staged) appends are invisible — a reader
+    # racing an append sees pre- or post-append, never torn
+    postings = read_with_segments(spark, path, "postings").filter(
         F.col("list_id").isin(probed)
     )
     if dedup_postings:
@@ -1618,6 +1622,47 @@ def ivf_index_append(
     )
 
 
+def ivf_index_append_atomic(
+    delta: DataFrame,
+    path: str,
+    token: str,
+    commit: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> str:
+    """``ivf_index_append`` under the segment protocol (io_sinks
+    segments — VERDICT r10 item 5): the delta's assigned postings write
+    to the hidden staging dir, then ONE atomic rename publishes them.
+    A reader racing this append sees the index pre- or post-append,
+    never a torn subset of the delta's cell files (the window a plain
+    multi-file parquet append leaves open). ``commit=False`` is the
+    fault-injection/two-phase hook: the segment stays staged (invisible)
+    until ``io_sinks.commit_segment(path, token)`` publishes it.
+    Returns the token. Same frozen-quantizer assignment and key-shuffled
+    one-file-per-cell layout as the in-place append, so query results
+    gate on the same oracle."""
+    from ..io_sinks import commit_segment, stage_segment_dir, write_partitioned
+
+    spark = delta.sparkSession
+    cents = ivf_index_load_centroids(spark, path)
+    base = with_unit(delta.select(F.col(id_col), F.col(vec_col)), vec_col, dim)
+    assigned = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        norm(F.col(vec_col)).alias("nn"),
+        _assign_udf(cents)(F.col("_av")).alias("list_id"),
+    )
+    write_partitioned(
+        assigned.repartition("list_id"),
+        f"{stage_segment_dir(path, token)}/postings",
+        ["list_id"],
+    )
+    if commit:
+        commit_segment(path, token)
+    return token
+
+
 def ivf_index_compact(
     spark, path: str, fail_between_renames: bool = False
 ) -> int:
@@ -1651,17 +1696,30 @@ def ivf_index_compact(
     from pathlib import Path
 
     from ..io_sinks import (
+        committed_segments,
         heal_compaction_site,
+        purge_absorbed_segments,
+        read_with_segments,
         swap_compacted,
+        write_absorbed_marker,
         write_partitioned,
     )
 
     src = f"{path}/postings"
     heal_compaction_site(src)
+    # a prior compactor may have crashed between its swap and its
+    # segment purge: its absorbed segments are still on disk (readers
+    # already skip them) — single-writer cleanup happens here
+    purge_absorbed_segments(path, ["postings"])
     tmp = f"{path}/postings_compacting"
-    df = spark.read.parquet(src)
+    tokens = [t for t, _ in committed_segments(path, "postings")]
+    df = read_with_segments(spark, path, "postings")
     write_partitioned(df.repartition("list_id"), tmp, ["list_id"])
+    # the marker commits WITH the rewrite (same rename): at no crash
+    # point can a reader double-count an absorbed segment
+    write_absorbed_marker(tmp, tokens)
     swap_compacted(src, fail_between_renames)
+    purge_absorbed_segments(path, ["postings"])
     return sum(1 for _ in Path(src).rglob("*.parquet"))
 
 
@@ -1679,12 +1737,12 @@ def ivf_index_cell_stats(spark, path: str) -> DataFrame:
     nlist without a Spark job."""
     import pyarrow.parquet as pq
 
-    from ..io_sinks import heal_missing_src
+    from ..io_sinks import heal_missing_src, read_with_segments
 
     heal_missing_src(f"{path}/postings")
     meta = pq.read_table(f"{path}/meta").to_pydict()
     nlist = int(meta["nlist"][0])
-    post = spark.read.parquet(f"{path}/postings")
+    post = read_with_segments(spark, path, "postings")
     sizes = post.groupBy("list_id").agg(
         F.count(F.lit(1)).cast("long").alias("s")
     )

@@ -1371,7 +1371,7 @@ def lsh_index_query_incremental(
     bands/ or shingles/ absent with the intact original under the
     ``*_pre_compact`` name — restored here before reading (restore-only;
     destructive cleanup stays with the single-writer compactor)."""
-    from ..io_sinks import heal_missing_src
+    from ..io_sinks import heal_missing_src, read_with_segments
 
     heal_missing_src(f"{path}/bands")
     heal_missing_src(f"{path}/shingles")
@@ -1381,7 +1381,10 @@ def lsh_index_query_incremental(
     nb = band_keys(sig, bands, rows_per_band, id_col).select(
         F.col(id_col).alias("doc_a"), "band_id", "band_key"
     )
-    idx = spark.read.parquet(f"{path}/bands").select(
+    # segment-aware reads (io_sinks.read_with_segments): committed
+    # atomic-append segments fold in; staged (in-flight) ones are
+    # invisible — pre- or post-append views only, never torn
+    idx = read_with_segments(spark, path, "bands").select(
         F.col(id_col).alias("doc_b"), "band_id", "band_key"
     )
     # anti-join the index side against the querying batch's OWN ids: in
@@ -1402,7 +1405,7 @@ def lsh_index_query_incremental(
     )
     new_new = lsh_candidate_pairs(sig, bands, rows_per_band, id_col, from_array=True)
     new_sh = hashed_shingle_sets(new_df, n, text_col, id_col)
-    base_sh = spark.read.parquet(f"{path}/shingles")
+    base_sh = read_with_segments(spark, path, "shingles")
     arr = new_sh.unionByName(base_sh)
     # drops: any verified base neighbor kills the new doc (doc_a = new);
     # within the shard the higher id of a verified pair drops (doc_a <
@@ -1466,6 +1469,46 @@ def lsh_index_append(
     )
 
 
+def lsh_index_append_atomic(
+    df: DataFrame,
+    path: str,
+    token: str,
+    commit: bool = True,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    parallelism: int | None = None,
+) -> str:
+    """``lsh_index_append`` under the segment protocol: BOTH frames
+    (bands + shingles) stage under one hidden dir and publish in ONE
+    atomic rename — a reader racing the append can never see a batch's
+    bands without its shingles (the cross-frame torn view a pair of
+    plain appends leaves open, worse than the per-frame one: a
+    candidate pair whose verification set is missing). ``commit=False``
+    stages without publishing; io_sinks.commit_segment(path, token)
+    completes it. Returns the token."""
+    from ..io_sinks import commit_segment, stage_segment_dir
+
+    stage = stage_segment_dir(path, token)
+    sig = minhash_signature_permuted(df, n, num_hashes, text_col, id_col, parallelism)
+    banded = band_keys(sig, bands, rows_per_band, id_col)
+    (
+        banded.repartition("band_id")
+        .write.mode("overwrite")
+        .partitionBy("band_id")
+        .parquet(f"{stage}/bands")
+    )
+    hashed_shingle_sets(df, n, text_col, id_col).write.mode("overwrite").parquet(
+        f"{stage}/shingles"
+    )
+    if commit:
+        commit_segment(path, token)
+    return token
+
+
 def lsh_index_compact(
     spark, path: str, fail_between_renames: bool = False
 ) -> int:
@@ -1488,28 +1531,52 @@ def lsh_index_compact(
     from pathlib import Path
 
     from ..io_sinks import (
+        committed_segments,
         compact_small_files,
         heal_compaction_site,
+        purge_absorbed_segments,
+        read_with_segments,
         swap_compacted,
+        write_absorbed_marker,
     )
 
     src = f"{path}/bands"
     src2 = f"{path}/shingles"
     heal_compaction_site(src)
     heal_compaction_site(src2)
+    # crashed prior run: segments absorbed by BOTH live frames are dead
+    # weight readers already skip — single-writer cleanup
+    purge_absorbed_segments(path, ["bands", "shingles"])
+    # atomic-append segments fold into the rewrite; the token set is
+    # captured ONCE so both frames absorb the same segments (an appender
+    # publishes bands+shingles together, so either frame's list works —
+    # the union is belt-and-braces)
+    tokens = sorted(
+        {t for t, _ in committed_segments(path, "bands")}
+        | {t for t, _ in committed_segments(path, "shingles")}
+    )
     tmp = f"{path}/bands_compacting"
-    df = spark.read.parquet(src)
+    df = read_with_segments(spark, path, "bands")
     (
         df.repartition("band_id")
         .write.mode("overwrite")
         .partitionBy("band_id")
         .parquet(tmp)
     )
+    write_absorbed_marker(tmp, tokens)
     swap_compacted(src, fail_between_renames)
 
+    # mid-point crash consistency: bands absorbed its segments (readers
+    # skip them there) but shingles hasn't swapped yet (readers still
+    # fold them there) — each frame's view stays complete because the
+    # absorbed marker is per-frame and rides that frame's own swap
     tmp2 = f"{path}/shingles_compacting"
-    compact_small_files(spark, src2, tmp2)
+    compact_small_files(
+        spark, src2, tmp2, df=read_with_segments(spark, path, "shingles")
+    )
+    write_absorbed_marker(tmp2, tokens)
     swap_compacted(src2)
+    purge_absorbed_segments(path, ["bands", "shingles"])
     return sum(1 for _ in Path(src).rglob("*.parquet")) + sum(
         1 for _ in Path(src2).rglob("*.parquet")
     )

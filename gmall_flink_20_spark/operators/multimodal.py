@@ -1140,6 +1140,25 @@ def phash_index_append(hashes: DataFrame, path: str) -> None:
     )
 
 
+def phash_index_append_atomic(
+    hashes: DataFrame, path: str, token: str, commit: bool = True
+) -> str:
+    """``phash_index_append`` under the segment protocol (io_sinks
+    segments): the batch's hashes stage hidden, then ONE atomic rename
+    publishes them — a reader racing the append sees the index pre- or
+    post-append, never a torn subset of the batch's files.
+    ``commit=False`` stages without publishing (complete with
+    io_sinks.commit_segment). Returns the token."""
+    from ..io_sinks import commit_segment, stage_segment_dir
+
+    hashes.select("media_id", "phash").write.mode("overwrite").parquet(
+        f"{stage_segment_dir(path, token)}/hashes"
+    )
+    if commit:
+        commit_segment(path, token)
+    return token
+
+
 def phash_index_query_incremental(
     spark,
     path: str,
@@ -1162,10 +1181,13 @@ def phash_index_query_incremental(
     keeper rule reduces to one arithmetic: each hash's EARLIEST owner
     (-1 if any indexed image holds it, else its min batch id) — a new
     image drops iff some neighbor hash's earliest owner precedes it."""
+    from ..io_sinks import read_with_segments
     from .simhash import simhash_near_dup
 
     new = new_hashes.select("media_id", "phash")
-    store = spark.read.parquet(f"{path}/hashes")
+    # segment-aware read: committed atomic-append segments fold in;
+    # staged (in-flight) ones are invisible — never a torn view
+    store = read_with_segments(spark, path, "hashes")
     base_h = (
         store.join(new.select("media_id"), "media_id", "left_anti")
         .select("phash")

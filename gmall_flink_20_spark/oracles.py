@@ -5814,3 +5814,31 @@ ORDER BY query_id
 # persisted OPQ: identical artifacts (memoized training), identical
 # gate — reload ≡ retrain is unit-tested bit-exactly
 ORACLES["emb_index_opq_persist"] = ORACLES["emb_ann_opq"]
+
+
+# query-while-ingest reader isolation (round 11, VERDICT r10 item 5):
+# each entry's POST-commit state is an already-proven configuration, so
+# its oracle is that family's exact oracle with the mid-append
+# no-torn-view equality pinned to literal TRUE. The IVF leg's post
+# state IS emb_index_append's (same base/delta split); the LSH/phash
+# legs append the below-midpoint half of the new shard and query the
+# rest — delta ids all precede query ids, so 'indexed delta' ≡
+# 'lower-id new' and the full-shard oracle restricted to the query
+# half is exact.
+ORACLES["emb_index_query_during_append"] = f"""
+SELECT query_id, neighbor_id, rank, TRUE AS mid_equals_pre
+FROM ({ORACLES["emb_index_append"]})
+"""
+
+_MID_ID = "(((SELECT max(doc_id) FROM documents) + 1) // 2)"
+ORACLES["docs_lsh_index_query_during_append"] = f"""
+SELECT doc_id, kept, TRUE AS mid_equals_pre
+FROM ({ORACLES["docs_neardup_incremental"]})
+WHERE doc_id >= {_MID_ID}
+"""
+
+ORACLES["media_phash_index_query_during_append"] = f"""
+SELECT media_id, kept, TRUE AS mid_equals_pre
+FROM ({ORACLES["media_phash_index_persist"]})
+WHERE media_id >= {_MID_ID}
+"""

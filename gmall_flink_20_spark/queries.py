@@ -18,7 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import scratch
+from . import io_sinks, scratch
 from .io import load_events, load_table
 from .operators import (
     ann,
@@ -3775,6 +3775,93 @@ def emb_index_opq_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _frozen_rows(df: DataFrame) -> frozenset:
+    return frozenset(tuple(r) for r in df.collect())
+
+
+def emb_index_query_during_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-while-ingest reader isolation for the persisted IVF index
+    (VERDICT r10 item 5; operators/ann.ivf_index_append_atomic +
+    io_sinks segments): the delta appends via the atomic-segment
+    protocol — staged hidden, published by ONE rename — so a reader
+    racing the append returns the pre- or post-append answer, never a
+    torn subset of the delta's cell files. The entry interleaves the
+    reader with the append's phases: (1) top-5 for queries 0..9 on the
+    base index, (2) the SAME query with the delta staged-but-uncommitted
+    (the in-flight window a crash or a slow job commit holds open) must
+    return the base answer bit-for-bit — that equality is the
+    ``mid_equals_pre`` boolean the oracle pins to TRUE — then (3) the
+    segment commits and the post-append answer hash-gates against
+    emb_index_append's exact base-trained oracle, which also proves the
+    segment-folding read path itself."""
+    emb, _, delta = _ivf_base90_split(spark, sf_dir)
+    path = scratch.fresh_copy(_ivf_base90_index(spark, sf_dir), "ivf_qda_")
+    q = lambda: ann.ann_ivf_persisted_topk(  # noqa: E731
+        spark, path, emb, list(range(10)), 5, nprobe=4
+    )
+    pre = _frozen_rows(q())
+    ann.ivf_index_append_atomic(delta, path, token="d1", commit=False)
+    mid_equals_pre = _frozen_rows(q()) == pre
+    io_sinks.commit_segment(path, "d1")
+    return q().withColumn("mid_equals_pre", F.lit(bool(mid_equals_pre)))
+
+
+def docs_lsh_index_query_during_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-while-ingest reader isolation for the persisted LSH index
+    (operators/dedup.lsh_index_append_atomic): the earlier half of the
+    new crawl shard (ids below the corpus midpoint) appends atomically
+    — bands AND shingles publish in one rename, so no reader can see a
+    batch's buckets without its verification sets — while the later
+    half queries. Phases as in emb_index_query_during_append: the
+    staged-uncommitted query must equal the pre-append answer
+    (``mid_equals_pre``), and the committed-state answer equals the
+    full incremental-dedup oracle restricted to the query half (delta
+    ids all precede query ids, so 'indexed delta neighbor' ≡ 'lower-id
+    new neighbor' — the batch rule, exactly)."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.pmod(sampling.sample_hash("doc_id", "incr"), F.lit(4))
+    new = docs.filter(shard == 0)
+    mid_id = (int(docs.agg(F.max("doc_id")).first()[0]) + 1) // 2
+    delta = new.filter(F.col("doc_id") < mid_id)
+    query = new.filter(F.col("doc_id") >= mid_id)
+    path = scratch.fresh_copy(
+        _lsh_base_index(spark, sf_dir, (1, 2, 3)), "lsh_qda_"
+    )
+    q = lambda: dedup.lsh_index_query_incremental(spark, path, query)  # noqa: E731
+    pre = _frozen_rows(q())
+    dedup.lsh_index_append_atomic(delta, path, token="d1", commit=False)
+    mid_equals_pre = _frozen_rows(q()) == pre
+    io_sinks.commit_segment(path, "d1")
+    return q().withColumn("mid_equals_pre", F.lit(bool(mid_equals_pre)))
+
+
+def media_phash_index_query_during_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-while-ingest reader isolation for the persisted phash
+    index (operators/multimodal.phash_index_append_atomic) — the
+    multimodal leg of the segment protocol: the earlier half of the new
+    image shard appends atomically while the later half dedups.
+    Same three-phase gate as the IVF/LSH legs; the committed-state
+    answer equals media_phash_index_persist's closed-form oracle
+    restricted to the query half (indexed delta images own their hashes
+    at -1, which is exactly the lower-id earliest-owner rule the batch
+    form applies)."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.pmod(sampling.sample_hash("doc_id", "incr"), F.lit(4))
+    new = docs.filter(shard == 0).filter(F.col("doc_id") % 3 == 0)
+    mid_id = (int(docs.agg(F.max("doc_id")).first()[0]) + 1) // 2
+    delta = new.filter(F.col("doc_id") < mid_id)
+    query = new.filter(F.col("doc_id") >= mid_id)
+    path = scratch.fresh_copy(_phash_base_index(spark, sf_dir), "phash_qda_")
+    qh = multimodal.image_dhash(multimodal.encode_media(query))
+    q = lambda: multimodal.phash_index_query_incremental(spark, path, qh)  # noqa: E731
+    pre = _frozen_rows(q())
+    dh = multimodal.image_dhash(multimodal.encode_media(delta))
+    multimodal.phash_index_append_atomic(dh, path, token="d1", commit=False)
+    mid_equals_pre = _frozen_rows(q()) == pre
+    io_sinks.commit_segment(path, "d1")
+    return q().withColumn("mid_equals_pre", F.lit(bool(mid_equals_pre)))
+
+
 # ---------------------------------------------------------------- registry
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4040,6 +4127,9 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unique_visitors_bitmap_streaming": unique_visitors_bitmap_streaming,
     "emb_ann_opq": emb_ann_opq,
     "emb_index_opq_persist": emb_index_opq_persist,
+    "emb_index_query_during_append": emb_index_query_during_append,
+    "docs_lsh_index_query_during_append": docs_lsh_index_query_during_append,
+    "media_phash_index_query_during_append": media_phash_index_query_during_append,
 }
 
 # --- CORRECTNESS window (driver gates the FIRST 50 entries in dict

@@ -174,3 +174,147 @@ def test_opq_train_is_memoized_and_deterministic(spark, sf_dir):
     ann.clear_artifact_memo()
     b = ann.opq_train_local(emb)
     assert a == b
+
+
+# ------------------------------------------------ atomic segments
+
+
+def _ivf_rows(spark, path, emb):
+    from gmall_flink_20_spark.operators import ann
+
+    return {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ann.ann_ivf_persisted_topk(
+            spark, path, emb, list(range(10)), 5, nprobe=4
+        ).collect()
+    }
+
+
+def test_staged_segment_is_invisible_until_commit(spark, sf_dir, tmp_path):
+    from gmall_flink_20_spark import io_sinks
+    from gmall_flink_20_spark.operators import ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 9)
+    delta = emb.filter(F.col("vec_id") % 10 == 9)
+    path = str(tmp_path / "ivf")
+    ann.ivf_index_write(base, path, nlist=16, train_iters=3)
+    pre = _ivf_rows(spark, path, emb)
+    ann.ivf_index_append_atomic(delta, path, token="t1", commit=False)
+    assert _ivf_rows(spark, path, emb) == pre  # in-flight: invisible
+    io_sinks.commit_segment(path, "t1")
+    post = _ivf_rows(spark, path, emb)
+    # the committed segment must equal a plain in-place append
+    path2 = str(tmp_path / "ivf2")
+    ann.ivf_index_write(base, path2, nlist=16, train_iters=3)
+    ann.ivf_index_append(delta, path2)
+    assert post == _ivf_rows(spark, path2, emb)
+
+
+def test_compact_absorbs_segments_and_purges(spark, sf_dir, tmp_path):
+    import os
+
+    from gmall_flink_20_spark.operators import ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 9)
+    delta = emb.filter(F.col("vec_id") % 10 == 9)
+    path = str(tmp_path / "ivf")
+    ann.ivf_index_write(base, path, nlist=16, train_iters=3)
+    ann.ivf_index_append_atomic(delta, path, token="t1")
+    before = _ivf_rows(spark, path, emb)
+    ann.ivf_index_compact(spark, path)
+    assert _ivf_rows(spark, path, emb) == before  # result-invariant
+    assert not [d for d in os.listdir(path) if d.startswith("seg_")]  # purged
+
+
+def test_reader_skips_absorbed_segment_left_by_crash(spark, sf_dir, tmp_path):
+    """Crash window between the compactor's swap and its segment purge:
+    the absorbed segment is still on disk but the live frame's
+    _absorbed marker (committed WITH the swap) makes readers skip it —
+    no double counting."""
+    import os
+    import shutil
+
+    from gmall_flink_20_spark.operators import ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 9)
+    delta = emb.filter(F.col("vec_id") % 10 == 9)
+    path = str(tmp_path / "ivf")
+    ann.ivf_index_write(base, path, nlist=16, train_iters=3)
+    ann.ivf_index_append_atomic(delta, path, token="t1")
+    saved = str(tmp_path / "seg_saved")
+    shutil.copytree(f"{path}/seg_t1", saved)
+    before = _ivf_rows(spark, path, emb)
+    ann.ivf_index_compact(spark, path)  # absorbs + purges t1
+    shutil.copytree(saved, f"{path}/seg_t1")  # resurrect the crash state
+    assert os.path.isfile(f"{path}/postings/_absorbed")
+    assert _ivf_rows(spark, path, emb) == before  # skipped, not doubled
+    # the next maintenance pass cleans it up
+    ann.ivf_index_compact(spark, path)
+    assert not os.path.isdir(f"{path}/seg_t1")
+
+
+def test_lsh_segment_publishes_both_frames_atomically(spark, sf_dir, tmp_path):
+    from gmall_flink_20_spark import io_sinks
+    from gmall_flink_20_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    delta = docs.filter((F.col("doc_id") % 4 == 0) & (F.col("doc_id") % 8 == 0))
+    query = docs.filter((F.col("doc_id") % 4 == 0) & (F.col("doc_id") % 8 != 0))
+    path = str(tmp_path / "lsh")
+    dedup.lsh_index_write(base, path)
+    rows = lambda: {  # noqa: E731
+        (r.doc_id, r.kept)
+        for r in dedup.lsh_index_query_incremental(spark, path, query).collect()
+    }
+    pre = rows()
+    dedup.lsh_index_append_atomic(delta, path, token="t1", commit=False)
+    assert rows() == pre
+    io_sinks.commit_segment(path, "t1")
+    post = rows()
+    # equals a plain two-frame append
+    path2 = str(tmp_path / "lsh2")
+    dedup.lsh_index_write(base, path2)
+    dedup.lsh_index_append(delta, path2)
+    post2 = {
+        (r.doc_id, r.kept)
+        for r in dedup.lsh_index_query_incremental(spark, path2, query).collect()
+    }
+    assert post == post2
+    # compaction absorbs both frames and stays result-invariant
+    dedup.lsh_index_compact(spark, path)
+    assert rows() == post
+
+
+def test_phash_segment_append_atomic(spark, sf_dir, tmp_path):
+    from gmall_flink_20_spark import io_sinks
+    from gmall_flink_20_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = docs.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 4 == 1))
+    query = docs.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 4 == 3))
+    path = str(tmp_path / "ph")
+    mm.phash_index_write(mm.image_dhash(mm.encode_media(base)), path)
+    qh = mm.image_dhash(mm.encode_media(query))
+    rows = lambda: {  # noqa: E731
+        (r.media_id, r.kept)
+        for r in mm.phash_index_query_incremental(spark, path, qh).collect()
+    }
+    pre = rows()
+    dh = mm.image_dhash(mm.encode_media(delta))
+    mm.phash_index_append_atomic(dh, path, token="t1", commit=False)
+    assert rows() == pre
+    io_sinks.commit_segment(path, "t1")
+    post = rows()
+    path2 = str(tmp_path / "ph2")
+    mm.phash_index_write(mm.image_dhash(mm.encode_media(base)), path2)
+    mm.phash_index_append(dh, path2)
+    post2 = {
+        (r.media_id, r.kept)
+        for r in mm.phash_index_query_incremental(spark, path2, qh).collect()
+    }
+    assert post == post2
