@@ -259,6 +259,7 @@ BENCH_QUERIES = [
     "emb_index_query_during_append",
     "docs_lsh_index_query_during_append",
     "media_phash_index_query_during_append",
+    "media_jpeg_roundtrip",
 ]
 
 

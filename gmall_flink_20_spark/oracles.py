@@ -5842,3 +5842,24 @@ SELECT media_id, kept, TRUE AS mid_equals_pre
 FROM ({ORACLES["media_phash_index_persist"]})
 WHERE media_id >= {_MID_ID}
 """
+
+
+# baseline JPEG round-trip (round 11): per 8x8 block the tier image is
+# c + d*g(x)g(y) (g = the u=4 cosine sign pattern), so sum(px) = 64c
+# and sum(px^2) = 64(c^2 + d^2) per block in closed form (cross terms
+# vanish). The square sum sees the AC coefficient; the plain sum alone
+# would not.
+ORACLES["media_jpeg_roundtrip"] = """
+WITH blocks AS (
+    SELECT d.doc_id,
+           (d.doc_id + 11 * bx.x + 29 * by.y) % 128 + 64 AS c,
+           (d.doc_id + 5 * bx.x + 3 * by.y) % 33 - 16 AS dd
+    FROM documents d, generate_series(0, 1) bx(x), generate_series(0, 1) by(y)
+)
+SELECT doc_id AS media_id,
+       CAST(16 AS INTEGER) AS width,
+       CAST(16 AS INTEGER) AS height,
+       CAST(sum(64 * c) AS BIGINT) AS content_sum,
+       CAST(sum(64 * (c * c + dd * dd)) AS BIGINT) AS content_sq_sum
+FROM blocks GROUP BY 1
+"""
