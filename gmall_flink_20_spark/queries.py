@@ -4392,15 +4392,115 @@ assert _stale_in10 == _STALE_R6[: len(_stale_in10)], "stale gating must be oldes
 # CONSTRUCTION, not by hoping rounds stay small: if this assert fires,
 # either new-op cadence outgrew the window (shrink R{N}_NEW) or the
 # registry needs the documented tiering fallback (SURVEY §7.8).
-_NEW_PER_ROUND = 10  # historical max of |R{7..10}_NEW|
+_NEW_PER_ROUND = 10  # historical max of |R{7..11}_NEW|
 _STALENESS_BOUND_ROUNDS = -(-(len(_ALL) - WINDOW_SIZE) // (WINDOW_SIZE - _NEW_PER_ROUND))
 assert _STALENESS_BOUND_ROUNDS <= 6, (
     f"registry {len(_ALL)} entries: worst-case re-gate latency "
-    f"{_STALENESS_BOUND_ROUNDS} rounds exceeds the 6-round policy bound"
+    f"{_STALENESS_BOUND_ROUNDS} rounds exceeds the 6-round policy bound — "
+    "switch QUERIES to compose_tiered_window (encoded + tested below)"
 )
 
+
+# ---- tiered window builder (VERDICT r10 item 1, SURVEY §7.8): encoded
+# and TESTED now, ahead of the ~290-entry registry size where the plain
+# oldest-first rotation's 6-round bound breaks (at ~10 adds/round that
+# is round 14). Tiering trades a uniform bound for prioritized signal:
+#   - new ops      — every round (gate on first appearance, as today);
+#   - canaries     — the flagship per-family entries, every round;
+#   - heavy        — the expensive LSH/ANN/simhash/lifecycle families,
+#                    alternating halves by round parity (period 2);
+#   - long tail    — the remaining slots, oldest-driver-row first; its
+#                    re-gate bound becomes ceil(tail / leftover-slots)
+#                    + 1 rounds and is REPORTED by the builder, not
+#                    hoped for.
+# Not yet load-bearing: QUERIES below still uses the plain rotation
+# (registry 257 ≤ the ~290 threshold); test_round11_ops proves the
+# builder's slot math, dedup, parity alternation, and bound arithmetic
+# so flipping the switch is a one-line change.
+
+_TIER_CANARIES: list[str] = [
+    "hot_items_topn",      # flagship (entry())
+    "order_timeout",       # CEP/state-machine family
+    "pay_receipt_interval_join",  # join family
+    "unique_visitors",     # window-agg family
+    "tpch_q1",             # TPC-H plans
+    "docs_neardup_verified",  # text dedup
+    "emb_ann_ivf_pq",      # ANN / quantization
+    "docs_corpus_build",   # curation capstone
+]
+
+_TIER_HEAVY: list[str] = [
+    "docs_lsh_index_persist", "docs_lsh_index_compact",
+    "docs_lsh_index_recover", "docs_dedup_survivors",
+    "docs_minhash_lsh_pairs", "docs_simhash_neardup",
+    "emb_index_persist", "emb_index_append", "emb_index_compact",
+    "emb_index_recover", "emb_index_pq_persist", "emb_index_pq_append",
+    "emb_semantic_dedup", "items_pagerank",
+    "media_phash_index_persist", "media_phash_neardup",
+    "emb_index_opq_persist", "emb_index_query_during_append",
+    "docs_lsh_index_query_during_append",
+    "media_phash_index_query_during_append",
+]
+
+
+def compose_tiered_window(
+    round_no: int,
+    new: list[str],
+    stale_oldest_first: list[str],
+    size: int = WINDOW_SIZE,
+    canaries: list[str] | None = None,
+    heavy: list[str] | None = None,
+) -> tuple[list[str], list[str], int]:
+    """Tiered driver-window composition. Returns (window, tail_rest,
+    tail_bound_rounds) where tail_rest is the long-tail remainder that
+    did NOT gate and tail_bound_rounds the worst-case long-tail re-gate
+    latency this composition implies. Priority order inside the window:
+    new ops, canaries, this round's heavy half (period 2, by round
+    parity), then the oldest-first long tail."""
+    cn = _TIER_CANARIES if canaries is None else canaries
+    hv = _TIER_HEAVY if heavy is None else heavy
+    heavy_half = [h for i, h in enumerate(hv) if i % 2 == round_no % 2]
+    head = _dedup_keep_order(new + cn + heavy_half)
+    assert len(head) <= size, "tier head exceeds the window size"
+    tail = [n for n in stale_oldest_first if n not in set(head)]
+    slots = size - len(head)
+    window = head + tail[:slots]
+    rest = tail[slots:]
+    bound = (-(-len(rest) // max(1, slots)) + 1) if rest else 1
+    return window, rest, bound
+
+
+# ---- round 11 window: 8 new ops front, then the r10 rollover (the 49
+# remaining r6-latest rows) oldest-first; 42 fit, 7 roll to round 12 —
+# their re-gate lands at round 12 − 6 = the 6-round policy bound
+# exactly, which the bound assert above keeps encoded.
+R11_NEW: list[str] = [
+    "unique_visitors_bitmap",
+    "unique_visitors_bitmap_streaming",
+    "emb_ann_opq",
+    "emb_index_opq_persist",
+    "emb_index_query_during_append",
+    "docs_lsh_index_query_during_append",
+    "media_phash_index_query_during_append",
+    "media_jpeg_roundtrip",
+]
+
+_R11_POOL: list[str] = _dedup_keep_order(R11_NEW + _R10_ROLLOVER)
+_R11_WINDOW: list[str] = _R11_POOL[:WINDOW_SIZE]
+_R11_ROLLOVER: list[str] = _R11_POOL[WINDOW_SIZE:]
+assert len(_R11_WINDOW) == WINDOW_SIZE
+assert set(R11_NEW) <= set(_R11_WINDOW), "new ops gate on first appearance"
+# the r10 rollover is larger than the slots left after this round's new
+# ops (49 > 42) — the first round that cannot front a whole rollover —
+# so the in-window cohort must be exactly its oldest-first prefix and
+# the remainder must be exactly its suffix (no silent composition loss)
+_front11 = [n for n in _R10_ROLLOVER if n in set(_R11_WINDOW)]
+assert _front11 == _R10_ROLLOVER[: len(_front11)], "rollover gating must be oldest-first"
+assert _R11_ROLLOVER == _R10_ROLLOVER[len(_front11):]
+assert set(_R11_WINDOW) | set(_R11_ROLLOVER) == set(_R11_POOL)
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    name: _ALL[name] for name in _R10_WINDOW
+    name: _ALL[name] for name in _R11_WINDOW
 }
 QUERIES.update((k, v) for k, v in _ALL.items() if k not in QUERIES)
 assert len(QUERIES) == len(_ALL)

@@ -385,3 +385,58 @@ def test_jpeg_decoder_rejects_what_it_cannot_parse():
     bad = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with _pytest.raises(ValueError):
         mm._jpeg_decode_gray(bad)
+
+
+# ------------------------------------------------ tiered window builder
+
+
+def test_tiered_window_builder_slot_math():
+    from gmall_flink_20_spark import queries as q
+
+    stale = [f"tail_{i}" for i in range(300)]
+    new = [f"new_{i}" for i in range(8)]
+    w, rest, bound = q.compose_tiered_window(
+        11, new, stale, size=50,
+        canaries=["c1", "c2"], heavy=["h1", "h2", "h3", "h4"],
+    )
+    assert len(w) == 50 and len(set(w)) == 50
+    # priority: new first, canaries every round, odd-parity heavy half
+    assert w[:8] == new
+    assert {"c1", "c2"} <= set(w)
+    assert {"h2", "h4"} <= set(w) and not {"h1", "h3"} & set(w)
+    # even parity flips the heavy half
+    w2, _, _ = q.compose_tiered_window(
+        12, new, stale, size=50,
+        canaries=["c1", "c2"], heavy=["h1", "h2", "h3", "h4"],
+    )
+    assert {"h1", "h3"} <= set(w2) and not {"h2", "h4"} & set(w2)
+    # long tail fills oldest-first and the bound is ceil(rest/slots)+1
+    slots = 50 - len({*new, "c1", "c2", "h2", "h4"})
+    assert w[-slots:] == stale[:slots]
+    assert rest == stale[slots:]
+    assert bound == -(-len(rest) // slots) + 1
+
+
+def test_tiered_window_dedup_and_names_are_real():
+    from gmall_flink_20_spark import queries as q
+
+    # the configured tier lists point at live registry entries
+    assert set(q._TIER_CANARIES) <= set(q._ALL)
+    assert set(q._TIER_HEAVY) <= set(q._ALL)
+    # a canary that is also new this round occupies ONE slot
+    w, _, _ = q.compose_tiered_window(
+        11, ["c1"], [f"t{i}" for i in range(100)], size=10,
+        canaries=["c1"], heavy=[],
+    )
+    assert w.count("c1") == 1 and len(w) == 10
+
+
+def test_r11_window_contract():
+    from gmall_flink_20_spark import queries as q
+
+    # driver gates the first 50 dict entries = the round-11 window
+    assert list(q.QUERIES)[:50] == q._R11_WINDOW
+    assert set(q.R11_NEW) <= set(q._R11_WINDOW)
+    # the rollover is exactly the oldest-first suffix of r10's
+    assert q._R11_ROLLOVER == q._R10_ROLLOVER[-len(q._R11_ROLLOVER):]
+    assert q._STALENESS_BOUND_ROUNDS <= 6
