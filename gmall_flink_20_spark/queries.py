@@ -1724,30 +1724,42 @@ def docs_health_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The health dashboard sharded per source: doc count, exact-dup
     count (corpus-wide hash groups attributed to each source's rows),
     Gopher pass count, mean length — the provider-level drill-down of
-    docs_health_report. One projection + one content-hash window + one
-    aggregate."""
-    from pyspark.sql import Window as W
-
+    docs_health_report. ONE scan, aggregated-narrow shuffles (VERDICT
+    r10 watch item): the old shape windowed count() over
+    partitionBy(_fp), which shuffles the FULL feature rows by content
+    hash; here the scan pre-aggregates per (_fp, source) first — the
+    map-side combine collapses exact dups early and the _fp shuffle
+    carries five narrow columns — then the corpus-wide group size
+    comes from one more tiny aggregate and dup attribution is a sum
+    over (tot > 1) groups."""
     from .operators import text as text_ops
 
     docs = load_table(spark, sf_dir, "documents")
     feats = text_ops.gopher_feature_cols("text")
     base = docs.select(
-        "doc_id",
         "source",
         F.md5(F.col("text").cast("binary")).alias("_fp"),
         *[c.alias(n) for n, c in feats.items()],
     ).withColumn("_kept", text_ops.gopher_kept_expr())
-    flagged = base.withColumn(
-        "_is_dup", F.count(F.lit(1)).over(W.partitionBy("_fp")) > 1
+    g = base.groupBy("_fp", "source").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.sum(F.when(F.col("_kept"), 1).otherwise(0)).alias("_kept_c"),
+        F.sum(F.col("n_words").cast("double")).alias("_words"),
     )
-    return flagged.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(F.when(F.col("_is_dup"), 1).otherwise(0)).cast("long").alias("n_dup_docs"),
-        F.sum(F.when(F.col("_kept"), 1).otherwise(0)).cast("long").alias("n_gate_pass"),
-        F.round(
-            F.sum(F.col("n_words").cast("double")) / F.count(F.lit(1)).cast("double"), 6
-        ).alias("mean_words"),
+    tot = g.groupBy("_fp").agg(F.sum("_c").alias("_tot"))
+    return (
+        g.join(tot, "_fp")
+        .groupBy("source")
+        .agg(
+            F.sum("_c").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("_tot") > 1, F.col("_c")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.sum("_kept_c").cast("long").alias("n_gate_pass"),
+            F.round(
+                F.sum("_words") / F.sum("_c").cast("double"), 6
+            ).alias("mean_words"),
+        )
     )
 
 
