@@ -20,7 +20,8 @@ def test_window_is_exactly_fifty():
 
 
 def test_window_leads_the_registry():
-    assert list(Q.QUERIES)[:50] == Q._R10_WINDOW
+    # updated each rotation: the CURRENT round's window fronts the dict
+    assert list(Q.QUERIES)[:50] == Q._R11_WINDOW
 
 
 def test_round10_new_ops_are_in_window():
