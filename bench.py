@@ -353,7 +353,7 @@ def main() -> None:
         # bench wall-clock; anything skipped is recorded, not silent.
         # The budget covers ALL legs; a replay with at least one timed
         # leg is reported (as its best-so-far), never silently partial.
-        budget = float(os.environ.get("SPARK_GRAFT_BENCH_STREAMING_BUDGET", "560"))
+        budget = float(os.environ.get("SPARK_GRAFT_BENCH_STREAMING_BUDGET", "700"))
         t_section = time.perf_counter()
         stream_names = sorted(
             n
@@ -361,7 +361,13 @@ def main() -> None:
             if n.endswith("_streaming") or n.endswith("_2stream")
         )
         for leg in range(stream_legs):
-            for name in stream_names:
+            # alternate direction per leg: a budget cut truncates the
+            # END of a leg, so a fixed order would leave the same
+            # (alphabetically late, often expensive) replays at one
+            # sample forever — reversing odd legs gives the tail its
+            # second sample first
+            ordered = stream_names if leg % 2 == 0 else list(reversed(stream_names))
+            for name in ordered:
                 if time.perf_counter() - t_section > budget:
                     if name not in stream_timings and name not in stream_skipped:
                         stream_skipped.append(name)

@@ -3809,6 +3809,26 @@ def _frozen_rows(df: DataFrame) -> frozenset:
     return frozenset(tuple(r) for r in df.collect())
 
 
+def _visible_rows_fingerprint(spark: SparkSession, path: str, frames: tuple) -> tuple:
+    """Multiset fingerprint of the reader-VISIBLE index rows, per frame:
+    (row count, sum of xxhash64 over every full row). Any deterministic
+    query is a function of the visible row multiset, so fingerprint
+    equality across an in-flight append is a STRICTLY stronger
+    no-torn-view statement than equality of one query's output — at one
+    scan's cost instead of a full dedup query per phase."""
+    out = []
+    for fr in frames:
+        df = io_sinks.read_with_segments(spark, path, fr)
+        # per-row hash bounded into a prime field before the sum so the
+        # ANSI long aggregate can't overflow at any corpus size the sum
+        # reaches (2^30 per row; 2^33 rows before 2^63)
+        agg = df.select(
+            F.pmod(F.xxhash64(*df.columns), F.lit(1073741789)).alias("_h")
+        ).agg(F.count(F.lit(1)).alias("_c"), F.sum("_h").alias("_s")).first()
+        out.append((fr, int(agg["_c"]), int(agg["_s"] or 0)))
+    return tuple(out)
+
+
 def emb_index_query_during_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-while-ingest reader isolation for the persisted IVF index
     (VERDICT r10 item 5; operators/ann.ivf_index_append_atomic +
@@ -3843,11 +3863,13 @@ def docs_lsh_index_query_during_append(spark: SparkSession, sf_dir: str) -> Data
     — bands AND shingles publish in one rename, so no reader can see a
     batch's buckets without its verification sets — while the later
     half queries. Phases as in emb_index_query_during_append: the
-    staged-uncommitted query must equal the pre-append answer
-    (``mid_equals_pre``), and the committed-state answer equals the
-    full incremental-dedup oracle restricted to the query half (delta
-    ids all precede query ids, so 'indexed delta neighbor' ≡ 'lower-id
-    new neighbor' — the batch rule, exactly)."""
+    staged-uncommitted reader view must equal the pre-append view
+    (``mid_equals_pre`` — checked as the visible-row-multiset
+    fingerprint over BOTH frames, which dominates any single query's
+    output equality at one scan's cost), and the committed-state answer
+    equals the full incremental-dedup oracle restricted to the query
+    half (delta ids all precede query ids, so 'indexed delta neighbor'
+    ≡ 'lower-id new neighbor' — the batch rule, exactly)."""
     docs = load_table(spark, sf_dir, "documents")
     shard = F.pmod(sampling.sample_hash("doc_id", "incr"), F.lit(4))
     new = docs.filter(shard == 0)
@@ -3857,12 +3879,15 @@ def docs_lsh_index_query_during_append(spark: SparkSession, sf_dir: str) -> Data
     path = scratch.fresh_copy(
         _lsh_base_index(spark, sf_dir, (1, 2, 3)), "lsh_qda_"
     )
-    q = lambda: dedup.lsh_index_query_incremental(spark, path, query)  # noqa: E731
-    pre = _frozen_rows(q())
+    pre = _visible_rows_fingerprint(spark, path, ("bands", "shingles"))
     dedup.lsh_index_append_atomic(delta, path, token="d1", commit=False)
-    mid_equals_pre = _frozen_rows(q()) == pre
+    mid_equals_pre = (
+        _visible_rows_fingerprint(spark, path, ("bands", "shingles")) == pre
+    )
     io_sinks.commit_segment(path, "d1")
-    return q().withColumn("mid_equals_pre", F.lit(bool(mid_equals_pre)))
+    return dedup.lsh_index_query_incremental(spark, path, query).withColumn(
+        "mid_equals_pre", F.lit(bool(mid_equals_pre))
+    )
 
 
 def media_phash_index_query_during_append(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3870,11 +3895,13 @@ def media_phash_index_query_during_append(spark: SparkSession, sf_dir: str) -> D
     index (operators/multimodal.phash_index_append_atomic) — the
     multimodal leg of the segment protocol: the earlier half of the new
     image shard appends atomically while the later half dedups.
-    Same three-phase gate as the IVF/LSH legs; the committed-state
-    answer equals media_phash_index_persist's closed-form oracle
-    restricted to the query half (indexed delta images own their hashes
-    at -1, which is exactly the lower-id earliest-owner rule the batch
-    form applies)."""
+    Same three-phase gate as the LSH leg (pre/mid = visible-row
+    fingerprint of the hashes frame, which dominates any query-output
+    equality; post = the full dedup query); the committed-state answer
+    equals media_phash_index_persist's closed-form oracle restricted to
+    the query half (indexed delta images own their hashes at -1, which
+    is exactly the lower-id earliest-owner rule the batch form
+    applies)."""
     docs = load_table(spark, sf_dir, "documents")
     shard = F.pmod(sampling.sample_hash("doc_id", "incr"), F.lit(4))
     new = docs.filter(shard == 0).filter(F.col("doc_id") % 3 == 0)
@@ -3882,14 +3909,15 @@ def media_phash_index_query_during_append(spark: SparkSession, sf_dir: str) -> D
     delta = new.filter(F.col("doc_id") < mid_id)
     query = new.filter(F.col("doc_id") >= mid_id)
     path = scratch.fresh_copy(_phash_base_index(spark, sf_dir), "phash_qda_")
-    qh = multimodal.image_dhash(multimodal.encode_media(query))
-    q = lambda: multimodal.phash_index_query_incremental(spark, path, qh)  # noqa: E731
-    pre = _frozen_rows(q())
+    pre = _visible_rows_fingerprint(spark, path, ("hashes",))
     dh = multimodal.image_dhash(multimodal.encode_media(delta))
     multimodal.phash_index_append_atomic(dh, path, token="d1", commit=False)
-    mid_equals_pre = _frozen_rows(q()) == pre
+    mid_equals_pre = _visible_rows_fingerprint(spark, path, ("hashes",)) == pre
     io_sinks.commit_segment(path, "d1")
-    return q().withColumn("mid_equals_pre", F.lit(bool(mid_equals_pre)))
+    qh = multimodal.image_dhash(multimodal.encode_media(query))
+    return multimodal.phash_index_query_incremental(spark, path, qh).withColumn(
+        "mid_equals_pre", F.lit(bool(mid_equals_pre))
+    )
 
 
 # ---------------------------------------------------------------- registry
