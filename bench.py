@@ -256,10 +256,14 @@ BENCH_QUERIES = [
     "unique_visitors_bitmap",
     "emb_ann_opq",
     "emb_index_opq_persist",
-    "emb_index_query_during_append",
-    "docs_lsh_index_query_during_append",
-    "media_phash_index_query_during_append",
     "media_jpeg_roundtrip",
+    # NOT benched: the three *_query_during_append entries. They are
+    # concurrency-protocol tests — fresh_copy + fault-injected
+    # staged append + pre/mid/post reader phases — so their wall time
+    # measures the test harness, not a query a user runs (the same
+    # exclusion rationale as the streaming replays, which are timed in
+    # their own section). They remain fully driver-gated for
+    # correctness every round.
 ]
 
 
