@@ -30,8 +30,14 @@ __all__ = [
     "commit_segment",
     "committed_segments",
     "read_with_segments",
+    "read_segments_pinned",
     "write_absorbed_marker",
     "purge_absorbed_segments",
+    "purge_stale_stage_dirs",
+    "cell_fragment_counts",
+    "compact_cells_incremental",
+    "heal_missing_cells",
+    "heal_cell_sites",
 ]
 
 # Compaction-swap naming convention shared by the index compactors
@@ -338,15 +344,95 @@ def committed_segments(root: str, frame: str) -> list[tuple[str, str]]:
     return out
 
 
+def _cell_absorbed_map(frame_dir: str) -> dict[str, set[str]]:
+    """token -> set of live-frame CELL dirnames (``col=value``) whose
+    copy of that token's rows the incremental compactor already folded
+    into the base (cell-level ``_absorbed`` markers, written inside the
+    rewritten cell dirs by ``compact_cells_incremental``). Readers must
+    exclude these (token, cell) pairs from the segment branches or the
+    folded rows would double-count."""
+    import os
+
+    out: dict[str, set[str]] = {}
+    try:
+        names = os.listdir(frame_dir)
+    except OSError:
+        return out
+    for name in names:
+        if "=" not in name or name.startswith((".", "_")):
+            continue
+        marker = os.path.join(frame_dir, name, _ABSORBED)
+        if not os.path.isfile(marker):
+            continue
+        with open(marker) as f:
+            for line in f:
+                tok = line.strip()
+                if tok:
+                    out.setdefault(tok, set()).add(name)
+    return out
+
+
+def _cell_values(cells: set[str]) -> tuple[str, list]:
+    """(partition_col, typed values) from hive cell dirnames. All cells
+    of one frame share a single partition column by construction."""
+    cols = {c.split("=", 1)[0] for c in cells}
+    assert len(cols) == 1, f"mixed partition columns in cell set: {cells}"
+    col = next(iter(cols))
+    vals = [c.split("=", 1)[1] for c in cells]
+    try:
+        return col, [int(v) for v in vals]
+    except ValueError:
+        return col, vals
+
+
+def _read_segments(spark, root: str, frame: str, pairs) -> DataFrame:
+    """Base frame + the given (token, frame_subdir) segment branches,
+    with cell-level absorbed exclusions applied per branch."""
+    from pyspark.sql import functions as F
+
+    base_dir = f"{root}/{frame}"
+    df = spark.read.parquet(base_dir)
+    cell_abs = _cell_absorbed_map(base_dir)
+    for token, sub in pairs:
+        seg = spark.read.parquet(sub)
+        cells = cell_abs.get(token)
+        if cells:
+            # exclusion on the PARTITION column: still prunes per branch
+            col, vals = _cell_values(cells)
+            seg = seg.filter(~F.col(col).isin(vals))
+        df = df.unionByName(seg)
+    return df
+
+
 def read_with_segments(spark, root: str, frame: str) -> DataFrame:
     """The segment-aware reader: the base frame unioned with every
     committed, not-yet-absorbed segment's copy of it. Each load keeps
     its own FileIndex, so hive partition filters prune per branch; with
-    no segments this is exactly the plain read plus one listdir."""
-    df = spark.read.parquet(f"{root}/{frame}")
-    for _, sub in committed_segments(root, frame):
-        df = df.unionByName(spark.read.parquet(sub))
-    return df
+    no segments this is exactly the plain read plus one listdir. Cells
+    the incremental compactor already folded into the base are excluded
+    from their segment branches (cell-level markers), so no row is ever
+    visible twice at any crash point."""
+    return _read_segments(spark, root, frame, committed_segments(root, frame))
+
+
+def read_segments_pinned(spark, root: str, frame: str, tokens: list[str]) -> DataFrame:
+    """Segment-aware read over a PINNED token set — the compactor's
+    input (ADVICE r11): the base frame unioned with EXACTLY these
+    tokens' copies of the frame. The full compactors capture the token
+    list once and both read and absorb precisely it, so a segment
+    committed between the capture and the rewrite job is NEITHER folded
+    in NOR marked absorbed — it simply stays a live segment for the
+    next pass (no double count, no loss). NOTE: appends may run
+    concurrently with each other and with readers, but compaction
+    requires the appenders quiesced (single-writer maintenance)."""
+    import os
+
+    pairs = []
+    for t in tokens:
+        sub = os.path.join(root, f"{_SEG_PREFIX}{t}", frame)
+        if os.path.isdir(sub):
+            pairs.append((t, sub))
+    return _read_segments(spark, root, frame, pairs)
 
 
 def write_absorbed_marker(tmp_frame_dir: str, tokens: list[str]) -> None:
@@ -381,3 +467,240 @@ def purge_absorbed_segments(root: str, frames: list[str]) -> int:
             shutil.rmtree(seg)
             n += 1
     return n
+
+
+def purge_stale_stage_dirs(root: str) -> int:
+    """Single-writer maintenance (ADVICE r11): delete orphaned
+    ``.stage_*`` dirs — a crash between the staged write and
+    commit_segment, or a ``commit=False`` caller that never commits,
+    leaves them forever (purge_absorbed_segments only removes ``seg_*``
+    dirs). Deletion is unconditional because the contract serializes
+    compaction/purge against appenders: concurrent APPENDS are allowed
+    among themselves (unique tokens make their commits collision-free),
+    but a maintenance pass requires the appenders quiesced — so any
+    ``.stage_*`` visible here is crashed or abandoned, never in-flight.
+    Returns the number purged."""
+    import os
+    import shutil
+
+    n = 0
+    try:
+        names = sorted(os.listdir(root))
+    except OSError:
+        return 0
+    for name in names:
+        if name.startswith(_STAGE_PREFIX):
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+            n += 1
+    return n
+
+
+# ------------------------------------------------- incremental compaction
+#
+# Fragmented-cells-only compaction (VERDICT r11 item 2 — the Lucene
+# move: merge fragmented segments, don't rewrite the index): the full
+# compactors rewrite EVERY cell every pass, which at 100 TB turns a
+# maintenance job into a full-index rewrite. The incremental pass
+# counts data files per hive cell across the base frame and the
+# unabsorbed segment branches, rewrites ONLY cells whose count exceeds
+# the threshold, and leaves every other cell's files byte-identical
+# (inode/mtime unchanged — tested). Absorption bookkeeping moves to
+# CELL granularity: the rewritten cell dir carries an ``_absorbed``
+# marker naming the tokens whose copy of THAT cell it folded in
+# (underscore files are invisible to Spark's lister, so the marker
+# rides inside the data dir and commits with the same rename). Readers
+# exclude (token, cell) pairs named by these markers (see
+# _read_segments), so at no crash point is a row visible twice. The
+# per-cell swap reuses the two-rename shape of swap_compacted with
+# dot-prefixed (Spark-invisible) pre/tmp names, and both crash states
+# self-heal (heal_missing_cells reader-side restore; heal_cell_sites
+# writer-side cleanup). Partially-absorbed segments stay on disk until
+# a FULL compaction absorbs their remainder (frame-level marker
+# supersedes cell-level ones because the rewrite replaces every cell
+# dir) — space reclaim is the full pass's job, read-amplification
+# control is this pass's.
+
+_CELL_TMP = ".cellcompact_tmp"
+_CELL_PRE_PREFIX = "."
+_CELL_PRE_SUFFIX = ".pre"
+
+
+def _is_cell_dir(name: str) -> bool:
+    return "=" in name and not name.startswith((".", "_"))
+
+
+def heal_missing_cells(frame_dir: str) -> int:
+    """READER-side per-cell crash recovery, restore-only (the cell
+    analog of heal_missing_src): an incremental compactor that died
+    between its two renames for a cell leaves ``<frame>/.<cell>.pre``
+    with the live cell dir absent — rename the intact original back.
+    Never deletes anything (a reader cannot tell a crashed compactor
+    from a running one). Returns the number restored."""
+    import os
+
+    n = 0
+    try:
+        names = os.listdir(frame_dir)
+    except OSError:
+        return 0
+    for name in names:
+        if not (name.startswith(_CELL_PRE_PREFIX) and name.endswith(_CELL_PRE_SUFFIX)):
+            continue
+        cell = name[len(_CELL_PRE_PREFIX):-len(_CELL_PRE_SUFFIX)]
+        if not _is_cell_dir(cell):
+            continue
+        live = os.path.join(frame_dir, cell)
+        if not os.path.exists(live):
+            os.rename(os.path.join(frame_dir, name), live)
+            n += 1
+    return n
+
+
+def heal_cell_sites(frame_dir: str) -> None:
+    """WRITER-side per-cell crash recovery, run by the incremental
+    compactor before it starts (single-writer contract): restore any
+    half-swapped cell, then drop stale ``.<cell>.pre`` leftovers and an
+    uncommitted ``.cellcompact_tmp`` from a crashed run."""
+    import os
+    import shutil
+
+    heal_missing_cells(frame_dir)
+    try:
+        names = os.listdir(frame_dir)
+    except OSError:
+        return
+    for name in names:
+        p = os.path.join(frame_dir, name)
+        if name == _CELL_TMP and os.path.isdir(p):
+            shutil.rmtree(p)
+        elif name.startswith(_CELL_PRE_PREFIX) and name.endswith(_CELL_PRE_SUFFIX):
+            cell = name[len(_CELL_PRE_PREFIX):-len(_CELL_PRE_SUFFIX)]
+            if _is_cell_dir(cell) and os.path.exists(os.path.join(frame_dir, cell)):
+                shutil.rmtree(p)
+
+
+def _cell_file_count(d: str) -> int:
+    import os
+
+    try:
+        return sum(1 for fn in os.listdir(d) if fn.endswith(".parquet"))
+    except OSError:
+        return 0
+
+
+def cell_fragment_counts(root: str, frame: str) -> dict[str, int]:
+    """Data-file count per hive cell (``col=value`` dirname) across the
+    base frame and every committed, unabsorbed segment branch —
+    excluding (token, cell) pairs the cell-level markers say are
+    already folded in. This is the fragment census the incremental
+    compactor sizes its victim set from; it reads directory listings
+    only, never data."""
+    import os
+
+    base_dir = f"{root}/{frame}"
+    cell_abs = _cell_absorbed_map(base_dir)
+    counts: dict[str, int] = {}
+    try:
+        for name in os.listdir(base_dir):
+            if _is_cell_dir(name):
+                n = _cell_file_count(os.path.join(base_dir, name))
+                if n:
+                    counts[name] = counts.get(name, 0) + n
+    except OSError:
+        pass
+    for token, sub in committed_segments(root, frame):
+        try:
+            names = os.listdir(sub)
+        except OSError:
+            continue
+        for name in names:
+            if not _is_cell_dir(name) or name in cell_abs.get(token, ()):
+                continue
+            n = _cell_file_count(os.path.join(sub, name))
+            if n:
+                counts[name] = counts.get(name, 0) + n
+    return counts
+
+
+def compact_cells_incremental(
+    spark,
+    root: str,
+    frame: str,
+    max_fragments: int = 1,
+    fail_after_first_rename_of: str | None = None,
+) -> list[str]:
+    """Rewrite ONLY the cells of ``<root>/<frame>`` whose fragment count
+    exceeds ``max_fragments`` (base files + unabsorbed segment files),
+    folding each victim cell's segment copies into the base under a
+    cell-level absorbed marker; every non-victim cell's files are left
+    byte-identical. Returns the victim cell dirnames (empty = nothing
+    to do). ONE Spark job rewrites all victims (partition-pruned read,
+    one shuffle on the partition key), then V two-rename swaps commit
+    them cell-by-cell. ``fail_after_first_rename_of`` is the
+    fault-injection hook: crash after renaming that cell's live dir
+    away (the reader/writer heal paths cover it)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    base_dir = f"{root}/{frame}"
+    heal_cell_sites(base_dir)
+    purge_stale_stage_dirs(root)
+    counts = cell_fragment_counts(root, frame)
+    victims = sorted(name for name, n in counts.items() if n > max_fragments)
+    if not victims:
+        return []
+    col, vals = _cell_values(set(victims))
+
+    # pin the token set ONCE (ADVICE r11): the rewrite input, the
+    # marker contents, and nothing else — a segment committed after
+    # this point stays a live segment untouched by this pass
+    pairs = committed_segments(root, frame)
+    victim_set = set(victims)
+    tokens_by_cell: dict[str, set[str]] = {c: set() for c in victims}
+    cell_abs = _cell_absorbed_map(base_dir)
+    for token, sub in pairs:
+        try:
+            names = os.listdir(sub)
+        except OSError:
+            continue
+        for name in names:
+            if name in victim_set and name not in cell_abs.get(token, ()):
+                tokens_by_cell[name].add(token)
+
+    df = _read_segments(spark, root, frame, pairs).filter(F.col(col).isin(vals))
+    stage = os.path.join(base_dir, _CELL_TMP)
+    if os.path.isdir(stage):
+        shutil.rmtree(stage)
+    (
+        df.repartition(col)
+        .write.mode("overwrite")
+        .partitionBy(col)
+        .parquet(stage)
+    )
+    for cell in victims:
+        staged_cell = os.path.join(stage, cell)
+        # a victim whose visible rows are all-empty files still swaps
+        # (to an empty cell dir) so its fragments actually collapse
+        os.makedirs(staged_cell, exist_ok=True)
+        live = os.path.join(base_dir, cell)
+        # the new marker must PRESERVE tokens the old cell had already
+        # absorbed: their segment copies may still be on disk, and
+        # dropping them would re-include those rows
+        old_absorbed = _absorbed_tokens(live) if os.path.isdir(live) else set()
+        write_absorbed_marker(
+            staged_cell, sorted(tokens_by_cell[cell] | old_absorbed)
+        )
+        pre = os.path.join(
+            base_dir, f"{_CELL_PRE_PREFIX}{cell}{_CELL_PRE_SUFFIX}"
+        )
+        if os.path.isdir(live):
+            os.rename(live, pre)
+        if fail_after_first_rename_of == cell:
+            raise InterruptedCompaction(live)
+        os.rename(staged_cell, live)
+        if os.path.isdir(pre):
+            shutil.rmtree(pre)
+    shutil.rmtree(stage, ignore_errors=True)
+    return victims

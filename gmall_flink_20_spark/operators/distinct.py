@@ -95,11 +95,14 @@ def bitmap_fragments(
     df: DataFrame, ts_col: str, size: str, id_col: str
 ) -> DataFrame:
     """EXACT-bitmap UV state: 64-bit bitmap fragments per (window,
-    bucket) — the distributed form of the reference's Redis bitmap
-    (UniqueVisitorApp2.java:93-146 does SETBIT(windowKey, userId) per
-    element and counts set bits per window). Here the id space shards
-    into 64-id buckets (bucket = id >> 6) and each fragment is one
-    long: bit (id & 63) set iff that id appeared in the window.
+    bucket), keeping the reference's SETBIT/BITCOUNT state shape
+    (UniqueVisitorApp2.java:93-146) while upgrading its accuracy: the
+    reference sets the bit at a MyBloomFilter hash of userId masked to
+    2^30 (collision-prone, approximate), whereas this operator indexes
+    bits by the raw id — exact, strictly better, same bitmap state.
+    Here the id space shards into 64-id buckets (bucket = id >> 6) and
+    each fragment is one long: bit (id & 63) set iff that id appeared
+    in the window.
 
     Exactness without a distinct aggregate: OR is idempotent, so
     duplicate ids collapse bit-for-bit — the same reason SETBIT is

@@ -1353,6 +1353,57 @@ def _jpg_category(v: int) -> int:
     return abs(v).bit_length()
 
 
+def _jpg_encode_block(bw, blk, Q, T, dc_codes, ac_codes, prev_dc: int) -> int:
+    """FDCT + quantize + zigzag + entropy-encode one 8×8 block; returns
+    the new DC predictor for this block's component."""
+    import numpy as np
+
+    coef = np.rint((T @ (blk - 128.0) @ T.T) / Q).astype(np.int64)
+    zz = [int(coef.flat[_JPG_ZIGZAG[i]]) for i in range(64)]
+    diff = zz[0] - prev_dc
+    cat = _jpg_category(diff)
+    code, ln = dc_codes[cat]
+    bw.put(code, ln)
+    if cat:
+        bw.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, 64):
+        if i > last_nz:
+            code, ln = ac_codes[0x00]  # EOB
+            bw.put(code, ln)
+            break
+        if zz[i] == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.put(code, ln)
+            run -= 16
+        size = _jpg_category(zz[i])
+        code, ln = ac_codes[(run << 4) | size]
+        bw.put(code, ln)
+        bw.put(zz[i] if zz[i] > 0 else zz[i] + (1 << size) - 1, size)
+        run = 0
+    return zz[0]
+
+
+def _jpg_seg(marker: int, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def _jpg_tables_prelude(Q) -> bytes:
+    """SOI + DQT + (the Annex-K tables used for every component)."""
+    dqt = bytes([0x00]) + bytes(int(Q.flat[_JPG_ZIGZAG[i]]) for i in range(64))
+    dht = (
+        bytes([0x00]) + bytes(_JPG_DC_BITS) + bytes(_JPG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_VALS)
+    )
+    return b"\xff\xd8" + _jpg_seg(0xFFDB, dqt), _jpg_seg(0xFFC4, dht)
+
+
 def _jpeg_encode_gray(pixels, quant=None) -> bytes:
     """Baseline sequential JFIF encoder for one 8-bit grayscale image
     (dims multiples of 8): float FDCT per block, quantize (default all
@@ -1374,53 +1425,76 @@ def _jpeg_encode_gray(pixels, quant=None) -> bytes:
     prev_dc = 0
     for by in range(h // 8):
         for bx in range(w // 8):
-            blk = P[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-            coef = np.rint((T @ blk @ T.T) / Q).astype(np.int64)
-            zz = [int(coef.flat[_JPG_ZIGZAG[i]]) for i in range(64)]
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            cat = _jpg_category(diff)
-            code, ln = dc_codes[cat]
-            bw.put(code, ln)
-            if cat:
-                bw.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
-            run = 0
-            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-            for i in range(1, 64):
-                if i > last_nz:
-                    code, ln = ac_codes[0x00]  # EOB
-                    bw.put(code, ln)
-                    break
-                if zz[i] == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    code, ln = ac_codes[0xF0]  # ZRL
-                    bw.put(code, ln)
-                    run -= 16
-                size = _jpg_category(zz[i])
-                code, ln = ac_codes[(run << 4) | size]
-                bw.put(code, ln)
-                bw.put(zz[i] if zz[i] > 0 else zz[i] + (1 << size) - 1, size)
-                run = 0
+            blk = P[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            prev_dc = _jpg_encode_block(bw, blk, Q, T, dc_codes, ac_codes, prev_dc)
     bw.flush()
-    dqt = bytes([0x00]) + bytes(int(Q.flat[_JPG_ZIGZAG[i]]) for i in range(64))
+    soi_dqt, dht = _jpg_tables_prelude(Q)
     sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
-    dht = (
-        bytes([0x00]) + bytes(_JPG_DC_BITS) + bytes(_JPG_DC_VALS)
-        + bytes([0x10]) + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_VALS)
-    )
     sos = bytes([1, 1, 0x00, 0, 63, 0])
-
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
-
     return (
-        b"\xff\xd8"
-        + seg(0xFFDB, dqt)
-        + seg(0xFFC0, sof)
-        + seg(0xFFC4, dht)
-        + seg(0xFFDA, sos)
+        soi_dqt
+        + _jpg_seg(0xFFC0, sof)
+        + dht
+        + _jpg_seg(0xFFDA, sos)
+        + bytes(bw.out)
+        + b"\xff\xd9"
+    )
+
+
+def _jpeg_encode_ycc420(y, cb, cr, quant=None) -> bytes:
+    """Baseline sequential JFIF encoder for one YCbCr 4:2:0 image
+    (round-12, VERDICT r11 item 7): Y at full resolution (sampling
+    2×2), Cb/Cr subsampled 2:1 in both axes (sampling 1×1), entropy
+    stream interleaved per MCU in spec order — Y's 2×2 blocks
+    left-to-right top-to-bottom, then Cb, then Cr — with a DC predictor
+    PER COMPONENT (T.81 F.1.1.5.1). All components share quant table 0
+    and the Annex-K Huffman tables (a legal, if unfancy, table
+    assignment), so exactness reduces to the same integer-DCT argument
+    as the gray tier, per channel."""
+    import struct
+
+    import numpy as np
+
+    Y = np.asarray(y, dtype=np.float64)
+    CB = np.asarray(cb, dtype=np.float64)
+    CR = np.asarray(cr, dtype=np.float64)
+    h, w = Y.shape
+    if h % 16 or w % 16:
+        raise ValueError("4:2:0 dims must be multiples of 16")
+    if CB.shape != (h // 2, w // 2) or CR.shape != (h // 2, w // 2):
+        raise ValueError("chroma planes must be half-resolution")
+    Q = np.ones((8, 8), dtype=np.int64) if quant is None else np.asarray(quant, dtype=np.int64)
+    T = _jpg_dct_matrix()
+    dc_codes = _jpg_canonical_codes(_JPG_DC_BITS, _JPG_DC_VALS)
+    ac_codes = _jpg_canonical_codes(_JPG_AC_BITS, _JPG_AC_VALS)
+    bw = _JpgBitWriter()
+    prev = [0, 0, 0]  # per-component DC predictors
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            for vy in range(2):  # Y: 2×2 blocks per MCU, raster order
+                for vx in range(2):
+                    r, c = my * 16 + vy * 8, mx * 16 + vx * 8
+                    prev[0] = _jpg_encode_block(
+                        bw, Y[r : r + 8, c : c + 8], Q, T, dc_codes, ac_codes, prev[0]
+                    )
+            r, c = my * 8, mx * 8
+            prev[1] = _jpg_encode_block(
+                bw, CB[r : r + 8, c : c + 8], Q, T, dc_codes, ac_codes, prev[1]
+            )
+            prev[2] = _jpg_encode_block(
+                bw, CR[r : r + 8, c : c + 8], Q, T, dc_codes, ac_codes, prev[2]
+            )
+    bw.flush()
+    soi_dqt, dht = _jpg_tables_prelude(Q)
+    sof = struct.pack(">BHHB", 8, h, w, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    return (
+        soi_dqt
+        + _jpg_seg(0xFFC0, sof)
+        + dht
+        + _jpg_seg(0xFFDA, sos)
         + bytes(bw.out)
         + b"\xff\xd9"
     )
@@ -1475,13 +1549,51 @@ def _jpg_extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def _jpeg_decode_gray(b: bytes) -> tuple[int, int, int, int]:
-    """Full baseline sequential grayscale JPEG decode: marker walk
-    (APPn/COM skipped; progressive, multi-component, restart markers
-    rejected loudly), DQT/DHT table builds (any number of segments),
-    byte-unstuffed canonical-Huffman entropy decode, DC prediction,
+def _jpg_decode_block(br, dct, act, qnat, T, prev_dc: int):
+    """Entropy-decode + dequantize + IDCT one 8×8 block; returns
+    (Σpx, Σpx², new DC predictor)."""
+    import numpy as np
+
+    zz = [0] * 64
+    cat = _jpg_huff_read(br, dct)
+    diff = _jpg_extend(br.bits(cat), cat) if cat else 0
+    prev_dc += diff
+    zz[0] = prev_dc
+    i = 1
+    while i < 64:
+        rs = _jpg_huff_read(br, act)
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            i += 16
+            continue
+        run, size = rs >> 4, rs & 0x0F
+        i += run
+        if i > 63:
+            raise ValueError("AC run past block end")
+        zz[i] = _jpg_extend(br.bits(size), size)
+        i += 1
+    coef = np.zeros(64, dtype=np.float64)
+    for zi, nat in enumerate(_JPG_ZIGZAG):
+        coef[nat] = zz[zi]
+    blk = T.T @ (coef * qnat).reshape(8, 8) @ T + 128.0
+    px = np.clip(np.rint(blk), 0, 255).astype(np.int64)
+    return int(px.sum()), int((px * px).sum()), prev_dc
+
+
+def _jpeg_decode(b: bytes) -> tuple[int, int, int, int, int]:
+    """Full baseline sequential JPEG decode, single-component OR
+    YCbCr 4:2:0 interleaved (round 12): marker walk (APPn/COM skipped;
+    progressive, restart markers, other samplings rejected loudly),
+    DQT/DHT table builds (any number of segments), byte-unstuffed
+    canonical-Huffman entropy decode, per-component DC prediction
+    (T.81 F.1.1.5.1), MCU-interleaved block order for 3 components,
     AC run-length with ZRL/EOB, dezigzag, dequantize, float IDCT,
-    level shift + clamp. Returns (width, height, Σ pixels, Σ pixels²)."""
+    level shift + clamp. Returns (width, height, ncomp,
+    Σ pixels, Σ pixels²) — the sums run over every CODED plane (Y at
+    full resolution, Cb/Cr at their subsampled size), which is the
+    exactly-gateable quantity (upsampling conventions stay out of the
+    gate)."""
     import struct
 
     import numpy as np
@@ -1493,7 +1605,9 @@ def _jpeg_decode_gray(b: bytes) -> tuple[int, int, int, int]:
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
     w = h = None
-    comp_q = comp_dc = comp_ac = 0
+    comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, tq)
+    scan_tabs: dict[int, tuple[int, int]] = {}  # cid -> (dc table, ac table)
+    scan_order: list[int] = []
     scan_at = None
     while pos < len(b):
         if b[pos] != 0xFF:
@@ -1514,9 +1628,12 @@ def _jpeg_decode_gray(b: bytes) -> tuple[int, int, int, int]:
                 off += 65
         elif marker == 0xC0:  # SOF0 baseline
             prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
-            if prec != 8 or ncomp != 1:
-                raise ValueError("only 8-bit single-component baseline supported")
-            comp_q = payload[8]  # per-component: id, sampling, THEN tq
+            if prec != 8 or ncomp not in (1, 3):
+                raise ValueError("only 8-bit 1- or 3-component baseline supported")
+            for ci in range(ncomp):
+                cid = payload[6 + 3 * ci]
+                samp = payload[7 + 3 * ci]
+                comps.append((cid, samp >> 4, samp & 0x0F, payload[8 + 3 * ci]))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline JPEG unsupported")
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
@@ -1532,57 +1649,67 @@ def _jpeg_decode_gray(b: bytes) -> tuple[int, int, int, int]:
         elif marker == 0xDD:
             raise ValueError("restart intervals unsupported")
         elif marker == 0xDA:  # SOS
-            if payload[0] != 1:
-                raise ValueError("interleaved scans unsupported")
-            comp_dc, comp_ac = payload[2] >> 4, payload[2] & 0x0F
+            ns = payload[0]
+            if ns != len(comps):
+                raise ValueError("partial scans unsupported")
+            for si in range(ns):
+                cid = payload[1 + 2 * si]
+                tt = payload[2 + 2 * si]
+                scan_tabs[cid] = (tt >> 4, tt & 0x0F)
+                scan_order.append(cid)
             scan_at = pos + ln
             break
         # APPn / COM / others: skip
         pos += ln
-    if scan_at is None or w is None or h is None:
+    if scan_at is None or w is None or h is None or not comps:
         raise ValueError("missing SOS or SOF0")
-    if w % 8 or h % 8:
-        raise ValueError("dims must be multiples of 8")
+    samplings = [(hs, vs) for _, hs, vs, _ in comps]
+    if len(comps) == 1:
+        if samplings != [(1, 1)]:
+            raise ValueError("single-component sampling must be 1x1")
+        hmax = vmax = 1
+    else:
+        if samplings != [(2, 2), (1, 1), (1, 1)]:
+            raise ValueError("only 4:2:0 (2x2,1x1,1x1) supported")
+        hmax = vmax = 2
+    if w % (8 * hmax) or h % (8 * vmax):
+        raise ValueError("dims must be multiples of the MCU size")
     end = b.rfind(b"\xff\xd9")
     br = _JpgBitReader(b[scan_at:end])
-    # dequant table in NATURAL order: quants[] is stored zigzag
-    qnat = np.empty(64, dtype=np.float64)
-    for i, nat in enumerate(_JPG_ZIGZAG):
-        qnat[nat] = quants[comp_q][i]
     T = _jpg_dct_matrix()
-    dct, act = dc_tabs[comp_dc], ac_tabs[comp_ac]
-    prev_dc = 0
+    # per-component natural-order dequant tables + scan tables
+    by_cid = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    qnat_by_cid: dict[int, "np.ndarray"] = {}
+    for cid, (_, _, tq) in by_cid.items():
+        qn = np.empty(64, dtype=np.float64)
+        for i, nat in enumerate(_JPG_ZIGZAG):
+            qn[nat] = quants[tq][i]
+        qnat_by_cid[cid] = qn
+    prev = {cid: 0 for cid in by_cid}
     total = 0
     total_sq = 0
-    for _by in range(h // 8):
-        for _bx in range(w // 8):
-            zz = [0] * 64
-            cat = _jpg_huff_read(br, dct)
-            diff = _jpg_extend(br.bits(cat), cat) if cat else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                rs = _jpg_huff_read(br, act)
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                run, size = rs >> 4, rs & 0x0F
-                i += run
-                if i > 63:
-                    raise ValueError("AC run past block end")
-                zz[i] = _jpg_extend(br.bits(size), size)
-                i += 1
-            coef = np.zeros(64, dtype=np.float64)
-            for zi, nat in enumerate(_JPG_ZIGZAG):
-                coef[nat] = zz[zi]
-            blk = T.T @ (coef * qnat).reshape(8, 8) @ T + 128.0
-            px = np.clip(np.rint(blk), 0, 255).astype(np.int64)
-            total += int(px.sum())
-            total_sq += int((px * px).sum())
-    return int(w), int(h), total, total_sq
+    for _my in range(h // (8 * vmax)):
+        for _mx in range(w // (8 * hmax)):
+            for cid in scan_order:
+                hs, vs, _ = by_cid[cid]
+                dct = dc_tabs[scan_tabs[cid][0]]
+                act = ac_tabs[scan_tabs[cid][1]]
+                for _ in range(hs * vs):
+                    s, sq, prev[cid] = _jpg_decode_block(
+                        br, dct, act, qnat_by_cid[cid], T, prev[cid]
+                    )
+                    total += s
+                    total_sq += sq
+    return int(w), int(h), len(comps), total, total_sq
+
+
+def _jpeg_decode_gray(b: bytes) -> tuple[int, int, int, int]:
+    """Single-component decode (the round-11 surface, kept): rejects
+    color payloads so callers that assume one plane stay honest."""
+    w, h, ncomp, total, total_sq = _jpeg_decode(b)
+    if ncomp != 1:
+        raise ValueError("not a grayscale JPEG")
+    return w, h, total, total_sq
 
 
 def _jpeg_tier_pixels(mid: int):
@@ -1603,8 +1730,30 @@ def _jpeg_tier_pixels(mid: int):
     return P
 
 
+def _jpeg_tier_chroma(mid: int):
+    """The color tier's half-resolution chroma planes (one 8×8 block
+    each at 16×16 Y): the same exactly-representable c + d·g(x)g(y)
+    shape with per-channel constants."""
+    import numpy as np
+
+    g = np.array(_JPG_G, dtype=np.int64)
+    gg = np.outer(g, g)
+    cb = ((mid * 3 + 17) % 128 + 64) + ((mid * 7 + 5) % 33 - 16) * gg
+    cr = ((mid * 5 + 23) % 128 + 64) + ((mid * 11 + 13) % 33 - 16) * gg
+    return cb, cr
+
+
 def _jpeg_encode(mid: int) -> bytes:
-    return _jpeg_encode_gray(_jpeg_tier_pixels(mid))
+    """Tier dispatch (round 12): even ids stay the grayscale tier; odd
+    ids encode the YCbCr 4:2:0 tier — Y is the SAME per-block shape
+    (so the luma path is shared), chroma adds one block per channel
+    with its own constants. Both tiers round-trip bit-exactly at
+    quant=1, so one closed-form oracle gates the whole codec including
+    the interleaved-MCU and per-component-DC machinery."""
+    if mid % 2 == 0:
+        return _jpeg_encode_gray(_jpeg_tier_pixels(mid))
+    cb, cr = _jpeg_tier_chroma(mid)
+    return _jpeg_encode_ycc420(_jpeg_tier_pixels(mid), cb, cr)
 
 
 JPEG_DECODED_SCHEMA = StructType(
@@ -1612,6 +1761,7 @@ JPEG_DECODED_SCHEMA = StructType(
         StructField("media_id", LongType(), False),
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
+        StructField("tier", StringType(), True),
         StructField("content_sum", LongType(), True),
         StructField("content_sq_sum", LongType(), True),
     ]
@@ -1620,7 +1770,7 @@ JPEG_DECODED_SCHEMA = StructType(
 
 def encode_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Real baseline-JPEG payloads for every id — executor-side,
-    Arrow-batched."""
+    Arrow-batched. Even ids: grayscale; odd ids: YCbCr 4:2:0."""
 
     def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1639,17 +1789,22 @@ def encode_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 def decode_jpeg(media: DataFrame) -> DataFrame:
     """Real baseline-JPEG decode of a payload column → exact-integer
-    features (pixel sum + pixel square-sum, so AC faults are visible)."""
+    features (pixel sum + pixel square-sum over every coded plane, so
+    AC faults are visible per channel) plus the detected tier."""
 
     def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, cs, cq = _jpeg_decode_gray(payload)
-                rows.append((int(mid), w, h, cs, cq))
+                w, h, ncomp, cs, cq = _jpeg_decode(payload)
+                tier = "gray" if ncomp == 1 else "ycc420"
+                rows.append((int(mid), w, h, tier, cs, cq))
             yield pd.DataFrame(
                 rows,
-                columns=["media_id", "width", "height", "content_sum", "content_sq_sum"],
+                columns=[
+                    "media_id", "width", "height", "tier",
+                    "content_sum", "content_sq_sum",
+                ],
             )
 
     return media.mapInPandas(_dec, schema=JPEG_DECODED_SCHEMA)

@@ -5844,22 +5844,69 @@ WHERE media_id >= {_MID_ID}
 """
 
 
-# baseline JPEG round-trip (round 11): per 8x8 block the tier image is
-# c + d*g(x)g(y) (g = the u=4 cosine sign pattern), so sum(px) = 64c
-# and sum(px^2) = 64(c^2 + d^2) per block in closed form (cross terms
+# baseline JPEG round-trip (round 11; round 12 adds the YCbCr 4:2:0
+# tier on odd ids): per 8x8 block the tier image is c + d*g(x)g(y)
+# (g = the u=4 cosine sign pattern), so sum(px) = 64c and
+# sum(px^2) = 64(c^2 + d^2) per block in closed form (cross terms
 # vanish). The square sum sees the AC coefficient; the plain sum alone
-# would not.
+# would not. Odd ids add one half-resolution Cb and Cr block each with
+# their own (c, d) constants — the sums run over every CODED plane, so
+# a fault in the interleaved-MCU order or a per-component DC predictor
+# flips the hash.
 ORACLES["media_jpeg_roundtrip"] = """
-WITH blocks AS (
+WITH yb AS (
     SELECT d.doc_id,
-           (d.doc_id + 11 * bx.x + 29 * by.y) % 128 + 64 AS c,
-           (d.doc_id + 5 * bx.x + 3 * by.y) % 33 - 16 AS dd
+           CAST(sum(64 * ((d.doc_id + 11 * bx.x + 29 * by.y) % 128 + 64))
+               AS BIGINT) AS y_sum,
+           CAST(sum(64 * (((d.doc_id + 11 * bx.x + 29 * by.y) % 128 + 64)
+                          * ((d.doc_id + 11 * bx.x + 29 * by.y) % 128 + 64)
+                        + ((d.doc_id + 5 * bx.x + 3 * by.y) % 33 - 16)
+                          * ((d.doc_id + 5 * bx.x + 3 * by.y) % 33 - 16)))
+               AS BIGINT) AS y_sq
     FROM documents d, generate_series(0, 1) bx(x), generate_series(0, 1) by(y)
+    GROUP BY 1
+),
+ch AS (
+    SELECT doc_id,
+           (doc_id * 3 + 17) % 128 + 64 AS cb_c, (doc_id * 7 + 5) % 33 - 16 AS cb_d,
+           (doc_id * 5 + 23) % 128 + 64 AS cr_c, (doc_id * 11 + 13) % 33 - 16 AS cr_d
+    FROM documents
 )
-SELECT doc_id AS media_id,
+SELECT yb.doc_id AS media_id,
        CAST(16 AS INTEGER) AS width,
        CAST(16 AS INTEGER) AS height,
-       CAST(sum(64 * c) AS BIGINT) AS content_sum,
-       CAST(sum(64 * (c * c + dd * dd)) AS BIGINT) AS content_sq_sum
-FROM blocks GROUP BY 1
+       CASE WHEN yb.doc_id % 2 = 0 THEN 'gray' ELSE 'ycc420' END AS tier,
+       CAST(yb.y_sum + CASE WHEN yb.doc_id % 2 = 0 THEN 0
+            ELSE 64 * (ch.cb_c + ch.cr_c) END AS BIGINT) AS content_sum,
+       CAST(yb.y_sq + CASE WHEN yb.doc_id % 2 = 0 THEN 0
+            ELSE 64 * (ch.cb_c * ch.cb_c + ch.cb_d * ch.cb_d
+                       + ch.cr_c * ch.cr_c + ch.cr_d * ch.cr_d) END
+           AS BIGINT) AS content_sq_sum
+FROM yb JOIN ch USING (doc_id)
 """
+
+
+# ---- round 12 ----
+
+# incremental (fragmented-cells-only) compaction: the partial merge must
+# be result-invariant — same visible row multiset as the appended index,
+# so the same family oracles gate it (VERDICT r11 item 2)
+ORACLES["emb_index_compact_incremental"] = ORACLES["emb_index_append"]
+ORACLES["docs_lsh_index_compact_incremental"] = ORACLES["docs_neardup_incremental"]
+
+# two concurrent appenders (VERDICT r11 item 4): interleaved staging +
+# reversed commit order must land exactly base + A + B — the IVF leg's
+# final state IS emb_index_append's; the LSH leg appends the
+# below-midpoint delta half and queries the rest (the during-append
+# split), so the full-shard oracle restricted to the query half is exact
+ORACLES["emb_index_concurrent_append"] = ORACLES["emb_index_append"]
+ORACLES["docs_lsh_index_concurrent_append"] = f"""
+SELECT doc_id, kept
+FROM ({ORACLES["docs_neardup_incremental"]})
+WHERE doc_id >= {_MID_ID}
+"""
+
+# streaming compressed ingest (VERDICT r11 item 5): three micro-batch
+# PQ-encoded appends under frozen artifacts ≡ the one-shot compressed
+# append (retry duplicates collapsed query-side) — same oracle chain
+ORACLES["emb_index_pq_streaming"] = ORACLES["emb_index_pq_append"]

@@ -608,7 +608,11 @@ def user_sessions_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     the watermark passes its close (Flink EventTimeSessionWindows
     semantics, beyond-reference per SURVEY §2.12). Replayed micro-batch
     by micro-batch and verified against the same gaps-and-islands oracle
-    as the batch ``user_sessions``. Excluded from bench."""
+    as the batch ``user_sessions``. Late-merge convention at the session
+    boundary (VERDICT r11 item 6) is pinned in streaming/windows.
+    streaming_session_count: merge while unemitted (disorder ≤ delay ⇒
+    batch parity), drop after emission (allowedLateness(0)); boundary
+    tests in test_round12_ops. Excluded from bench."""
     from .streaming import replay
     from .streaming import windows as swindows
 
@@ -2201,10 +2205,16 @@ def emb_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def docs_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source 5-gram containment matrix (operators/text.
-    cross_source_contamination): distinct (source, gram) frame, one
-    gram-key self-join, broadcast marginals — the corpus-level overlap
-    audit run before fixing mixture weights or trusting eval splits."""
-    return text.cross_source_contamination(load_table(spark, sf_dir, "documents"))
+    cross_source_contamination): the Arrow gram-fingerprint kernel
+    (VERDICT r11 item 3 — tokens hashed once per batch, grams combined
+    as uint64 rolling products, no gram strings), distinct (source,
+    hash) frame, one hash-key self-join, broadcast marginals — the
+    corpus-level overlap audit run before fixing mixture weights or
+    trusting eval splits."""
+    return text.cross_source_contamination(
+        load_table(spark, sf_dir, "documents"),
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
 
 
 def tpch_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3551,10 +3561,15 @@ def docs_source_minhash_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     per source estimates pairwise shingle-set Jaccard with NO pairwise
     data join — the sketch-rate complement to the exact
     docs_cross_source_contamination matrix. Deterministic permutations
-    => exact value gate."""
+    => exact value gate. The per-shingle work runs in the Arrow
+    partial-minima kernel (VERDICT r11 item 3), spread across the
+    session's cores (the table is one file split at test SF)."""
     from .operators import dedup
 
-    return dedup.source_minhash_sim(load_table(spark, sf_dir, "documents"))
+    return dedup.source_minhash_sim(
+        load_table(spark, sf_dir, "documents"),
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
 
 
 def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3683,14 +3698,16 @@ def orders_repeat_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def unique_visitors_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WA6's Redis-bitmap UV made EXACT (UniqueVisitorApp2.java:93-146
-    — SETBIT(windowKey, userId) per element, BITCOUNT per window): the
+    — the reference SETBITs a MyBloomFilter hash of userId masked to
+    2^30, collision-prone and approximate; this entry keeps that
+    SETBIT/BITCOUNT state shape but indexes bits by the raw id): the
     id space shards into 64-id buckets, each (window, bucket) carries
     one long of bits, and the census popcount-sums the OR-merged
     fragments (operators/distinct.bitmap_unique_count). Closes the one
-    documented semantic substitution of the HLL entry: this IS the
-    external-bitmap semantics, distributed — and it gates against the
-    exact unique_visitors oracle, so a hash match proves bitmap ≡
-    countDistinct."""
+    documented semantic substitution of the HLL entry by UPGRADING the
+    reference's Bloom-hashed bitmap to an exact id-indexed one — and it
+    gates against the exact unique_visitors oracle, so a hash match
+    proves bitmap ≡ countDistinct."""
     return distinct.bitmap_unique_count(
         _events(spark, sf_dir), "ts", "1 hour", "user_id"
     ).select("window_end_s", "uv")
@@ -3917,6 +3934,177 @@ def media_phash_index_query_during_append(spark: SparkSession, sf_dir: str) -> D
     qh = multimodal.image_dhash(multimodal.encode_media(query))
     return multimodal.phash_index_query_incremental(spark, path, qh).withColumn(
         "mid_equals_pre", F.lit(bool(mid_equals_pre))
+    )
+
+
+# ------------------------------------------------------ round-12 entries
+
+
+def emb_index_compact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragmented-cells-ONLY index maintenance (VERDICT r11 item 2;
+    operators/ann.ivf_index_compact_incremental): grow the base index
+    with the delta in THREE atomic-segment appends (each touches only
+    the cells its vectors assign to), then compact ONLY the cells whose
+    fragment count across base + segments exceeds 1 — each victim cell
+    folds its segment copies in under a cell-level absorbed marker that
+    commits with the cell's own rename, and every untouched cell's
+    files stay byte-identical (inode/mtime unchanged — tested). The
+    query that follows exercises the per-cell-exclusion read path on
+    its live remainder segments. Gated by emb_index_append's exact
+    base-trained oracle: one hash match proves the Lucene-style merge
+    is result-invariant. At 100 TB this is the production compactor —
+    a maintenance pass bounded by the HOT cells ingest touched, not a
+    full-index rewrite (6.0 s / 4.0 s of the r11 bench's heaviest
+    recurring cost was exactly that rewrite)."""
+    emb, _, delta = _ivf_base90_split(spark, sf_dir)
+    path = scratch.fresh_copy(_ivf_base90_index(spark, sf_dir), "ivf_inc_")
+    third = F.pmod(F.col("vec_id"), F.lit(3))
+    for j in range(3):
+        ann.ivf_index_append_atomic(delta.filter(third == j), path, token=f"b{j}")
+    ann.ivf_index_compact_incremental(spark, path, max_fragments=1)
+    return ann.ann_ivf_persisted_topk(
+        spark, path, emb, list(range(10)), 5, nprobe=4
+    )
+
+
+def docs_lsh_index_compact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH index maintenance (operators/dedup.
+    lsh_index_compact_incremental — the dedup twin of the IVF entry):
+    build on shards 2-3, append shard 1 in two atomic-segment batches,
+    then fold ONLY the fragmented ``band_id=`` cells into the base
+    (cell-level absorbed markers) while the SHINGLES frame — the bulk
+    of the index bytes — is left untouched, its files byte-identical
+    and its segment copies still folding in through the segment-aware
+    reader (full defragmentation stays with lsh_index_compact, the
+    force-merge). Dedup shard 0 against the result; gated by
+    docs_neardup_incremental's exact oracle — a hash match proves the
+    partial merge changed nothing a query can see."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.pmod(sampling.sample_hash("doc_id", "incr"), F.lit(4))
+    path = scratch.fresh_copy(
+        _lsh_base_index(spark, sf_dir, (2, 3)), "lsh_inc_"
+    )
+    s1 = docs.filter(shard == 1)
+    half = F.pmod(F.col("doc_id"), F.lit(2))
+    dedup.lsh_index_append_atomic(s1.filter(half == 0), path, token="a0")
+    dedup.lsh_index_append_atomic(s1.filter(half == 1), path, token="a1")
+    dedup.lsh_index_compact_incremental(spark, path, max_fragments=1)
+    return dedup.lsh_index_query_incremental(
+        spark, path, docs.filter(shard == 0)
+    )
+
+
+def emb_index_concurrent_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO concurrent appenders on the persisted IVF index (VERDICT r11
+    item 4 — the remaining production gap after round 11 proved
+    reader-vs-one-writer isolation): the delta's two halves stage under
+    UNIQUE tokens with fully interleaved, fault-injected ordering —
+    writer A stages, writer B stages, B commits BEFORE A (commit order
+    reversed vs start order) — then queries 0..9 probe the index.
+    Stage-token uniqueness makes the two segment commits collision-free
+    by construction (each is one rename of its own private dir; no
+    shared file is ever written), and the final visible state is
+    base + A + B regardless of interleaving, so the entry gates on
+    emb_index_append's exact oracle. True thread-level concurrency
+    (both writers staging simultaneously) is pinned by
+    tests/test_round12_ops.py::test_concurrent_appenders_threads;
+    the driver entry fixes a deterministic adversarial order so the
+    oracle hash is reproducible."""
+    emb, _, delta = _ivf_base90_split(spark, sf_dir)
+    path = scratch.fresh_copy(_ivf_base90_index(spark, sf_dir), "ivf_cc_")
+    half = F.pmod(F.col("vec_id"), F.lit(2))
+    ann.ivf_index_append_atomic(
+        delta.filter(half == 0), path, token="w_a", commit=False
+    )
+    ann.ivf_index_append_atomic(
+        delta.filter(half == 1), path, token="w_b", commit=False
+    )
+    io_sinks.commit_segment(path, "w_b")
+    io_sinks.commit_segment(path, "w_a")
+    return ann.ann_ivf_persisted_topk(
+        spark, path, emb, list(range(10)), 5, nprobe=4
+    )
+
+
+def docs_lsh_index_concurrent_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two concurrent appenders on the persisted LSH index — the dedup
+    leg of VERDICT r11 item 4, on the during-append split (delta = the
+    below-midpoint half of the new shard, query = the rest, so 'indexed
+    delta' ≡ 'lower-id new' and the full-shard oracle restricted to the
+    query half is exact): the delta's even/odd doc halves stage bands +
+    shingles under unique tokens, commit in REVERSED order, then the
+    query half dedups against the doubly-appended index. Each commit is
+    one rename of a private dir — no interleaving of two appenders can
+    tear a frame or lose a row, which the restricted
+    docs_neardup_incremental hash proves end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.pmod(sampling.sample_hash("doc_id", "incr"), F.lit(4))
+    new = docs.filter(shard == 0)
+    mid_id = (int(docs.agg(F.max("doc_id")).first()[0]) + 1) // 2
+    delta = new.filter(F.col("doc_id") < mid_id)
+    query = new.filter(F.col("doc_id") >= mid_id)
+    path = scratch.fresh_copy(
+        _lsh_base_index(spark, sf_dir, (1, 2, 3)), "lsh_cc_"
+    )
+    half = F.pmod(F.col("doc_id"), F.lit(2))
+    dedup.lsh_index_append_atomic(
+        delta.filter(half == 0), path, token="w_a", commit=False
+    )
+    dedup.lsh_index_append_atomic(
+        delta.filter(half == 1), path, token="w_b", commit=False
+    )
+    io_sinks.commit_segment(path, "w_b")
+    io_sinks.commit_segment(path, "w_a")
+    return dedup.lsh_index_query_incremental(spark, path, query)
+
+
+def emb_index_pq_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous COMPRESSED-index ingest (VERDICT r11 item 5 — the
+    streaming form the PQ layout lacked; the 27th actual-Structured-
+    Streaming run): the id-suffix 10% delta replays as a stream in
+    three micro-batches; each batch is assigned AND PQ-encoded with the
+    FROZEN on-disk artifacts (coarse quantizer + codebooks, reloaded,
+    never retrained — operators/ann.ivf_pq_index_append per micro-batch,
+    FAISS add() on IVFPQ) and appended into the postings partitions.
+    The final ADC probe runs with dedup_postings=True — encoding is
+    deterministic under frozen artifacts, so an at-least-once
+    foreachBatch retry re-appends byte-identical (neighbor_id, codes)
+    rows and the distinct over the pruned probe slice collapses them
+    (kill-resume pinned by test_pq_streaming_kill_resume). Gates on
+    emb_index_pq_append's exact oracle: streaming compressed ingest ≡
+    one-shot compressed append. Excluded from bench (it measures the
+    replay harness)."""
+    from .streaming import replay
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cut = _pq_id_cutoff(spark, sf_dir)
+    delta = emb.filter(F.col("vec_id") >= cut)
+    path = scratch.fresh_copy(_ivf_pq_base_index(spark, sf_dir), "ivfpq_stream_")
+    delta_s = delta.select(
+        "vec_id",
+        "embedding",
+        F.timestamp_seconds(F.col("vec_id")).alias("ts"),
+    )
+    stream = replay.replay_stream(spark, delta_s, "ts", num_chunks=3)
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        b = batch.select("vec_id", "embedding").persist()
+        try:
+            if b.count() == 0:
+                return
+            ann.ivf_pq_index_append(b, path)
+        finally:
+            b.unpersist()
+
+    with replay.replay_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return ann.ann_ivf_pq_persisted_topk(
+        spark, path, emb, list(range(10)), 5, nprobe=4, dedup_postings=True
     )
 
 
@@ -4189,6 +4377,11 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_lsh_index_query_during_append": docs_lsh_index_query_during_append,
     "media_phash_index_query_during_append": media_phash_index_query_during_append,
     "media_jpeg_roundtrip": media_jpeg_roundtrip,
+    "emb_index_compact_incremental": emb_index_compact_incremental,
+    "docs_lsh_index_compact_incremental": docs_lsh_index_compact_incremental,
+    "emb_index_concurrent_append": emb_index_concurrent_append,
+    "docs_lsh_index_concurrent_append": docs_lsh_index_concurrent_append,
+    "emb_index_pq_streaming": emb_index_pq_streaming,
 }
 
 # --- CORRECTNESS window (driver gates the FIRST 50 entries in dict
@@ -4506,7 +4699,14 @@ def compose_tiered_window(
     slots = size - len(head)
     window = head + tail[:slots]
     rest = tail[slots:]
-    bound = (-(-len(rest) // max(1, slots)) + 1) if rest else 1
+    # ADVICE r11: with zero tail slots and a non-empty remainder the
+    # tail NEVER re-gates — report that as an explicit infinite bound,
+    # not a finite-looking (len(rest)+1); the switch-over decision
+    # reads this number.
+    if rest and slots == 0:
+        bound = float("inf")
+    else:
+        bound = (-(-len(rest) // slots) + 1) if rest else 1
     return window, rest, bound
 
 
@@ -4539,8 +4739,69 @@ assert _front11 == _R10_ROLLOVER[: len(_front11)], "rollover gating must be olde
 assert _R11_ROLLOVER == _R10_ROLLOVER[len(_front11):]
 assert set(_R11_WINDOW) | set(_R11_ROLLOVER) == set(_R11_POOL)
 
+# ---- round 12 window: 5 new ops front, then 3 re-gates (entries whose
+# IMPLEMENTATION changed this round and must re-prove their hash:
+# media_jpeg_roundtrip gained the chroma 4:2:0 tier, and the two
+# VERDICT-flagged n-gram queries moved to the vectorized kernel), then
+# the ENTIRE 7-entry r11 rollover (their re-gate lands exactly at the
+# 6-round policy bound — VERDICT r11 item 1), then the oldest-first
+# prefix of the next-stalest cohort (the 50 round-7-latest rows).
+R12_NEW: list[str] = [
+    "emb_index_compact_incremental",
+    "docs_lsh_index_compact_incremental",
+    "emb_index_concurrent_append",
+    "docs_lsh_index_concurrent_append",
+    "emb_index_pq_streaming",
+]
+
+R12_REGATE: list[str] = [
+    "media_jpeg_roundtrip",
+    "docs_cross_source_contamination",
+    "docs_source_minhash_sim",
+]
+
+# latest driver row = round 7 (from CORRECTNESS_r0{1..11}.json), sorted
+_STALE_R7: list[str] = [
+    "docs_ccnet_buckets", "docs_chunk", "docs_clean", "docs_code_detect",
+    "docs_collocations", "docs_containment_pairs", "docs_corpus_stats",
+    "docs_curation_pipeline", "docs_decontaminate", "docs_dedup_incremental",
+    "docs_dedup_incremental_streaming", "docs_dedup_resolved",
+    "docs_domain_cap", "docs_dup_spans", "docs_gopher_filter",
+    "docs_kl_divergence", "docs_lang_balance", "docs_line_dedup",
+    "docs_mixture_weights", "docs_neardup_incremental", "docs_overlap_pairs",
+    "docs_pack_sequences", "docs_pii_redact", "docs_quality_classifier",
+    "docs_readability", "docs_repetition", "docs_source_minhash_sim",
+    "docs_stratified_sample", "docs_tfidf_topk", "docs_token_quantiles",
+    "docs_unigram_lm", "docs_vocabulary", "docs_weighted_sample",
+    "emb_ann_ivf_pq", "emb_ann_ivf_pq_rerank", "emb_ann_ivf_trained",
+    "emb_binary_recall", "emb_sq8_recall", "events_attribution_multitouch",
+    "events_ewma", "events_markov_stationary", "events_path_entropy",
+    "events_scd2_intervals", "events_survival", "events_theta_overlap",
+    "events_trigram_paths", "items_kcore", "media_gif_roundtrip",
+    "orders_repeat_screen", "parts_skyline",
+]
+
+_R12_POOL: list[str] = _dedup_keep_order(
+    R12_NEW + R12_REGATE + _R11_ROLLOVER + _STALE_R7
+)
+_R12_WINDOW: list[str] = _R12_POOL[:WINDOW_SIZE]
+_R12_ROLLOVER: list[str] = _R12_POOL[WINDOW_SIZE:]
+assert len(_R12_WINDOW) == WINDOW_SIZE
+assert set(R12_NEW) <= set(_R12_WINDOW), "new ops gate on first appearance"
+assert set(R12_REGATE) <= set(_R12_WINDOW), "changed ops re-gate this round"
+# VERDICT r11 item 1: the ENTIRE r11 rollover gates this round — its
+# re-gate lands exactly at the encoded 6-round bound
+assert set(_R11_ROLLOVER) <= set(_R12_WINDOW), "r11 rollover must all gate in r12"
+# oldest-first stale gating: the stale cohort in the window (net of the
+# explicitly fronted re-gates) must be exactly the oldest-first prefix
+# of the cohort net of re-gates (no silent composition loss — ADVICE r6)
+_stale12_net = [n for n in _STALE_R7 if n not in set(R12_REGATE)]
+_stale_in12 = [n for n in _stale12_net if n in set(_R12_WINDOW)]
+assert _stale_in12 == _stale12_net[: len(_stale_in12)], "stale gating must be oldest-first"
+assert set(_R12_WINDOW) | set(_R12_ROLLOVER) == set(_R12_POOL)
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    name: _ALL[name] for name in _R11_WINDOW
+    name: _ALL[name] for name in _R12_WINDOW
 }
 QUERIES.update((k, v) for k, v in _ALL.items() if k not in QUERIES)
 assert len(QUERIES) == len(_ALL)

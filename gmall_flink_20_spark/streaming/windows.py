@@ -59,7 +59,24 @@ def streaming_session_count(
     sessionization, exactly like the batch ``session_count``, so both
     forms verify against one gaps-and-islands oracle. State per key is one
     open session (merged on arrival), evicted at emission — bounded by
-    (active keys), not event volume."""
+    (active keys), not event volume.
+
+    LATE-MERGE CONVENTION (round 12, VERDICT r11 item 6 — pinned by
+    tests/test_round12_ops.py::test_session_late_event_*): an event
+    arriving out of order MERGES into (or bridges) its session exactly
+    like the batch form as long as the session has not been EMITTED —
+    and emission happens in the first micro-batch AFTER the watermark
+    passes the close (Spark evicts with the end-of-previous-batch
+    watermark), so even an event nominally below the watermark still
+    merges if it lands in that same batch. Batch parity is therefore
+    GUARANTEED whenever disorder ≤ ``delay``, the contract every replay
+    entry satisfies. Once a session HAS been emitted, a later in-gap
+    event is DROPPED outright — no merge, no second session, no
+    re-fire: Flink's EventTimeSessionWindows with allowedLateness(0),
+    the drop side of the divergence WA2 documents. Callers needing
+    Flink's allowedLateness>0 re-fire must raise ``delay`` (state cost)
+    instead; Structured Streaming's append mode cannot retract an
+    emitted session."""
     floored = stream.withColumn(
         "__ts", F.timestamp_seconds(F.col(ts_col).cast("long"))
     ).withWatermark("__ts", delay)

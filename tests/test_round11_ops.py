@@ -328,7 +328,10 @@ def test_jpeg_tier_roundtrip_is_bit_exact():
 
     from gmall_flink_20_spark.operators import multimodal as mm
 
-    for mid in (0, 1, 7, 16, 101, 9999):
+    # round 12 made _jpeg_encode two-tier: EVEN ids stay grayscale
+    # (this test's surface); odd ids are the YCbCr 4:2:0 tier, covered
+    # by test_round12_ops.test_jpeg_color_tier_roundtrip_is_bit_exact
+    for mid in (0, 2, 8, 16, 100, 9998):
         P = mm._jpeg_tier_pixels(mid).astype(np.int64)
         w, h, cs, cq = mm._jpeg_decode_gray(mm._jpeg_encode(mid))
         assert (w, h) == (16, 16)
@@ -434,8 +437,8 @@ def test_tiered_window_dedup_and_names_are_real():
 def test_r11_window_contract():
     from gmall_flink_20_spark import queries as q
 
-    # driver gates the first 50 dict entries = the round-11 window
-    assert list(q.QUERIES)[:50] == q._R11_WINDOW
+    # updated each rotation: the CURRENT round's window fronts the dict
+    assert list(q.QUERIES)[:50] == q._R12_WINDOW
     assert set(q.R11_NEW) <= set(q._R11_WINDOW)
     # the rollover is exactly the oldest-first suffix of r10's
     assert q._R11_ROLLOVER == q._R10_ROLLOVER[-len(q._R11_ROLLOVER):]
