@@ -2331,11 +2331,20 @@ def ann_opq_persisted_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dedup_codes: bool = False,
 ) -> DataFrame:
     """Query a persisted OPQ index: reload rotation + codebooks, scan
     the stored codes (never the raw vectors), ADC-rank. Bit-equal to
     the in-session ann_opq_topk under the same artifacts (tested) —
-    the persisted path's whole read is m bytes/vector."""
+    the persisted path's whole read is m bytes/vector. The codes scan
+    is segment-aware (atomic appends fold in); ``dedup_codes=True`` is
+    the retry neutralizer for at-least-once streaming ingest: encoding
+    under frozen artifacts is deterministic, so re-appended duplicates
+    are byte-identical and one distinct on neighbor_id collapses them
+    (the OPQ scan is flat, so the distinct costs one exchange over the
+    m-byte codes — the layout's normal scan unit)."""
+    from ..io_sinks import read_with_segments
+
     R, books, m, subdim, ks = opq_index_load(spark, path)
     qrows = sorted(
         (int(r[id_col]), [float(x) for x in r[vec_col]])
@@ -2343,5 +2352,53 @@ def ann_opq_persisted_topk(
         .select(id_col, vec_col)
         .collect()
     )
-    encoded = spark.read.parquet(f"{path}/codes")
+    encoded = read_with_segments(spark, path, "codes")
+    if dedup_codes:
+        encoded = encoded.dropDuplicates(["neighbor_id"])
     return _opq_adc_rank(spark, encoded, qrows, R, books, k, m, subdim, ks)
+
+
+def opq_index_append(
+    delta: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental maintenance of a persisted OPQ index — FAISS
+    ``add()`` on the `OPQMatrix,PQ` chain: rotate AND encode the delta
+    batch with the FROZEN stored artifacts (rotation + codebooks,
+    reloaded, never retrained) and append the (neighbor_id, codes)
+    rows to the codes frame. One row-local Arrow pass + a plain
+    parquet append — no shuffle, no touch of existing files. Gated
+    through emb_index_opq_append on the exact-top-1 bound oracle."""
+    spark = delta.sparkSession
+    R, books, m, subdim, _ = opq_index_load(spark, path)
+    enc = _opq_encode_udf(R, books, m, subdim)
+    delta.select(
+        F.col(id_col).alias("neighbor_id"), enc(F.col(vec_col)).alias("codes")
+    ).write.mode("append").parquet(f"{path}/codes")
+
+
+def opq_index_append_atomic(
+    delta: DataFrame,
+    path: str,
+    token: str,
+    commit: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """``opq_index_append`` under the segment protocol: the encoded
+    delta stages hidden and publishes with ONE rename, so a reader
+    racing the append sees pre- or post-append codes, never a torn
+    subset. Returns the token."""
+    from ..io_sinks import commit_segment, stage_segment_dir
+
+    spark = delta.sparkSession
+    R, books, m, subdim, _ = opq_index_load(spark, path)
+    enc = _opq_encode_udf(R, books, m, subdim)
+    delta.select(
+        F.col(id_col).alias("neighbor_id"), enc(F.col(vec_col)).alias("codes")
+    ).write.mode("overwrite").parquet(f"{stage_segment_dir(path, token)}/codes")
+    if commit:
+        commit_segment(path, token)
+    return token

@@ -5910,3 +5910,9 @@ WHERE doc_id >= {_MID_ID}
 # PQ-encoded appends under frozen artifacts ≡ the one-shot compressed
 # append (retry duplicates collapsed query-side) — same oracle chain
 ORACLES["emb_index_pq_streaming"] = ORACLES["emb_index_pq_append"]
+
+# OPQ lifecycle (append + streaming ingest): SVD-trained rotation has
+# no SQL twin, so both gate with the WA6-pattern bound oracle every OPQ
+# entry uses — exact cosine top-1 (hash-checked) + the two bound TRUEs
+ORACLES["emb_index_opq_append"] = ORACLES["emb_ann_opq"]
+ORACLES["emb_index_opq_streaming"] = ORACLES["emb_ann_opq"]

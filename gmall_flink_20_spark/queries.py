@@ -4108,6 +4108,99 @@ def emb_index_pq_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _opq_base90_index(spark: SparkSession, sf_dir: str) -> str:
+    """Memoized persisted OPQ index over the id-prefix 90% base (same
+    ingest-ordered split as the IVF-PQ lifecycle; the base must contain
+    the init ids) — the frozen compressed base the OPQ append/streaming
+    entries grow via fresh_copy."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cut = _pq_id_cutoff(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") < cut)
+    return scratch.memoized_index(
+        "opq_base90",
+        base,
+        ("opq", 8, 8, 16),
+        lambda p: ann.opq_index_write(base, p),
+    )
+
+
+def emb_index_opq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-index incremental maintenance (operators/ann.
+    opq_index_append — the rotation-chain leg of VERDICT r11 item 5):
+    rotation + codebooks freeze on the id-prefix 90% base; the newest
+    10% batch is rotated + encoded with the reloaded artifacts and
+    appended to the codes frame in two fragmenting halves, then queries
+    0..9 ADC-scan the grown index. Gated with the same WA6-pattern
+    bound oracle as every OPQ entry (exact cosine top-1 hash-checked;
+    err(OPQ) ≤ err(PQ) on the base train sample; batch recall over the
+    floor) — SVD training has no SQL twin, so the bounds gate
+    add-without-retrain."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cut = _pq_id_cutoff(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") < cut)
+    delta = emb.filter(F.col("vec_id") >= cut)
+    path = scratch.fresh_copy(_opq_base90_index(spark, sf_dir), "opq_append_")
+    half = F.pmod(F.col("vec_id"), F.lit(2))
+    ann.opq_index_append(delta.filter(half == 0), path)
+    ann.opq_index_append(delta.filter(half == 1), path)
+    _, _, e_opq, e_pq = ann.opq_train_local(base)
+    approx = ann.ann_opq_persisted_topk(spark, path, emb, list(range(10)), 5)
+    return ann.opq_recall_gate(
+        emb, approx, list(range(10)), 5, opq_err=e_opq, pq_err=e_pq
+    )
+
+
+def emb_index_opq_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous OPQ-index ingest — the 28th actual-Structured-
+    Streaming run, completing VERDICT r11 item 5's compressed-layout
+    symmetry (PQ got its stream this round too): the id-suffix 10%
+    delta replays in three micro-batches; each batch rotates + encodes
+    with the FROZEN on-disk artifacts (operators/ann.opq_index_append
+    per micro-batch) and appends to the codes frame. The final ADC scan
+    runs with dedup_codes=True — frozen-artifact encoding is
+    deterministic, so an at-least-once retry re-appends byte-identical
+    rows that one distinct collapses (kill-resume pinned by
+    test_opq_streaming_kill_resume). Same bound oracle as the batch
+    append. Excluded from bench (it measures the replay harness)."""
+    from .streaming import replay
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cut = _pq_id_cutoff(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") < cut)
+    delta = emb.filter(F.col("vec_id") >= cut)
+    path = scratch.fresh_copy(_opq_base90_index(spark, sf_dir), "opq_stream_")
+    delta_s = delta.select(
+        "vec_id",
+        "embedding",
+        F.timestamp_seconds(F.col("vec_id")).alias("ts"),
+    )
+    stream = replay.replay_stream(spark, delta_s, "ts", num_chunks=3)
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        b = batch.select("vec_id", "embedding").persist()
+        try:
+            if b.count() == 0:
+                return
+            ann.opq_index_append(b, path)
+        finally:
+            b.unpersist()
+
+    with replay.replay_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    _, _, e_opq, e_pq = ann.opq_train_local(base)
+    approx = ann.ann_opq_persisted_topk(
+        spark, path, emb, list(range(10)), 5, dedup_codes=True
+    )
+    return ann.opq_recall_gate(
+        emb, approx, list(range(10)), 5, opq_err=e_opq, pq_err=e_pq
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4382,6 +4475,8 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_index_concurrent_append": emb_index_concurrent_append,
     "docs_lsh_index_concurrent_append": docs_lsh_index_concurrent_append,
     "emb_index_pq_streaming": emb_index_pq_streaming,
+    "emb_index_opq_append": emb_index_opq_append,
+    "emb_index_opq_streaming": emb_index_opq_streaming,
 }
 
 # --- CORRECTNESS window (driver gates the FIRST 50 entries in dict
@@ -4752,6 +4847,8 @@ R12_NEW: list[str] = [
     "emb_index_concurrent_append",
     "docs_lsh_index_concurrent_append",
     "emb_index_pq_streaming",
+    "emb_index_opq_append",
+    "emb_index_opq_streaming",
 ]
 
 R12_REGATE: list[str] = [

@@ -592,6 +592,124 @@ def test_session_late_event_beyond_watermark_drops(spark, tmp_path):
     assert [x for x in got if x[0] == 1] == [(1, 1000, 2800, 1)], got
 
 
+def test_opq_streaming_kill_resume(spark, sf_dir, tmp_path):
+    """Checkpointed restart mid-ingest for the OPQ index: the grown
+    codes frame must answer exactly like the one-shot batch append,
+    dedup_codes collapsing any at-least-once re-encode."""
+    import shutil
+    import uuid
+
+    from gmall_flink_20_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mx = emb.agg(F.max("vec_id")).first()[0]
+    cut = (9 * (int(mx) + 1)) // 10
+    base = emb.filter(F.col("vec_id") < cut)
+    delta = (
+        emb.filter(F.col("vec_id") >= cut)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+    )
+    rows = delta.collect()
+    half = len(rows) // 2
+    schema = delta.schema
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "index")
+    ann.opq_index_write(base, idx)
+
+    def write_chunk(df, j, mtime):
+        tmp = tmp_path / f"tmp_{uuid.uuid4().hex[:6]}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        for f in tmp.glob("*.parquet"):
+            dst = src / f"{j:05d}.parquet"
+            shutil.copy(f, dst)
+            os.utime(dst, (mtime, mtime))
+        shutil.rmtree(tmp)
+
+    def handle(batch, epoch_id):
+        b = batch.persist()
+        try:
+            if b.count() == 0:
+                return
+            ann.opq_index_append(b, idx)
+        finally:
+            b.unpersist()
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_chunk(spark.createDataFrame(rows[:half], schema), 0, 1_000_000_000)
+    run_once()
+    write_chunk(spark.createDataFrame(rows[half:], schema), 1, 1_000_000_001)
+    run_once()
+
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ann.ann_opq_persisted_topk(
+            spark, idx, emb, list(range(10)), 5, dedup_codes=True
+        ).collect()
+    }
+    oneshot = str(tmp_path / "oneshot")
+    ann.opq_index_write(base, oneshot)
+    ann.opq_index_append(emb.filter(F.col("vec_id") >= cut), oneshot)
+    exp = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ann.ann_opq_persisted_topk(
+            spark, oneshot, emb, list(range(10)), 5
+        ).collect()
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_opq_atomic_append_invisible_until_commit(spark, sf_dir, tmp_path):
+    from gmall_flink_20_spark import io_sinks
+    from gmall_flink_20_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 9)
+    delta = emb.filter(F.col("vec_id") % 10 == 9)
+    idx = str(tmp_path / "opq")
+    ann.opq_index_write(base, idx)
+
+    def q():
+        return {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in ann.ann_opq_persisted_topk(
+                spark, idx, emb, list(range(10)), 5
+            ).collect()
+        }
+
+    pre = q()
+    ann.opq_index_append_atomic(delta, idx, token="t1", commit=False)
+    assert q() == pre  # staged: invisible
+    io_sinks.commit_segment(idx, "t1")
+    post = q()
+    idx2 = str(tmp_path / "opq2")
+    ann.opq_index_write(base, idx2)
+    ann.opq_index_append(delta, idx2)
+    exp = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ann.ann_opq_persisted_topk(
+            spark, idx2, emb, list(range(10)), 5
+        ).collect()
+    }
+    assert post == exp
+
+
 def test_ivf_full_compact_purges_stale_stage(spark, sf_dir, tmp_path):
     from gmall_flink_20_spark import scratch
     from gmall_flink_20_spark.io import load_table
