@@ -4834,13 +4834,15 @@ assert _front11 == _R10_ROLLOVER[: len(_front11)], "rollover gating must be olde
 assert _R11_ROLLOVER == _R10_ROLLOVER[len(_front11):]
 assert set(_R11_WINDOW) | set(_R11_ROLLOVER) == set(_R11_POOL)
 
-# ---- round 12 window: 5 new ops front, then 3 re-gates (entries whose
+# ---- round 12 window: 7 new ops front, then 3 re-gates (entries whose
 # IMPLEMENTATION changed this round and must re-prove their hash:
 # media_jpeg_roundtrip gained the chroma 4:2:0 tier, and the two
 # VERDICT-flagged n-gram queries moved to the vectorized kernel), then
 # the ENTIRE 7-entry r11 rollover (their re-gate lands exactly at the
 # 6-round policy bound — VERDICT r11 item 1), then the oldest-first
-# prefix of the next-stalest cohort (the 50 round-7-latest rows).
+# prefix of the next-stalest cohort (the 50 round-7-latest rows);
+# 33 fit, 16 roll to round 13 (the cohort nets to 49 after the
+# explicitly fronted docs_source_minhash_sim re-gate).
 R12_NEW: list[str] = [
     "emb_index_compact_incremental",
     "docs_lsh_index_compact_incremental",
