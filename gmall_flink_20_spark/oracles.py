@@ -5916,3 +5916,15 @@ ORACLES["emb_index_pq_streaming"] = ORACLES["emb_index_pq_append"]
 # entry uses — exact cosine top-1 (hash-checked) + the two bound TRUEs
 ORACLES["emb_index_opq_append"] = ORACLES["emb_ann_opq"]
 ORACLES["emb_index_opq_streaming"] = ORACLES["emb_ann_opq"]
+
+# phash concurrent appenders: reversed-commit staged writers land
+# exactly base + A + B; the during-append split's restricted oracle
+ORACLES["media_phash_index_concurrent_append"] = f"""
+SELECT media_id, kept
+FROM ({ORACLES["media_phash_index_persist"]})
+WHERE media_id >= {_MID_ID}
+"""
+
+# incremental-compactor mid-cell crash: reader restore-only healing
+# reproduces the pre-crash visible state (base + live segment) exactly
+ORACLES["emb_index_recover_incremental"] = ORACLES["emb_index_append"]

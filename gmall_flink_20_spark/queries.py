@@ -4108,6 +4108,63 @@ def emb_index_pq_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_phash_index_concurrent_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two concurrent appenders on the persisted phash index — the
+    multimodal leg of VERDICT r11 item 4, completing the family
+    symmetry (IVF + LSH got theirs this round): the below-midpoint
+    image delta's even/odd halves hash + stage under unique tokens,
+    commit in REVERSED order, then the query half dedups against the
+    doubly-appended index. Gated on media_phash_index_persist's
+    closed-form oracle restricted to the query half."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.pmod(sampling.sample_hash("doc_id", "incr"), F.lit(4))
+    new = docs.filter(shard == 0).filter(F.col("doc_id") % 3 == 0)
+    mid_id = (int(docs.agg(F.max("doc_id")).first()[0]) + 1) // 2
+    delta = new.filter(F.col("doc_id") < mid_id)
+    query = new.filter(F.col("doc_id") >= mid_id)
+    path = scratch.fresh_copy(_phash_base_index(spark, sf_dir), "phash_cc_")
+    half = F.pmod(F.col("doc_id"), F.lit(2))
+    for j, tok in ((0, "w_a"), (1, "w_b")):
+        dh = multimodal.image_dhash(
+            multimodal.encode_media(delta.filter(half == j))
+        )
+        multimodal.phash_index_append_atomic(dh, path, token=tok, commit=False)
+    io_sinks.commit_segment(path, "w_b")
+    io_sinks.commit_segment(path, "w_a")
+    qh = multimodal.image_dhash(multimodal.encode_media(query))
+    return multimodal.phash_index_query_incremental(spark, path, qh)
+
+
+def emb_index_recover_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-compactor crash recovery, driver-proven (the
+    per-cell analog of emb_index_recover): grow the base index with an
+    atomic-segment append, then CRASH the partial merge between a
+    victim cell's two renames — live cell dir absent, the intact
+    original parked under the Spark-invisible ``.cell.pre`` name, the
+    staged rewrite (data + its absorbed marker) still hidden. The query
+    that follows self-heals (io_sinks.heal_missing_cells inside
+    ann_ivf_persisted_topk, restore-only) and must answer byte-equal to
+    emb_index_append's oracle: the pre-crash visible state — base plus
+    the still-live segment — is reproduced exactly, no double count, no
+    loss, no manual rename."""
+    from .io_sinks import InterruptedCompaction
+
+    emb, _, delta = _ivf_base90_split(spark, sf_dir)
+    path = scratch.fresh_copy(_ivf_base90_index(spark, sf_dir), "ivf_increcover_")
+    ann.ivf_index_append_atomic(delta, path, token="d1")
+    counts = io_sinks.cell_fragment_counts(path, "postings")
+    victims = sorted(n for n, c in counts.items() if c > 1)
+    try:
+        ann.ivf_index_compact_incremental(
+            spark, path, max_fragments=1, fail_after_first_rename_of=victims[0]
+        )
+    except InterruptedCompaction:
+        pass
+    return ann.ann_ivf_persisted_topk(
+        spark, path, emb, list(range(10)), 5, nprobe=4
+    )
+
+
 def _opq_base90_index(spark: SparkSession, sf_dir: str) -> str:
     """Memoized persisted OPQ index over the id-prefix 90% base (same
     ingest-ordered split as the IVF-PQ lifecycle; the base must contain
@@ -4477,6 +4534,8 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_index_pq_streaming": emb_index_pq_streaming,
     "emb_index_opq_append": emb_index_opq_append,
     "emb_index_opq_streaming": emb_index_opq_streaming,
+    "media_phash_index_concurrent_append": media_phash_index_concurrent_append,
+    "emb_index_recover_incremental": emb_index_recover_incremental,
 }
 
 # --- CORRECTNESS window (driver gates the FIRST 50 entries in dict
@@ -4851,6 +4910,8 @@ R12_NEW: list[str] = [
     "emb_index_pq_streaming",
     "emb_index_opq_append",
     "emb_index_opq_streaming",
+    "media_phash_index_concurrent_append",
+    "emb_index_recover_incremental",
 ]
 
 R12_REGATE: list[str] = [
