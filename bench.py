@@ -257,13 +257,19 @@ BENCH_QUERIES = [
     "emb_ann_opq",
     "emb_index_opq_persist",
     "media_jpeg_roundtrip",
-    # NOT benched: the three *_query_during_append entries. They are
-    # concurrency-protocol tests — fresh_copy + fault-injected
-    # staged append + pre/mid/post reader phases — so their wall time
-    # measures the test harness, not a query a user runs (the same
-    # exclusion rationale as the streaming replays, which are timed in
-    # their own section). They remain fully driver-gated for
-    # correctness every round.
+    # round-12 batch additions
+    "emb_index_compact_incremental",
+    "docs_lsh_index_compact_incremental",
+    "emb_index_opq_append",
+    "emb_index_recover_incremental",
+    "media_jpeg_progressive_roundtrip",
+    # NOT benched: the three *_query_during_append entries and the
+    # three *_concurrent_append entries. They are concurrency-protocol
+    # tests — fresh_copy + staged appends with fault-injected phase /
+    # commit ordering — so their wall time measures the test harness,
+    # not a query a user runs (the same exclusion rationale as the
+    # streaming replays, which are timed in their own section). They
+    # remain fully driver-gated for correctness every round.
 ]
 
 

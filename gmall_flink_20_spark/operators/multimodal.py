@@ -65,6 +65,7 @@ __all__ = [
     "encode_gif",
     "decode_gif",
     "encode_jpeg",
+    "encode_jpeg_progressive",
     "decode_jpeg",
     "JPEG_DECODED_SCHEMA",
     "phash_index_append_atomic",
@@ -479,8 +480,8 @@ def resize_images_real(media: DataFrame, width: int, height: int) -> DataFrame:
 # the filter type per row (y % 5: None/Sub/Up/Average/Paeth), so a
 # decoder that mishandles ANY filter, the per-scanline filter byte, the
 # chunk walk, or multi-IDAT reassembly fails the closed-form oracle.
-# JPEG/MP4 remain gated: entropy coding / container demux genuinely need
-# external libs.
+# MP4 remains gated: container demux genuinely needs external libs.
+# (Baseline JPEG went real in round 11, progressive in round 12.)
 
 _PNG_W, _PNG_H = 7, 5  # non-square; h=5 => all five filter types appear
 
@@ -1500,6 +1501,314 @@ def _jpeg_encode_ycc420(y, cb, cr, quant=None) -> bytes:
     )
 
 
+# ------------------------------------------------- progressive JPEG
+# Round-12: progressive (SOF2) graduates from the env-gated canary into
+# the REAL codec tier — spectral selection, successive approximation
+# (point transform + refinement scans, DC and AC), and EOBRUN batching,
+# all stdlib+numpy. The encoder emits a 4-scan-per-component schedule
+# (DC first pass Al=1 → DC refinement → AC first pass Ss=1..63 Al=1
+# with EOBRUN batching → AC refinement Ah=1), so a decoder fault in ANY
+# progressive mechanism — multi-scan coefficient accumulation, EOBn
+# runs, point transform, correction-bit interleaving — breaks the
+# round-trip. Decoded pixels are BIT-IDENTICAL to the sequential
+# encoding of the same image (same quantized coefficients, same IDCT),
+# which is exactly what the cross-check test pins. Arithmetic-coded and
+# hierarchical JPEG stay honestly rejected.
+
+
+# Progressive AC scans emit symbols the Annex-K SEQUENTIAL table does
+# not contain (EOBn, r<<4 for r=1..14), so the progressive encoder
+# carries its own AC table: a flat canonical table (every symbol at
+# length 8 — Kraft-valid at 176 < 255 codes) covering EOBn r=0..14,
+# ZRL, and (run, size) for size 1..10 (|coef| < 1024 bounds 8-bit-input
+# DCT magnitudes). The decoder reads ANY DHT, so this is encoder-side
+# choice only.
+_JPG_PROG_AC_VALS = tuple(
+    sorted(
+        {r << 4 for r in range(15)}
+        | {0xF0}
+        | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+    )
+)
+_JPG_PROG_AC_BITS = (0,) * 7 + (len(_JPG_PROG_AC_VALS),) + (0,) * 8
+
+
+def _jpg_coef_blocks(plane, Q, T) -> list[list[int]]:
+    """Quantized zigzag coefficient blocks of one component plane
+    (dims multiples of 8), component raster order."""
+    import numpy as np
+
+    P = np.asarray(plane, dtype=np.float64)
+    h, w = P.shape
+    out = []
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            blk = P[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = np.rint((T @ blk @ T.T) / Q).astype(np.int64)
+            out.append([int(coef.flat[_JPG_ZIGZAG[i]]) for i in range(64)])
+    return out
+
+
+def _jpg_pt(v: int, al: int) -> int:
+    """T.81 point transform: v / 2^Al truncated toward zero."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def _jpg_put_dc_first(bw, codes, diff: int) -> None:
+    cat = _jpg_category(diff)
+    code, ln = codes[cat]
+    bw.put(code, ln)
+    if cat:
+        bw.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+
+
+class _JpgAcFirstWriter:
+    """AC first-pass scan writer (Ah=0) with EOBRUN batching: blocks
+    whose selected band is all-zero join an end-of-band run flushed as
+    EOBn codes (value range [2^r, 2^(r+1)-1], extension bits r)."""
+
+    def __init__(self, bw, ac_codes, ss: int, se: int, al: int) -> None:
+        self.bw, self.codes = bw, ac_codes
+        self.ss, self.se, self.al = ss, se, al
+        self.eobrun = 0
+
+    def _flush_eob(self) -> None:
+        while self.eobrun:
+            e = min(self.eobrun, 0x7FFF)
+            r = e.bit_length() - 1
+            code, ln = self.codes[r << 4]
+            self.bw.put(code, ln)
+            if r:
+                self.bw.put(e - (1 << r), r)
+            self.eobrun -= e
+
+    def block(self, zz: list[int]) -> None:
+        tv = [_jpg_pt(zz[k], self.al) for k in range(self.ss, self.se + 1)]
+        nz = [i for i, v in enumerate(tv) if v]
+        if not nz:
+            self.eobrun += 1
+            return
+        self._flush_eob()
+        run = 0
+        for i in range(nz[-1] + 1):
+            if tv[i] == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, ln = self.codes[0xF0]
+                self.bw.put(code, ln)
+                run -= 16
+            size = _jpg_category(tv[i])
+            code, ln = self.codes[(run << 4) | size]
+            self.bw.put(code, ln)
+            self.bw.put(tv[i] if tv[i] > 0 else tv[i] + (1 << size) - 1, size)
+            run = 0
+        if nz[-1] < self.se - self.ss:
+            self.eobrun += 1
+
+    def finish(self) -> None:
+        self._flush_eob()
+
+
+class _JpgAcRefineWriter:
+    """AC refinement scan writer (Ah=Al+1 -> Al), the libjpeg
+    encode_mcu_AC_refine shape: history coefficients (nonzero at the
+    prior precision) contribute buffered correction bits; newly nonzero
+    ones are coded (run, 1) + sign; zero runs count zero-history
+    positions only; EOB runs carry their blocks' pending correction
+    bits after the EOBn code."""
+
+    def __init__(self, bw, ac_codes, ss: int, se: int, al: int) -> None:
+        self.bw, self.codes = bw, ac_codes
+        self.ss, self.se, self.al = ss, se, al
+        self.eobrun = 0
+        self.pending: list[int] = []  # correction bits owed after EOBn
+
+    def _flush_eob(self) -> None:
+        while self.eobrun:
+            e = min(self.eobrun, 0x7FFF)
+            r = e.bit_length() - 1
+            code, ln = self.codes[r << 4]
+            self.bw.put(code, ln)
+            if r:
+                self.bw.put(e - (1 << r), r)
+            self.eobrun -= e
+        for b in self.pending:
+            self.bw.put(b, 1)
+        self.pending = []
+
+    def block(self, zz: list[int]) -> None:
+        av = [abs(_jpg_pt(zz[k], self.al)) for k in range(self.ss, self.se + 1)]
+        sg = [zz[k] >= 0 for k in range(self.ss, self.se + 1)]
+        # EOB position: after the last NEWLY-nonzero coefficient (==1 at
+        # this precision); pure-correction tails ride the EOB run
+        eob = -1
+        for i, v in enumerate(av):
+            if v == 1:
+                eob = i
+        emitted = False
+
+        def emit(rs: int, val: int | None, bits: list[int]) -> None:
+            # any real code settles the outstanding EOB run FIRST
+            nonlocal emitted
+            if not emitted:
+                self._flush_eob()
+                emitted = True
+            code, ln = self.codes[rs]
+            self.bw.put(code, ln)
+            if val is not None:
+                self.bw.put(val, 1)
+            for b in bits:
+                self.bw.put(b, 1)
+
+        run = 0
+        br: list[int] = []
+        for i in range(eob + 1):
+            v = av[i]
+            if v == 0:
+                run += 1
+                continue
+            if v > 1:
+                br.append(v & 1)
+                continue
+            # newly nonzero (v == 1)
+            while run > 15:
+                emit(0xF0, None, br)  # ZRL carries buffered corrections
+                br = []
+                run -= 16
+            emit((run << 4) | 1, 1 if sg[i] else 0, br)
+            br = []
+            run = 0
+        tail = br + [av[i] & 1 for i in range(eob + 1, len(av)) if av[i] > 1]
+        if eob < len(av) - 1 or not emitted:
+            # block ends in an EOB: its trailing corrections go pending
+            self.eobrun += 1
+            self.pending.extend(tail)
+            if self.eobrun == 0x7FFF:
+                self._flush_eob()
+        else:
+            for b in tail:
+                self.bw.put(b, 1)
+
+    def finish(self) -> None:
+        self._flush_eob()
+
+
+def _jpg_prog_scan_seg(comps_in_scan: list, ss: int, se: int,
+                       ah: int, al: int, entropy: bytes) -> bytes:
+    """One progressive SOS segment + its entropy bytes."""
+    payload = bytes([len(comps_in_scan)])
+    for cid, tabs in comps_in_scan:
+        payload += bytes([cid, tabs])
+    payload += bytes([ss, se, (ah << 4) | al])
+    return _jpg_seg(0xFFDA, payload) + entropy
+
+
+def _jpeg_encode_progressive(planes, samplings, quant=None) -> bytes:
+    """Progressive (SOF2) JFIF encoder, round 12: the 4-scan-per-
+    component successive-approximation schedule — interleaved DC first
+    pass (Al=1, diffs on point-transformed values), DC refinement (one
+    raw bit per block), per-component AC first pass (Ss=1..63, Al=1,
+    EOBRUN-batched), per-component AC refinement (Ah=1, the libjpeg
+    correction-bit algorithm). Quantized coefficients are IDENTICAL to
+    the sequential encoder's, so decoded pixels are bit-equal to the
+    SOF0 encoding of the same image (cross-checked in tests)."""
+    import struct
+
+    import numpy as np
+
+    Q = np.ones((8, 8), dtype=np.int64) if quant is None else np.asarray(quant, dtype=np.int64)
+    T = _jpg_dct_matrix()
+    dc_codes = _jpg_canonical_codes(_JPG_DC_BITS, _JPG_DC_VALS)
+    ac_codes = _jpg_canonical_codes(_JPG_PROG_AC_BITS, _JPG_PROG_AC_VALS)
+    ncomp = len(planes)
+    if ncomp == 1:
+        if samplings != [(1, 1)]:
+            raise ValueError("single-component sampling must be 1x1")
+    elif samplings != [(2, 2), (1, 1), (1, 1)]:
+        raise ValueError("only 4:2:0 (2x2,1x1,1x1) supported")
+    hmax = max(hs for hs, _ in samplings)
+    vmax = max(vs for _, vs in samplings)
+    h, w = np.asarray(planes[0]).shape
+    if h % (8 * vmax) or w % (8 * hmax):
+        raise ValueError("dims must be multiples of the MCU size")
+    blocks = [_jpg_coef_blocks(p, Q, T) for p in planes]
+    wblocks = [np.asarray(p).shape[1] // 8 for p in planes]
+
+    def mcu_iter():
+        """(comp index, block index) pairs in interleaved MCU order."""
+        for my in range(h // (8 * vmax)):
+            for mx in range(w // (8 * hmax)):
+                for ci, (hs, vs) in enumerate(samplings):
+                    for vy in range(vs):
+                        for vx in range(hs):
+                            yield ci, (my * vs + vy) * wblocks[ci] + (mx * hs + vx)
+
+    scans: list[bytes] = []
+    all_comps = [(ci + 1, 0x00) for ci in range(ncomp)]
+    # scan 1: DC first pass, interleaved, Al=1. DC's point transform is
+    # the ARITHMETIC shift (T.81 A.4 — two's complement), unlike AC's
+    # toward-zero division: v == 2*(v>>1) + (v&1) for every sign, which
+    # is what makes the refinement bit an unconditional ADD
+    bw = _JpgBitWriter()
+    prev = [0] * ncomp
+    for ci, bi in mcu_iter():
+        v = blocks[ci][bi][0] >> 1
+        _jpg_put_dc_first(bw, dc_codes, v - prev[ci])
+        prev[ci] = v
+    bw.flush()
+    scans.append(_jpg_prog_scan_seg(all_comps, 0, 0, 0, 1, bytes(bw.out)))
+    # scan 2: DC refinement — one raw bit (bit Al of the two's-
+    # complement value) per block in MCU order
+    bw = _JpgBitWriter()
+    for ci, bi in mcu_iter():
+        bw.put(blocks[ci][bi][0] & 1, 1)
+    bw.flush()
+    scans.append(_jpg_prog_scan_seg(all_comps, 0, 0, 1, 0, bytes(bw.out)))
+    # per component: AC first (Al=1, EOBRUN-batched) then AC refinement
+    for ci in range(ncomp):
+        bw = _JpgBitWriter()
+        wr = _JpgAcFirstWriter(bw, ac_codes, 1, 63, 1)
+        for zz in blocks[ci]:
+            wr.block(zz)
+        wr.finish()
+        bw.flush()
+        scans.append(
+            _jpg_prog_scan_seg([(ci + 1, 0x01)], 1, 63, 0, 1, bytes(bw.out))
+        )
+    for ci in range(ncomp):
+        bw = _JpgBitWriter()
+        wr = _JpgAcRefineWriter(bw, ac_codes, 1, 63, 0)
+        for zz in blocks[ci]:
+            wr.block(zz)
+        wr.finish()
+        bw.flush()
+        scans.append(
+            _jpg_prog_scan_seg([(ci + 1, 0x01)], 1, 63, 1, 0, bytes(bw.out))
+        )
+
+    soi_dqt, dht = _jpg_tables_prelude(Q)
+    # the flat progressive AC table rides as AC id 1 (AC scans' SOS
+    # entries reference 0x01); DC keeps the Annex-K table 0
+    dht_prog = _jpg_seg(
+        0xFFC4,
+        bytes([0x11]) + bytes(_JPG_PROG_AC_BITS) + bytes(_JPG_PROG_AC_VALS),
+    )
+    sof_comps = b"".join(
+        bytes([ci + 1, (hs << 4) | vs, 0])
+        for ci, (hs, vs) in enumerate(samplings)
+    )
+    sof = struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps
+    return (
+        soi_dqt
+        + _jpg_seg(0xFFC2, sof)
+        + dht
+        + dht_prog
+        + b"".join(scans)
+        + b"\xff\xd9"
+    )
+
+
 class _JpgBitReader:
     def __init__(self, data: bytes) -> None:
         self.data = data
@@ -1581,6 +1890,173 @@ def _jpg_decode_block(br, dct, act, qnat, T, prev_dc: int):
     return int(px.sum()), int((px * px).sum()), prev_dc
 
 
+def _jpg_entropy_end(b: bytes, start: int) -> int:
+    """Index of the 0xFF opening the marker that terminates the entropy
+    segment starting at ``start`` (stuffed 0xFF00 bytes are data)."""
+    pos = start
+    while pos < len(b) - 1:
+        if b[pos] == 0xFF and b[pos + 1] != 0x00:
+            return pos
+        pos += 1
+    raise ValueError("entropy segment missing terminating marker")
+
+
+def _jpg_decode_progressive(
+    b: bytes, w: int, h: int, comps, samplings, hmax: int, vmax: int,
+    quants, dc_tabs, ac_tabs, prog_scans,
+) -> tuple[int, int, int, int, int]:
+    """Progressive scan loop (T.81 G.2): accumulate per-component
+    zigzag coefficient arrays across scans — DC first/refinement
+    (interleaved MCU order), AC first with EOBRUN, AC refinement with
+    the G.1.2.3 correction-bit walk — then dequantize + IDCT once at
+    the end. Successive approximation is exact: first passes carry
+    v>>Al (toward zero), refinements restore the low bits, so the final
+    coefficients equal the sequential encoder's."""
+    import numpy as np
+
+    wb = [w // 8 // (hmax // hs) for _, hs, _, _ in comps]
+    hb = [h // 8 // (vmax // vs) for _, _, vs, _ in comps]
+    coefs = [
+        [[0] * 64 for _ in range(wb[ci] * hb[ci])] for ci in range(len(comps))
+    ]
+    idx_of_cid = {cid: ci for ci, (cid, _, _, _) in enumerate(comps)}
+
+    def mcu_iter(scan_cis):
+        if len(scan_cis) == 1:
+            ci = scan_cis[0]
+            yield from ((ci, i) for i in range(wb[ci] * hb[ci]))
+            return
+        for my in range(h // (8 * vmax)):
+            for mx in range(w // (8 * hmax)):
+                for ci in scan_cis:
+                    _, hs, vs, _ = comps[ci]
+                    for vy in range(vs):
+                        for vx in range(hs):
+                            yield ci, (my * vs + vy) * wb[ci] + (mx * hs + vx)
+
+    for payload, ent_start, ent_end in prog_scans:
+        ns = payload[0]
+        scan_cis = []
+        tabs = {}
+        for si in range(ns):
+            cid = payload[1 + 2 * si]
+            tt = payload[2 + 2 * si]
+            scan_cis.append(idx_of_cid[cid])
+            tabs[idx_of_cid[cid]] = (tt >> 4, tt & 0x0F)
+        ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+        ahal = payload[3 + 2 * ns]
+        ah, al = ahal >> 4, ahal & 0x0F
+        br = _JpgBitReader(b[ent_start:ent_end])
+        if ss == 0:  # DC scan (se must be 0)
+            if se != 0:
+                raise ValueError("DC scan must have Se=0")
+            if ah == 0:
+                prev = {ci: 0 for ci in scan_cis}
+                for ci, bi in mcu_iter(scan_cis):
+                    dct = dc_tabs[tabs[ci][0]]
+                    cat = _jpg_huff_read(br, dct)
+                    diff = _jpg_extend(br.bits(cat), cat) if cat else 0
+                    prev[ci] += diff
+                    coefs[ci][bi][0] = prev[ci] << al
+            else:
+                # DC refinement appends the next two's-complement bit:
+                # an unconditional ADD (v == 2*(v>>1) + (v&1) for every
+                # sign under the arithmetic-shift point transform)
+                for ci, bi in mcu_iter(scan_cis):
+                    if br.bit():
+                        coefs[ci][bi][0] += 1 << al
+            continue
+        if ns != 1:
+            raise ValueError("AC scans must be single-component")
+        ci = scan_cis[0]
+        act = ac_tabs[tabs[ci][1]]
+        eobrun = 0
+        if ah == 0:  # AC first pass
+            for bi in range(wb[ci] * hb[ci]):
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                zz = coefs[ci][bi]
+                k = ss
+                while k <= se:
+                    rs = _jpg_huff_read(br, act)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run past band end")
+                    zz[k] = _jpg_extend(br.bits(s), s) << al
+                    k += 1
+        else:  # AC refinement (G.1.2.3)
+            bit = 1 << al
+            for bi in range(wb[ci] * hb[ci]):
+                zz = coefs[ci][bi]
+                k = ss
+
+                def refine(pos: int) -> None:
+                    if br.bit() and not (abs(zz[pos]) & bit):
+                        zz[pos] += bit if zz[pos] > 0 else -bit
+
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _jpg_huff_read(br, act)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r != 15:
+                                # E = 2^r + ext(r) blocks INCLUDING this
+                                # one (its history tail refines below,
+                                # then the -= 1 consumes it)
+                                eobrun = (1 << r) + (br.bits(r) if r else 0)
+                                break
+                            newval = 0
+                        elif s == 1:
+                            newval = bit if br.bit() else -bit
+                        else:
+                            raise ValueError("refinement size must be 1")
+                        # skip r zero-history slots, refining history
+                        while k <= se:
+                            if zz[k] != 0:
+                                refine(k)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval and k <= se:
+                            zz[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if zz[k] != 0:
+                            refine(k)
+                        k += 1
+                    eobrun -= 1
+    # dequantize + IDCT + level shift, summing every coded plane
+    T = _jpg_dct_matrix()
+    total = 0
+    total_sq = 0
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        qnat = np.empty(64, dtype=np.float64)
+        for i, nat in enumerate(_JPG_ZIGZAG):
+            qnat[nat] = quants[tq][i]
+        for zz in coefs[ci]:
+            coef = np.zeros(64, dtype=np.float64)
+            for zi, nat in enumerate(_JPG_ZIGZAG):
+                coef[nat] = zz[zi]
+            blk = T.T @ (coef * qnat).reshape(8, 8) @ T + 128.0
+            px = np.clip(np.rint(blk), 0, 255).astype(np.int64)
+            total += int(px.sum())
+            total_sq += int((px * px).sum())
+    return int(w), int(h), len(comps), total, total_sq
+
+
 def _jpeg_decode(b: bytes) -> tuple[int, int, int, int, int]:
     """Full baseline sequential JPEG decode, single-component OR
     YCbCr 4:2:0 interleaved (round 12): marker walk (APPn/COM skipped;
@@ -1609,6 +2085,8 @@ def _jpeg_decode(b: bytes) -> tuple[int, int, int, int, int]:
     scan_tabs: dict[int, tuple[int, int]] = {}  # cid -> (dc table, ac table)
     scan_order: list[int] = []
     scan_at = None
+    progressive = False
+    prog_scans: list[tuple[bytes, int, int]] = []  # (SOS payload, ent start, end)
     while pos < len(b):
         if b[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -1626,16 +2104,17 @@ def _jpeg_decode(b: bytes) -> tuple[int, int, int, int, int]:
                     raise ValueError("16-bit quant tables unsupported")
                 quants[tq] = [payload[off + 1 + i] for i in range(64)]
                 off += 65
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8 or ncomp not in (1, 3):
-                raise ValueError("only 8-bit 1- or 3-component baseline supported")
+                raise ValueError("only 8-bit 1- or 3-component supported")
             for ci in range(ncomp):
                 cid = payload[6 + 3 * ci]
                 samp = payload[7 + 3 * ci]
                 comps.append((cid, samp >> 4, samp & 0x0F, payload[8 + 3 * ci]))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG unsupported")
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline/progressive Huffman JPEG supported")
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
             off = 0
             while off < len(payload):
@@ -1649,20 +2128,28 @@ def _jpeg_decode(b: bytes) -> tuple[int, int, int, int, int]:
         elif marker == 0xDD:
             raise ValueError("restart intervals unsupported")
         elif marker == 0xDA:  # SOS
-            ns = payload[0]
-            if ns != len(comps):
-                raise ValueError("partial scans unsupported")
-            for si in range(ns):
-                cid = payload[1 + 2 * si]
-                tt = payload[2 + 2 * si]
-                scan_tabs[cid] = (tt >> 4, tt & 0x0F)
-                scan_order.append(cid)
-            scan_at = pos + ln
-            break
+            if progressive:
+                # multi-scan: record header + entropy slice, keep walking
+                ent_start = pos + ln
+                ent_end = _jpg_entropy_end(b, ent_start)
+                prog_scans.append((bytes(payload), ent_start, ent_end))
+                pos = ent_end - 2  # +ln below lands on the next marker
+                ln = 2
+            else:
+                ns = payload[0]
+                if ns != len(comps):
+                    raise ValueError("partial scans unsupported")
+                for si in range(ns):
+                    cid = payload[1 + 2 * si]
+                    tt = payload[2 + 2 * si]
+                    scan_tabs[cid] = (tt >> 4, tt & 0x0F)
+                    scan_order.append(cid)
+                scan_at = pos + ln
+                break
         # APPn / COM / others: skip
         pos += ln
-    if scan_at is None or w is None or h is None or not comps:
-        raise ValueError("missing SOS or SOF0")
+    if (scan_at is None and not prog_scans) or w is None or h is None or not comps:
+        raise ValueError("missing SOS or SOF")
     samplings = [(hs, vs) for _, hs, vs, _ in comps]
     if len(comps) == 1:
         if samplings != [(1, 1)]:
@@ -1674,6 +2161,11 @@ def _jpeg_decode(b: bytes) -> tuple[int, int, int, int, int]:
         hmax = vmax = 2
     if w % (8 * hmax) or h % (8 * vmax):
         raise ValueError("dims must be multiples of the MCU size")
+    if progressive:
+        return _jpg_decode_progressive(
+            b, int(w), int(h), comps, samplings, hmax, vmax,
+            quants, dc_tabs, ac_tabs, prog_scans,
+        )
     end = b.rfind(b"\xff\xd9")
     br = _JpgBitReader(b[scan_at:end])
     T = _jpg_dct_matrix()
@@ -1741,6 +2233,37 @@ def _jpeg_tier_chroma(mid: int):
     cb = ((mid * 3 + 17) % 128 + 64) + ((mid * 7 + 5) % 33 - 16) * gg
     cr = ((mid * 5 + 23) % 128 + 64) + ((mid * 11 + 13) % 33 - 16) * gg
     return cb, cr
+
+
+def _jpeg_encode_prog(mid: int) -> bytes:
+    """Progressive tier dispatch — the same even-gray / odd-4:2:0 split
+    as the baseline tier, through the SOF2 encoder: identical quantized
+    coefficients, so the SAME closed-form oracle gates both entries."""
+    if mid % 2 == 0:
+        return _jpeg_encode_progressive([_jpeg_tier_pixels(mid)], [(1, 1)])
+    cb, cr = _jpeg_tier_chroma(mid)
+    return _jpeg_encode_progressive(
+        [_jpeg_tier_pixels(mid), cb, cr], [(2, 2), (1, 1), (1, 1)]
+    )
+
+
+def encode_jpeg_progressive(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real progressive-JPEG payloads for every id — executor-side,
+    Arrow-batched; even ids grayscale, odd ids YCbCr 4:2:0."""
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "image",
+                    "payload": [_jpeg_encode_prog(int(m)) for m in ids],
+                    "mime": "image/jpeg",
+                }
+            )
+
+    return df.select(id_col).mapInPandas(_enc, schema=REAL_MEDIA_SCHEMA)
 
 
 def _jpeg_encode(mid: int) -> bytes:

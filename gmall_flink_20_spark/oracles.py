@@ -5928,3 +5928,8 @@ WHERE media_id >= {_MID_ID}
 # incremental-compactor mid-cell crash: reader restore-only healing
 # reproduces the pre-crash visible state (base + live segment) exactly
 ORACLES["emb_index_recover_incremental"] = ORACLES["emb_index_append"]
+
+# progressive JPEG: successive approximation reconstructs the exact
+# quantized coefficients of the sequential encoder, so the same
+# closed-form per-tier oracle gates SOF2 round-trips too
+ORACLES["media_jpeg_progressive_roundtrip"] = ORACLES["media_jpeg_roundtrip"]

@@ -710,6 +710,68 @@ def test_opq_atomic_append_invisible_until_commit(spark, sf_dir, tmp_path):
     assert post == exp
 
 
+def test_progressive_jpeg_equals_sequential_bit_for_bit():
+    """The progressive encoder carries the SAME quantized coefficients
+    as the sequential one, and successive approximation (DC arithmetic-
+    shift + refine, AC toward-zero + G.1.2.3 refine) reconstructs them
+    exactly — so decoded pixels must be IDENTICAL, not just close."""
+    import numpy as np
+
+    from gmall_flink_20_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(11)
+    for shape in ((8, 8), (16, 24), (32, 16)):
+        img = rng.randint(0, 256, shape).astype(np.int64)
+        seq = mm._jpeg_decode(mm._jpeg_encode_gray(img))
+        pro = mm._jpeg_decode(mm._jpeg_encode_progressive([img], [(1, 1)]))
+        assert seq == pro
+    # 4:2:0 color, tier and random planes
+    for mid in (1, 7, 101):
+        Y = mm._jpeg_tier_pixels(mid).astype(np.int64)
+        cb, cr = mm._jpeg_tier_chroma(mid)
+        seq = mm._jpeg_decode(mm._jpeg_encode_ycc420(Y, cb, cr))
+        pro = mm._jpeg_decode(
+            mm._jpeg_encode_progressive([Y, cb, cr], [(2, 2), (1, 1), (1, 1)])
+        )
+        assert seq == pro
+    # a non-unit quant table exercises dequant through the multi-scan path
+    q = np.full((8, 8), 4, dtype=np.int64)
+    q[0, 0] = 1
+    img = rng.randint(0, 256, (24, 32)).astype(np.int64)
+    assert mm._jpeg_decode(mm._jpeg_encode_gray(img, quant=q)) == mm._jpeg_decode(
+        mm._jpeg_encode_progressive([img], [(1, 1)], quant=q)
+    )
+
+
+def test_progressive_jpeg_eobrun_and_tier_exactness():
+    import numpy as np
+
+    from gmall_flink_20_spark.operators import multimodal as mm
+
+    # flat image => multi-block EOB runs (EOBn with extension bits)
+    flat = np.full((64, 64), 77, dtype=np.int64)
+    pro = mm._jpeg_encode_progressive([flat], [(1, 1)])
+    # the stream must actually contain an EOBn symbol run: decoded OK
+    # and much smaller than per-block EOBs would make it
+    assert mm._jpeg_decode(pro) == mm._jpeg_decode(mm._jpeg_encode_gray(flat))
+    # tier payloads round-trip exactly through the registry kernel
+    for mid in (0, 3, 16, 101):
+        P = mm._jpeg_tier_pixels(mid).astype(np.int64)
+        w, h, nc, cs, cq = mm._jpeg_decode(mm._jpeg_encode_prog(mid))
+        assert (w, h) == (16, 16)
+        if mid % 2 == 0:
+            assert nc == 1 and cs == int(P.sum()) and cq == int((P * P).sum())
+        else:
+            cb, cr = mm._jpeg_tier_chroma(mid)
+            assert nc == 3
+            assert cs == int(P.sum() + cb.sum() + cr.sum())
+            assert cq == int((P * P).sum() + (cb * cb).sum() + (cr * cr).sum())
+    # still rejected loudly: arithmetic/hierarchical SOFs
+    bad = mm._jpeg_encode_prog(0).replace(b"\xff\xc2", b"\xff\xca", 1)
+    with pytest.raises(ValueError):
+        mm._jpeg_decode(bad)
+
+
 def test_ivf_full_compact_purges_stale_stage(spark, sf_dir, tmp_path):
     from gmall_flink_20_spark import scratch
     from gmall_flink_20_spark.io import load_table
