@@ -263,6 +263,7 @@ BENCH_QUERIES = [
     "emb_index_opq_append",
     "emb_index_recover_incremental",
     "media_jpeg_progressive_roundtrip",
+    "media_mp4_demux",
     # NOT benched: the three *_query_during_append entries and the
     # three *_concurrent_append entries. They are concurrency-protocol
     # tests — fresh_copy + staged appends with fault-injected phase /

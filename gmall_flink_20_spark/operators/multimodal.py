@@ -2279,6 +2279,289 @@ def _jpeg_encode(mid: int) -> bytes:
     return _jpeg_encode_ycc420(_jpeg_tier_pixels(mid), cb, cr)
 
 
+# ------------------------------------------------------ MP4 container
+# Round-12: MP4 DEMUX graduates from the env-gated canary at the
+# CONTAINER level — a real ISO BMFF (ISO/IEC 14496-12) box parser:
+# nested box walk (32- and 64-bit sizes), moov→trak→mdia→minf→stbl,
+# sample tables (stsd fourcc + visual sample entry dims, stts runs,
+# stsc chunk mapping, stsz sizes, stco offsets), and sample extraction
+# from mdat via the REAL chunk-offset arithmetic. What stays honestly
+# out of scope is the codec INSIDE the samples (h264 etc. genuinely
+# need external libs): the tier's samples are the deterministic fake
+# 'v0de' codec, so the closed-form oracle can verify every byte the
+# demuxer hands back. The encoder writes TWO chunks so the stsc walk
+# is exercised, and variable per-sample sizes so stsz is real.
+
+_MP4_TIMESCALE = 600
+_MP4_DELTA = 512
+_MP4_W, _MP4_H = 32, 24
+
+
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", len(payload) + 8) + btype + payload
+
+
+def _mp4_full(btype: bytes, payload: bytes, version: int = 0, flags: int = 0) -> bytes:
+    import struct
+
+    return _mp4_box(btype, struct.pack(">B", version) + struct.pack(">I", flags)[1:] + payload)
+
+
+def _mp4_sample_geometry(mid: int) -> tuple[int, list[int]]:
+    """(n_samples, per-sample sizes) of the tier's fake-codec track."""
+    n = mid % 7 + 2
+    return n, [(mid + 7 * i) % 17 + 3 for i in range(n)]
+
+
+def _mp4_encode(mid: int) -> bytes:
+    """Minimal VALID MP4: ftyp + mdat (two chunks of deterministic
+    'v0de' samples) + moov with full sample tables."""
+    import struct
+
+    n, sizes = _mp4_sample_geometry(mid)
+    samples = [
+        bytes((mid + 11 * i + j) % 256 for j in range(sizes[i]))
+        for i in range(n)
+    ]
+    k = max(1, n // 2)  # chunk split: first k samples, then the rest
+    chunk1 = b"".join(samples[:k])
+    chunk2 = b"".join(samples[k:])
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    mdat = _mp4_box(b"mdat", chunk1 + chunk2)
+    off1 = len(ftyp) + 8
+    off2 = off1 + len(chunk1)
+    dur = n * _MP4_DELTA
+
+    stsd_entry = (
+        struct.pack(">I", 86) + b"v0de" + b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", _MP4_W, _MP4_H)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi fixed-point
+        + struct.pack(">I", 0) + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">H", 24) + struct.pack(">h", -1)
+    )
+    stsd = _mp4_full(b"stsd", struct.pack(">I", 1) + stsd_entry)
+    stts = _mp4_full(b"stts", struct.pack(">III", 1, n, _MP4_DELTA))
+    if n > k:
+        stsc = _mp4_full(
+            b"stsc", struct.pack(">I", 2)
+            + struct.pack(">III", 1, k, 1) + struct.pack(">III", 2, n - k, 1)
+        )
+        stco = _mp4_full(b"stco", struct.pack(">I", 2) + struct.pack(">II", off1, off2))
+    else:
+        stsc = _mp4_full(b"stsc", struct.pack(">I", 1) + struct.pack(">III", 1, k, 1))
+        stco = _mp4_full(b"stco", struct.pack(">I", 1) + struct.pack(">I", off1))
+    stsz = _mp4_full(
+        b"stsz", struct.pack(">II", 0, n) + b"".join(struct.pack(">I", s) for s in sizes)
+    )
+    stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+    dinf = _mp4_box(
+        b"dinf",
+        _mp4_full(b"dref", struct.pack(">I", 1) + _mp4_full(b"url ", b"", flags=1)),
+    )
+    minf = _mp4_box(b"minf", _mp4_full(b"vmhd", b"\x00" * 8, flags=1) + dinf + stbl)
+    hdlr = _mp4_full(b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"fake\x00")
+    mdhd = _mp4_full(b"mdhd", struct.pack(">IIII", 0, 0, _MP4_TIMESCALE, dur) + struct.pack(">HH", 0x55C4, 0))
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _mp4_full(
+        b"tkhd",
+        struct.pack(">IIIII", 0, 0, 1, 0, dur) + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", _MP4_W << 16, _MP4_H << 16),
+        flags=7,
+    )
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    mvhd = _mp4_full(
+        b"mvhd",
+        struct.pack(">IIII", 0, 0, _MP4_TIMESCALE, dur)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0) + b"\x00" * 8
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    moov = _mp4_box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _mp4_boxes(b: bytes, start: int, end: int):
+    """Iterate (type, payload_start, payload_end) over a box sequence;
+    supports 64-bit largesize boxes."""
+    import struct
+
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("truncated box header")
+        (size,) = struct.unpack_from(">I", b, pos)
+        btype = b[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            (size,) = struct.unpack_from(">Q", b, pos + 8)
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError("box size out of bounds")
+        yield btype, body, pos + size
+        pos += size
+
+
+def _mp4_child(b: bytes, start: int, end: int, btype: bytes) -> tuple[int, int]:
+    for t, s, e in _mp4_boxes(b, start, end):
+        if t == btype:
+            return s, e
+    raise ValueError(f"missing {btype!r} box")
+
+
+def _mp4_demux(b: bytes):
+    """Real ISO BMFF demux of one video track: box walk to stbl, parse
+    the sample tables, map samples to file offsets via stsc/stco/stsz,
+    and extract every sample's bytes from mdat. Returns (codec fourcc,
+    width, height, timescale, duration, sample payloads). Version-1
+    (64-bit time) tables and multi-track files are rejected loudly —
+    an honest subset, like the codec tiers."""
+    import struct
+
+    top = {t: (s, e) for t, s, e in _mp4_boxes(b, 0, len(b))}
+    if b"ftyp" not in top or b"moov" not in top:
+        raise ValueError("not an MP4 payload (ftyp/moov missing)")
+    moov_s, moov_e = top[b"moov"]
+    traks = [(s, e) for t, s, e in _mp4_boxes(b, moov_s, moov_e) if t == b"trak"]
+    if len(traks) != 1:
+        raise ValueError("exactly one track supported")
+    trak_s, trak_e = traks[0]
+    mdia_s, mdia_e = _mp4_child(b, trak_s, trak_e, b"mdia")
+    mdhd_s, _ = _mp4_child(b, mdia_s, mdia_e, b"mdhd")
+    if b[mdhd_s] != 0:
+        raise ValueError("version-1 mdhd unsupported")
+    timescale, duration = struct.unpack_from(">II", b, mdhd_s + 12)
+    minf_s, minf_e = _mp4_child(b, mdia_s, mdia_e, b"minf")
+    stbl_s, stbl_e = _mp4_child(b, minf_s, minf_e, b"stbl")
+
+    stsd_s, _ = _mp4_child(b, stbl_s, stbl_e, b"stsd")
+    (n_desc,) = struct.unpack_from(">I", b, stsd_s + 4)
+    if n_desc != 1:
+        raise ValueError("exactly one sample description supported")
+    codec = b[stsd_s + 12 : stsd_s + 16].decode("ascii")
+    width, height = struct.unpack_from(">HH", b, stsd_s + 40)
+
+    stts_s, _ = _mp4_child(b, stbl_s, stbl_e, b"stts")
+    (n_stts,) = struct.unpack_from(">I", b, stts_s + 4)
+    stts = [
+        struct.unpack_from(">II", b, stts_s + 8 + 8 * i) for i in range(n_stts)
+    ]
+    n_samples = sum(c for c, _ in stts)
+
+    stsz_s, _ = _mp4_child(b, stbl_s, stbl_e, b"stsz")
+    fixed, n_sz = struct.unpack_from(">II", b, stsz_s + 4)
+    if n_sz != n_samples:
+        raise ValueError("stsz/stts sample count mismatch")
+    sizes = (
+        [fixed] * n_samples
+        if fixed
+        else [
+            struct.unpack_from(">I", b, stsz_s + 12 + 4 * i)[0]
+            for i in range(n_samples)
+        ]
+    )
+
+    stsc_s, _ = _mp4_child(b, stbl_s, stbl_e, b"stsc")
+    (n_stsc,) = struct.unpack_from(">I", b, stsc_s + 4)
+    stsc = [
+        struct.unpack_from(">III", b, stsc_s + 8 + 12 * i) for i in range(n_stsc)
+    ]
+    stco_s, _ = _mp4_child(b, stbl_s, stbl_e, b"stco")
+    (n_stco,) = struct.unpack_from(">I", b, stco_s + 4)
+    offsets = [
+        struct.unpack_from(">I", b, stco_s + 8 + 4 * i)[0] for i in range(n_stco)
+    ]
+
+    # the real stsc walk: runs of chunks sharing a samples-per-chunk
+    samples: list[bytes] = []
+    si = 0
+    for ei, (first, per_chunk, _sdi) in enumerate(stsc):
+        last = stsc[ei + 1][0] - 1 if ei + 1 < len(stsc) else len(offsets)
+        for chunk in range(first, last + 1):
+            pos = offsets[chunk - 1]
+            for _ in range(per_chunk):
+                if si >= n_samples:
+                    break
+                if pos + sizes[si] > len(b):
+                    raise ValueError("sample extends past end of file")
+                samples.append(b[pos : pos + sizes[si]])
+                pos += sizes[si]
+                si += 1
+    if si != n_samples:
+        raise ValueError("chunk mapping did not cover every sample")
+    return codec, int(width), int(height), int(timescale), int(duration), samples
+
+
+MP4_DEMUX_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("codec", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("timescale", IntegerType(), True),
+        StructField("duration_ticks", LongType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("size_sum", LongType(), True),
+        StructField("payload_sum", LongType(), True),
+    ]
+)
+
+
+def encode_mp4(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Real MP4 container payloads (deterministic 'v0de' samples) for
+    every id — executor-side, Arrow-batched."""
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "video",
+                    "payload": [_mp4_encode(int(m)) for m in ids],
+                    "mime": "video/mp4",
+                }
+            )
+
+    return df.select(id_col).mapInPandas(_enc, schema=REAL_MEDIA_SCHEMA)
+
+
+def demux_mp4(media: DataFrame) -> DataFrame:
+    """Real ISO BMFF demux of a payload column → per-track facts plus
+    exact sample-byte checksums (the demuxer must hand back every
+    sample byte via the real stsc/stco/stsz arithmetic for the sums to
+    match the closed-form oracle)."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                codec, w, h, ts, dur, samples = _mp4_demux(payload)
+                rows.append(
+                    (
+                        int(mid), codec, w, h, ts, dur, len(samples),
+                        sum(len(s) for s in samples),
+                        sum(sum(s) for s in samples),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "codec", "width", "height", "timescale",
+                    "duration_ticks", "n_samples", "size_sum", "payload_sum",
+                ],
+            )
+
+    return media.mapInPandas(_dec, schema=MP4_DEMUX_SCHEMA)
+
+
 JPEG_DECODED_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),

@@ -5933,3 +5933,31 @@ ORACLES["emb_index_recover_incremental"] = ORACLES["emb_index_append"]
 # quantized coefficients of the sequential encoder, so the same
 # closed-form per-tier oracle gates SOF2 round-trips too
 ORACLES["media_jpeg_progressive_roundtrip"] = ORACLES["media_jpeg_roundtrip"]
+
+# MP4 demux: every demuxed fact and byte is an arithmetic function of
+# (id, sample index, byte offset) — n = id%7+2 samples, sizes
+# (id+7i)%17+3, bytes (id+11i+j)%256, fixed 600-tick timescale and
+# 512-tick deltas — so the whole box/sample-table/chunk walk is
+# verified in closed form
+ORACLES["media_mp4_demux"] = """
+WITH si AS (
+    SELECT doc_id, unnest(range(0, doc_id % 7 + 2)) AS i FROM documents
+),
+sz AS (SELECT doc_id, i, (doc_id + 7 * i) % 17 + 3 AS s FROM si),
+by_ AS (SELECT doc_id, i, unnest(range(0, s)) AS j FROM sz)
+SELECT d.doc_id AS media_id,
+       'v0de' AS codec,
+       CAST(32 AS INTEGER) AS width,
+       CAST(24 AS INTEGER) AS height,
+       CAST(600 AS INTEGER) AS timescale,
+       CAST(512 * (d.doc_id % 7 + 2) AS BIGINT) AS duration_ticks,
+       CAST(d.doc_id % 7 + 2 AS BIGINT) AS n_samples,
+       z.size_sum,
+       p.payload_sum
+FROM documents d
+JOIN (SELECT doc_id, CAST(sum(s) AS BIGINT) AS size_sum FROM sz GROUP BY 1) z
+  USING (doc_id)
+JOIN (SELECT doc_id, CAST(sum((doc_id + 11 * i + j) % 256) AS BIGINT)
+          AS payload_sum FROM by_ GROUP BY 1) p
+  USING (doc_id)
+"""

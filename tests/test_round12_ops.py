@@ -772,6 +772,34 @@ def test_progressive_jpeg_eobrun_and_tier_exactness():
         mm._jpeg_decode(bad)
 
 
+def test_mp4_demux_walks_real_sample_tables():
+    """The box parser must reproduce every sample byte via the real
+    stsc/stco/stsz arithmetic (two chunk runs, variable sizes) and
+    reject non-MP4 / multi-description payloads loudly."""
+    from gmall_flink_20_spark.operators import multimodal as mm
+
+    for mid in (0, 1, 5, 13, 101, 9999):
+        n, sizes = mm._mp4_sample_geometry(mid)
+        codec, w, h, ts, dur, samples = mm._mp4_demux(mm._mp4_encode(mid))
+        assert (codec, w, h, ts) == ("v0de", 32, 24, 600)
+        assert dur == n * 512 and [len(s) for s in samples] == sizes
+        assert samples == [
+            bytes((mid + 11 * i + j) % 256 for j in range(sizes[i]))
+            for i in range(n)
+        ]
+    with pytest.raises(ValueError):
+        mm._mp4_demux(b"\x00\x00\x00\x08free")
+    # corrupting a chunk offset must fail loudly, not return short reads
+    # (stco layout: 'stco' + version/flags(4) + count(4) + offsets —
+    # first offset at type+12)
+    good = mm._mp4_encode(5)
+    stco_at = good.find(b"stco")
+    bad = bytearray(good)
+    bad[stco_at + 12 : stco_at + 16] = (10_000_000).to_bytes(4, "big")
+    with pytest.raises(ValueError):
+        mm._mp4_demux(bytes(bad))
+
+
 def test_ivf_full_compact_purges_stale_stage(spark, sf_dir, tmp_path):
     from gmall_flink_20_spark import scratch
     from gmall_flink_20_spark.io import load_table
