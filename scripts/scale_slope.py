@@ -96,6 +96,17 @@ HEAVY = [
     "emb_index_opq_persist",
     "media_jpeg_roundtrip",
     "unique_visitors_bitmap",
+    # round-12: the incremental compactors (cost should track the HOT
+    # cells, i.e. the delta, not the corpus — still ≲1 because the
+    # delta is a fixed fraction here), the OPQ append, the two real
+    # codec tiers added this round (per-payload decode => linear), and
+    # the re-vectorized n-gram queries (fresh slopes after the kernel
+    # swap)
+    "emb_index_compact_incremental",
+    "docs_lsh_index_compact_incremental",
+    "emb_index_opq_append",
+    "media_jpeg_progressive_roundtrip",
+    "media_mp4_demux",
 ]
 
 # Iteration-bound graph family (VERDICT r8 item 4): at ×2 these read
