@@ -455,9 +455,21 @@ def test_triangle_stats_no_cartesian(spark, sf_dir):
 
 
 def test_contamination_distinct_before_join(spark, sf_dir):
-    # the gram self-join must consume the DISTINCT (source, gram) frame,
-    # never raw gram occurrences: HashAggregate (distinct) feeds the join
+    # round 12: the ≤62-source path reduces via per-gram bitmasks — the
+    # returned matrix is a constant |s|²-row local frame with NO data
+    # join anywhere (the kernel + two tiny aggregates ran before it);
+    # row-at-a-time Python never appears (the kernel is Arrow mapInPandas)
     plan = plan_of(QUERIES["docs_cross_source_contamination"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    # the >62-source fallback keeps the original property: the gram
+    # self-join must consume the DISTINCT (source, gram-hash) frame,
+    # never raw gram occurrences
+    from gmall_flink_20_spark.io import load_table
+    from gmall_flink_20_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(T.cross_source_contamination(docs, force_pairwise=True))
     assert "HashAggregate" in plan
     assert "BatchEvalPython" not in plan
 
