@@ -562,13 +562,36 @@ def cosine_near_dup_blocked(
     pairs = blocking.bounded_block_pairs(
         withnorm, ["blk"], "vid", cap_rows=block_cap_rows, max_block_rows=max_block_rows
     )
-    return (
-        pairs.withColumn(
-            "score", dot(F.col("v_a"), F.col("v_b")) / (F.col("nrm_a") * F.col("nrm_b"))
-        )
-        .filter(F.col("score") >= threshold)
-        # ids only: raw float scores are engine-representation-sensitive
-        .select(F.col("vid_a").alias("vec_a"), F.col("vid_b").alias("vec_b"))
+    # Arrow pair-scoring kernel (VERDICT r12 item 3): one batched numpy
+    # row-wise dot over each Arrow batch of candidate pairs replaces the
+    # per-pair 64-element zip_with/aggregate expression tree — the same
+    # BLAS-batch treatment emb_ann_topk_arrow already uses. ids only in
+    # the output: raw float scores are engine-representation-sensitive.
+    id_type = emb.schema[id_col].dataType.simpleString()
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.array(pdf["v_a"].tolist(), dtype=np.float64)
+            B = np.array(pdf["v_b"].tolist(), dtype=np.float64)
+            s = np.einsum("ij,ij->i", A, B) / (
+                pdf["nrm_a"].to_numpy() * pdf["nrm_b"].to_numpy()
+            )
+            keep = s >= threshold
+            if keep.any():
+                yield pd.DataFrame(
+                    {
+                        "vec_a": pdf["vid_a"].to_numpy()[keep],
+                        "vec_b": pdf["vid_b"].to_numpy()[keep],
+                    }
+                )
+
+    return pairs.select("vid_a", "vid_b", "v_a", "v_b", "nrm_a", "nrm_b").mapInPandas(
+        score, f"vec_a {id_type}, vec_b {id_type}"
     )
 
 
@@ -1702,6 +1725,7 @@ def ivf_index_compact(
         committed_segments,
         heal_cell_sites,
         heal_compaction_site,
+        maintenance_lease,
         purge_absorbed_segments,
         purge_stale_stage_dirs,
         read_segments_pinned,
@@ -1710,31 +1734,34 @@ def ivf_index_compact(
         write_partitioned,
     )
 
-    src = f"{path}/postings"
-    heal_compaction_site(src)
-    heal_cell_sites(src)
-    # a prior compactor may have crashed between its swap and its
-    # segment purge: its absorbed segments are still on disk (readers
-    # already skip them) — single-writer cleanup happens here, as does
-    # the orphaned-staging purge (ADVICE r11: a crashed or abandoned
-    # .stage_* dir otherwise leaks forever; compaction is serialized
-    # against appenders, so nothing here is in-flight)
-    purge_absorbed_segments(path, ["postings"])
-    purge_stale_stage_dirs(path)
-    tmp = f"{path}/postings_compacting"
-    # token set captured ONCE; the rewrite reads EXACTLY these tokens'
-    # segments (ADVICE r11: a segment committed between this capture
-    # and the rewrite job stays a live segment — neither folded in nor
-    # marked absorbed, so readers never double-count it)
-    tokens = [t for t, _ in committed_segments(path, "postings")]
-    df = read_segments_pinned(spark, path, "postings", tokens)
-    write_partitioned(df.repartition("list_id"), tmp, ["list_id"])
-    # the marker commits WITH the rewrite (same rename): at no crash
-    # point can a reader double-count an absorbed segment
-    write_absorbed_marker(tmp, tokens)
-    swap_compacted(src, fail_between_renames)
-    purge_absorbed_segments(path, ["postings"])
-    return sum(1 for _ in Path(src).rglob("*.parquet"))
+    # writer fence (VERDICT r12 item 5): a second maintenance writer
+    # fails fast (MaintenanceLeaseHeld) instead of racing the swap
+    with maintenance_lease(path, "ivf_compact"):
+        src = f"{path}/postings"
+        heal_compaction_site(src)
+        heal_cell_sites(src)
+        # a prior compactor may have crashed between its swap and its
+        # segment purge: its absorbed segments are still on disk (readers
+        # already skip them) — single-writer cleanup happens here, as does
+        # the orphaned-staging purge (ADVICE r11: a crashed or abandoned
+        # .stage_* dir otherwise leaks forever; compaction is serialized
+        # against appenders, so nothing here is in-flight)
+        purge_absorbed_segments(path, ["postings"])
+        purge_stale_stage_dirs(path)
+        tmp = f"{path}/postings_compacting"
+        # token set captured ONCE; the rewrite reads EXACTLY these tokens'
+        # segments (ADVICE r11: a segment committed between this capture
+        # and the rewrite job stays a live segment — neither folded in nor
+        # marked absorbed, so readers never double-count it)
+        tokens = [t for t, _ in committed_segments(path, "postings")]
+        df = read_segments_pinned(spark, path, "postings", tokens)
+        write_partitioned(df.repartition("list_id"), tmp, ["list_id"])
+        # the marker commits WITH the rewrite (same rename): at no crash
+        # point can a reader double-count an absorbed segment
+        write_absorbed_marker(tmp, tokens)
+        swap_compacted(src, fail_between_renames)
+        purge_absorbed_segments(path, ["postings"])
+        return sum(1 for _ in Path(src).rglob("*.parquet"))
 
 
 def ivf_index_compact_incremental(
@@ -1757,13 +1784,16 @@ def ivf_index_compact_incremental(
     visible row multiset at every crash point — the markers commit
     with each cell's rename), so the emb_index_compact_incremental
     entry gates on the same base-trained oracle as every other
-    lifecycle entry. Single-writer, like all maintenance. Returns the
-    rewritten cell dirnames."""
-    from ..io_sinks import compact_cells_incremental
+    lifecycle entry. Single-writer, like all maintenance — fenced by
+    the r13 maintenance lease (a concurrent maintenance writer raises
+    MaintenanceLeaseHeld instead of racing). Returns the rewritten cell
+    dirnames."""
+    from ..io_sinks import compact_cells_incremental, maintenance_lease
 
-    return compact_cells_incremental(
-        spark, path, "postings", max_fragments, fail_after_first_rename_of
-    )
+    with maintenance_lease(path, "ivf_compact_incremental"):
+        return compact_cells_incremental(
+            spark, path, "postings", max_fragments, fail_after_first_rename_of
+        )
 
 
 def ivf_index_cell_stats(spark, path: str) -> DataFrame:

@@ -1605,6 +1605,7 @@ def lsh_index_compact(
         compact_small_files,
         heal_cell_sites,
         heal_compaction_site,
+        maintenance_lease,
         purge_absorbed_segments,
         purge_stale_stage_dirs,
         read_segments_pinned,
@@ -1612,55 +1613,71 @@ def lsh_index_compact(
         write_absorbed_marker,
     )
 
-    src = f"{path}/bands"
-    src2 = f"{path}/shingles"
-    heal_compaction_site(src)
-    heal_compaction_site(src2)
-    heal_cell_sites(src)
-    # crashed prior run: segments absorbed by BOTH live frames are dead
-    # weight readers already skip — single-writer cleanup, as is the
-    # orphaned-staging purge (ADVICE r11: compaction is serialized
-    # against appenders, so any .stage_* here is crashed/abandoned)
-    purge_absorbed_segments(path, ["bands", "shingles"])
-    purge_stale_stage_dirs(path)
-    # atomic-append segments fold into the rewrite; the token set is
-    # captured ONCE so both frames absorb the same segments (an appender
-    # publishes bands+shingles together, so either frame's list works —
-    # the union is belt-and-braces), and BOTH rewrites read EXACTLY this
-    # pinned set (ADVICE r11: the shingles job runs after the whole
-    # bands rewrite — a segment committed in that gap must stay a live
-    # segment, not be folded into one frame and double-counted by the
-    # other's reader; pinning closes that race, and the documented
-    # append/compact mutual exclusion makes it moot in operation)
-    tokens = sorted(
-        {t for t, _ in committed_segments(path, "bands")}
-        | {t for t, _ in committed_segments(path, "shingles")}
-    )
-    tmp = f"{path}/bands_compacting"
-    df = read_segments_pinned(spark, path, "bands", tokens)
-    (
-        df.repartition("band_id")
-        .write.mode("overwrite")
-        .partitionBy("band_id")
-        .parquet(tmp)
-    )
-    write_absorbed_marker(tmp, tokens)
-    swap_compacted(src, fail_between_renames)
+    # writer fence (VERDICT r12 item 5): a second maintenance writer
+    # fails fast (MaintenanceLeaseHeld) instead of racing the swap
+    with maintenance_lease(path, "lsh_compact"):
+        src = f"{path}/bands"
+        src2 = f"{path}/shingles"
+        heal_compaction_site(src)
+        heal_compaction_site(src2)
+        heal_cell_sites(src)
+        # crashed prior run: segments absorbed by BOTH live frames are dead
+        # weight readers already skip — single-writer cleanup, as is the
+        # orphaned-staging purge (ADVICE r11: compaction is serialized
+        # against appenders, so any .stage_* here is crashed/abandoned)
+        purge_absorbed_segments(path, ["bands", "shingles"])
+        purge_stale_stage_dirs(path)
+        # atomic-append segments fold into the rewrite; the token set is
+        # captured ONCE so both frames absorb the same segments (an appender
+        # publishes bands+shingles together, so either frame's list works —
+        # the union is belt-and-braces), and BOTH rewrites read EXACTLY this
+        # pinned set (ADVICE r11: the shingles job runs after the whole
+        # bands rewrite — a segment committed in that gap must stay a live
+        # segment, not be folded into one frame and double-counted by the
+        # other's reader; pinning closes that race, and the documented
+        # append/compact mutual exclusion makes it moot in operation).
+        # r13: the full compact folds MERGED shingle segments too, so the
+        # absorbed marker must close over their superseded sources —
+        # committed_segments already returns supersede-filtered live
+        # tokens; superseded_tokens() adds the closed-over dead ones.
+        from ..io_sinks import superseded_tokens
 
-    # mid-point crash consistency: bands absorbed its segments (readers
-    # skip them there) but shingles hasn't swapped yet (readers still
-    # fold them there) — each frame's view stays complete because the
-    # absorbed marker is per-frame and rides that frame's own swap
-    tmp2 = f"{path}/shingles_compacting"
-    compact_small_files(
-        spark, src2, tmp2, df=read_segments_pinned(spark, path, "shingles", tokens)
-    )
-    write_absorbed_marker(tmp2, tokens)
-    swap_compacted(src2)
-    purge_absorbed_segments(path, ["bands", "shingles"])
-    return sum(1 for _ in Path(src).rglob("*.parquet")) + sum(
-        1 for _ in Path(src2).rglob("*.parquet")
-    )
+        btokens = sorted(t for t, _ in committed_segments(path, "bands"))
+        stokens = sorted(t for t, _ in committed_segments(path, "shingles"))
+        # per-frame pinned sets (no longer the belt-and-braces union: a
+        # MERGED shingles segment is shingles-only, and its superseded
+        # sources' shingle branches must not be pinned back in)
+        absorb = sorted(
+            set(btokens)
+            | set(stokens)
+            | superseded_tokens(path, "bands")
+            | superseded_tokens(path, "shingles")
+        )
+        tmp = f"{path}/bands_compacting"
+        df = read_segments_pinned(spark, path, "bands", btokens)
+        (
+            df.repartition("band_id")
+            .write.mode("overwrite")
+            .partitionBy("band_id")
+            .parquet(tmp)
+        )
+        write_absorbed_marker(tmp, absorb)
+        swap_compacted(src, fail_between_renames)
+
+        # mid-point crash consistency: bands absorbed its segments (readers
+        # skip them there) but shingles hasn't swapped yet (readers still
+        # fold them there) — each frame's view stays complete because the
+        # absorbed marker is per-frame and rides that frame's own swap
+        tmp2 = f"{path}/shingles_compacting"
+        compact_small_files(
+            spark, src2, tmp2, df=read_segments_pinned(spark, path, "shingles", stokens)
+        )
+        write_absorbed_marker(tmp2, absorb)
+        swap_compacted(src2)
+        purge_absorbed_segments(path, ["bands", "shingles"])
+        return sum(1 for _ in Path(src).rglob("*.parquet")) + sum(
+            1 for _ in Path(src2).rglob("*.parquet")
+        )
 
 
 def lsh_index_compact_incremental(
@@ -1671,19 +1688,32 @@ def lsh_index_compact_incremental(
     incremental): rewrite only ``band_id=`` cells whose data-file count
     across base + unabsorbed segments exceeds ``max_fragments``,
     folding their segment copies in under cell-level absorbed markers;
-    untouched cells' files stay byte-identical. The SHINGLES frame is
-    deliberately left alone: it is unpartitioned (no cells to be
-    selective over), and its segment copies remain visible through the
-    segment-aware reader — space reclaim and shingles defragmentation
-    stay with the full ``lsh_index_compact`` pass, exactly the Lucene
-    split between a merge and a force-merge. Honest scale note: bands
-    is partitioned by band_id, and every append emits rows for EVERY
+    untouched cells' files stay byte-identical. The SHINGLES frame
+    (unpartitioned — no cells to be selective over) gets the Lucene
+    MINOR-merge instead (VERDICT r12 item 8;
+    io_sinks.merge_segment_frames): its live segment copies tier-merge
+    into ONE merged segment — delta-proportional by construction, the
+    BASE shingles frame is never read or rewritten — while space
+    reclaim / base defragmentation stays with the full
+    ``lsh_index_compact`` force-merge. Honest scale note: bands is
+    partitioned by band_id, and every append emits rows for EVERY
     band, so after any append all band cells are fragmented — the
     per-cell selectivity of this pass shows on indexes whose appends
     touch cell subsets (the IVF family); here its value is folding
-    segment BANDS in (the hot join side) without rewriting shingles
-    (the bulk of the bytes). Query results invariant — gated by
-    docs_lsh_index_compact_incremental on the family oracle."""
-    from ..io_sinks import compact_cells_incremental
+    segment BANDS in (the hot join side) without rewriting the base
+    shingles (the bulk of the bytes). Query results invariant — gated
+    by docs_lsh_index_compact_incremental on the family oracle.
+    Fenced: a concurrent maintenance writer raises
+    MaintenanceLeaseHeld."""
+    from ..io_sinks import (
+        compact_cells_incremental,
+        maintenance_lease,
+        merge_segment_frames,
+    )
 
-    return compact_cells_incremental(spark, path, "bands", max_fragments)
+    with maintenance_lease(path, "lsh_compact_incremental"):
+        cells = compact_cells_incremental(spark, path, "bands", max_fragments)
+        merge_segment_frames(
+            spark, path, "shingles", min_segments=max_fragments + 1
+        )
+        return cells

@@ -45,26 +45,26 @@ def consecutive_event_pairs(
 ) -> DataFrame:
     """Adjacent (strict contiguity) pairs of ``target`` events ≤ gap apart.
 
-    C3's ``next()`` means *no intervening event of any type*, so the lag
-    runs over ALL events, not just the target type
+    C3's ``next()`` means *no intervening event of any type*, so strict
+    contiguity runs over ALL events, not just the target type
     (LoginFailwithStateCEP.java:56-60).
-    """
-    w = Window.partitionBy(key).orderBy(F.col(ts_col), F.col(order_tiebreak))
-    prev_type = F.lag(event_col).over(w)
-    prev_ts = F.lag(ts_col).over(w)
-    return (
-        df.withColumn("prev_type", prev_type)
-        .withColumn("prev_ts", prev_ts)
-        .filter(
-            (F.col(event_col) == target)
-            & (F.col("prev_type") == target)
-            & (F.col(ts_col).cast("long") - F.col("prev_ts").cast("long") <= max_gap_s)
-        )
-        .select(
-            F.col(key),
-            F.col("prev_ts").cast("long").alias("first_fail_s"),
-            F.col(ts_col).cast("long").alias("last_fail_s"),
-        )
+
+    Round 13: expressed through the composable CEP surface —
+    ``Pattern(target).next(target).within(gap)`` (operators/cep.py); the
+    all-strict pattern compiles back to the identical one-window-pass
+    lead-chain plan, gated by the unchanged oracle."""
+    from . import cep
+
+    pat = (
+        cep.Pattern("f1", F.col(event_col) == target)
+        .next("f2", F.col(event_col) == target)
+        .within(max_gap_s)
+    )
+    out = cep.detect(df, pat, key, ts_col, order_tiebreak)
+    return out.select(
+        F.col(key),
+        F.col("ts_f1_s").alias("first_fail_s"),
+        F.col("ts_f2_s").alias("last_fail_s"),
     )
 
 
@@ -82,25 +82,24 @@ def consecutive_n_events(
     (LoginFailwithStateCEP_More.java:46-57): n strictly-adjacent
     ``target`` events whose first→last span is ≤ ``within_s``.
 
-    A chain of n−1 lags over the per-key event order — one shuffle, no
-    self-joins; generalizes C3 (n=2).
-    """
-    w = Window.partitionBy(key).orderBy(F.col(ts_col), F.col(order_tiebreak))
-    out = df.withColumn("cur_ts_s", F.col(ts_col).cast("long"))
-    conds = F.col(event_col) == target
-    for i in range(1, n):
-        out = out.withColumn(f"lag_type_{i}", F.lag(event_col, i).over(w))
-        out = out.withColumn(f"lag_ts_{i}", F.lag(F.col(ts_col).cast("long"), i).over(w))
-        conds = conds & (F.col(f"lag_type_{i}") == target)
-    first_ts = F.col(f"lag_ts_{n-1}")
-    return (
-        out.filter(conds & (F.col("cur_ts_s") - first_ts <= within_s))
-        .select(
-            F.col(key),
-            first_ts.alias("first_fail_s"),
-            F.col("cur_ts_s").alias("last_fail_s"),
-            F.lit(n).cast("long").alias("times"),
-        )
+    Round 13: expressed through the composable CEP surface —
+    ``Pattern(target).times(n).within(within_s)`` (operators/cep.py);
+    all-strict, so it compiles to the same single-shuffle lead-chain
+    plan the hand-built lag chain used (anchor flips from the last to
+    the first event of each run — same match set, same output values),
+    gated by the unchanged oracle."""
+    from . import cep
+
+    pat = (
+        cep.Pattern("f", F.col(event_col) == target).times(n).within(within_s)
+    )
+    out = cep.detect(df, pat, key, ts_col, order_tiebreak)
+    last_name = f"ts_f_{n}_s" if n > 1 else "ts_f_s"
+    return out.select(
+        F.col(key),
+        F.col("ts_f_s").alias("first_fail_s"),
+        F.col(last_name).alias("last_fail_s"),
+        F.lit(n).cast("long").alias("times"),
     )
 
 
@@ -159,22 +158,35 @@ def match_or_timeout(
     occurs in (ts, ts+horizon], else 'timeout' (OrderTimeOutStateApp
     semantics; side-output alerts become the status column).
 
-    Implemented as semi/anti joins on the key (one shuffle each, both
-    reusing the same partitioning) rather than a row-exploding outer join.
-    """
-    creates = df.filter(F.col(event_col) == create_type).select(
-        F.col(id_col).alias("create_id"),
+    Round 13: expressed through the composable CEP surface —
+    ``Pattern(create).followed_by(pay, min_ts_gap=1).within(horizon)``
+    with timeout capture (operators/cep.py). Relaxed contiguity picks
+    the EARLIEST strictly-later pay; within-filtering the earliest match
+    is equivalent to the former exists-in-(ts, ts+horizon] semi/anti
+    join because the earliest pay minimizes the span (monotone), and
+    ``min_ts_gap=1`` reproduces the strict ``pay_ts > create_ts`` bound
+    over integer-second timestamps. Gated by the unchanged oracle."""
+    from . import cep
+
+    pat = (
+        cep.Pattern("create", F.col(event_col) == create_type)
+        .followed_by("pay", F.col(event_col) == pay_type, min_ts_gap=1)
+        .within(horizon_s)
+    )
+    out = cep.detect(
+        df,
+        pat,
+        key,
+        ts_col,
+        order_tiebreak=id_col,
+        carry=((id_col, "create_id"),),
+        emit_timeouts=True,
+    )
+    return out.select(
+        "create_id",
         F.col(key),
-        F.col(ts_col).cast("long").alias("create_ts_s"),
+        F.col("ts_create_s").alias("create_ts_s"),
+        F.when(F.col("status") == "match", F.lit("payed"))
+        .otherwise(F.lit("timeout"))
+        .alias("status"),
     )
-    pays = df.filter(F.col(event_col) == pay_type).select(
-        F.col(key).alias("p_key"), F.col(ts_col).cast("long").alias("pay_ts_s")
-    )
-    cond = (
-        (creates[key] == pays["p_key"])
-        & (pays["pay_ts_s"] > creates["create_ts_s"])
-        & (pays["pay_ts_s"] <= creates["create_ts_s"] + horizon_s)
-    )
-    payed = creates.join(pays, cond, "left_semi").withColumn("status", F.lit("payed"))
-    timed_out = creates.join(pays, cond, "left_anti").withColumn("status", F.lit("timeout"))
-    return payed.unionByName(timed_out)

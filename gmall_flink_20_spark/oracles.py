@@ -5961,3 +5961,40 @@ JOIN (SELECT doc_id, CAST(sum((doc_id + 11 * i + j) % 256) AS BIGINT)
           AS payload_sum FROM by_ GROUP BY 1) p
   USING (doc_id)
 """
+
+# ---- round 13: composable-CEP mixed-contiguity pattern. Position-based
+# Flink relaxed contiguity: per-key stream positions (row_number over
+# (ts, event_id)), the 'ok' step resolves to the FIRST later signup
+# (min matching position over the strictly-following rows frame,
+# evaluated at the SECOND fail's position = lead(nm_ok)), whole match
+# within 2 h of the anchor.
+ORACLES["login_fail_cep_mixed"] = f"""
+WITH ev AS (
+    SELECT user_id, event_id, event_type, {_TS} AS ts_s,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+), aug AS (
+    SELECT *,
+           lead(event_type) OVER w AS t2,
+           lead(ts_s) OVER w AS ts2,
+           min(CASE WHEN event_type = 'signup' THEN rn END)
+               OVER (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nm_ok
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+), anch AS (
+    SELECT *, lead(nm_ok) OVER (PARTITION BY user_id ORDER BY rn) AS nm2
+    FROM aug
+)
+SELECT a.user_id, a.ts_s AS first_fail_s, a.ts2 AS second_fail_s,
+       c.ts_s AS recovered_s
+FROM anch a JOIN ev c ON c.user_id = a.user_id AND c.rn = a.nm2
+WHERE a.event_type = 'error' AND a.t2 = 'error' AND c.ts_s - a.ts_s <= 7200
+"""
+
+# r13 lifecycle entries: result-invariance gates on the family oracles —
+# a hash match proves the tier-merge / the fenced-out second writer
+# changed nothing a query can see
+ORACLES["docs_lsh_index_segment_merge"] = ORACLES["docs_neardup_incremental"]
+ORACLES["docs_lsh_index_compact_fenced"] = ORACLES["docs_neardup_incremental"]
+ORACLES["emb_index_compact_fenced"] = ORACLES["emb_index_append"]

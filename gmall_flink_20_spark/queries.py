@@ -225,6 +225,32 @@ def login_fail_times3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def login_fail_cep_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composable-CEP 3-step MIXED-contiguity pattern (VERDICT r12 item
+    7; flink-cep generality of LoginFailwithStateCEP_More.java:46-57):
+    ``Pattern('f1', error).next('f2', error).followed_by('ok', signup)
+    .within(2h)`` — two strictly-consecutive failures eventually followed
+    by the first later signup, whole match within 2 hours. Exercises the
+    positional compile path (row_number + next-match-position columns in
+    one window pass, equi-joins on (key, position)) that the all-strict
+    entries' lead-chain fast path skips."""
+    from .operators import cep
+
+    pat = (
+        cep.Pattern("f1", F.col("event_type") == "error")
+        .next("f2", F.col("event_type") == "error")
+        .followed_by("ok", F.col("event_type") == "signup")
+        .within(7200)
+    )
+    out = cep.detect(_events(spark, sf_dir), pat, "user_id", "ts", "event_id")
+    return out.select(
+        "user_id",
+        F.col("ts_f1_s").alias("first_fail_s"),
+        F.col("ts_f2_s").alias("second_fail_s"),
+        F.col("ts_ok_s").alias("recovered_s"),
+    )
+
+
 def login_fail_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1/C4 (LoginFailWithState.java:51-111): ≥2 'error' events within 2h
     of an anchoring error."""
@@ -3972,13 +3998,15 @@ def docs_lsh_index_compact_incremental(spark: SparkSession, sf_dir: str) -> Data
     lsh_index_compact_incremental — the dedup twin of the IVF entry):
     build on shards 2-3, append shard 1 in two atomic-segment batches,
     then fold ONLY the fragmented ``band_id=`` cells into the base
-    (cell-level absorbed markers) while the SHINGLES frame — the bulk
-    of the index bytes — is left untouched, its files byte-identical
-    and its segment copies still folding in through the segment-aware
-    reader (full defragmentation stays with lsh_index_compact, the
-    force-merge). Dedup shard 0 against the result; gated by
-    docs_neardup_incremental's exact oracle — a hash match proves the
-    partial merge changed nothing a query can see."""
+    (cell-level absorbed markers) while the BASE shingles frame — the
+    bulk of the index bytes — stays byte-identical; the two segments'
+    shingle copies tier-merge into ONE merged segment (r13, VERDICT r12
+    item 8: io_sinks.merge_segment_frames — delta-proportional, the
+    Lucene minor merge; full base defragmentation stays with
+    lsh_index_compact, the force-merge). Dedup shard 0 against the
+    result; gated by docs_neardup_incremental's exact oracle — a hash
+    match proves the partial merge + shingle tier-merge changed nothing
+    a query can see."""
     docs = load_table(spark, sf_dir, "documents")
     shard = F.pmod(sampling.sample_hash("doc_id", "incr"), F.lit(4))
     path = scratch.fresh_copy(
@@ -3991,6 +4019,93 @@ def docs_lsh_index_compact_incremental(spark: SparkSession, sf_dir: str) -> Data
     dedup.lsh_index_compact_incremental(spark, path, max_fragments=1)
     return dedup.lsh_index_query_incremental(
         spark, path, docs.filter(shard == 0)
+    )
+
+
+def docs_lsh_index_segment_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment tier-merge in isolation (r13, VERDICT r12 item 8;
+    io_sinks.merge_segment_frames): build on shards 2-3, append shard 1
+    in two atomic-segment batches, then MINOR-merge each frame's two
+    live segment copies into one merged segment (bands AND shingles) —
+    the base frames are never read or rewritten, the merged segment's
+    ``_supersedes`` list publishes atomically with its data, and the
+    superseded branches go dead for readers. Dedup shard 0 against the
+    result; gated by docs_neardup_incremental's exact oracle — a hash
+    match proves the merge is result-invariant. Fenced like all
+    maintenance."""
+    from .io_sinks import maintenance_lease, merge_segment_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.pmod(sampling.sample_hash("doc_id", "incr"), F.lit(4))
+    path = scratch.fresh_copy(
+        _lsh_base_index(spark, sf_dir, (2, 3)), "lsh_merge_"
+    )
+    s1 = docs.filter(shard == 1)
+    half = F.pmod(F.col("doc_id"), F.lit(2))
+    dedup.lsh_index_append_atomic(s1.filter(half == 0), path, token="a0")
+    dedup.lsh_index_append_atomic(s1.filter(half == 1), path, token="a1")
+    with maintenance_lease(path, "segment_merge"):
+        assert merge_segment_frames(spark, path, "bands") is not None
+        assert merge_segment_frames(spark, path, "shingles") is not None
+    return dedup.lsh_index_query_incremental(
+        spark, path, docs.filter(shard == 0)
+    )
+
+
+def docs_lsh_index_compact_fenced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer fencing, driver-gated (r13, VERDICT r12 item 5): build on
+    shards 2-3, append shard 1, then — while a live maintenance writer
+    holds the index lease — attempt a second compactor, which must fail
+    FAST with MaintenanceLeaseHeld (no renames race, nothing mutated);
+    release and compact for real, then dedup shard 0 against the
+    result. Gated by the same family oracle: a hash match proves the
+    fenced-out attempt left the index untouched and the fenced-in pass
+    still produces the exact answer."""
+    from .io_sinks import MaintenanceLeaseHeld, maintenance_lease
+
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.pmod(sampling.sample_hash("doc_id", "incr"), F.lit(4))
+    path = scratch.fresh_copy(
+        _lsh_base_index(spark, sf_dir, (2, 3)), "lsh_fence_"
+    )
+    s1 = docs.filter(shard == 1)
+    half = F.pmod(F.col("doc_id"), F.lit(2))
+    dedup.lsh_index_append(s1.filter(half == 0), path)
+    dedup.lsh_index_append(s1.filter(half == 1), path)
+    with maintenance_lease(path, "holder"):
+        try:
+            dedup.lsh_index_compact(spark, path)
+            raise AssertionError("second maintenance writer was not fenced out")
+        except MaintenanceLeaseHeld:
+            pass
+    dedup.lsh_index_compact(spark, path)
+    return dedup.lsh_index_query_incremental(
+        spark, path, docs.filter(shard == 0)
+    )
+
+
+def emb_index_compact_fenced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer fencing for the IVF index family (r13, VERDICT r12 item
+    5 — the ANN twin of docs_lsh_index_compact_fenced): append the
+    delta, hold the maintenance lease as a live writer while a second
+    compactor attempts entry and fails fast (MaintenanceLeaseHeld),
+    then release, compact for real, and answer queries 0..9 from the
+    compacted index. Gated by the same base-trained oracle as
+    emb_index_compact."""
+    from .io_sinks import MaintenanceLeaseHeld, maintenance_lease
+
+    emb, _, delta = _ivf_base90_split(spark, sf_dir)
+    path = scratch.fresh_copy(_ivf_base90_index(spark, sf_dir), "ivf_fence_")
+    ann.ivf_index_append(delta, path)
+    with maintenance_lease(path, "holder"):
+        try:
+            ann.ivf_index_compact(spark, path)
+            raise AssertionError("second maintenance writer was not fenced out")
+        except MaintenanceLeaseHeld:
+            pass
+    ann.ivf_index_compact(spark, path)
+    return ann.ann_ivf_persisted_topk(
+        spark, path, emb, list(range(10)), 5, nprobe=4
     )
 
 
@@ -4408,6 +4523,7 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "province_clicks_salted": province_clicks_salted,
     "blacklist_warnings": blacklist_warnings,
     "login_fail_times3": login_fail_times3,
+    "login_fail_cep_mixed": login_fail_cep_mixed,
     "login_fail_horizon": login_fail_horizon,
     "order_timeout_streaming": order_timeout_streaming,
     "blacklist_kept_streaming": blacklist_kept_streaming,
@@ -4565,6 +4681,9 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_jpeg_roundtrip": media_jpeg_roundtrip,
     "emb_index_compact_incremental": emb_index_compact_incremental,
     "docs_lsh_index_compact_incremental": docs_lsh_index_compact_incremental,
+    "docs_lsh_index_segment_merge": docs_lsh_index_segment_merge,
+    "docs_lsh_index_compact_fenced": docs_lsh_index_compact_fenced,
+    "emb_index_compact_fenced": emb_index_compact_fenced,
     "emb_index_concurrent_append": emb_index_concurrent_append,
     "docs_lsh_index_concurrent_append": docs_lsh_index_concurrent_append,
     "emb_index_pq_streaming": emb_index_pq_streaming,
@@ -5006,8 +5125,81 @@ _stale_in12 = [n for n in _stale12_net if n in set(_R12_WINDOW)]
 assert _stale_in12 == _stale12_net[: len(_stale_in12)], "stale gating must be oldest-first"
 assert set(_R12_WINDOW) | set(_R12_ROLLOVER) == set(_R12_POOL)
 
+# ---- round 13 window: 4 new ops front, then 11 re-gates (entries
+# whose IMPLEMENTATION changed this round: the Arrow winnowing kernel
+# [docs_overlap_pairs + docs_winnowing], the BLAS pair-cosine kernel
+# [emb_cosine_neardup], the ADVICE r12 contamination fix, the three
+# sequence detectors re-expressed through the composable CEP surface,
+# and the four compactor entries that gained the writer fence /
+# per-frame pinned sets / shingle tier-merge), then the ENTIRE
+# 20-entry r12 rollover (their re-gate lands exactly at the 6-round
+# policy bound — VERDICT r12 item 1), then the oldest-first prefix of
+# the next-stalest cohort (the 50 round-8-latest rows); 16 fit, 34
+# roll to round 14 (the cohort nets to 49 after the explicitly
+# fronted order_timeout re-gate).
+R13_NEW: list[str] = [
+    "login_fail_cep_mixed",
+    "docs_lsh_index_segment_merge",
+    "docs_lsh_index_compact_fenced",
+    "emb_index_compact_fenced",
+]
+
+R13_REGATE: list[str] = [
+    "docs_overlap_pairs",
+    "docs_winnowing",
+    "emb_cosine_neardup",
+    "docs_cross_source_contamination",
+    "login_fail_consecutive",
+    "login_fail_times3",
+    "order_timeout",
+    "docs_lsh_index_compact_incremental",
+    "docs_lsh_index_compact",
+    "emb_index_compact",
+    "emb_index_compact_incremental",
+]
+
+# latest driver row = round 8 (from CORRECTNESS_r0{1..12}.json), sorted
+_STALE_R8B: list[str] = [
+    "customers_ltv", "customers_revenue_pareto", "docs_bloom_dedup",
+    "docs_bm25_topk", "docs_corpus_build", "docs_dedup_survivors",
+    "docs_health_by_source", "docs_health_report", "docs_jsonl_roundtrip",
+    "docs_lang_confusion", "docs_minhash_lsh_pairs", "docs_neardup_clusters",
+    "docs_neardup_edit_verified", "docs_neardup_verified",
+    "docs_negative_samples", "docs_novelty_rate", "docs_oov_rate",
+    "docs_source_diversity", "docs_split_assign", "emb_ann_lsh_multiprobe",
+    "emb_ann_pq", "emb_ann_recall", "emb_cluster_sample", "emb_kmeans",
+    "emb_knn_graph", "emb_lang_outliers", "events_abandoned_cart",
+    "events_cms_counts", "events_dwell_time", "events_ivm_merge",
+    "events_ivm_streaming", "events_quantiles_approx", "events_rfm",
+    "events_scd2_intervals_streaming", "events_stickiness",
+    "events_temporal_join", "events_temporal_join_streaming",
+    "hot_items_topn", "items_communities", "items_modularity",
+    "media_wav_features", "order_timeout", "pay_receipt_interval_join",
+    "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q16", "tpch_q20", "tpch_q21",
+    "unique_visitors_approx_streaming",
+]
+
+_R13_POOL: list[str] = _dedup_keep_order(
+    R13_NEW + R13_REGATE + _R12_ROLLOVER + _STALE_R8B
+)
+_R13_WINDOW: list[str] = _R13_POOL[:WINDOW_SIZE]
+_R13_ROLLOVER: list[str] = _R13_POOL[WINDOW_SIZE:]
+assert len(_R13_WINDOW) == WINDOW_SIZE
+assert set(R13_NEW) <= set(_R13_WINDOW), "new ops gate on first appearance"
+assert set(R13_REGATE) <= set(_R13_WINDOW), "changed ops re-gate this round"
+# VERDICT r12 item 1: the ENTIRE r12 rollover gates this round — its
+# re-gate lands exactly at the encoded 6-round bound
+assert set(_R12_ROLLOVER) <= set(_R13_WINDOW), "r12 rollover must all gate in r13"
+# oldest-first stale gating: the stale cohort in the window (net of the
+# explicitly fronted re-gates) must be exactly the oldest-first prefix
+# of the cohort net of re-gates (no silent composition loss — ADVICE r6)
+_stale13_net = [n for n in _STALE_R8B if n not in set(R13_REGATE)]
+_stale_in13 = [n for n in _stale13_net if n in set(_R13_WINDOW)]
+assert _stale_in13 == _stale13_net[: len(_stale_in13)], "stale gating must be oldest-first"
+assert set(_R13_WINDOW) | set(_R13_ROLLOVER) == set(_R13_POOL)
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    name: _ALL[name] for name in _R12_WINDOW
+    name: _ALL[name] for name in _R13_WINDOW
 }
 QUERIES.update((k, v) for k, v in _ALL.items() if k not in QUERIES)
 assert len(QUERIES) == len(_ALL)

@@ -54,7 +54,13 @@ def main() -> None:
         "spark_total": round(sum(spark_best[q] for q in shared), 3),
         "oracle_total": round(sum(oracle_best[q] for q in shared), 3),
     }
-    summary["ratio"] = round(summary["spark_total"] / summary["oracle_total"], 3)
+    # no shared queries (e.g. only spark legs passed): ratio is
+    # undefined, not a crash after the merge work is done (ADVICE r12)
+    summary["ratio"] = (
+        round(summary["spark_total"] / summary["oracle_total"], 3)
+        if shared and summary["oracle_total"] > 0
+        else None
+    )
     out = {
         "spark_best": spark_best,
         "oracle_best": oracle_best,
