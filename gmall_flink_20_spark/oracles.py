@@ -5967,7 +5967,7 @@ JOIN (SELECT doc_id, CAST(sum((doc_id + 11 * i + j) % 256) AS BIGINT)
 # (ts, event_id)), the 'ok' step resolves to the FIRST later signup
 # (min matching position over the strictly-following rows frame,
 # evaluated at the SECOND fail's position = lead(nm_ok)), whole match
-# within 2 h of the anchor.
+# within 48 h of the anchor.
 ORACLES["login_fail_cep_mixed"] = f"""
 WITH ev AS (
     SELECT user_id, event_id, event_type, {_TS} AS ts_s,
@@ -5989,7 +5989,7 @@ WITH ev AS (
 SELECT a.user_id, a.ts_s AS first_fail_s, a.ts2 AS second_fail_s,
        c.ts_s AS recovered_s
 FROM anch a JOIN ev c ON c.user_id = a.user_id AND c.rn = a.nm2
-WHERE a.event_type = 'error' AND a.t2 = 'error' AND c.ts_s - a.ts_s <= 7200
+WHERE a.event_type = 'error' AND a.t2 = 'error' AND c.ts_s - a.ts_s <= 172800
 """
 
 # r13 lifecycle entries: result-invariance gates on the family oracles —
@@ -5998,3 +5998,6 @@ WHERE a.event_type = 'error' AND a.t2 = 'error' AND c.ts_s - a.ts_s <= 7200
 ORACLES["docs_lsh_index_segment_merge"] = ORACLES["docs_neardup_incremental"]
 ORACLES["docs_lsh_index_compact_fenced"] = ORACLES["docs_neardup_incremental"]
 ORACLES["emb_index_compact_fenced"] = ORACLES["emb_index_append"]
+
+# the streaming form must produce EXACTLY the batch answer
+ORACLES["login_fail_cep_mixed_streaming"] = ORACLES["login_fail_cep_mixed"]

@@ -229,8 +229,8 @@ def login_fail_cep_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composable-CEP 3-step MIXED-contiguity pattern (VERDICT r12 item
     7; flink-cep generality of LoginFailwithStateCEP_More.java:46-57):
     ``Pattern('f1', error).next('f2', error).followed_by('ok', signup)
-    .within(2h)`` — two strictly-consecutive failures eventually followed
-    by the first later signup, whole match within 2 hours. Exercises the
+    .within(48h)`` — two strictly-consecutive failures eventually followed
+    by the first later signup, whole match within 48 hours. Exercises the
     positional compile path (row_number + next-match-position columns in
     one window pass, equi-joins on (key, position)) that the all-strict
     entries' lead-chain fast path skips."""
@@ -240,7 +240,7 @@ def login_fail_cep_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         cep.Pattern("f1", F.col("event_type") == "error")
         .next("f2", F.col("event_type") == "error")
         .followed_by("ok", F.col("event_type") == "signup")
-        .within(7200)
+        .within(172800)
     )
     out = cep.detect(_events(spark, sf_dir), pat, "user_id", "ts", "event_id")
     return out.select(
@@ -248,6 +248,32 @@ def login_fail_cep_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_f1_s").alias("first_fail_s"),
         F.col("ts_f2_s").alias("second_fail_s"),
         F.col("ts_ok_s").alias("recovered_s"),
+    )
+
+
+def login_fail_cep_mixed_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixed-contiguity CEP pattern as ACTUAL Structured Streaming
+    (streaming/stateful.cep_mixed_stream) — the streaming compile
+    target of the composable CEP surface, replayed with bounded
+    out-of-orderness (±5 min deterministic disorder) and decided in
+    event-time order as the watermark advances. Verified against the
+    same positional SQL oracle as the batch login_fail_cep_mixed —
+    streaming ≡ batch on a genuinely unsorted stream. Excluded from
+    bench."""
+    from .streaming import replay, stateful
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_id", F.col("ts").cast("long").alias("ts_s"), "event_type", "ts"
+    )
+    s1, s2, _ = replay.sentinel_pair(spark, ev)
+    stream = replay.replay_stream(
+        spark, ev, "ts", num_chunks=replay.REPLAY_CHUNKS_HEAVY, disorder_s=300, extra_chunks=[s1, s2]
+    )
+    out = stateful.cep_mixed_stream(
+        stream.withWatermark("ts", "660 seconds"), within_s=172800
+    )
+    return replay.run_to_completion(out).select(
+        "user_id", "first_fail_s", "second_fail_s", "recovered_s"
     )
 
 
@@ -4524,6 +4550,7 @@ _ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "blacklist_warnings": blacklist_warnings,
     "login_fail_times3": login_fail_times3,
     "login_fail_cep_mixed": login_fail_cep_mixed,
+    "login_fail_cep_mixed_streaming": login_fail_cep_mixed_streaming,
     "login_fail_horizon": login_fail_horizon,
     "order_timeout_streaming": order_timeout_streaming,
     "blacklist_kept_streaming": blacklist_kept_streaming,
@@ -5139,6 +5166,7 @@ assert set(_R12_WINDOW) | set(_R12_ROLLOVER) == set(_R12_POOL)
 # fronted order_timeout re-gate).
 R13_NEW: list[str] = [
     "login_fail_cep_mixed",
+    "login_fail_cep_mixed_streaming",
     "docs_lsh_index_segment_merge",
     "docs_lsh_index_compact_fenced",
     "emb_index_compact_fenced",

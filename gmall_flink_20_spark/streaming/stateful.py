@@ -224,6 +224,136 @@ def login_fail_pairs_stream(
     )
 
 
+# --------------------------------------------- mixed-contiguity CEP (r13)
+
+
+_CEP_MIXED_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("first_fail_s", LongType()),
+        StructField("second_fail_s", LongType()),
+        StructField("recovered_s", LongType()),
+    ]
+)
+_CEP_MIXED_STATE = StructType(
+    [
+        StructField("prev_is_fail", LongType()),  # 0/1; NULL = no prefix yet
+        StructField("prev_ts", LongType()),
+        StructField("pending", StringType()),  # "f1,f2;..." anchors awaiting ok
+        StructField("buf", StringType()),  # "ts,eid,cls;..." cls: f/k/o
+    ]
+)
+
+
+def cep_mixed_stream(
+    events: DataFrame,
+    within_s: int,
+    fail_type: str = "error",
+    ok_type: str = "signup",
+) -> DataFrame:
+    """Streaming compile target of the composable CEP surface's mixed
+    pattern (operators/cep.py; batch twin login_fail_cep_mixed):
+    ``begin(fail).next(fail).followed_by(ok).within(within_s)`` as a
+    GroupState machine — the same buffer-until-watermark order
+    restoration as the login machines, then per ordered event: strict
+    adjacency opens an anchor (prev event fail AND current fail); the
+    FIRST later ``ok_type`` event resolves EVERY open anchor exactly
+    once (emit iff ok_ts − f1_ts ≤ within, Flink relaxed contiguity:
+    first match only, no retry on a within breach) and clears them.
+    State is bounded: anchors whose within horizon the watermark passed
+    can never emit (their first later ok, if any, breaches within) and
+    are pruned; keyed state cardinality is |users| — exactly Flink's
+    keyed-state shape for this pattern.
+
+    Expects (user_id long, event_id long, ts_s long, event_type string)
+    plus a watermarked 'ts'."""
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        prev_is_fail, prev_ts, pending_s, buf = (
+            state.get if state.exists else (None, None, None, None)
+        )
+        pending: list[tuple[int, int]] = []
+        if pending_s:
+            for part in pending_s.split(";"):
+                a, b_ = part.split(",")
+                pending.append((int(a), int(b_)))
+        items: list[tuple[int, int, str]] = []
+        if buf:
+            for part in buf.split(";"):
+                t, i, c = part.split(",")
+                items.append((int(t), int(i), c))
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                cls = [
+                    "f" if et == fail_type else ("k" if et == ok_type else "o")
+                    for et in pdf["event_type"]
+                ]
+                items.extend(
+                    zip(
+                        pdf["ts_s"].astype("int64").tolist(),
+                        pdf["event_id"].astype("int64").tolist(),
+                        cls,
+                    )
+                )
+        wm_ms = state.getCurrentWatermarkMs()
+        items.sort()
+        o_f1: list[int] = []
+        o_f2: list[int] = []
+        o_ok: list[int] = []
+        rest: list[tuple[int, int, str]] = []
+        for ts, eid, c in items:
+            if ts * 1000 < wm_ms:
+                if c == "k" and pending:
+                    for f1, f2 in pending:
+                        if ts - f1 <= within_s:
+                            o_f1.append(f1)
+                            o_f2.append(f2)
+                            o_ok.append(ts)
+                    pending = []
+                if c == "f" and prev_is_fail == 1:
+                    pending.append((int(prev_ts), ts))
+                prev_is_fail, prev_ts = (1 if c == "f" else 0), ts
+            else:
+                rest.append((ts, eid, c))
+        # prune: an anchor whose horizon the watermark passed can only
+        # resolve to a breach (its first later ok has ts >= wm) — dead
+        pending = [p for p in pending if p[0] * 1000 + within_s * 1000 >= wm_ms]
+        if rest or pending or prev_is_fail == 1:
+            state.update(
+                (
+                    prev_is_fail,
+                    prev_ts,
+                    ";".join(f"{a},{b_}" for a, b_ in pending),
+                    ";".join(f"{t},{i},{c}" for t, i, c in rest),
+                )
+            )
+            if rest:
+                state.setTimeoutTimestamp(
+                    max(min(t for t, _, _ in rest) * 1000, wm_ms + 1)
+                )
+        else:
+            state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": user_id,
+                "first_fail_s": o_f1,
+                "second_fail_s": o_f2,
+                "recovered_s": o_ok,
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        _CEP_MIXED_OUT,
+        _CEP_MIXED_STATE,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 # ------------------------------------------------------------- J4 timeout
 
 

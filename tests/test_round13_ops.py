@@ -110,6 +110,108 @@ def test_merge_legs_no_shared_queries(tmp_path):
     assert merged["summary"]["n_shared"] == 0
 
 
+# --------------------------------------- streaming CEP kill-resume
+
+
+def test_cep_mixed_stream_recovers_from_checkpoint(spark, sf_dir):
+    """Kill the mixed-contiguity CEP machine mid-replay at a
+    checkpoint, restart, and the triple set must equal the batch CEP
+    surface — pendings, the adjacency scalar, and the undecided buffer
+    survive the restart with no lost or duplicated matches."""
+    import shutil
+    import tempfile
+    import uuid
+    from pathlib import Path
+
+    from gmall_flink_20_spark.io import load_events
+    from gmall_flink_20_spark.operators import cep
+    from gmall_flink_20_spark.streaming import stateful
+
+    ev = (
+        load_events(spark, sf_dir)
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts").cast("long").alias("ts_s"),
+            "event_type",
+            "ts",
+        )
+        .orderBy("ts_s")
+    )
+    rows = ev.collect()
+    half = len(rows) // 2
+    schema = ev.schema
+    base = Path(tempfile.mkdtemp(prefix="recov_cepmx_"))
+    src = base / "src"
+    src.mkdir()
+    ckpt = str(base / "ckpt")
+    out_dir = str(base / "out")
+
+    def _chunk(df, j, mtime):
+        import os
+
+        tmp = base / f"tmp_{uuid.uuid4().hex[:6]}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        for f in tmp.glob("*.parquet"):
+            dst = src / f"{j:05d}.parquet"
+            shutil.copy(f, dst)
+            os.utime(dst, (mtime, mtime))
+        shutil.rmtree(tmp)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            stateful.cep_mixed_stream(
+                stream.withWatermark("ts", "2 seconds"), within_s=172800
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _chunk(spark.createDataFrame(rows[:half], schema), 0, 1_000_000_000)
+    run_once()
+    _chunk(spark.createDataFrame(rows[half:], schema), 1, 1_000_000_001)
+    run_once()
+
+    got = spark.read.parquet(out_dir).toPandas()
+    full = spark.createDataFrame(rows, schema)
+    wm_s = max(r.ts_s for r in rows) - 2
+    pat = (
+        cep.Pattern("f1", F.col("event_type") == "error")
+        .next("f2", F.col("event_type") == "error")
+        .followed_by("ok", F.col("event_type") == "signup")
+        .within(172800)
+    )
+    exp = (
+        cep.detect(full, pat, "user_id", "ts", "event_id")
+        .filter(F.col("ts_ok_s") < wm_s)
+        .toPandas()
+    )
+    got_set = {
+        tuple(r)
+        for r in got[
+            ["user_id", "first_fail_s", "second_fail_s", "recovered_s"]
+        ].to_numpy().tolist()
+    }
+    exp_set = {
+        tuple(r)
+        for r in exp[["user_id", "ts_f1_s", "ts_f2_s", "ts_ok_s"]]
+        .to_numpy()
+        .tolist()
+    }
+    assert got_set == exp_set and len(got) == len(got_set)
+    assert len(got_set) > 0
+
+
 # ------------------------------------------------- writer fencing
 
 
