@@ -557,40 +557,42 @@ def cosine_near_dup_blocked(
         F.col(vec_col).alias("v"),
         norm(F.col(vec_col)).alias("nrm"),
     )
-    # self-join input: compute norms once, not once per side
-    withnorm = eager_persist(withnorm)
-    pairs = blocking.bounded_block_pairs(
+    # Per-task GEMM kernel (VERDICT r12 item 3): rows ship ONCE per
+    # triangle sub-task (blocking.bounded_block_task_rows) and each
+    # task scores ALL its pairs as one normalized X·Yᵀ BLAS product —
+    # the n² term lives in the kernel's flops, never in shuffle volume
+    # or Arrow transfer (the former per-pair plan shipped both vectors
+    # for every candidate pair). ids only in the output: raw float
+    # scores are engine-representation-sensitive.
+    id_type = emb.schema[id_col].dataType.simpleString()
+    tasks = blocking.bounded_block_task_rows(
         withnorm, ["blk"], "vid", cap_rows=block_cap_rows, max_block_rows=max_block_rows
     )
-    # Arrow pair-scoring kernel (VERDICT r12 item 3): one batched numpy
-    # row-wise dot over each Arrow batch of candidate pairs replaces the
-    # per-pair 64-element zip_with/aggregate expression tree — the same
-    # BLAS-batch treatment emb_ann_topk_arrow already uses. ids only in
-    # the output: raw float scores are engine-representation-sensitive.
-    id_type = emb.schema[id_col].dataType.simpleString()
 
-    def score(batches):
+    def score(pdf):
         import numpy as np
         import pandas as pd
 
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.array(pdf["v_a"].tolist(), dtype=np.float64)
-            B = np.array(pdf["v_b"].tolist(), dtype=np.float64)
-            s = np.einsum("ij,ij->i", A, B) / (
-                pdf["nrm_a"].to_numpy() * pdf["nrm_b"].to_numpy()
-            )
-            keep = s >= threshold
-            if keep.any():
-                yield pd.DataFrame(
-                    {
-                        "vec_a": pdf["vid_a"].to_numpy()[keep],
-                        "vec_b": pdf["vid_b"].to_numpy()[keep],
-                    }
-                )
+        a_m = (pdf["_side"] == 0).to_numpy()
+        ids = pdf["vid"].to_numpy()
+        X = np.array(pdf["v"].tolist(), dtype=np.float64)
+        X /= pdf["nrm"].to_numpy()[:, None]
+        diagonal = int(pdf["_i"].iat[0]) == int(pdf["_j"].iat[0])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            if diagonal:
+                ida = idb = ids
+                S = X @ X.T
+                iu, ju = np.triu_indices(len(ids), k=1)
+            else:
+                ida, idb = ids[a_m], ids[~a_m]
+                S = X[a_m] @ X[~a_m].T
+                iu, ju = np.unravel_index(np.arange(S.size), S.shape)
+            keep = S[iu, ju] >= threshold
+        ia, ib = ida[iu[keep]], idb[ju[keep]]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi})
 
-    return pairs.select("vid_a", "vid_b", "v_a", "v_b", "nrm_a", "nrm_b").mapInPandas(
+    return tasks.groupBy("blk", "_i", "_j").applyInPandas(
         score, f"vec_a {id_type}, vec_b {id_type}"
     )
 

@@ -438,7 +438,7 @@ def test_r11_window_contract():
     from gmall_flink_20_spark import queries as q
 
     # updated each rotation: the CURRENT round's window fronts the dict
-    assert list(q.QUERIES)[:50] == q._R12_WINDOW
+    assert list(q.QUERIES)[:50] == q._R13_WINDOW
     assert set(q.R11_NEW) <= set(q._R11_WINDOW)
     # the rollover is exactly the oldest-first suffix of r10's
     assert q._R11_ROLLOVER == q._R10_ROLLOVER[-len(q._R11_ROLLOVER):]

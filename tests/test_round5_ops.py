@@ -21,7 +21,7 @@ def test_window_is_exactly_fifty():
 
 def test_window_leads_the_registry():
     # updated each rotation: the CURRENT round's window fronts the dict
-    assert list(Q.QUERIES)[:50] == Q._R12_WINDOW
+    assert list(Q.QUERIES)[:50] == Q._R13_WINDOW
 
 
 def test_round10_new_ops_are_in_window():
