@@ -102,6 +102,73 @@ def _ts_cols(steps: list[_Step]) -> list[str]:
     return [f"ts_{s.name}_s" for s in steps]
 
 
+def _detect_two_step_relaxed(
+    df: DataFrame,
+    pattern: Pattern,
+    key: str,
+    ts_col: str,
+    order_tiebreak: str,
+    carry: tuple[tuple[str, str], ...],
+    emit_timeouts: bool,
+) -> DataFrame:
+    """Specialized compile for ``begin(a).followed_by(b)`` (the
+    match_or_timeout shape): the first later b per anchor is
+    min(struct(ts, tiebreak)) over one key-equi join with the
+    later-than residual — one join + one map-side-combining aggregate
+    instead of the positional pipeline's window pass + step join.
+    Equivalent because position order IS (ts, tiebreak) order, so the
+    minimal (ts, tiebreak) candidate is the positional first match;
+    with ``min_ts_gap`` the residual becomes ts_b ≥ ts_a + gap
+    (strictly-later-in-time), same as the generic path's range frame."""
+    s0, s1 = pattern.steps
+    tsn = _ts_cols(pattern.steps)
+    anchors = df.filter(s0.pred).select(
+        F.col(key).alias("_k"),
+        *[F.col(src).alias(dst) for src, dst in carry],
+        F.col(ts_col).cast("long").alias("_ts0"),
+        F.col(order_tiebreak).alias("_tb0"),
+    )
+    cands = df.filter(s1.pred).select(
+        F.col(key).alias("_kc"),
+        F.col(ts_col).cast("long").alias("_ts1"),
+        F.col(order_tiebreak).alias("_tb1"),
+    )
+    if s1.min_ts_gap is not None:
+        residual = F.col("_ts1") >= F.col("_ts0") + int(s1.min_ts_gap)
+    else:
+        residual = (F.col("_ts1") > F.col("_ts0")) | (
+            (F.col("_ts1") == F.col("_ts0")) & (F.col("_tb1") > F.col("_tb0"))
+        )
+    joined = anchors.join(
+        cands, (F.col("_k") == F.col("_kc")) & residual, "left"
+    )
+    carry_names = [dst for _, dst in carry]
+    first = joined.groupBy(
+        "_k", *carry_names, "_ts0", "_tb0"
+    ).agg(F.min(F.struct("_ts1", "_tb1")).alias("_m"))
+    ts1 = F.col("_m._ts1")
+    within_ok = (
+        F.lit(True)
+        if pattern.within_s is None
+        else (ts1 - F.col("_ts0") <= pattern.within_s)
+    )
+    base = [
+        F.col("_k").alias(key),
+        *[F.col(c) for c in carry_names],
+        F.col("_ts0").alias(tsn[0]),
+    ]
+    if emit_timeouts:
+        matched = ts1.isNotNull() & within_ok
+        return first.select(
+            *base,
+            F.when(matched, ts1).alias(tsn[1]),
+            F.when(matched, F.lit("match")).otherwise(F.lit("timeout")).alias("status"),
+        )
+    return first.filter(ts1.isNotNull() & within_ok).select(
+        *base, ts1.alias(tsn[1])
+    )
+
+
 def detect(
     df: DataFrame,
     pattern: Pattern,
@@ -140,6 +207,11 @@ def detect(
             *[t.alias(n) for t, n in zip(tss, _ts_cols(steps))],
         )
 
+    if m == 2 and steps[1].contiguity == "followed_by":
+        return _detect_two_step_relaxed(
+            df, pattern, key, ts_col, order_tiebreak, carry, emit_timeouts
+        )
+
     # mixed / timeout-capturing path: positional compile
     pos_cols = [
         F.col(key).alias("_k"),
@@ -162,11 +234,10 @@ def detect(
         pos_cols.append(
             F.min(F.when(s.pred, F.row_number().over(w))).over(frame).alias(f"_nm{i}")
         )
-    anchor_carry = [F.col(src).alias(dst) for src, dst in carry]
+    # no persist: the window pass is cheap JVM work and Catalyst reuses
+    # the exchange across the step branches — cache materialization
+    # costs more than recomputation here (same lesson as overlap_pairs)
     pos = df.select(*pos_cols, *[F.col(src) for src, _ in carry])
-    from ._cache import eager_persist
-
-    pos = eager_persist(pos)
 
     tsn = _ts_cols(steps)
     # frontier: anchor rows
