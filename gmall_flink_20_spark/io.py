@@ -23,7 +23,14 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["TABLES", "load_table", "load_events", "register_views", "default_sf_dir"]
+__all__ = [
+    "TABLES",
+    "load_table",
+    "load_events",
+    "register_views",
+    "default_sf_dir",
+    "fan_out_scan",
+]
 
 TABLES = [
     "region",
@@ -118,6 +125,27 @@ def _dir_fingerprint(path: str) -> tuple:
         return ("missing",)
     entries = _scan(path, 1) if os.path.isdir(path) else ()
     return (st.st_mtime_ns, st.st_size, entries)
+
+
+def fan_out_scan(df: DataFrame, key: str) -> DataFrame:
+    """Spread a scan across the cluster before CPU-heavy per-row work
+    (optimization guide §2.5 "input skew", §8): the driver's tables are
+    ONE single-row-group parquet file each, so every scan is a single
+    task and all expression/Python-kernel work before the first exchange
+    serializes on one core. Deterministic hash repartition on ``key``
+    (never rand-derived — task retries must reproduce the assignment).
+
+    Scale-adaptive, not a local[32] constant: when the scan already has
+    at least the session's default parallelism worth of partitions (any
+    real multi-split corpus at 100 TB), this returns the frame unchanged
+    and no exchange is added. Used selectively on queries whose scan-side
+    work is measured to dominate — an extra exchange is NOT free on
+    queries whose first op is already a cheap aggregate."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(key))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
