@@ -2562,11 +2562,11 @@ def docs_lsh_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s1 = docs.filter(shard == 1)
     half = F.pmod(F.col("doc_id"), F.lit(2))
-    dedup.lsh_index_append(s1.filter(half == 0), path)
-    dedup.lsh_index_append(s1.filter(half == 1), path)
+    dedup.lsh_index_append(s1.filter(half == 0), path, parallelism=spark.sparkContext.defaultParallelism)
+    dedup.lsh_index_append(s1.filter(half == 1), path, parallelism=spark.sparkContext.defaultParallelism)
     dedup.lsh_index_compact(spark, path)
     return dedup.lsh_index_query_incremental(
-        spark, path, docs.filter(shard == 0)
+        spark, path, docs.filter(shard == 0), parallelism=spark.sparkContext.defaultParallelism
     )
 
 
@@ -2763,7 +2763,7 @@ def _lsh_base_index(spark: SparkSession, sf_dir: str, shards: tuple) -> str:
         "lsh_base",
         base,
         ("shards",) + shards,
-        lambda p: dedup.lsh_index_write(base, p),
+        lambda p: dedup.lsh_index_write(base, p, parallelism=spark.sparkContext.defaultParallelism),
     )
 
 
@@ -2849,7 +2849,7 @@ def docs_lsh_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard = F.pmod(sampling.sample_hash("doc_id", "incr"), F.lit(4))
     new = docs.filter(shard == 0)
     path = _lsh_base_index(spark, sf_dir, (1, 2, 3))
-    return dedup.lsh_index_query_incremental(spark, path, new)
+    return dedup.lsh_index_query_incremental(spark, path, new, parallelism=spark.sparkContext.defaultParallelism)
 
 
 def docs_lsh_index_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3010,7 +3010,7 @@ def docs_lsh_index_recover(spark: SparkSession, sf_dir: str) -> DataFrame:
     except InterruptedCompaction:
         pass
     return dedup.lsh_index_query_incremental(
-        spark, path, docs.filter(shard == 0)
+        spark, path, docs.filter(shard == 0), parallelism=spark.sparkContext.defaultParallelism
     )
 
 
@@ -3949,12 +3949,12 @@ def docs_lsh_index_query_during_append(spark: SparkSession, sf_dir: str) -> Data
         _lsh_base_index(spark, sf_dir, (1, 2, 3)), "lsh_qda_"
     )
     pre = _visible_rows_fingerprint(spark, path, ("bands", "shingles"))
-    dedup.lsh_index_append_atomic(delta, path, token="d1", commit=False)
+    dedup.lsh_index_append_atomic(delta, path, token="d1", commit=False, parallelism=spark.sparkContext.defaultParallelism)
     mid_equals_pre = (
         _visible_rows_fingerprint(spark, path, ("bands", "shingles")) == pre
     )
     io_sinks.commit_segment(path, "d1")
-    return dedup.lsh_index_query_incremental(spark, path, query).withColumn(
+    return dedup.lsh_index_query_incremental(spark, path, query, parallelism=spark.sparkContext.defaultParallelism).withColumn(
         "mid_equals_pre", F.lit(bool(mid_equals_pre))
     )
 
@@ -4040,11 +4040,11 @@ def docs_lsh_index_compact_incremental(spark: SparkSession, sf_dir: str) -> Data
     )
     s1 = docs.filter(shard == 1)
     half = F.pmod(F.col("doc_id"), F.lit(2))
-    dedup.lsh_index_append_atomic(s1.filter(half == 0), path, token="a0")
-    dedup.lsh_index_append_atomic(s1.filter(half == 1), path, token="a1")
+    dedup.lsh_index_append_atomic(s1.filter(half == 0), path, token="a0", parallelism=spark.sparkContext.defaultParallelism)
+    dedup.lsh_index_append_atomic(s1.filter(half == 1), path, token="a1", parallelism=spark.sparkContext.defaultParallelism)
     dedup.lsh_index_compact_incremental(spark, path, max_fragments=1)
     return dedup.lsh_index_query_incremental(
-        spark, path, docs.filter(shard == 0)
+        spark, path, docs.filter(shard == 0), parallelism=spark.sparkContext.defaultParallelism
     )
 
 
@@ -4068,13 +4068,13 @@ def docs_lsh_index_segment_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s1 = docs.filter(shard == 1)
     half = F.pmod(F.col("doc_id"), F.lit(2))
-    dedup.lsh_index_append_atomic(s1.filter(half == 0), path, token="a0")
-    dedup.lsh_index_append_atomic(s1.filter(half == 1), path, token="a1")
+    dedup.lsh_index_append_atomic(s1.filter(half == 0), path, token="a0", parallelism=spark.sparkContext.defaultParallelism)
+    dedup.lsh_index_append_atomic(s1.filter(half == 1), path, token="a1", parallelism=spark.sparkContext.defaultParallelism)
     with maintenance_lease(path, "segment_merge"):
         assert merge_segment_frames(spark, path, "bands") is not None
         assert merge_segment_frames(spark, path, "shingles") is not None
     return dedup.lsh_index_query_incremental(
-        spark, path, docs.filter(shard == 0)
+        spark, path, docs.filter(shard == 0), parallelism=spark.sparkContext.defaultParallelism
     )
 
 
@@ -4096,8 +4096,8 @@ def docs_lsh_index_compact_fenced(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     s1 = docs.filter(shard == 1)
     half = F.pmod(F.col("doc_id"), F.lit(2))
-    dedup.lsh_index_append(s1.filter(half == 0), path)
-    dedup.lsh_index_append(s1.filter(half == 1), path)
+    dedup.lsh_index_append(s1.filter(half == 0), path, parallelism=spark.sparkContext.defaultParallelism)
+    dedup.lsh_index_append(s1.filter(half == 1), path, parallelism=spark.sparkContext.defaultParallelism)
     with maintenance_lease(path, "holder"):
         try:
             dedup.lsh_index_compact(spark, path)
@@ -4106,7 +4106,7 @@ def docs_lsh_index_compact_fenced(spark: SparkSession, sf_dir: str) -> DataFrame
             pass
     dedup.lsh_index_compact(spark, path)
     return dedup.lsh_index_query_incremental(
-        spark, path, docs.filter(shard == 0)
+        spark, path, docs.filter(shard == 0), parallelism=spark.sparkContext.defaultParallelism
     )
 
 
@@ -4189,14 +4189,14 @@ def docs_lsh_index_concurrent_append(spark: SparkSession, sf_dir: str) -> DataFr
     )
     half = F.pmod(F.col("doc_id"), F.lit(2))
     dedup.lsh_index_append_atomic(
-        delta.filter(half == 0), path, token="w_a", commit=False
+        delta.filter(half == 0), path, token="w_a", commit=False, parallelism=spark.sparkContext.defaultParallelism
     )
     dedup.lsh_index_append_atomic(
-        delta.filter(half == 1), path, token="w_b", commit=False
+        delta.filter(half == 1), path, token="w_b", commit=False, parallelism=spark.sparkContext.defaultParallelism
     )
     io_sinks.commit_segment(path, "w_b")
     io_sinks.commit_segment(path, "w_a")
-    return dedup.lsh_index_query_incremental(spark, path, query)
+    return dedup.lsh_index_query_incremental(spark, path, query, parallelism=spark.sparkContext.defaultParallelism)
 
 
 def emb_index_pq_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
