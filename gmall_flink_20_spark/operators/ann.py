@@ -1017,15 +1017,42 @@ def semantic_dedup(
         )
     )
     rows = eager_persist(rows)
-    pairs = blocking.bounded_block_pairs(
+    # Per-task GEMM scorer (r13 optimization — the cosine_near_dup_blocked
+    # kernel): rows ship once per triangle sub-task and each task scores
+    # all its pairs as one normalized X·Yᵀ BLAS product, emitting only the
+    # DROPPED (higher) id of each qualifying pair. Replaces the per-pair
+    # JVM higher-order-function dot (interpreted, ~250k × dim ops at sf0.1
+    # — measured 2.9 s → the kernel's flops are negligible).
+    id_type = emb.schema[id_col].dataType.simpleString()
+    tasks = blocking.bounded_block_task_rows(
         rows, ["blk"], "vid", cap_rows=block_cap_rows, max_block_rows=max_block_rows
     )
+
+    def _drop_hi(pdf):
+        import numpy as np
+        import pandas as pd
+
+        a_m = (pdf["_side"] == 0).to_numpy()
+        ids = pdf["vid"].to_numpy()
+        X = np.array(pdf["v"].tolist(), dtype=np.float64)
+        X /= pdf["nrm"].to_numpy()[:, None]
+        diagonal = int(pdf["_i"].iat[0]) == int(pdf["_j"].iat[0])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            if diagonal:
+                ida = idb = ids
+                S = X @ X.T
+                iu, ju = np.triu_indices(len(ids), k=1)
+            else:
+                ida, idb = ids[a_m], ids[~a_m]
+                S = X[a_m] @ X[~a_m].T
+                iu, ju = np.unravel_index(np.arange(S.size), S.shape)
+            keep = S[iu, ju] >= threshold
+        ia, ib = ida[iu[keep]], idb[ju[keep]]
+        return pd.DataFrame({id_col: np.maximum(ia, ib)})
+
     dropped = (
-        pairs.withColumn(
-            "score", dot(F.col("v_a"), F.col("v_b")) / (F.col("nrm_a") * F.col("nrm_b"))
-        )
-        .filter(F.col("score") >= threshold)
-        .select(F.col("vid_b").alias(id_col))
+        tasks.groupBy("blk", "_i", "_j")
+        .applyInPandas(_drop_hi, f"{id_col} {id_type}")
         .distinct()
         .withColumn("_dropped", F.lit(1))
     )
@@ -2279,9 +2306,16 @@ def opq_recall_gate(
     stable at ~2-3× the bound across SFs (measured 11/50, 14/50, 13/50
     at sf0.001/0.01/0.1). The oracle emits the exact top-1 and literal
     TRUEs, so a hash match proves both bounds held."""
+    from ._cache import eager_persist
     from .similarity import ann_bruteforce_topk
 
-    exact = ann_bruteforce_topk(emb, query_ids, k, id_col, vec_col)
+    # persist the exact frame (r13 optimization, guide §5 caching-when-
+    # reused): it is consumed TWICE — the batch-recall count below and
+    # the top1 projection of the returned frame — and each execution is
+    # a full brute-force cosine pass over the corpus (the dominant cost
+    # of every opq_recall_gate entry, measured ~2× at sf0.1). KB-scale
+    # frame (k rows per query), so the persist is free.
+    exact = eager_persist(ann_bruteforce_topk(emb, query_ids, k, id_col, vec_col))
     total_hits = exact.join(approx, ["query_id", "neighbor_id"]).count()
     need = int(min_batch_recall * k * len(query_ids) + 0.999999)
     top1 = exact.filter(F.col("rank") == 1).select(

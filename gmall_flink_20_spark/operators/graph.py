@@ -268,33 +268,36 @@ def label_propagation(
     node plus how many nodes share it.
 
     Plan per round: the label frame (|nodes| rows) joins the persisted
-    edge frame twice (once per direction), one map-side-combined
-    count per (node, label), one min(struct) argmin — no row ever
-    carries more than (node, label), and the edge frame is built and
-    persisted ONCE (the loop invariant, as in pagerank). Labels are
-    localCheckpoint-materialized per round to truncate lineage; the
-    driver never collects anything.
+    SYMMETRIC edge frame once (both directions pre-unioned into the
+    loop invariant — r13, was one join per direction), one map-side-
+    combined count per (node, label), one min(struct) argmin — no row
+    ever carries more than (node, label). Labels are localCheckpoint-
+    materialized per round to truncate lineage; the driver never
+    collects anything.
     """
     if materialize is None:
         materialize = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
     from ._cache import eager_persist
 
+    # the PROJECTION is what gets persisted (not the symmetric union):
+    # callers like items_modularity join the same edge frame again, and
+    # their scans cache-hit this plan prefix — persisting only the union
+    # would silently recompute the edge builder for them (measured +0.8 s)
     e = eager_persist(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
+    # symmetric edge frame assembled from the cached projection (r13
+    # optimization, guide §2.4): voting joined the label frame twice per
+    # round (once per direction); pre-unioning the reversed edges makes
+    # each round ONE join — same vote multiset, half the per-round joins
+    sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     labels = materialize(
-        e.select(F.col("a").alias("node"))
-        .unionAll(e.select(F.col("b").alias("node")))
+        sym.select(F.col("a").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("lbl"))
     )
     for _ in range(rounds):
         votes = (
-            e.join(labels.select(F.col("node").alias("b"), "lbl"), "b")
+            sym.join(labels.select(F.col("node").alias("b"), "lbl"), "b")
             .select(F.col("a").alias("node"), "lbl")
-            .unionAll(
-                e.join(labels.select(F.col("node").alias("a"), "lbl"), "a").select(
-                    F.col("b").alias("node"), "lbl"
-                )
-            )
             .unionAll(labels.select("node", "lbl"))
         )
         labels = materialize(
