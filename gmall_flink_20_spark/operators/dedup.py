@@ -838,15 +838,18 @@ def neardup_incremental(
     verified = jaccard_verify(cand, arr, threshold, id_col)
     v = verified.join(sa, "doc_a").join(sb, "doc_b")
     # pair convention: doc_a < doc_b. b drops when new (a is base or the
-    # lower-id new keeper); a drops only against a base-side b.
+    # lower-id new keeper); a drops only against a base-side b. ONE pass
+    # over the verified frame (r13 optimization): the former
+    # filter-union-filter shape executed the whole verify subtree twice
+    # in a single plan; the two branches are disjoint per row, so a
+    # when() projection computes the same drop set in one execution.
     dropped = (
-        v.filter(F.col("sh_b") == new_shard)
-        .select(F.col("doc_b").alias(id_col))
-        .unionAll(
-            v.filter(
-                (F.col("sh_a") == new_shard) & (F.col("sh_b") != new_shard)
-            ).select(F.col("doc_a").alias(id_col))
+        v.select(
+            F.when(F.col("sh_b") == new_shard, F.col("doc_b"))
+            .when(F.col("sh_a") == new_shard, F.col("doc_a"))
+            .alias(id_col)
         )
+        .filter(F.col(id_col).isNotNull())
         .distinct()
         .withColumn("_d", F.lit(1))
     )
@@ -1109,17 +1112,27 @@ def neardup_threshold_sweep(
     s2 = scored.select("doc_a", "doc_b", "_j", lv).filter(
         F.col("_j") >= F.col("threshold")
     )
-    pair_counts = s2.groupBy("threshold").agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs")
-    )
-    doc_counts = (
-        s2.select("threshold", F.col("doc_a").alias("_d"))
-        .unionByName(s2.select("threshold", F.col("doc_b").alias("_d")))
-        .groupBy("threshold")
-        .agg(F.count_distinct("_d").cast("long").alias("n_docs"))
+    # ONE aggregate pass (r13 optimization): the former
+    # pair_counts ⋈ union-of-both-sides doc_counts shape executed the
+    # whole scored pipeline THREE times in a single plan; exploding each
+    # qualifying pair into its two endpoint rows (first endpoint tagged)
+    # yields n_pairs = Σ tag and n_docs = count_distinct(endpoint) from
+    # one groupBy — same exact counts, one subtree execution, no join.
+    sides = s2.select(
+        "threshold",
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("_d"), F.lit(1).alias("_isf")),
+                F.struct(F.col("doc_b").alias("_d"), F.lit(0).alias("_isf")),
+            )
+        ).alias("_e"),
     )
     return (
-        pair_counts.join(doc_counts, "threshold")
+        sides.groupBy("threshold")
+        .agg(
+            F.sum("_e._isf").cast("long").alias("n_pairs"),
+            F.count_distinct("_e._d").cast("long").alias("n_docs"),
+        )
         .select(
             (F.round(F.col("threshold"), 6) + F.lit(0.0)).alias("threshold"),
             "n_pairs",

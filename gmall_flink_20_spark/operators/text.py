@@ -544,11 +544,25 @@ def overlap_pairs(
         .filter(F.col("_df") <= max_fp_df)
         .select(id_col, "fp")
     )
-    a = kept.select(F.col("fp"), F.col(id_col).alias("doc_a"))
-    b = kept.select(F.col("fp"), F.col(id_col).alias("doc_b"))
+    # Row-local pair generation (r13 optimization, guide §2.4 — the
+    # item_pairs move): the former fp self-join re-executed the kernel
+    # subtree per join side and shipped pair rows through the join;
+    # collecting each fp's (max_fp_df-bounded) doc set on the SAME fp
+    # exchange the stop-filter window established and exploding the
+    # ordered combinations in place yields the identical pair multiset
+    # with no join — per-row work stays bounded by the same max_fp_df².
+    arr = kept.groupBy("fp").agg(F.sort_array(F.collect_set(id_col)).alias("_xs"))
     return (
-        a.join(b, "fp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        arr.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_xs, (x, i) -> "
+                    "transform(slice(_xs, i + 2, size(_xs)), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("_p")
+        )
+        .select("_p.doc_a", "_p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)

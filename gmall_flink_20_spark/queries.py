@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import io_sinks, scratch
-from .io import load_events, load_table
+from .io import fan_out_scan, load_events, load_table
 from .operators import (
     ann,
     blacklist,
@@ -773,7 +773,7 @@ def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     query first re-chunks each doc into 3-token lines (deterministically,
     on both engines) — short lines from a 30-word vocabulary collide
     heavily across docs, so the dedup does real work under the gate."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     nlines = F.ceil(F.size(toks) / F.lit(3.0)).cast("int")
     chunked = F.concat_ws(
@@ -848,7 +848,7 @@ def docs_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     entities — the DuckDB oracle injects the byte-identical dirt and
     must produce the byte-identical cleaned text, value-checking the
     shared Java∩RE2 regex semantics end-to-end."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     sid = F.col("doc_id").cast("string")
     dirty = F.concat(
         F.lit('<p class="body">'),
@@ -965,7 +965,9 @@ def docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Linear in total tokens — fingerprint count + key-reused join."""
     from .operators import dedup as dd
 
-    return dd.dup_span_stats(load_table(spark, sf_dir, "documents"), n=8)
+    return dd.dup_span_stats(
+        fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id"), n=8
+    )
 
 
 def events_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1287,7 +1289,7 @@ def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import layout
 
     ev = (
-        _events(spark, sf_dir)
+        fan_out_scan(_events(spark, sf_dir), "event_id")
         .select("event_id", "user_id", _item_id())
         .filter(F.col("item_id").isNotNull())
     )
@@ -1421,7 +1423,9 @@ def docs_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared winnowing fingerprints, stop-fingerprints (df > 50) dropped
     before the pair join so no boilerplate hash can quadratically
     concentrate a task."""
-    return text.overlap_pairs(load_table(spark, sf_dir, "documents"))
+    return text.overlap_pairs(
+        fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id")
+    )
 
 
 def docs_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1749,7 +1753,9 @@ def docs_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     word ratio, stopword hits — emitted per rule plus the kept verdict,
     all as codegen expressions over one tokenization (no UDF, no
     shuffle)."""
-    return text.gopher_filter(load_table(spark, sf_dir, "documents"))
+    return text.gopher_filter(
+        fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id")
+    )
 
 
 def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1826,7 +1832,9 @@ def docs_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, linear in tokens."""
     from .operators import dedup as dd
 
-    return dd.novelty_rate(load_table(spark, sf_dir, "documents"), n=5)
+    return dd.novelty_rate(
+        fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id"), n=5
+    )
 
 
 def docs_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1857,7 +1865,7 @@ def docs_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, benchmark-contamination count, mean length — the pre-training
     go/no-go view, one corpus projection + one window + one broadcast
     gram probe."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     return curation.corpus_health_report(
         docs.filter(F.col("doc_id") % 20 != 0),
         docs.filter(F.col("doc_id") % 20 == 0),
@@ -1871,7 +1879,9 @@ def docs_neardup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the prefix table; the corpus never self-joins."""
     from .operators import dedup as dd
 
-    return dd.neardup_edit_verified(load_table(spark, sf_dir, "documents"))
+    return dd.neardup_edit_verified(
+        fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id")
+    )
 
 
 def docs_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2055,7 +2065,9 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join so every vector gets its top-3 cosine neighbors without
     the |corpus|² scan — the substrate for embedding clustering and
     SemDeDup chains."""
-    return ann.knn_graph(load_table(spark, sf_dir, "embeddings"), k=3)
+    return ann.knn_graph(
+        fan_out_scan(load_table(spark, sf_dir, "embeddings"), "vec_id"), k=3
+    )
 
 
 def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2129,7 +2141,9 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     never approaches |parts|²."""
     from .operators import analytics
 
-    return analytics.market_basket(load_table(spark, sf_dir, "lineitem"))
+    return analytics.market_basket(
+        fan_out_scan(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
+    )
 
 
 def customers_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2208,7 +2222,7 @@ def docs_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     common-token/uncommon-order word salad. Bigram construction is
     row-local (zip against own tail, no lag shuffle); corpus bigram
     table joins on the bigram key with AQE broadcast when small."""
-    return lm.bigram_lm(load_table(spark, sf_dir, "documents"))
+    return lm.bigram_lm(fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id"))
 
 
 def docs_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2236,7 +2250,9 @@ def docs_phrase_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     analog of CCNet line-frequency boilerplate detection. N-grams are
     row-local; occurrences collapse map-side; the rank window orders
     only the min_df-filtered survivors."""
-    return text.phrase_census(load_table(spark, sf_dir, "documents"))
+    return text.phrase_census(
+        fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id")
+    )
 
 
 def docs_vocab_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
