@@ -157,7 +157,13 @@ def test_q2_no_cartesian_and_broadcast_dims(spark, sf_dir):
 def test_cleaning_is_pure_codegen(spark, sf_dir):
     plan = plan_of(QUERIES["docs_clean"](spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "Exchange" not in plan  # zero shuffle: row-local column ops
+    # the cleaning op itself stays row-local (no data-dependent shuffle);
+    # the ONE allowed exchange is the r13 scan fan-out on doc_id
+    # (io.fan_out_scan — a single-split bench file otherwise serializes
+    # the regex pipeline on one core; a no-op on multi-split corpora)
+    assert plan.count("+- Exchange") <= 1  # formatted mode: tree line only
+    if "Exchange" in plan:
+        assert "hashpartitioning(doc_id" in plan
 
 
 def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
@@ -209,10 +215,14 @@ def test_ivf_assignment_does_not_shuffle_corpus(spark, sf_dir):
 
 
 def test_gopher_filter_no_udf_single_scan(spark, sf_dir):
-    # pure codegen rule gate: one scan, no Python, no exchange
+    # pure codegen rule gate: one scan, no Python; the ONE allowed
+    # exchange is the r13 scan fan-out on doc_id (io.fan_out_scan —
+    # no-op on multi-split corpora, unblocks the single-split bench file)
     plan = plan_of(QUERIES["docs_gopher_filter"](spark, sf_dir))
     assert "PythonUDF" not in plan
-    assert "Exchange" not in plan
+    assert plan.count("+- Exchange") <= 1
+    if "Exchange" in plan:
+        assert "hashpartitioning(doc_id" in plan
 
 
 def test_per_group_cap_bounded_windows(spark, sf_dir):
