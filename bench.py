@@ -404,6 +404,12 @@ def main() -> None:
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     total = round(sum(timings.values()), 3)
+    # VERDICT r13 item 2: the scaling contract must be provable from the
+    # bench output itself — record the EFFECTIVE core count (the
+    # defaultParallelism of the session that actually ran, which local[N]
+    # derives from $SPARK_GRAFT_CPUS) and the master string, additions-only.
+    effective_cpus = spark.sparkContext.defaultParallelism
+    master = spark.sparkContext.master
     # Full per-query detail goes to a file (and an early stdout line for
     # humans); the FINAL stdout line is a compact summary that survives
     # tail-capture truncation — r2's 85-query single line outgrew the
@@ -420,6 +426,8 @@ def main() -> None:
         "queries": timings,
         "runs": runs,
         "sf": sf_val,
+        "cpus": effective_cpus,
+        "master": master,
         # per-replay best-of-N wall-times, excluded from "value"
         "streaming_queries": stream_timings,
         "streaming_total": round(sum(stream_timings.values()), 3),
@@ -444,6 +452,8 @@ def main() -> None:
                 "n_queries": len(timings),
                 "runs": runs,
                 "sf": sf_val,
+                "cpus": effective_cpus,
+                "master": master,
                 "detail": "BENCH_DETAIL.json",
             }
         )

@@ -143,7 +143,15 @@ def fan_out_scan(df: DataFrame, key: str) -> DataFrame:
     queries whose first op is already a cheap aggregate."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # ADVICE r13: memoize the probe per DataFrame object — load_table
+    # returns cached frames, so repeated queries skip both the
+    # DataFrame→RDD lineage conversion (a functools.cached_property in
+    # PySpark 4.x) and the per-call Py4J round-trip.
+    nparts = df.__dict__.get("_fan_out_nparts")
+    if nparts is None:
+        nparts = df.rdd.getNumPartitions()
+        df.__dict__["_fan_out_nparts"] = nparts
+    if nparts >= target:
         return df
     return df.repartition(target, F.col(key))
 

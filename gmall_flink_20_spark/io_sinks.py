@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming import DataStreamWriter
 
 __all__ = [
+    "run_concurrently",
     "write_partitioned",
     "write_bucketed",
     "write_zordered",
@@ -52,6 +53,38 @@ __all__ = [
 # <src> -> <src>_pre_compact and <src>_compacting -> <src> back-to-back.
 _PRE_SUFFIX = "_pre_compact"
 _TMP_SUFFIX = "_compacting"
+
+
+def run_concurrently(*thunks):
+    """Run independent Spark actions from a small driver thread pool
+    (optimization guide §2.6 "overlap independent jobs"): Spark's
+    scheduler happily runs several jobs at once inside one application —
+    actions are only sequential because driver code calls them
+    sequentially. The index-lifecycle entries are sequences of small
+    independent jobs (per-batch segment appends, per-frame rewrites)
+    whose cost is dominated by the per-job scheduling/commit floor, so
+    overlapping them converts N job floors into ~1. Each thunk must be
+    independent (separate output dirs / no ordering contract). Returns
+    the thunks' results in order; the first exception propagates after
+    all threads finish (no half-submitted state left behind)."""
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    from pyspark.sql import SparkSession
+    from pyspark.util import inheritable_thread_target
+    from concurrent.futures import ThreadPoolExecutor
+
+    # inheritable_thread_target propagates the driver thread's JVM-local
+    # properties (job description/group/tags) into pool threads — the
+    # documented PySpark idiom for concurrent driver-side job submission
+    session = SparkSession.getActiveSession()
+    wrap = (
+        inheritable_thread_target(session)
+        if session is not None
+        else inheritable_thread_target
+    )
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futs = [pool.submit(wrap(t)) for t in thunks]
+        return [f.result() for f in futs]
 
 
 def swap_compacted(src: str, fail_between_renames: bool = False) -> None:
@@ -865,6 +898,7 @@ def compact_cells_incremental(
     frame: str,
     max_fragments: int = 1,
     fail_after_first_rename_of: str | None = None,
+    _site_prepped: bool = False,
 ) -> list[str]:
     """Rewrite ONLY the cells of ``<root>/<frame>`` whose fragment count
     exceeds ``max_fragments`` (base files + unabsorbed segment files),
@@ -875,15 +909,20 @@ def compact_cells_incremental(
     one shuffle on the partition key), then V two-rename swaps commit
     them cell-by-cell. ``fail_after_first_rename_of`` is the
     fault-injection hook: crash after renaming that cell's live dir
-    away (the reader/writer heal paths cover it)."""
+    away (the reader/writer heal paths cover it). ``_site_prepped``:
+    the caller already ran heal_cell_sites + purge_stale_stage_dirs
+    under its maintenance lease — set when this pass runs CONCURRENTLY
+    with another maintenance job of the same writer whose staging the
+    purge must not race (dedup.lsh_index_compact_incremental)."""
     import os
     import shutil
 
     from pyspark.sql import functions as F
 
     base_dir = f"{root}/{frame}"
-    heal_cell_sites(base_dir)
-    purge_stale_stage_dirs(root)
+    if not _site_prepped:
+        heal_cell_sites(base_dir)
+        purge_stale_stage_dirs(root)
     counts = cell_fragment_counts(root, frame)
     victims = sorted(name for name, n in counts.items() if n > max_fragments)
     if not victims:

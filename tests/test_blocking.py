@@ -150,3 +150,61 @@ def test_jaccard_blocked_guard_wired(spark):
     with pytest.raises(Exception) as ei:
         dedup.jaccard_blocked(df, n=1, max_block_rows=10).count()
     assert "max_block_rows" in str(ei.value)
+
+
+def test_sig_and_shingles_matches_split_operators(spark):
+    # r14: the combined one-pass frame must agree with the split
+    # operators value-for-value — sig arrays exactly, shingle sets as
+    # SETS (collect_set order is execution-dependent in both forms)
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "completely different text with other words here"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    combined = {
+        r.doc_id: (list(r.sig), frozenset(r.shingles))
+        for r in dedup.minhash_sig_and_shingles(df, n=3, num_hashes=16).collect()
+    }
+    sig = {
+        r.doc_id: list(r.sig)
+        for r in dedup.minhash_signature_permuted(df, n=3, num_hashes=16).collect()
+    }
+    sh = {
+        r.doc_id: frozenset(r.shingles)
+        for r in dedup.hashed_shingle_sets(df, n=3).collect()
+    }
+    assert set(combined) == set(sig) == set(sh)
+    for d, (s, h) in combined.items():
+        assert s == sig[d], d
+        assert h == sh[d], d
+
+
+def test_jaccard_blocked_kernel_chunking_exact(spark):
+    # r14 kernel internals: force the grouped-cartesian expansion through
+    # multiple sub-group tasks AND verify exact (inter, union, jaccard)
+    # against a Python set model, including a hot shingle shared by every
+    # doc (the worst-case intersection-mass shape the chunked expansion
+    # bounds)
+    import itertools
+
+    texts = []
+    for i in range(12):
+        words = ["common"] + [f"w{i}_{j}" for j in range(3)] + ["shared"] * (i % 3)
+        texts.append((i, "en", "web", " ".join(words)))
+    df = spark.createDataFrame(texts, "doc_id long, lang string, source string, text string")
+    got = {
+        (r.doc_a, r.doc_b): (r.inter_sz, r.union_sz, r.jaccard)
+        for r in dedup.jaccard_blocked(df, n=1, block_cap_rows=4).collect()
+    }
+    # python model over 1-gram distinct token sets
+    sets = {i: set(t.split()) for i, _, _, t in texts}
+    exp = {}
+    for a, b in itertools.combinations(range(12), 2):
+        inter = len(sets[a] & sets[b])
+        if inter == 0:
+            continue
+        union = len(sets[a] | sets[b])
+        exp[(a, b)] = (inter, union, inter / union)
+    assert got == exp

@@ -16,6 +16,17 @@ def plan_of(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
 
 
+def n_exchanges(plan: str) -> int:
+    """Count Exchange operators in a formatted plan robustly (ADVICE r13):
+    the node-details section lists every operator exactly once as
+    '(<id>) Exchange', whatever tree prefix ('+- ', ':- ', root) the tree
+    rendering used — counting '+- Exchange' alone undercounts left-branch
+    exchanges under joins."""
+    import re
+
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
 def test_q6_filters_pushed_to_scan(spark, sf_dir):
     plan = plan_of(tpch.q6_forecast_revenue(spark, sf_dir))
     assert "PushedFilters:" in plan
@@ -161,7 +172,7 @@ def test_cleaning_is_pure_codegen(spark, sf_dir):
     # the ONE allowed exchange is the r13 scan fan-out on doc_id
     # (io.fan_out_scan — a single-split bench file otherwise serializes
     # the regex pipeline on one core; a no-op on multi-split corpora)
-    assert plan.count("+- Exchange") <= 1  # formatted mode: tree line only
+    assert n_exchanges(plan) <= 1  # all tree prefixes counted (ADVICE r13)
     if "Exchange" in plan:
         assert "hashpartitioning(doc_id" in plan
 
@@ -220,7 +231,7 @@ def test_gopher_filter_no_udf_single_scan(spark, sf_dir):
     # no-op on multi-split corpora, unblocks the single-split bench file)
     plan = plan_of(QUERIES["docs_gopher_filter"](spark, sf_dir))
     assert "PythonUDF" not in plan
-    assert plan.count("+- Exchange") <= 1
+    assert n_exchanges(plan) <= 1
     if "Exchange" in plan:
         assert "hashpartitioning(doc_id" in plan
 
