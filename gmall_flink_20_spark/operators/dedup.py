@@ -877,25 +877,19 @@ def neardup_containment(
     exact containment ≥ threshold. The near-subset complement of
     ``neardup_verified`` with the identical two-phase scale shape (the
     probabilistic phase bounds candidates; the exact phase touches only
-    candidate shingle arrays)."""
-    sig = minhash_signature_permuted(df, n, num_hashes, text_col, id_col, parallelism)
-    pairs = lsh_candidate_pairs(sig, bands, rows_per_band, id_col, from_array=True)
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    base = df.select(F.col(id_col), toks.alias("toks")).filter(F.size("toks") >= n)
-    rows = base.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.size("toks") - n)).alias("i"),
-        F.col("toks"),
-    ).select(
-        F.col(id_col),
-        F.expr(
-            "CAST(conv(substr(md5(concat_ws(' ', "
-            + ", ".join(f"element_at(toks, i + {j + 1})" for j in range(n))
-            + ")), 1, 15), 16, 10) AS BIGINT)"
-        ).alias("h"),
+    candidate shingle arrays).
+
+    r14: one persisted combined pass supplies signatures AND shingle
+    sets (see neardup_verified — same rationale, measured win there)."""
+    cs = eager_persist(
+        minhash_sig_and_shingles(df, n, num_hashes, text_col, id_col, parallelism)
     )
-    arr = rows.groupBy(id_col).agg(F.collect_set("h").alias("shingles"))
-    return containment_verify(pairs, arr, threshold, id_col)
+    pairs = lsh_candidate_pairs(
+        cs.select(F.col(id_col), "sig"), bands, rows_per_band, id_col, from_array=True
+    )
+    return containment_verify(
+        pairs, cs.select(F.col(id_col), "shingles"), threshold, id_col
+    )
 
 
 def dedup_incremental(
