@@ -1636,8 +1636,9 @@ def lsh_index_write(
         # the two frames are independent outputs of the same input — run
         # their write jobs concurrently (guide §2.6) so the second write
         # back-fills the first's task tail instead of paying its own
-        # scheduling/commit floor end-to-end
-        run_concurrently(
+        # scheduling/commit floor end-to-end (sequential on the
+        # parallelism=None micro-batch path, as in lsh_index_append)
+        writes = [
             lambda: (
                 banded.repartition("band_id")
                 .write.mode("overwrite")
@@ -1645,7 +1646,12 @@ def lsh_index_write(
                 .parquet(f"{path}/bands")
             ),
             lambda: sh.write.mode("overwrite").parquet(f"{path}/shingles"),
-        )
+        ]
+        if parallelism:
+            run_concurrently(*writes)
+        else:
+            for w in writes:
+                w()
     finally:
         cleanup()
 
@@ -1786,8 +1792,10 @@ def lsh_index_append(
         banded = band_keys(sig, bands, rows_per_band, id_col)
         # independent destinations (bands/ vs shingles/): overlap the two
         # append jobs (guide §2.6) — between-crawls maintenance cost is
-        # dominated by the per-job floor, not data volume
-        run_concurrently(
+        # dominated by the per-job floor, not data volume. Streaming
+        # foreachBatch sites (parallelism=None) keep sequential writes: a
+        # driver thread pool per micro-batch costs more than it overlaps.
+        writes = [
             lambda: (
                 banded.repartition("band_id")
                 .write.mode("append")
@@ -1795,7 +1803,12 @@ def lsh_index_append(
                 .parquet(f"{path}/bands")
             ),
             lambda: sh.write.mode("append").parquet(f"{path}/shingles"),
-        )
+        ]
+        if parallelism:
+            run_concurrently(*writes)
+        else:
+            for w in writes:
+                w()
     finally:
         cleanup()
 
@@ -1831,8 +1844,10 @@ def lsh_index_append_atomic(
         banded = band_keys(sig, bands, rows_per_band, id_col)
         # both frames land under the same hidden staging dir and publish
         # in the single rename below — overlapping their write jobs
-        # (guide §2.6) changes nothing a reader can observe
-        run_concurrently(
+        # (guide §2.6) changes nothing a reader can observe; streaming
+        # micro-batch sites (parallelism=None) stay sequential, as in
+        # lsh_index_append
+        writes = [
             lambda: (
                 banded.repartition("band_id")
                 .write.mode("overwrite")
@@ -1840,7 +1855,12 @@ def lsh_index_append_atomic(
                 .parquet(f"{stage}/bands")
             ),
             lambda: sh.write.mode("overwrite").parquet(f"{stage}/shingles"),
-        )
+        ]
+        if parallelism:
+            run_concurrently(*writes)
+        else:
+            for w in writes:
+                w()
     finally:
         cleanup()
     if commit:
