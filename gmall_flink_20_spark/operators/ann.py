@@ -587,7 +587,13 @@ def cosine_near_dup_blocked(
                 ida, idb = ids[a_m], ids[~a_m]
                 S = X[a_m] @ X[~a_m].T
                 iu, ju = np.unravel_index(np.arange(S.size), S.shape)
-            keep = S[iu, ju] >= threshold
+            s = S[iu, ju]
+            # ADVICE r13: a zero-norm vector yields NaN cosine; both
+            # engines order NaN above every double, so `NaN >= t` is TRUE
+            # there while numpy's is False — count NaN as qualifying so
+            # hypothetical zero-norm rows match the oracle (no-op on the
+            # driver corpora, which have no zero vectors)
+            keep = (s >= threshold) | np.isnan(s)
         ia, ib = ida[iu[keep]], idb[ju[keep]]
         lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
         return pd.DataFrame({"vec_a": lo, "vec_b": hi})
@@ -1046,7 +1052,10 @@ def semantic_dedup(
                 ida, idb = ids[a_m], ids[~a_m]
                 S = X[a_m] @ X[~a_m].T
                 iu, ju = np.unravel_index(np.arange(S.size), S.shape)
-            keep = S[iu, ju] >= threshold
+            s = S[iu, ju]
+            # NaN (zero-norm) qualifies, matching engine NaN ordering —
+            # see cosine_near_dup_blocked (ADVICE r13; no-op on driver data)
+            keep = (s >= threshold) | np.isnan(s)
         ia, ib = ida[iu[keep]], idb[ju[keep]]
         return pd.DataFrame({id_col: np.maximum(ia, ib)})
 
